@@ -1,0 +1,756 @@
+"""Frozen determinism spec for the extraction engine (SURVEY.md §2.8).
+
+Pure-Python, stdlib-only functions that define EXACTLY what the engine
+computes per document. Both the committed goldens and the Ray Data
+stages call these same functions, so "byte-identical extracted text per
+url" is a property of this module, not of the execution engine.
+
+Semantics mirrored from the reference (citations are file:line under
+/root/reference/):
+
+* mime sniff by magic bytes        -> worker/pipeline/io_conversion.py:14-26
+* empty-span skipping, conf=1.0    -> worker/pipeline/processors/pdf_processor.py:59-76
+* scanned-page predicate           -> worker/pipeline/processors/pdf_processor.py:27-47
+* OCR ensemble dedup + sort        -> models/ocr_models.py:174-183
+* token->line region grouping @12px-> worker/pipeline/text_regions.py:9-28
+* page/doc text assembly           -> worker/document_processor.py:434,474-488
+* row assembly w/ provenance       -> worker/pipeline/postprocess.py:9-37
+* table row/col clustering         -> worker/pipeline/tables.py:13-160
+* encoding fallback chain          -> worker/document_processor.py:526-549
+* summary fields                   -> worker/document_processor.py:791-845
+* confidence defaults              -> worker/document_processor.py:490-500,768-789
+
+The HTML branch (reference treats .html as plain text,
+worker/document_processor.py:388) is reference-free: a
+Readability/Boilerpipe-style text-density / link-density block scorer
+with the thresholds frozen below (SURVEY.md §2.8 rule 7).
+
+Nothing in this module may read the clock, use uuid/random, or depend
+on dict iteration order of non-insertion-ordered inputs.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+from typing import Any, Optional
+
+SPEC_VERSION = "1.0.0"
+
+# ----------------------------------------------------------------------------
+# Frozen thresholds
+# ----------------------------------------------------------------------------
+REGION_Y_SPLIT = 12.0          # text_regions.py:11-27 — new region when |y_center jump| > 12
+REVIEW_CONF = 0.8              # tables.py:157 — needs_review when any conf < 0.8
+TABLE_ROW_MIN_THRESH = 8       # tables.py:63-65 — row split threshold max(8, 0.6*median_h)
+TABLE_ROW_MEDIAN_FACTOR = 0.6
+TABLE_COL_MIN_GAP = 20.0       # tables.py:125 — column gap max(20, 0.04*span)
+TABLE_COL_SPAN_FACTOR = 0.04
+HTML_MIN_BLOCK_CHARS = 25      # HTML branch (reference-free, frozen here)
+HTML_MIN_HEADING_CHARS = 3
+HTML_MAX_LINK_DENSITY = 0.33
+HTML_MAX_HEADING_LINK_DENSITY = 0.2
+PAGE_SEP = "\n\n"              # document_processor.py:474-488 — pages joined "\n\n"
+ENCODING_CHAIN = ("utf-8", "latin-1", "cp1252", "iso-8859-1")  # document_processor.py:526-549
+
+# Magic prefixes (io_conversion.py:14-26)
+PDF_MAGIC = b"%PDF"
+JPEG_MAGIC = b"\xff\xd8\xff"
+PNG_MAGIC = b"\x89PNG"
+ZIP_MAGIC = b"PK"
+
+# Pseudo-container tags for fixture payloads (no pdf/image libs in env;
+# the container format is ours, the *extraction semantics* are the spec'd ones).
+PSEUDO_PDF_HEADER = b"%PDF-1.7\n%CURIO1\n"
+PSEUDO_PNG_HEADER = b"\x89PNG\r\n\x1a\n"
+
+
+# ----------------------------------------------------------------------------
+# Small value types (plain dicts keep Arrow conversion trivial)
+# ----------------------------------------------------------------------------
+def token(text: str, x1: float, y1: float, x2: float, y2: float, conf: float) -> dict:
+    return {"text": text, "x1": float(x1), "y1": float(y1),
+            "x2": float(x2), "y2": float(y2), "conf": float(conf)}
+
+
+@dataclass
+class Region:
+    rtype: str                    # line | paragraph | heading | list_item | code | quote
+    tokens: list = field(default_factory=list)
+
+    @property
+    def text(self) -> str:
+        return " ".join(t["text"] for t in self.tokens)
+
+    @property
+    def bbox(self) -> tuple:
+        xs1 = min(t["x1"] for t in self.tokens)
+        ys1 = min(t["y1"] for t in self.tokens)
+        xs2 = max(t["x2"] for t in self.tokens)
+        ys2 = max(t["y2"] for t in self.tokens)
+        return (xs1, ys1, xs2, ys2)
+
+    @property
+    def conf(self) -> float:
+        if not self.tokens:
+            return 1.0
+        return sum(t["conf"] for t in self.tokens) / len(self.tokens)
+
+    @property
+    def min_conf(self) -> float:
+        if not self.tokens:
+            return 1.0
+        return min(t["conf"] for t in self.tokens)
+
+
+@dataclass
+class PageOut:
+    page_num: int                 # 1-based
+    width: int
+    height: int
+    is_scanned: bool
+    regions: list = field(default_factory=list)   # list[Region]
+    region_sep: str = " "         # pdf/ocr: " " (document_processor.py:434); html/text: "\n\n"
+
+
+@dataclass
+class TableOut:
+    page_num: int
+    bbox: tuple
+    cells: list                   # list[(r, c, text, conf)]
+    n_rows: int
+    n_cols: int
+    conf: float
+    needs_review: bool
+
+
+@dataclass
+class DocOut:
+    """Full per-document extraction result (pre-Arrow)."""
+    doc_kind: str                 # html | digital_pdf | scanned_pdf | scanned_image | text | unknown
+    pages: list = field(default_factory=list)     # list[PageOut]
+    tables: list = field(default_factory=list)    # list[TableOut]
+    error: Optional[str] = None
+
+
+# ----------------------------------------------------------------------------
+# MIME sniff + kind dispatch (S3 + M16 semantics)
+# ----------------------------------------------------------------------------
+def sniff_mime(payload: bytes) -> str:
+    """Magic-number MIME sniff — io_conversion.py:14-26 order preserved."""
+    if payload.startswith(PDF_MAGIC):
+        return "application/pdf"
+    if payload.startswith(JPEG_MAGIC):
+        return "image/jpeg"
+    if payload.startswith(PNG_MAGIC):
+        return "image/png"
+    if payload.startswith(ZIP_MAGIC):
+        return "application/zip"
+    head = payload[:512].lstrip()
+    if head[:1] == b"<":
+        return "text/html"
+    return "text/plain"
+
+
+def content_hash(payload: bytes) -> str:
+    """sha256 hex digest — storage_manager.py:27-28."""
+    return hashlib.sha256(payload).hexdigest()
+
+
+def decode_text(payload: bytes) -> str:
+    """Encoding fallback chain — document_processor.py:526-549.
+
+    utf-8 first, then latin-1 (which cannot fail), preserving the
+    reference's declared order utf-8 -> latin-1 -> cp1252 -> iso-8859-1.
+    """
+    for enc in ENCODING_CHAIN:
+        try:
+            return payload.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            continue
+    return payload.decode("utf-8", errors="replace")  # unreachable; latin-1 never fails
+
+
+# ----------------------------------------------------------------------------
+# OCR stub engine (deterministic function of image bytes) + ensemble rules
+# ----------------------------------------------------------------------------
+def ocr_stub(image_bytes: bytes) -> list[dict]:
+    """Seeded stub OCR: deterministic tokens from image bytes (SURVEY.md §5.2.5).
+
+    If the bytes are a pseudo-PNG container (PSEUDO_PNG_HEADER + JSON
+    {"w","h","words":[[text,x1,y1,x2,y2,conf],...]}), emit exactly those
+    words. Otherwise derive pseudo-words from sha256 of the bytes so ANY
+    image input yields stable output.
+    """
+    if image_bytes.startswith(PSEUDO_PNG_HEADER):
+        try:
+            payload = json.loads(image_bytes[len(PSEUDO_PNG_HEADER):].decode("utf-8"))
+            return [token(w[0], w[1], w[2], w[3], w[4], w[5]) for w in payload.get("words", [])]
+        except (ValueError, UnicodeDecodeError, IndexError, TypeError):
+            pass
+    h = hashlib.sha256(image_bytes).digest()
+    n = 1 + h[0] % 5
+    toks = []
+    for i in range(n):
+        word = "w" + h[i * 4:i * 4 + 3].hex()
+        x1 = 10.0 + 60.0 * i
+        y1 = 10.0 + 20.0 * (h[i + 8] % 4)
+        conf = 0.5 + (h[i + 16] % 128) / 256.0
+        toks.append(token(word, x1, y1, x1 + 50.0, y1 + 14.0, round(conf, 4)))
+    return toks
+
+
+def ensemble_merge(token_lists: list[list[dict]]) -> list[dict]:
+    """OCR ensemble merge — models/ocr_models.py:174-183.
+
+    Dedup on key (text, bbox) keeping max confidence, then sort (y1, x1).
+    """
+    best: dict[tuple, dict] = {}
+    for toks in token_lists:
+        for t in toks:
+            key = (t["text"], (t["x1"], t["y1"], t["x2"], t["y2"]))
+            prev = best.get(key)
+            if prev is None or t["conf"] > prev["conf"]:
+                best[key] = t
+    return sorted(best.values(), key=lambda t: (t["y1"], t["x1"]))
+
+
+# ----------------------------------------------------------------------------
+# Token -> line region grouping (M11)
+# ----------------------------------------------------------------------------
+def group_tokens_into_lines(tokens: list[dict]) -> list[Region]:
+    """Sort (y1, x1); new region when the token's y-center differs from the
+    previous token's y-center by more than REGION_Y_SPLIT px
+    (text_regions.py:9-28)."""
+    if not tokens:
+        return []
+    toks = sorted(tokens, key=lambda t: (t["y1"], t["x1"]))
+    regions: list[Region] = []
+    cur: Optional[Region] = None
+    prev_yc = None
+    for t in toks:
+        yc = (t["y1"] + t["y2"]) / 2.0
+        if cur is None or abs(yc - prev_yc) > REGION_Y_SPLIT:
+            cur = Region(rtype="line")
+            regions.append(cur)
+        cur.tokens.append(t)
+        prev_yc = yc
+    return regions
+
+
+# ----------------------------------------------------------------------------
+# Table structure from tokens (T2) — worker/pipeline/tables.py:13-160
+# ----------------------------------------------------------------------------
+def _tokens_in_bbox(tokens: list[dict], bbox: tuple, min_overlap: float = 0.5) -> list[dict]:
+    """Token inclusion by area-overlap ratio >= 0.5 (tables.py:299-334)."""
+    bx1, by1, bx2, by2 = bbox
+    out = []
+    for t in tokens:
+        ix1, iy1 = max(t["x1"], bx1), max(t["y1"], by1)
+        ix2, iy2 = min(t["x2"], bx2), min(t["y2"], by2)
+        inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
+        area = max(1e-9, (t["x2"] - t["x1"]) * (t["y2"] - t["y1"]))
+        if inter / area >= min_overlap:
+            out.append(t)
+    return out
+
+
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    if n == 0:
+        return 0.0
+    mid = n // 2
+    if n % 2 == 1:
+        return s[mid]
+    return (s[mid - 1] + s[mid]) / 2.0
+
+
+def table_from_tokens(tokens: list[dict], bbox: tuple, page_num: int) -> Optional[TableOut]:
+    """Reconstruct a row/column cell grid from tokens inside ``bbox``.
+
+    Row grouping: sort by y1; new row when y1 gap > max(8, 0.6*median
+    token height) (tables.py:63-65). Column clustering: gap clustering
+    over x1 with min_gap = max(20, 0.04*x-span) (tables.py:125). Cell
+    assignment by nearest column start. needs_review when any token conf
+    < 0.8 (tables.py:157).
+    """
+    toks = _tokens_in_bbox(tokens, bbox)
+    if not toks:
+        return None
+    heights = [t["y2"] - t["y1"] for t in toks]
+    row_thresh = max(float(TABLE_ROW_MIN_THRESH),
+                     TABLE_ROW_MEDIAN_FACTOR * _median(heights))
+    by_y = sorted(toks, key=lambda t: (t["y1"], t["x1"]))
+    rows: list[list[dict]] = []
+    cur_row: list[dict] = []
+    prev_y = None
+    for t in by_y:
+        if prev_y is not None and (t["y1"] - prev_y) > row_thresh:
+            rows.append(cur_row)
+            cur_row = []
+        cur_row.append(t)
+        prev_y = t["y1"]
+    if cur_row:
+        rows.append(cur_row)
+
+    xs = sorted(t["x1"] for t in toks)
+    span = max(t["x2"] for t in toks) - min(t["x1"] for t in toks)
+    min_gap = max(TABLE_COL_MIN_GAP, TABLE_COL_SPAN_FACTOR * span)
+    col_starts = [xs[0]]
+    for x in xs[1:]:
+        if x - col_starts[-1] > min_gap:
+            col_starts.append(x)
+
+    cells: dict[tuple, list[dict]] = {}
+    for r, row_toks in enumerate(rows):
+        for t in sorted(row_toks, key=lambda t: t["x1"]):
+            c = 0
+            for ci, cx in enumerate(col_starts):
+                if t["x1"] >= cx - min_gap / 2.0:
+                    c = ci
+            cells.setdefault((r, c), []).append(t)
+
+    cell_list = []
+    all_confs = []
+    for (r, c) in sorted(cells.keys()):
+        ctoks = cells[(r, c)]
+        text = " ".join(t["text"] for t in ctoks)
+        conf = min(t["conf"] for t in ctoks)
+        all_confs.append(conf)
+        cell_list.append((r, c, text, conf))
+    needs_review = any(cf < REVIEW_CONF for cf in all_confs)
+    conf = sum(all_confs) / len(all_confs) if all_confs else 1.0
+    return TableOut(page_num=page_num, bbox=tuple(float(v) for v in bbox),
+                    cells=cell_list, n_rows=len(rows), n_cols=len(col_starts),
+                    conf=conf, needs_review=needs_review)
+
+
+# ----------------------------------------------------------------------------
+# Pseudo-PDF branch (digital span walk M2 + scanned predicate M1 + OCR A1-A4)
+# ----------------------------------------------------------------------------
+def parse_pseudo_pdf(payload: bytes) -> dict:
+    """Parse the pseudo-PDF container: header + JSON body.
+
+    Body: {"pages":[{"width":W,"height":H,
+                     "spans":[[text,x1,y1,x2,y2,size,bold],...],
+                     "image": base64-str|null,
+                     "tables":[[x1,y1,x2,y2],...]}]}
+    Raises ValueError on malformed payloads (-> error column).
+    """
+    if not payload.startswith(PDF_MAGIC):
+        raise ValueError("not a pdf payload")
+    idx = payload.find(b"\n%CURIO1\n")
+    if idx < 0:
+        raise ValueError("unsupported pdf container (no CURIO1 marker)")
+    body = payload[idx + len(b"\n%CURIO1\n"):]
+    try:
+        doc = json.loads(body.decode("utf-8"))
+    except (ValueError, UnicodeDecodeError) as exc:
+        raise ValueError(f"pdf body parse failed: {exc}") from exc
+    if not isinstance(doc, dict) or "pages" not in doc:
+        raise ValueError("pdf body missing pages")
+    return doc
+
+
+def extract_pdf(payload: bytes, max_pages: int = 0) -> DocOut:
+    """Digital/scanned PDF extraction.
+
+    Per page (pdf_processor.py:119-164): classify scanned-vs-digital by
+    span presence (pdf_processor.py:27-47); digital -> span walk dropping
+    whitespace-only spans, token conf=1.0 (pdf_processor.py:59-76);
+    scanned -> OCR stub + ensemble merge (ocr_models.py:174-183). Tokens
+    group into line regions (text_regions.py:9-28). ``max_pages`` > 0
+    caps processed pages (pdf_processor.py:188-192).
+    """
+    doc = parse_pseudo_pdf(payload)
+    pages_in = doc["pages"]
+    if max_pages and max_pages > 0:
+        pages_in = pages_in[:max_pages]
+    out = DocOut(doc_kind="digital_pdf")
+    any_scanned = False
+    for pi, page in enumerate(pages_in, start=1):
+        width = int(page.get("width", 0))
+        height = int(page.get("height", 0))
+        spans = page.get("spans") or []
+        toks = []
+        for s in spans:
+            text = str(s[0])
+            if text.strip() == "":
+                continue  # whitespace-only span skip (pdf_processor.py:61-63)
+            toks.append(token(text, s[1], s[2], s[3], s[4], 1.0))
+        is_scanned = len(toks) == 0 and page.get("image") is not None
+        if is_scanned:
+            any_scanned = True
+            img = base64.b64decode(page["image"])
+            toks = ensemble_merge([ocr_stub(img)])
+        regions = group_tokens_into_lines(toks)
+        out.pages.append(PageOut(page_num=pi, width=width, height=height,
+                                 is_scanned=is_scanned, regions=regions,
+                                 region_sep=" "))
+        for tb in page.get("tables") or []:
+            t = table_from_tokens(toks, tuple(tb), pi)
+            if t is not None:
+                out.tables.append(t)
+    if any_scanned:
+        out.doc_kind = "scanned_pdf"
+    return out
+
+
+def extract_image(payload: bytes) -> DocOut:
+    """Standalone scanned image: OCR stub -> ensemble merge -> line regions."""
+    toks = ensemble_merge([ocr_stub(payload)])
+    regions = group_tokens_into_lines(toks)
+    page = PageOut(page_num=1, width=0, height=0, is_scanned=True,
+                   regions=regions, region_sep=" ")
+    return DocOut(doc_kind="scanned_image", pages=[page])
+
+
+# ----------------------------------------------------------------------------
+# Plain-text branch
+# ----------------------------------------------------------------------------
+def extract_plain_text(payload: bytes) -> DocOut:
+    """Plain text: decode with the fallback chain, split into paragraphs on
+    blank lines, whitespace-normalize each paragraph. One page; regions
+    join with "\\n\\n"."""
+    text = decode_text(payload)
+    paras = [p for p in re.split(r"\n\s*\n", text) if p.strip()]
+    regions = []
+    for si, para in enumerate(paras):
+        words = para.split()
+        toks = []
+        x = 0.0
+        y = 20.0 * si
+        for w in words:
+            wid = 8.0 * len(w)
+            toks.append(token(w, x, y, x + wid, y + 16.0, 1.0))
+            x += wid + 8.0
+        r = Region(rtype="paragraph", tokens=toks)
+        regions.append(r)
+    page = PageOut(page_num=1, width=0, height=0, is_scanned=False,
+                   regions=regions, region_sep=PAGE_SEP)
+    return DocOut(doc_kind="text", pages=[page])
+
+
+# ----------------------------------------------------------------------------
+# HTML branch (M18; reference-free, frozen spec — SURVEY.md §2.8 rule 7)
+# ----------------------------------------------------------------------------
+_DROP_TAGS = frozenset({"script", "style", "nav", "header", "footer", "aside",
+                        "noscript", "form", "button", "svg", "iframe", "select",
+                        "template", "head"})
+_FLUSH_TAGS = frozenset({"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre",
+                         "blockquote", "div", "article", "section", "main",
+                         "body", "ul", "ol", "br", "tr", "td", "th", "table"})
+_KIND_TAGS = {"p": "paragraph", "h1": "heading", "h2": "heading", "h3": "heading",
+              "h4": "heading", "h5": "heading", "h6": "heading",
+              "li": "list_item", "pre": "code", "blockquote": "quote"}
+_VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input"})
+
+
+class _BlockParser(HTMLParser):
+    """Streaming HTML -> (blocks, tables) with link-char accounting.
+
+    Blocks: (kind, raw_text, link_chars) flushed at block-tag boundaries.
+    Tables: cell texts per (table, row) captured inside <table>, excluded
+    from main-content blocks.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, str, int]] = []
+        self.tables: list[list[list[tuple[int, str]]]] = []  # table -> rows -> [(colspan, text)]
+        self._buf: list[str] = []
+        self._link_chars = 0
+        self._drop_depth = 0
+        self._link_depth = 0
+        self._kind = "paragraph"
+        self._table_depth = 0
+        self._cell_buf: Optional[list[str]] = None
+        self._cell_span = 1
+        self._cur_row: Optional[list[tuple[int, str]]] = None
+
+    def _flush(self) -> None:
+        text = "".join(self._buf)
+        if text.strip():
+            self.blocks.append((self._kind, text, self._link_chars))
+        self._buf = []
+        self._link_chars = 0
+        self._kind = "paragraph"
+
+    # -- tag handling -------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _DROP_TAGS:
+            if tag not in _VOID_TAGS:
+                self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "table":
+            self._flush()
+            self._table_depth += 1
+            if self._table_depth == 1:
+                self.tables.append([])
+            return
+        if self._table_depth:
+            if tag == "tr":
+                self._end_cell()
+                self._cur_row = []
+                self.tables[-1].append(self._cur_row)
+            elif tag in ("td", "th"):
+                self._end_cell()
+                span = 1
+                for k, v in attrs:
+                    if k == "colspan" and v and str(v).isdigit():
+                        span = max(1, int(v))
+                self._cell_buf = []
+                self._cell_span = span
+            return
+        if tag == "a":
+            self._link_depth += 1
+            return
+        if tag in _FLUSH_TAGS:
+            self._flush()
+            if tag in _KIND_TAGS:
+                self._kind = _KIND_TAGS[tag]
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if tag == "table":
+            self._end_cell()
+            self._cur_row = None
+            self._table_depth = max(0, self._table_depth - 1)
+            return
+        if self._table_depth:
+            if tag in ("td", "th"):
+                self._end_cell()
+            elif tag == "tr":
+                self._end_cell()
+                self._cur_row = None
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+            return
+        if tag in _FLUSH_TAGS:
+            self._flush()
+
+    def _end_cell(self) -> None:
+        if self._cell_buf is not None and self._cur_row is not None:
+            self._cur_row.append((self._cell_span, "".join(self._cell_buf)))
+        self._cell_buf = None
+        self._cell_span = 1
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth:
+            return
+        if self._table_depth:
+            if self._cell_buf is not None:
+                self._cell_buf.append(data)
+            return
+        self._buf.append(data)
+        if self._link_depth:
+            self._link_chars += len(data.strip())
+
+    def close(self) -> None:  # flush trailing text
+        super().close()
+        self._end_cell()
+        self._flush()
+
+
+def _keep_block(kind: str, norm_text: str, link_chars: int) -> bool:
+    """Frozen main-content classification (HTML branch)."""
+    n = len(norm_text)
+    if n == 0:
+        return False
+    ld = min(1.0, link_chars / n)
+    if kind == "heading":
+        return n >= HTML_MIN_HEADING_CHARS and ld <= HTML_MAX_HEADING_LINK_DENSITY
+    if kind == "list_item":
+        return n >= HTML_MIN_BLOCK_CHARS and ld <= HTML_MAX_HEADING_LINK_DENSITY
+    return n >= HTML_MIN_BLOCK_CHARS and ld <= HTML_MAX_LINK_DENSITY
+
+
+def extract_html(payload: bytes) -> DocOut:
+    """HTML main-content extraction (M18).
+
+    Parse with the stdlib tolerant parser; drop nav/header/footer/aside/
+    script/style subtrees; flush text runs at block boundaries;
+    whitespace-normalize each block; keep blocks passing the frozen
+    text-length / link-density thresholds; each kept block is a region;
+    one page; regions join with "\\n\\n". <table> elements become
+    TableOut grids (cells row-major, colspan advances the column index)
+    and are excluded from the main text.
+    """
+    text = decode_text(payload)
+    parser = _BlockParser()
+    parser.feed(text)
+    parser.close()
+
+    regions: list[Region] = []
+    seq = 0
+    for kind, raw, link_chars in parser.blocks:
+        norm = " ".join(raw.split())
+        if not _keep_block(kind, norm, link_chars):
+            continue
+        words = norm.split()
+        toks = []
+        x = 0.0
+        y = 20.0 * seq
+        for w in words:
+            wid = 8.0 * len(w)
+            toks.append(token(w, x, y, x + wid, y + 16.0, 1.0))
+            x += wid + 8.0
+        regions.append(Region(rtype=kind, tokens=toks))
+        seq += 1
+
+    out = DocOut(doc_kind="html")
+    out.pages = [PageOut(page_num=1, width=0, height=0, is_scanned=False,
+                         regions=regions, region_sep=PAGE_SEP)]
+    for ti, rows in enumerate(parser.tables):
+        cell_list = []
+        n_cols = 0
+        for r, row in enumerate(rows):
+            c = 0
+            for span, raw in row:
+                norm = " ".join(raw.split())
+                cell_list.append((r, c, norm, 1.0))
+                c += span
+            n_cols = max(n_cols, c)
+        if cell_list:
+            out.tables.append(TableOut(page_num=1, bbox=(0.0, 0.0, 0.0, 0.0),
+                                       cells=cell_list, n_rows=len(rows),
+                                       n_cols=n_cols, conf=1.0,
+                                       needs_review=False))
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Dispatch + document assembly (M13/M14/M15 + rows M12)
+# ----------------------------------------------------------------------------
+def extract_document(payload: bytes, max_pages: int = 0) -> DocOut:
+    """Type dispatch (S2/S3/M16) -> branch extraction. Exceptions become the
+    ``error`` field on an empty DocOut (dead-letter semantics; never
+    poisons a batch)."""
+    try:
+        mime = sniff_mime(payload)
+        if mime == "application/pdf":
+            return extract_pdf(payload, max_pages=max_pages)
+        if mime in ("image/png", "image/jpeg"):
+            return extract_image(payload)
+        if mime == "text/html":
+            return extract_html(payload)
+        if mime == "application/zip":
+            return DocOut(doc_kind="unknown", error="unsupported container: zip/docx")
+        return extract_plain_text(payload)
+    except Exception as exc:  # noqa: BLE001 — per-row dead letter
+        return DocOut(doc_kind="unknown", error=f"{type(exc).__name__}: {exc}")
+
+
+def assemble(url: str, doc: DocOut) -> dict:
+    """DocOut -> flat result record with byte-identity text + char spans.
+
+    extracted_text = page texts joined with "\\n\\n", final .strip()
+    (document_processor.py:474-488); page text = region texts joined with
+    the branch's region_sep (" " for pdf/ocr per document_processor.py:434,
+    "\\n\\n" for html/text). Region char spans index into extracted_text;
+    the strip() offset is accounted for exactly.
+    """
+    page_texts = []
+    # (page_idx, region_idx, start_in_unstripped, end) computed as we build
+    spans: list[tuple[int, int, int, int]] = []
+    offset = 0
+    for pidx, page in enumerate(doc.pages):
+        if pidx > 0:
+            offset += len(PAGE_SEP)
+        parts = []
+        for ridx, region in enumerate(page.regions):
+            if ridx > 0:
+                offset += len(page.region_sep)
+            rtext = region.text
+            spans.append((pidx, ridx, offset, offset + len(rtext)))
+            parts.append(rtext)
+            offset += len(rtext)
+        page_texts.append(page.region_sep.join(parts))
+    unstripped = PAGE_SEP.join(page_texts)
+    extracted_text = unstripped.strip()
+    lead = len(unstripped) - len(unstripped.lstrip())
+
+    regions_out = []
+    rows_out = []
+    row_n = 0
+    for (pidx, ridx, start, end) in spans:
+        page = doc.pages[pidx]
+        region = page.regions[ridx]
+        rid = f"{url}#p{page.page_num}:r{ridx}"
+        cs = max(0, start - lead)
+        ce = max(0, end - lead)
+        bbox = region.bbox if region.tokens else (0.0, 0.0, 0.0, 0.0)
+        regions_out.append({
+            "region_id": rid, "type": region.rtype, "page": page.page_num,
+            "x1": bbox[0], "y1": bbox[1], "x2": bbox[2], "y2": bbox[3],
+            "text": region.text, "char_start": cs, "char_end": ce,
+            "conf": region.conf,
+            "needs_review": region.min_conf < REVIEW_CONF,
+        })
+        # Row assembly (postprocess.py:9-37): blank rows skipped, ids row_N
+        # 1-based, provenance confidence = min token conf (default 1.0).
+        if region.text.strip():
+            row_n += 1
+            rows_out.append({
+                "row_id": f"row_{row_n}", "page": page.page_num,
+                "region_id": rid,
+                "bbox": [float(b) for b in bbox],
+                "text": region.text,
+                "min_conf": region.min_conf,
+                "needs_review": region.min_conf < REVIEW_CONF,
+            })
+
+    tables_out = []
+    for ti, t in enumerate(doc.tables):
+        tables_out.append({
+            "table_id": f"{url}#t{ti}", "page": t.page_num,
+            "x1": t.bbox[0], "y1": t.bbox[1], "x2": t.bbox[2], "y2": t.bbox[3],
+            "n_rows": t.n_rows, "n_cols": t.n_cols,
+            "cells": [{"r": r, "c": c, "text": tx, "conf": cf}
+                      for (r, c, tx, cf) in t.cells],
+            "conf": t.conf, "needs_review": t.needs_review,
+        })
+
+    region_confs = [r["conf"] for r in regions_out]
+    if doc.error is not None:
+        confidence = 0.0
+    elif region_confs:
+        confidence = sum(region_confs) / len(region_confs)  # document_processor.py:768-789
+    else:
+        confidence = 1.0  # native-text default (document_processor.py:500)
+
+    return {
+        "url": url,
+        "extracted_text": extracted_text,
+        "doc_kind": doc.doc_kind,
+        "n_pages": len(doc.pages),
+        "confidence": confidence,
+        "word_count": len(extracted_text.split()),   # document_processor.py:791-845
+        "char_count": len(extracted_text),
+        "table_count": len(tables_out),
+        "region_count": len(regions_out),
+        "error": doc.error,
+        "pages": [{"page_num": p.page_num, "width": p.width, "height": p.height,
+                   "is_scanned": p.is_scanned, "n_regions": len(p.regions)}
+                  for p in doc.pages],
+        "regions": regions_out,
+        "rows": rows_out,
+        "tables": tables_out,
+    }
+
+
+def extract_and_assemble(url: str, payload: bytes, max_pages: int = 0) -> dict:
+    """The one-call per-document spec: payload bytes -> full result record."""
+    return assemble(url, extract_document(payload, max_pages=max_pages))
