@@ -1,0 +1,96 @@
+"""The flagship extraction pipeline (SURVEY.md §3.4):
+
+    read_parquet(pages) -> derive(mime, content_hash, size) map_batches
+      -> [optional] exact-dedup groupby(content_hash)
+      -> ExtractWorker actor pool (HTML / digital-PDF / OCR branches)
+      -> `extracted` Dataset  [-> rows/regions/tables explodes]
+
+Everything streams: no take_all/to_pandas/materialize on the main path;
+the raw ``html`` payload column exists only up to the extract stage
+(whose output is a brand-new EXTRACTED_SCHEMA table, so multi-MB blobs
+never travel further than they must — SURVEY.md §4.2 memory note).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import ray.data as rd
+
+from ..sources.pages import read_pages
+from ..stages.derive import derive_batch
+from ..stages.dedup import distinct_by_hash
+from ..stages.explode import regions_batch, rows_batch, tables_batch
+from ..stages.extract import ExtractWorker
+
+
+@dataclass
+class ExtractConfig:
+    """Stage knobs (profiles in pipelines.profiles).
+
+    * ``dedup``: run the D1 exact-dedup shuffle before extraction.
+    * ``max_pages``: per-doc page cap (0 = unlimited; BASIC mode = 3 in
+      the reference, worker/document_processor.py:128-136).
+    * ``batch_size``: docs per extract batch — small, because payloads
+      are wide (a 64-row batch of 100 KB pages ≈ 6 MB; giant-blob rows
+      are isolated by Ray's dynamic block splitting).
+    * ``concurrency``: extract actor-pool size; None = stateless tasks
+      (elastic, fine since the stub OCR has no real weights — a real
+      model deployment sets (min, max) actors).
+    """
+    dedup: bool = False
+    max_pages: int = 0
+    batch_size: int = 64
+    concurrency: Optional[int | tuple[int, int]] = None
+    num_cpus: float = 1.0
+
+
+def derived_pages(paths: str | Sequence[str]) -> rd.Dataset:
+    """pages corpus with derived columns (content_hash/mime/size)."""
+    ds = read_pages(paths)
+    return ds.map_batches(derive_batch, batch_format="pyarrow")
+
+
+def extract_pipeline(paths: str | Sequence[str],
+                     cfg: ExtractConfig | None = None) -> rd.Dataset:
+    """Build the lazy `extracted` Dataset for a pages corpus."""
+    cfg = cfg or ExtractConfig()
+    ds = derived_pages(paths)
+    if cfg.dedup:
+        ds = distinct_by_hash(ds)
+    kwargs = dict(batch_format="pyarrow", batch_size=cfg.batch_size,
+                  num_cpus=cfg.num_cpus)
+    if cfg.concurrency is not None:
+        # actor pool: class + concurrency
+        return ds.map_batches(ExtractWorker, concurrency=cfg.concurrency,
+                              fn_constructor_kwargs={"max_pages": cfg.max_pages},
+                              **kwargs)
+    worker = ExtractWorker(max_pages=cfg.max_pages)
+    return ds.map_batches(worker, **kwargs)
+
+
+def rows_table(extracted: rd.Dataset) -> rd.Dataset:
+    """`extracted` -> flat `rows` output table (M12)."""
+    return extracted.map_batches(rows_batch, batch_format="pyarrow")
+
+
+def regions_table(extracted: rd.Dataset) -> rd.Dataset:
+    """`extracted` -> flat regions/char-span table."""
+    return extracted.map_batches(regions_batch, batch_format="pyarrow")
+
+
+def tables_table(extracted: rd.Dataset) -> rd.Dataset:
+    """`extracted` -> flat table-structure table."""
+    return extracted.map_batches(tables_batch, batch_format="pyarrow")
+
+
+#: Columns cheap enough to keep when a consumer only wants text + stats.
+SUMMARY_COLUMNS = ["url", "content_hash", "mime", "doc_kind", "extracted_text",
+                   "n_pages", "confidence", "word_count", "char_count",
+                   "table_count", "region_count", "size_bytes", "error"]
+
+
+def extracted_summary(extracted: rd.Dataset) -> rd.Dataset:
+    """Projection of `extracted` without the nested layout columns."""
+    return extracted.select_columns(SUMMARY_COLUMNS)

@@ -1,0 +1,130 @@
+"""Extraction stage: the actor-pool worker that turns page payloads into
+assembled extraction records (SURVEY.md §3.4, reference lifecycle §3.1).
+
+``ExtractWorker`` is a callable class for ``map_batches(ExtractWorker,
+concurrency=N, batch_size=B)`` — an actor pool. Setup (spec constants,
+compiled parsers, the stub OCR "model") happens once per actor in
+``__init__``; ``__call__`` processes one Arrow batch. The per-row body
+is inherently per-document Python (DOM/span parse), mirroring the
+reference's one-document-at-a-time core (worker/document_processor.py:
+261-277) — but batched, schema-stable, and dead-letter-safe: an
+exception on one document becomes its ``error`` column, never a lost
+block (contrast: the reference swallows processor errors with
+``continue``, worker/document_processor.py:275-277).
+
+All three branches (HTML / digital-PDF / scanned+OCR) dispatch inside
+one stage so the input is read once; a heavyweight real-OCR deployment
+would split the scanned rows into a dedicated GPU actor pool via a
+``mime`` filter instead (documented tradeoff, SURVEY.md §7.2).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..spec import SPEC_VERSION, assemble, extract_document
+
+_PAGE_STRUCT = pa.struct([
+    ("page_num", pa.int32()), ("width", pa.int32()), ("height", pa.int32()),
+    ("is_scanned", pa.bool_()), ("n_regions", pa.int32()),
+])
+_REGION_STRUCT = pa.struct([
+    ("region_id", pa.string()), ("type", pa.string()), ("page", pa.int32()),
+    ("x1", pa.float64()), ("y1", pa.float64()),
+    ("x2", pa.float64()), ("y2", pa.float64()),
+    ("text", pa.string()), ("char_start", pa.int64()), ("char_end", pa.int64()),
+    ("conf", pa.float64()), ("needs_review", pa.bool_()),
+])
+_ROW_STRUCT = pa.struct([
+    ("row_id", pa.string()), ("page", pa.int32()), ("region_id", pa.string()),
+    ("bbox", pa.list_(pa.float64(), 4)), ("text", pa.string()),
+    ("min_conf", pa.float64()), ("needs_review", pa.bool_()),
+])
+_CELL_STRUCT = pa.struct([
+    ("r", pa.int32()), ("c", pa.int32()), ("text", pa.string()),
+    ("conf", pa.float64()),
+])
+_TABLE_STRUCT = pa.struct([
+    ("table_id", pa.string()), ("page", pa.int32()),
+    ("x1", pa.float64()), ("y1", pa.float64()),
+    ("x2", pa.float64()), ("y2", pa.float64()),
+    ("n_rows", pa.int32()), ("n_cols", pa.int32()),
+    ("cells", pa.list_(_CELL_STRUCT)),
+    ("conf", pa.float64()), ("needs_review", pa.bool_()),
+])
+
+#: The `extracted` table schema (SURVEY.md §1.3). One row per url.
+EXTRACTED_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("content_hash", pa.string()),
+    ("mime", pa.string()),
+    ("doc_kind", pa.string()),
+    ("extracted_text", pa.string()),
+    ("n_pages", pa.int32()),
+    ("confidence", pa.float64()),
+    ("word_count", pa.int64()),
+    ("char_count", pa.int64()),
+    ("table_count", pa.int32()),
+    ("region_count", pa.int32()),
+    ("size_bytes", pa.int64()),
+    ("error", pa.string()),
+    ("pages", pa.list_(_PAGE_STRUCT)),
+    ("regions", pa.list_(_REGION_STRUCT)),
+    ("rows", pa.list_(_ROW_STRUCT)),
+    ("tables", pa.list_(_TABLE_STRUCT)),
+])
+
+
+def _result_record(url: str, res: dict, content_hash: str, mime: str,
+                   size_bytes: int) -> dict:
+    res = dict(res)
+    res["content_hash"] = content_hash
+    res["mime"] = mime
+    res["size_bytes"] = size_bytes
+    return res
+
+
+class ExtractWorker:
+    """Actor-pool extraction worker (A1-A4 analogue: model/state loaded once
+    per actor; here the "model" is the deterministic stub OCR engine plus
+    the compiled HTML parser machinery, all module-level in spec.py).
+
+    Input batch (plain mode): url, html [, content_hash, mime, size_bytes].
+    Input batch (dedup mode, after stages.dedup.distinct_by_hash): adds a
+    ``urls: list<string>`` column; extraction runs ONCE per row (= per
+    distinct content_hash) and assembly fans results out to every url,
+    since region/row ids embed the url (deterministic-id rule §2.8.8).
+    Output: EXTRACTED_SCHEMA rows.
+    """
+
+    def __init__(self, max_pages: int = 0) -> None:
+        self.max_pages = max_pages
+        self.spec_version = SPEC_VERSION
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = set(batch.schema.names)
+        has_meta = "content_hash" in names
+        fanout = "urls" in names
+        out: list[dict] = []
+        urls = batch["url"].to_pylist()
+        payloads = batch["html"]
+        hashes = batch["content_hash"].to_pylist() if has_meta else None
+        mimes = batch["mime"].to_pylist() if has_meta else None
+        sizes = batch["size_bytes"].to_pylist() if has_meta else None
+        url_lists = batch["urls"].to_pylist() if fanout else None
+        for i in range(batch.num_rows):
+            payload = payloads[i].as_py()
+            doc = extract_document(payload, max_pages=self.max_pages)
+            ch = hashes[i] if has_meta else ""
+            mime = mimes[i] if has_meta else ""
+            size = sizes[i] if has_meta else len(payload)
+            targets = url_lists[i] if fanout else [urls[i]]
+            for u in targets:
+                out.append(_result_record(u, assemble(u, doc), ch, mime, size))
+        return pa.Table.from_pylist(out, schema=EXTRACTED_SCHEMA)
+
+
+def extract_batch(batch: pa.Table, max_pages: int = 0) -> pa.Table:
+    """Stateless-function form of the same transform (for task-based stages
+    and direct unit-testing)."""
+    return ExtractWorker(max_pages=max_pages)(batch)

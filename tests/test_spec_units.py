@@ -1,0 +1,197 @@
+"""Unit tests for the frozen determinism spec (SURVEY.md §2.8), including
+the reference's own threshold boundary cases."""
+
+import base64
+import json
+
+import pytest
+
+from ocr_model_ray import spec
+from ocr_model_ray.spec import (
+    PSEUDO_PDF_HEADER, PSEUDO_PNG_HEADER, assemble, decode_text,
+    ensemble_merge, extract_and_assemble, extract_document, extract_html,
+    group_tokens_into_lines, ocr_stub, sniff_mime, table_from_tokens, token,
+)
+
+
+# --- S3: mime sniff (io_conversion.py:14-26 semantics) ----------------------
+@pytest.mark.parametrize("payload,mime", [
+    (b"%PDF-1.4 junk", "application/pdf"),
+    (b"\xff\xd8\xff\xe0rest", "image/jpeg"),
+    (b"\x89PNG\r\n\x1a\nrest", "image/png"),
+    (b"PKzipfile", "application/zip"),
+    (b"  \n <html><body>x</body></html>", "text/html"),
+    (b"plain old text", "text/plain"),
+    (b"", "text/plain"),
+])
+def test_sniff_mime(payload, mime):
+    assert sniff_mime(payload) == mime
+
+
+# --- encoding fallback chain (document_processor.py:526-549) ----------------
+def test_decode_text_fallback():
+    assert decode_text("héllo".encode("utf-8")) == "héllo"
+    # invalid utf-8 -> latin-1
+    raw = "café".encode("latin-1")
+    assert decode_text(raw) == "café"
+    assert decode_text(b"\xff\xfe\x00") == b"\xff\xfe\x00".decode("latin-1")
+
+
+# --- A3: ensemble dedup + sort (ocr_models.py:174-183) ----------------------
+def test_ensemble_merge_dedup_and_sort():
+    a = [token("hi", 0, 10, 5, 20, 0.5), token("lo", 0, 0, 5, 10, 0.9)]
+    b = [token("hi", 0, 10, 5, 20, 0.8)]  # same (text,bbox) higher conf
+    merged = ensemble_merge([a, b])
+    assert [t["text"] for t in merged] == ["lo", "hi"]  # sorted (y1,x1)
+    assert merged[1]["conf"] == 0.8  # max conf kept
+
+
+# --- M11: region split at the 12px boundary (text_regions.py:9-28) ----------
+def test_region_split_boundary():
+    t0 = token("a", 0, 0, 10, 10, 1.0)       # yc = 5
+    t_same = token("b", 20, 7, 30, 17, 1.0)  # yc = 12 -> |12-5|=7  <= 12: same
+    t_edge = token("c", 0, 12, 10, 22, 1.0)  # yc = 17 -> exactly 12 from 5: same (strict >)
+    t_far = token("d", 0, 12.1, 10, 22.1, 1.0)  # yc = 17.1 -> 12.1 > 12: split
+    assert len(group_tokens_into_lines([t0, t_same])) == 1
+    assert len(group_tokens_into_lines([t0, t_edge])) == 1
+    assert len(group_tokens_into_lines([t0, t_far])) == 2
+
+
+def test_region_grouping_sorts_reading_order():
+    toks = [token("second", 0, 30, 10, 40, 1.0), token("first", 0, 0, 10, 10, 1.0)]
+    regions = group_tokens_into_lines(toks)
+    assert [r.text for r in regions] == ["first", "second"]
+
+
+# --- T2: table grid thresholds (tables.py:63-65,125,157) --------------------
+def test_table_from_tokens_grid():
+    toks = []
+    for r in range(3):
+        for c in range(2):
+            toks.append(token(f"v{r}{c}", 100.0 * c, 20.0 * r, 100.0 * c + 30, 20.0 * r + 10,
+                              1.0 if (r, c) != (2, 1) else 0.5))
+    t = table_from_tokens(toks, (-5, -5, 300, 100), page_num=1)
+    assert t.n_rows == 3 and t.n_cols == 2
+    assert t.needs_review  # one cell conf 0.5 < 0.8
+    cells = {(r, c): tx for (r, c, tx, _cf) in t.cells}
+    assert cells[(0, 0)] == "v00" and cells[(2, 1)] == "v21"
+
+
+def test_table_row_threshold_uses_median_height():
+    # token height 10 -> row threshold max(8, 6) = 8; y gap 9 > 8 splits
+    toks = [token("a", 0, 0, 30, 10, 1.0), token("b", 0, 19, 30, 29, 1.0)]
+    t = table_from_tokens(toks, (-1, -1, 100, 100), page_num=1)
+    assert t.n_rows == 2
+
+
+# --- OCR stub: deterministic + container passthrough ------------------------
+def test_ocr_stub_deterministic():
+    img = PSEUDO_PNG_HEADER + json.dumps(
+        {"w": 100, "h": 100, "words": [["hello", 1, 2, 40, 12, 0.9]]}).encode()
+    assert ocr_stub(img) == ocr_stub(img)
+    assert ocr_stub(img)[0]["text"] == "hello"
+    arbitrary = b"\x89PNG....not json"
+    out1, out2 = ocr_stub(arbitrary), ocr_stub(arbitrary)
+    assert out1 == out2 and len(out1) >= 1
+
+
+# --- HTML branch: boilerplate stripping + link density ----------------------
+def test_html_boilerplate_stripped():
+    html = (b"<html><head><script>x()</script></head><body>"
+            b"<nav><a href='/a'>one</a><a href='/b'>two</a></nav>"
+            b"<p>This paragraph has plenty of real content to keep around here.</p>"
+            b"<footer><a href='/c'>contact us via this link</a></footer>"
+            b"</body></html>")
+    doc = extract_html(html)
+    texts = [r.text for r in doc.pages[0].regions]
+    assert texts == ["This paragraph has plenty of real content to keep around here."]
+
+
+def test_html_link_density_drops_linkfarm():
+    linky = (b"<html><body><p>"
+             b"<a href='/1'>click here for more great deals</a> "
+             b"<a href='/2'>and here for even better ones</a></p>"
+             b"<p>Genuine long-form article text continues in this block here.</p>"
+             b"</body></html>")
+    doc = extract_html(linky)
+    texts = [r.text for r in doc.pages[0].regions]
+    assert texts == ["Genuine long-form article text continues in this block here."]
+
+
+def test_html_heading_kept_short():
+    html = b"<html><body><h1>Title</h1><p>Body text long enough to pass the threshold.</p></body></html>"
+    doc = extract_html(html)
+    assert [r.rtype for r in doc.pages[0].regions] == ["heading", "paragraph"]
+
+
+def test_html_table_cells_with_colspan():
+    html = (b"<html><body><table>"
+            b"<tr><th>h1</th><th>h2</th><th>h3</th></tr>"
+            b"<tr><td colspan='2'>wide</td><td>x</td></tr>"
+            b"</table></body></html>")
+    doc = extract_html(html)
+    t = doc.tables[0]
+    assert t.n_rows == 2 and t.n_cols == 3
+    cells = {(r, c): tx for (r, c, tx, _cf) in t.cells}
+    assert cells[(1, 0)] == "wide" and cells[(1, 2)] == "x"
+
+
+# --- assembly: spans, page joins, rows (document_processor.py:474-488) ------
+def test_pdf_page_join_and_spans():
+    pages = [{"width": 100, "height": 100,
+              "spans": [["hello", 0, 0, 30, 10, 11, False],
+                        ["world", 35, 0, 60, 10, 11, False],
+                        ["  ", 0, 40, 10, 50, 11, False],      # whitespace-only skipped
+                        ["below", 0, 40, 30, 50, 11, False]]},
+             {"width": 100, "height": 100,
+              "spans": [["page2", 0, 0, 30, 10, 11, False]]}]
+    payload = PSEUDO_PDF_HEADER + json.dumps({"pages": pages}).encode()
+    res = extract_and_assemble("u://x", payload)
+    assert res["extracted_text"] == "hello world below\n\npage2"
+    assert res["n_pages"] == 2 and res["doc_kind"] == "digital_pdf"
+    for reg in res["regions"]:
+        assert res["extracted_text"][reg["char_start"]:reg["char_end"]] == reg["text"]
+    assert [r["row_id"] for r in res["rows"]] == ["row_1", "row_2", "row_3"]
+    assert res["word_count"] == 4 and res["confidence"] == 1.0
+
+
+def test_scanned_page_routes_to_ocr():
+    img = PSEUDO_PNG_HEADER + json.dumps(
+        {"w": 10, "h": 10, "words": [["scan", 0, 0, 20, 10, 0.75]]}).encode()
+    pages = [{"width": 10, "height": 10, "spans": [],
+              "image": base64.b64encode(img).decode()}]
+    payload = PSEUDO_PDF_HEADER + json.dumps({"pages": pages}).encode()
+    res = extract_and_assemble("u://s", payload)
+    assert res["doc_kind"] == "scanned_pdf"
+    assert res["extracted_text"] == "scan"
+    assert res["pages"][0]["is_scanned"] is True
+    assert res["rows"][0]["needs_review"] is True  # 0.75 < 0.8
+    assert res["confidence"] == 0.75
+
+
+def test_max_pages_cap():
+    pages = [{"width": 1, "height": 1, "spans": [[f"p{i}", 0, 0, 5, 5, 1, False]]}
+             for i in range(5)]
+    payload = PSEUDO_PDF_HEADER + json.dumps({"pages": pages}).encode()
+    res = extract_and_assemble("u://m", payload, max_pages=3)
+    assert res["n_pages"] == 3 and res["extracted_text"] == "p0\n\np1\n\np2"
+
+
+def test_malformed_pdf_dead_letter():
+    res = extract_and_assemble("u://bad", PSEUDO_PDF_HEADER + b"{broken")
+    assert res["error"] is not None and res["confidence"] == 0.0
+    assert res["extracted_text"] == ""
+
+
+def test_plain_text_paragraphs_and_latin1():
+    raw = "café one two\n\n\nsecond  para here".encode("latin-1")
+    res = extract_and_assemble("u://t", raw)
+    assert res["extracted_text"] == "café one two\n\nsecond para here"
+    assert res["doc_kind"] == "text"
+    assert [r["text"] for r in res["regions"]] == ["café one two", "second para here"]
+
+
+def test_deterministic_ids_embed_url():
+    html = b"<html><body><p>Deterministic identifier check paragraph body.</p></body></html>"
+    res = extract_and_assemble("https://e.test/a", html)
+    assert res["regions"][0]["region_id"] == "https://e.test/a#p1:r0"
