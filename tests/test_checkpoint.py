@@ -1,0 +1,74 @@
+"""Resume-after-kill correctness (FIXTURES.md §3.e): no duplicate or
+missing partitions; partial (unmanifested) data is cleaned and redone."""
+
+import json
+import os
+import shutil
+
+import pyarrow.dataset as pads
+import pytest
+
+from ocr_model_ray.pipelines.checkpoint import run_resumable
+from ocr_model_ray.state import manifest as mf
+
+from conftest import load_golden
+
+P = 8
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_full_run_then_resume_noop(t1_pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    rec1 = run_resumable(t1_pages_dir, out, num_partitions=P)
+    assert sorted(rec1["partitions_written"]) == sorted(
+        set(rec1["partitions_written"]))
+    assert rec1["rows_written"] == 66
+    # second run: everything already done -> nothing rewritten
+    rec2 = run_resumable(t1_pages_dir, out, num_partitions=P)
+    assert rec2["partitions_written"] == []
+    assert rec2["rows_written"] == 0
+    # data readable, one row per url, text matches golden
+    data = pads.dataset(os.path.join(out, "data"), partitioning="hive").to_table(
+        columns=["url", "extracted_text"])
+    golden = load_golden("t1")
+    got = dict(zip(data["url"].to_pylist(), data["extracted_text"].to_pylist()))
+    want = dict(zip(golden["url"].to_pylist(), golden["extracted_text"].to_pylist()))
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kill_and_resume(t1_pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    run_resumable(t1_pages_dir, out, num_partitions=P)
+    done = mf.done_partitions(out)
+    assert len(done) > 2
+
+    # simulate a kill: two partitions lose their manifest (one also keeps
+    # partial data on disk), one loses its data entirely
+    victims = sorted(done)[:3]
+    os.remove(mf.manifest_path(out, victims[0]))          # partial: data, no manifest
+    os.remove(mf.manifest_path(out, victims[1]))
+    shutil.rmtree(mf.data_path(out, victims[1]))          # nothing at all
+    os.remove(mf.manifest_path(out, victims[2]))
+
+    rec = run_resumable(t1_pages_dir, out, num_partitions=P)
+    assert sorted(rec["partitions_written"]) == victims
+    assert set(rec["partitions_cleaned"]) <= set(victims)
+
+    # all partitions done again; manifests consistent with data
+    assert mf.done_partitions(out) == done
+    for pid in sorted(done):
+        with open(mf.manifest_path(out, pid)) as f:
+            m = json.load(f)
+        facts = mf.summarize_partition(out, pid)
+        assert m["row_count"] == facts["row_count"]
+        assert m["url_checksum"] == facts["url_checksum"]
+
+    # no dupes / no missing rows
+    data = pads.dataset(os.path.join(out, "data"), partitioning="hive").to_table(
+        columns=["url"])
+    urls = data["url"].to_pylist()
+    assert len(urls) == 66 and len(set(urls)) == 66
+    # metrics recorded per run
+    runs = os.listdir(os.path.join(out, "metrics"))
+    assert len(runs) == 2
