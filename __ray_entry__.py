@@ -1,44 +1,308 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per-operator callables,
+oracle_sql() DuckDB twins (column names and float rounding match the Ray
+side exactly — see ocr_model_ray/pipelines/relational.py).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+_FIXTURE_CACHE = os.path.join(tempfile.gettempdir(), "ocr_model_ray_fixtures")
+
+
+def _fixture_dir(tier: str, multiplier: int = 1) -> str:
+    """Synthesize (once per process tree) the deterministic pages corpus
+    for a tier; cached on disk keyed by (tier, multiplier)."""
+    from ocr_model_ray.fixtures import write_pages_parquet
+    path = os.path.join(_FIXTURE_CACHE, f"{tier}-x{multiplier}")
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        write_pages_parquet(path, seed=0, tier=tier, multiplier=multiplier,
+                            rows_per_file=500 if tier == "t2" else 16)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def _tier_for(sf_dir: str) -> str:
+    return "t1" if "0.001" in sf_dir else "t2"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: extraction over the t1 fixture corpus (Common-
+    Crawl-style pages per BASELINE.json input_hint), summary projection."""
+    from ocr_model_ray.pipelines.extract_pipeline import (
+        extract_pipeline, extracted_summary)
+    pages = _fixture_dir("t1")
+    return extracted_summary(extract_pipeline(pages))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+def _extract_flagship(sf_dir: str):
+    from ocr_model_ray.pipelines.extract_pipeline import (
+        extract_pipeline, extracted_summary)
+    return extracted_summary(extract_pipeline(_fixture_dir(_tier_for(sf_dir))))
+
+
+def _extract_rows(sf_dir: str):
+    from ocr_model_ray.pipelines.extract_pipeline import (
+        extract_pipeline, rows_table)
+    return rows_table(extract_pipeline(_fixture_dir(_tier_for(sf_dir))))
+
+
+def _extract_dedup(sf_dir: str):
+    from ocr_model_ray.pipelines.extract_pipeline import (
+        ExtractConfig, extract_pipeline, extracted_summary)
+    return extracted_summary(
+        extract_pipeline(_fixture_dir(_tier_for(sf_dir)),
+                         ExtractConfig(dedup=True)))
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+
+def _docs_exact_dedup(sf_dir: str):
+    from ocr_model_ray.functions.dedup_algos import exact_dedup
+    return exact_dedup(_docs(sf_dir))
+
+
+def _docs_token_count(sf_dir: str):
+    from ocr_model_ray.functions.text_stats import token_count_batch
+    return _docs(sf_dir).map_batches(token_count_batch, batch_format="pandas")
+
+
+def _docs_quality(sf_dir: str):
+    from ocr_model_ray.functions.text_stats import quality_batch
+    return _docs(sf_dir).map_batches(quality_batch, batch_format="pandas")
+
+
+def _docs_lang_id(sf_dir: str):
+    from ocr_model_ray.functions.text_stats import lang_id
+    return lang_id(_docs(sf_dir))
+
+
+def _docs_simhash(sf_dir: str):
+    import pandas as pd
+    from ocr_model_ray.functions.text_stats import simhash64
+    def batch_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "simhash_hex": df["text"].map(lambda t: f"{simhash64(t):016x}")})
+    return _docs(sf_dir).map_batches(batch_fn, batch_format="pandas")
+
+
+def _docs_fingerprint(sf_dir: str):
+    from ocr_model_ray.functions.text_stats import fingerprint_batch
+    return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pandas")
+
+
+def _docs_near_dup(sf_dir: str):
+    from ocr_model_ray.functions.dedup_algos import near_dup_pairs
+    return near_dup_pairs(_docs(sf_dir), threshold=0.8)
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _emb_queries(sf_dir: str, n: int = 10):
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    return df[df["vec_id"] < n]
+
+
+def _emb_knn(sf_dir: str):
+    from ocr_model_ray.functions.similarity import knn_bruteforce
+    return knn_bruteforce(_emb(sf_dir), _emb_queries(sf_dir),
+                          k=5, id_col="vec_id", vec_col="embedding")
+
+
+def _emb_knn_lsh(sf_dir: str):
+    from ocr_model_ray.functions.similarity import lsh_knn
+    return lsh_knn(_emb(sf_dir), _emb_queries(sf_dir), k=5)
+
+
+def _emb_label_stats(sf_dir: str):
+    from ocr_model_ray.functions.similarity import label_stats
+    return label_stats(_emb(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocr_model_ray.pipelines import relational as rel
+    return {
+        # relational engine surface (TPC-H-ish)
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_top_orders": rel.q3_top_orders,
+        "q5_region_revenue": rel.q5_region_revenue,
+        "top_orders_by_price": rel.top_orders_by_price,
+        "mktsegment_stats": rel.mktsegment_stats,
+        "order_priority_counts": rel.order_priority_counts,
+        "events_daily": rel.events_daily,
+        "events_user_stats": rel.events_user_stats,
+        "events_sessions": rel.events_sessions,
+        # documents: dedup + text analysis
+        "docs_exact_dedup": _docs_exact_dedup,
+        "docs_token_count": _docs_token_count,
+        "docs_quality": _docs_quality,
+        "docs_lang_id": _docs_lang_id,
+        "docs_simhash": _docs_simhash,
+        "docs_fingerprint": _docs_fingerprint,
+        "docs_near_dup": _docs_near_dup,
+        # embeddings: similarity search
+        "emb_knn_bruteforce": _emb_knn,
+        "emb_knn_lsh": _emb_knn_lsh,
+        "emb_label_stats": _emb_label_stats,
+        # extraction flagship (pages fixture corpus; non-SQL -> rows-only)
+        "extract_flagship": _extract_flagship,
+        "extract_rows": _extract_rows,
+        "extract_dedup": _extract_dedup,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
-
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered per testdata table)
+# ---------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(sum(l_quantity), 2) / count(*) AS avg_qty,
+                   round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+                   round(sum(l_discount), 2) / count(*) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey AS o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "top_orders_by_price": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM (SELECT * FROM orders
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
+        """,
+        "mktsegment_stats": """
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) / count(*) AS avg_acctbal
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY o_orderpriority
+        """,
+        "events_daily": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        """,
+        "events_user_stats": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY user_id
+        """,
+        "events_sessions": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(1 + sum(CASE WHEN gap > INTERVAL 30 MINUTE
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM (SELECT user_id,
+                         ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+                  FROM events)
+            GROUP BY user_id
+        """,
+        "docs_exact_dedup": """
+            SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dupes
+            FROM documents GROUP BY md5(text)
+        """,
+        "docs_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "docs_quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+                   len(regexp_extract_all(text, '[.,;:!?]'))
+                       / greatest(length(text), 1) AS punct_ratio,
+                   len(regexp_extract_all(text, '[0-9]'))
+                       / greatest(length(text), 1) AS digit_ratio,
+                   length(regexp_replace(text, '\\s+', '', 'g'))
+                       / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS avg_word_len
+            FROM documents
+        """,
+        "emb_knn_bruteforce": """
+            -- cosine computed in DOUBLE via lambda dot products:
+            -- list_cosine_similarity is single-precision in DuckDB 1.0,
+            -- which diverges from the engine's float64 math at ~1e-7
+            WITH q AS (SELECT vec_id AS query_id, embedding
+                       FROM embeddings WHERE vec_id < 10),
+                 sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                                 list_sum(list_transform(
+                                     list_zip(e.embedding, q.embedding),
+                                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                                 / (sqrt(list_sum(list_transform(e.embedding,
+                                        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                                  * sqrt(list_sum(list_transform(q.embedding,
+                                        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS sim
+                          FROM embeddings e CROSS JOIN q
+                          WHERE e.vec_id <> q.query_id),
+                 ranked AS (SELECT *, row_number() OVER
+                                (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS rn
+                            FROM sims)
+            SELECT query_id, neighbor_id, round(sim, 5) AS sim
+            FROM ranked WHERE rn <= 5
+        """,
+        "emb_label_stats": """
+            WITH comp AS (SELECT vec_id, label, unnest(embedding) AS x
+                          FROM embeddings),
+                 norms AS (SELECT vec_id, any_value(label) AS label,
+                                  sqrt(sum(CAST(x AS DOUBLE) * x)) AS norm
+                           FROM comp GROUP BY vec_id)
+            SELECT label, count(*) AS n_vectors,
+                   round(avg(norm), 5) AS avg_norm
+            FROM norms GROUP BY label
+        """,
+    }

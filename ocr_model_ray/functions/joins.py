@@ -1,0 +1,144 @@
+"""Join strategies (SURVEY.md §2.5 — the reference has no relational
+joins; these are the engine's scale-conscious primitives).
+
+* ``broadcast_join`` — small side goes through ``ray.put`` ONCE; every
+  map task reads the object-store copy (zero-copy within a node) and
+  merges per batch. No shuffle. Use when one side fits in worker heap
+  (dimension tables, filtered keys).
+* ``hash_bucket_join`` — both sides large: add ``__bucket = hash(key) %
+  B`` to each, tag provenance, union, ``groupby(__bucket)`` (ONE
+  shuffle moves each row once), and pandas-merge the two sides inside
+  ``map_groups``. Skewed hot keys can be salted into sub-buckets via
+  ``salt`` (key -> extra murmur of a second column).
+* ``broadcast_semi_filter`` — membership filter against a broadcast key
+  set (semi/anti join) inside ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Optional, Sequence
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def _key_cols(on: str | Sequence[str]) -> list[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def broadcast_join(large: rd.Dataset, small: pa.Table | pd.DataFrame,
+                   on: str | Sequence[str], how: str = "inner") -> rd.Dataset:
+    """Merge a broadcast small table into every batch of ``large``.
+
+    ``small`` is put in the object store once; tasks deserialize the
+    shared copy (per node), not per batch.
+    """
+    if isinstance(small, pa.Table):
+        small = small.to_pandas()
+    keys = _key_cols(on)
+    ref = ray.put(small)
+
+    def _merge(batch: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(ref)
+        return batch.merge(s, on=keys, how=how)
+
+    return large.map_batches(_merge, batch_format="pandas")
+
+
+def broadcast_semi_filter(large: rd.Dataset, keys: pa.Array | Sequence,
+                          on: str, anti: bool = False) -> rd.Dataset:
+    """Semi (or anti) join: keep rows whose ``on`` value is (not) in the
+    broadcast key set."""
+    arr = pa.array(list(keys)) if not isinstance(keys, (pa.Array, pa.ChunkedArray)) else keys
+    ref = ray.put(arr)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        value_set = ray.get(ref)
+        mask = pc.is_in(batch[on], value_set=value_set)
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return large.map_batches(_filter, batch_format="pyarrow")
+
+
+def _bucket_of(batch: pa.Table, keys: list[str], num_buckets: int,
+               salt_col: Optional[str], salt_factor: int) -> pa.Array:
+    key_strs = [
+        "|".join(str(v) for v in vals)
+        for vals in zip(*(batch[k].to_pylist() for k in keys))
+    ]
+    if salt_col is not None:
+        salts = batch[salt_col].to_pylist()
+        out = [(zlib.crc32(s.encode()) * salt_factor
+                + zlib.crc32(str(x).encode()) % salt_factor) % num_buckets
+               for s, x in zip(key_strs, salts)]
+    else:
+        out = [zlib.crc32(s.encode()) % num_buckets for s in key_strs]
+    return pa.array(out, pa.int32())
+
+
+def hash_bucket_join(left: rd.Dataset, right: rd.Dataset,
+                     on: str | Sequence[str], num_buckets: int = 32,
+                     how: str = "inner",
+                     suffixes: tuple[str, str] = ("", "_r")) -> rd.Dataset:
+    """Partitioned hash join: one shuffle, pairwise merge per bucket.
+
+    Both inputs gain ``__bucket`` and a provenance tag, are unioned (the
+    union is free — no data movement), shuffled once by
+    ``groupby(__bucket)``, and each group is split back into its two
+    sides and pandas-merged. For right/left outer joins the unmatched
+    side keeps NaNs per pandas semantics.
+    """
+    keys = _key_cols(on)
+
+    # pad both sides to a shared schema (nulls for the other side's
+    # columns) so the union's blocks concatenate cleanly in the shuffle
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    union_fields = list(lschema)
+    seen = {f.name for f in lschema}
+    for f in rschema:
+        if f.name not in seen:
+            union_fields.append(f)
+    union_schema = pa.schema(union_fields)
+
+    def _tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = []
+            for f in union_schema:
+                if f.name in batch.schema.names:
+                    cols.append(batch[f.name].cast(f.type))
+                else:
+                    cols.append(pa.nulls(batch.num_rows, f.type))
+            b = pa.Table.from_arrays(cols, schema=union_schema)
+            b = b.append_column(
+                "__bucket", _bucket_of(batch, keys, num_buckets, None, 1))
+            return b.append_column("__side", pa.array([side] * batch.num_rows))
+        return fn
+
+    lt = left.map_batches(_tag("l"), batch_format="pyarrow")
+    rt = right.map_batches(_tag("r"), batch_format="pyarrow")
+
+    lcols = set(lschema.names)
+    rcols = set(rschema.names)
+
+    def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == "l"][[c for c in g.columns if c in lcols]]
+        rf = g[g["__side"] == "r"][[c for c in g.columns if c in rcols]]
+        if lf.empty or rf.empty:
+            if how == "inner":
+                return pd.DataFrame()
+            if how == "left" and rf.empty:
+                for c in rcols - set(keys):
+                    lf[c] = pd.NA
+                return lf
+            return pd.DataFrame()
+        return lf.merge(rf, on=keys, how=how, suffixes=suffixes)
+
+    both = lt.union(rt)
+    return both.groupby("__bucket").map_groups(_merge_group, batch_format="pandas")

@@ -1,0 +1,265 @@
+"""Relational pipelines over the TPC-H-ish testdata tables.
+
+These are the engine's general query-processing surface (SURVEY.md §2.6
+— the reference has only per-doc aggregates; a data-processing engine at
+100 TB needs the wide operators too). Every query here has a DuckDB
+oracle in __ray_entry__.oracle_sql; column names match exactly and
+float aggregates are rounded identically on both sides.
+
+Scale notes applied throughout:
+* reads prune columns at the source,
+* aggregations pre-combine per batch before the (small) groupby shuffle,
+* dimension sides of joins are broadcast via ray.put, never shuffled,
+* fact⋈fact joins use the explicit hash_bucket_join,
+* sort/limit top-k carries a deterministic tiebreak key.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.joins import broadcast_join, broadcast_semi_filter, hash_bucket_join
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(_pq(sf_dir, table), columns=columns)
+
+
+def _round(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    for col, nd in spec.items():
+        df[col] = df[col].astype(float).round(nd)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# q1: pricing summary (TPC-H Q1 shape) — partial agg per batch, tiny shuffle
+# ---------------------------------------------------------------------------
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate"]
+    ds = _read(sf_dir, "lineitem", cols)
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        if batch.num_rows == 0:
+            return pa.table({c: [] for c in
+                             ["l_returnflag", "l_linestatus", "sum_qty",
+                              "sum_base_price", "sum_disc_price", "sum_charge",
+                              "sum_disc", "n"]},
+                            schema=_Q1_PARTIAL_SCHEMA)
+        disc_price = pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        charge = pc.multiply(disc_price,
+                             pc.add(pa.scalar(1.0), batch["l_tax"]))
+        t = (batch.select(["l_returnflag", "l_linestatus", "l_quantity",
+                           "l_extendedprice", "l_discount"])
+             .append_column("disc_price", disc_price)
+             .append_column("charge", charge))
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+            ("disc_price", "sum"), ("charge", "sum"),
+            ("l_discount", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                                 "sum_base_price", "sum_disc_price",
+                                 "sum_charge", "sum_disc", "n"])
+
+    from ray.data.aggregate import Sum
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("sum_charge", alias_name="sum_charge"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("n", alias_name="count_order"),
+    ).to_pandas()
+    # bit-stable averages: round(sum, 2) / count is the identical IEEE
+    # division on both engines (rounding an average directly can land on
+    # .xxxx5 midpoints when count divides the money grid — flaky hashes)
+    final = _round(final, {"sum_qty": 2, "sum_base_price": 2,
+                           "sum_disc_price": 2, "sum_charge": 2, "sum_disc": 2})
+    final["avg_qty"] = final["sum_qty"] / final["count_order"]
+    final["avg_price"] = final["sum_base_price"] / final["count_order"]
+    final["avg_disc"] = final["sum_disc"] / final["count_order"]
+    return final.drop(columns=["sum_disc"])
+
+
+_Q1_PARTIAL_SCHEMA = pa.schema([
+    ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+    ("sum_qty", pa.float64()), ("sum_base_price", pa.float64()),
+    ("sum_disc_price", pa.float64()), ("sum_charge", pa.float64()),
+    ("sum_disc", pa.float64()), ("n", pa.int64()),
+])
+
+
+# ---------------------------------------------------------------------------
+# q3: segment revenue top-10 (TPC-H Q3 shape) — broadcast dim, bucket join facts
+# ---------------------------------------------------------------------------
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    date = pd.Timestamp("1998-03-15")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                   .select(["c_custkey"]),
+        batch_format="pyarrow")
+    cust_keys = pa.concat_tables(
+        [pa.table({"c_custkey": b["c_custkey"]}) for b in
+         building.iter_batches(batch_format="pyarrow")])["c_custkey"].combine_chunks()
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"],
+                                   pa.scalar(date, pa.timestamp("us")))),
+        batch_format="pyarrow")
+    orders = broadcast_semi_filter(orders, cust_keys, on="o_custkey")
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(date, pa.timestamp("us"))))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    line = line.map_batches(line_prep, batch_format="pyarrow")
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey", "o_orderdate"]),
+        batch_format="pyarrow")
+
+    joined = hash_bucket_join(line, orders, on="l_orderkey", num_buckets=16)
+    from ray.data.aggregate import Sum
+    grouped = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev", alias_name="revenue"))
+    top = grouped.sort(["revenue", "l_orderkey"],
+                       descending=[True, False]).limit(10).to_pandas()
+    top = top.rename(columns={"l_orderkey": "o_orderkey"})
+    top = top[["o_orderkey", "o_orderdate", "revenue"]]
+    return _round(top, {"revenue": 2})
+
+
+# ---------------------------------------------------------------------------
+# q5-shape: revenue by supplier nation within a region
+# ---------------------------------------------------------------------------
+def q5_region_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    reg = pq.read_table(_pq(sf_dir, "region"))
+    nat = pq.read_table(_pq(sf_dir, "nation"))
+    sup = pq.read_table(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    rkeys = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"]
+    nat_in = nat.filter(pc.is_in(nat["n_regionkey"], value_set=rkeys.combine_chunks()))
+    sup_in = sup.filter(pc.is_in(sup["s_nationkey"],
+                                 value_set=nat_in["n_nationkey"].combine_chunks()))
+    dim = sup_in.join(nat_in.select(["n_nationkey", "n_name"]),
+                      keys=["s_nationkey"], right_keys=["n_nationkey"])
+    dim_pd = dim.select(["s_suppkey", "n_name"]).to_pandas()
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"s_suppkey": t["l_suppkey"], "rev": rev})
+
+    line = line.map_batches(prep, batch_format="pyarrow")
+    joined = broadcast_join(line, dim_pd, on="s_suppkey")
+    from ray.data.aggregate import Sum
+    out = joined.groupby("n_name").aggregate(Sum("rev", alias_name="revenue")).to_pandas()
+    return _round(out, {"revenue": 2})
+
+
+# ---------------------------------------------------------------------------
+# sort/limit + distinct + simple groupbys
+# ---------------------------------------------------------------------------
+def top_orders_by_price(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(k).to_pandas()
+    return _round(top, {"o_totalprice": 2})
+
+
+def mktsegment_stats(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    out = ds.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_customers"),
+        Sum("c_acctbal", alias_name="sum_acctbal")).to_pandas()
+    out = _round(out, {"sum_acctbal": 2})
+    out["avg_acctbal"] = out["sum_acctbal"] / out["n_customers"]
+    return out.drop(columns=["sum_acctbal"])
+
+
+def order_priority_counts(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                                   pc.less(t["o_orderdate"], hi))),
+        batch_format="pyarrow")
+    return ds.groupby("o_orderpriority").aggregate(
+        Count(alias_name="order_count")).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregate + per-user stats + sessionization
+# ---------------------------------------------------------------------------
+def events_daily(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table({"event_type": t["event_type"], "day": day,
+                         "value": t["value"]})
+
+    from ray.data.aggregate import Count, Sum
+    out = (ds.map_batches(add_day, batch_format="pyarrow")
+           .groupby(["event_type", "day"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value"))
+           .to_pandas())
+    return _round(out, {"sum_value": 2})
+
+
+def events_user_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": [len(g)],
+            "n_types": [g["event_type"].nunique()],
+            "sum_value": [round(g["value"].sum(), 2)],
+        })
+
+    return ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas").to_pandas()
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Sessionization (streaming-shaped op, ray_guide pattern): per user,
+    sort by ts, a new session starts when the gap exceeds ``gap_minutes``."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        n_sessions = int(1 + (ts.diff() > gap).sum()) if len(ts) else 0
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(g)]})
+
+    return ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas").to_pandas()

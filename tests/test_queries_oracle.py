@@ -1,0 +1,124 @@
+"""Driver-gate rehearsal: run every queries() entry and compare against
+its oracle_sql() twin via DuckDB — row count, column names (sorted), and
+values after canonical sorting — exactly the comparison shape the
+driver applies at sf=0.01 (here at sf=0.001 for speed, plus a couple of
+spot checks at 0.01)."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+    if isinstance(result, rd.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> None:
+    assert sorted(got.columns) == sorted(want.columns), \
+        f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    g, w = _canon(got), _canon(want)
+    for col in g.columns:
+        gv, wv = g[col], w[col]
+        if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(wv):
+            assert np.allclose(gv.astype(float), wv.astype(float),
+                               rtol=0, atol=1e-9, equal_nan=True), \
+                f"{name}: float col {col} differs"
+        else:
+            assert (gv.reset_index(drop=True) == wv.reset_index(drop=True)).all(), \
+                f"{name}: col {col} differs"
+
+
+ORACLE_QUERIES = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_vs_oracle(name):
+    q = entrymod.queries()[name]
+    got = _to_pandas(q(SF_DIR))
+    want = _oracle(SF_DIR, entrymod.oracle_sql()[name])
+    _compare(name, got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "emb_knn_bruteforce",
+                                  "docs_exact_dedup"])
+def test_query_vs_oracle_sf001(name):
+    sf = "/root/testdata/sf0.01"
+    q = entrymod.queries()[name]
+    got = _to_pandas(q(sf))
+    want = _oracle(sf, entrymod.oracle_sql()[name])
+    _compare(name, got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rows_only_queries_run():
+    qs = entrymod.queries()
+    for name in ["docs_lang_id", "docs_simhash", "docs_fingerprint",
+                 "docs_near_dup", "emb_knn_lsh"]:
+        out = _to_pandas(qs[name](SF_DIR))
+        assert out is not None and len(out) >= 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lang_id_deterministic_schema():
+    # NOTE: the testdata documents' `lang` label is independent of the
+    # (word-salad) text, so accuracy against it is meaningless; the
+    # heuristic is checked for determinism + schema, and for correct
+    # predictions on real-language samples in test_functions_units.py.
+    a = _to_pandas(entrymod.queries()["docs_lang_id"](SF_DIR))
+    b = _to_pandas(entrymod.queries()["docs_lang_id"](SF_DIR))
+    assert sorted(a.columns) == ["doc_id", "pred_lang", "stopword_hit_ratio"]
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["pred_lang"] == b["pred_lang"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_knn_recall_vs_bruteforce():
+    exact = _to_pandas(entrymod.queries()["emb_knn_bruteforce"](SF_DIR))
+    approx = _to_pandas(entrymod.queries()["emb_knn_lsh"](SF_DIR))
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"LSH recall suspiciously low: {recall}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_smoke():
+    ds = entrymod.entry()
+    df = _to_pandas(ds)
+    assert len(df) == 66
+    assert "extracted_text" in df.columns
