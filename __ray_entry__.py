@@ -93,13 +93,8 @@ def _docs_lang_id(sf_dir: str):
 
 
 def _docs_simhash(sf_dir: str):
-    import pandas as pd
-    from ocr_model_ray.functions.text_stats import simhash64
-    def batch_fn(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "simhash_hex": df["text"].map(lambda t: f"{simhash64(t):016x}")})
-    return _docs(sf_dir).map_batches(batch_fn, batch_format="pandas")
+    from ocr_model_ray.functions.text_stats import simhash_batch
+    return _docs(sf_dir).map_batches(simhash_batch, batch_format="pandas")
 
 
 def _docs_fingerprint(sf_dir: str):

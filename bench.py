@@ -1,0 +1,130 @@
+"""Benchmark harness (SURVEY.md §7.1 milestone 10).
+
+Headline: the flagship extraction pipeline over the deterministic bench
+corpus (FIXTURES.md t2 recipe × BENCH_MULTIPLIER replicas with distinct
+seeded content), consumed by a partitioned parquet write — i.e. the
+full read -> derive -> extract -> write stream. Also times every
+queries() entry over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec}, "sf": ..., "num_cpus": N,
+     "docs": n, "docs_per_sec": r}
+
+--scaling: runs the headline twice in fresh processes (RAY_GRAFT_CPUS=8
+then 32) on the same input and reports throughput at both plus scaling
+efficiency (the sandbox stand-in for the N vs 4N node criterion —
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_MULTIPLIER = int(os.environ.get("BENCH_MULTIPLIER", "10"))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+#: queries excluded from per-query timing (they re-run the flagship,
+#: which is already the headline measurement)
+SKIP_QUERIES = {"extract_flagship", "extract_rows", "extract_dedup"}
+
+
+def run_headline() -> dict:
+    import __ray_entry__ as entrymod
+    from ocr_model_ray.pipelines.extract_pipeline import (
+        extract_pipeline, extracted_summary)
+
+    pages_dir = entrymod._fixture_dir("t2", multiplier=BENCH_MULTIPLIER)
+    # count docs + warm the OS page cache (untimed)
+    import pyarrow.dataset as pads
+    n_docs = pads.dataset(
+        [os.path.join(pages_dir, f) for f in sorted(os.listdir(pages_dir))
+         if f.endswith(".parquet")]).count_rows()
+
+    out_dir = f"/tmp/bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    ds = extracted_summary(extract_pipeline(pages_dir))
+    ds.write_parquet(out_dir)
+    headline = time.monotonic() - t0
+    return {"sec": round(headline, 3), "docs": n_docs,
+            "docs_per_sec": round(n_docs / headline, 1)}
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as entrymod
+    import ray.data as rd
+    out = {}
+    for name, fn in entrymod.queries().items():
+        if name in SKIP_QUERIES:
+            continue
+        t0 = time.monotonic()
+        res = fn(SF_DIR)
+        if isinstance(res, rd.Dataset):
+            res.to_pandas()  # force execution; query results are small
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    # untimed warmup: spins up the worker pool and warms the page cache
+    # so the timed run measures steady-state compute, not process forks
+    import __ray_entry__ as entrymod
+    entrymod.entry().count()
+
+    head = run_headline()
+    queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else run_queries()
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "flagship extraction wall time (bench corpus, parquet sink)",
+        "value": head["sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": head["docs"],
+        "docs_per_sec": head["docs_per_sec"],
+    }))
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["docs_per_sec"] and
+           (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo))
+    print(json.dumps({
+        "metric": "extraction throughput scaling (8 -> 32 cpus, same input)",
+        "docs": r_lo["docs"],
+        "sec_8": r_lo["value"], "docs_per_sec_8": r_lo["docs_per_sec"],
+        "sec_32": r_hi["value"], "docs_per_sec_32": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

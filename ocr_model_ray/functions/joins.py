@@ -66,19 +66,19 @@ def broadcast_semi_filter(large: rd.Dataset, keys: pa.Array | Sequence,
     return large.map_batches(_filter, batch_format="pyarrow")
 
 
-def _bucket_of(batch: pa.Table, keys: list[str], num_buckets: int,
-               salt_col: Optional[str], salt_factor: int) -> pa.Array:
+def _bucket_of(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
+    """Vectorized bucket id. Single integer key: a multiplicative hash in
+    numpy (C speed). Otherwise: crc32 over the joined key strings."""
+    import numpy as np
+    if len(keys) == 1 and pa.types.is_integer(batch[keys[0]].type):
+        vals = batch[keys[0]].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = (vals * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return pa.array((mixed % np.uint64(num_buckets)).astype(np.int32))
     key_strs = [
         "|".join(str(v) for v in vals)
         for vals in zip(*(batch[k].to_pylist() for k in keys))
     ]
-    if salt_col is not None:
-        salts = batch[salt_col].to_pylist()
-        out = [(zlib.crc32(s.encode()) * salt_factor
-                + zlib.crc32(str(x).encode()) % salt_factor) % num_buckets
-               for s, x in zip(key_strs, salts)]
-    else:
-        out = [zlib.crc32(s.encode()) % num_buckets for s in key_strs]
+    out = [zlib.crc32(s.encode()) % num_buckets for s in key_strs]
     return pa.array(out, pa.int32())
 
 
@@ -117,7 +117,7 @@ def hash_bucket_join(left: rd.Dataset, right: rd.Dataset,
                     cols.append(pa.nulls(batch.num_rows, f.type))
             b = pa.Table.from_arrays(cols, schema=union_schema)
             b = b.append_column(
-                "__bucket", _bucket_of(batch, keys, num_buckets, None, 1))
+                "__bucket", _bucket_of(batch, keys, num_buckets))
             return b.append_column("__side", pa.array([side] * batch.num_rows))
         return fn
 

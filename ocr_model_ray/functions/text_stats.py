@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -102,52 +101,71 @@ def lang_id(ds: rd.Dataset, concurrency: int | tuple = 2) -> rd.Dataset:
                           batch_size=1024, concurrency=concurrency)
 
 
-def simhash64(text: str, ngram: int = 3) -> int:
-    """64-bit SimHash over character n-grams (crc32-seeded feature
-    hashes; deterministic, no external libs)."""
-    if len(text) < ngram:
-        grams = [text] if text else []
+_HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+_ROLL_BASE = np.uint64(1099511628211)  # FNV prime
+
+
+def _gram_hashes(text: str, k: int) -> np.ndarray:
+    """Vectorized 64-bit rolling hashes of all character k-grams:
+    h_i = sum_j byte[i+j] * base^(k-1-j) (mod 2^64, via uint64 wrap),
+    finalized with a multiplicative mix. No Python loop over grams."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(data) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(data) < k:
+        windows = data[None, :]
     else:
-        grams = [text[i:i + ngram] for i in range(len(text) - ngram + 1)]
-    acc = np.zeros(64, dtype=np.int64)
-    for g in grams:
-        h1 = zlib.crc32(g.encode("utf-8"))
-        h2 = zlib.crc32((g + "\x00s").encode("utf-8"))
-        h = (h1 << 32) | h2
-        for b in range(64):
-            acc[b] += 1 if (h >> b) & 1 else -1
-    out = 0
+        windows = np.lib.stride_tricks.sliding_window_view(data, k)
+    powers = np.empty(windows.shape[1], dtype=np.uint64)
+    powers[-1] = np.uint64(1)
+    for j in range(windows.shape[1] - 2, -1, -1):
+        powers[j] = powers[j + 1] * _ROLL_BASE
+    with np.errstate(over="ignore"):
+        h = (windows.astype(np.uint64) * powers[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        h = (h ^ (h >> np.uint64(33))) * _HASH_MULT
+        h ^= h >> np.uint64(29)
+    return h
+
+
+def simhash64(text: str, ngram: int = 3) -> int:
+    """64-bit SimHash over character n-grams (vectorized rolling-hash
+    features; deterministic, no external libs)."""
+    h = _gram_hashes(text, ngram)
+    if len(h) == 0:
+        return 0
+    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(h)
+    out = np.uint64(0)
     for b in range(64):
-        if acc[b] > 0:
-            out |= 1 << b
-    return out
+        if votes[b] > 0:
+            out |= np.uint64(1) << np.uint64(b)
+    return int(out)
 
 
 def simhash_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return pd.DataFrame({
         "doc_id": df["doc_id"],
-        "simhash": df[text_col].map(lambda t: np.uint64(simhash64(t)).astype(np.uint64)),
+        "simhash_hex": df[text_col].map(lambda t: f"{simhash64(t):016x}"),
     })
 
 
 def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
-    rolling crc32 over k-grams, min-hash per sliding window, dedup
-    consecutive picks."""
-    grams = [text[i:i + k] for i in range(max(0, len(text) - k + 1))]
-    hs = [zlib.crc32(g.encode("utf-8")) for g in grams]
-    if not hs:
+    vectorized rolling hashes over k-grams, then the min hash of each
+    sliding window (leftmost-min tie-break), deduped by picked position."""
+    hs = _gram_hashes(text, k)
+    if len(hs) == 0:
         return []
-    picks = []
-    last = None
-    for i in range(max(1, len(hs) - window + 1)):
-        w = hs[i:i + window]
-        m = min(w)
-        pos = i + w.index(m)
-        if pos != last:
-            picks.append(m)
-            last = pos
-    return picks
+    if len(hs) <= window:
+        return [int(hs.min())]
+    wins = np.lib.stride_tricks.sliding_window_view(hs, window)
+    pos = wins.argmin(axis=1) + np.arange(len(wins))  # leftmost min per window
+    vals = hs[pos]
+    keep = np.empty(len(pos), dtype=bool)
+    keep[0] = True
+    keep[1:] = pos[1:] != pos[:-1]
+    return [int(v) for v in vals[keep]]
 
 
 def fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:

@@ -1,0 +1,34 @@
+"""Distributed top-k without a global sort shuffle.
+
+A full ``ds.sort(...).limit(k)`` moves every row; for top-k the only
+rows that can matter are each block's local top-k. So: per-batch
+partial top-k inside ``map_batches`` (vectorized pandas nlargest /
+sort_values), then one tiny driver-side merge. Data moved: k rows per
+block instead of all rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import ray.data as rd
+
+
+def topk(ds: rd.Dataset, by: Sequence[str], k: int,
+         descending: Sequence[bool] | bool = True) -> pd.DataFrame:
+    """Global top-k rows ordered by ``by`` (ties broken by the later
+    columns — include a unique key for determinism)."""
+    by = list(by)
+    if isinstance(descending, bool):
+        descending = [descending] * len(by)
+    ascending = [not d for d in descending]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) <= k:
+            return df
+        return df.sort_values(by, ascending=ascending, kind="mergesort").head(k)
+
+    small = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (small.sort_values(by, ascending=ascending, kind="mergesort")
+            .head(k).reset_index(drop=True))

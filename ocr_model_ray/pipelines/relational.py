@@ -133,18 +133,26 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
 
     line = line.map_batches(line_prep, batch_format="pyarrow")
+
+    # pre-aggregate revenue per orderkey BEFORE the join: the join then
+    # shuffles one narrow row per orderkey instead of every lineitem
+    def partial_rev(t: pa.Table) -> pa.Table:
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")]) \
+                .rename_columns(["l_orderkey", "rev"])
+
+    from ray.data.aggregate import Sum
+    revs = (line.map_batches(partial_rev, batch_format="pyarrow")
+            .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue")))
     orders = orders.map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_custkey", "o_orderdate"]),
         batch_format="pyarrow")
 
-    joined = hash_bucket_join(line, orders, on="l_orderkey", num_buckets=16)
-    from ray.data.aggregate import Sum
-    grouped = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
-        Sum("rev", alias_name="revenue"))
-    top = grouped.sort(["revenue", "l_orderkey"],
-                       descending=[True, False]).limit(10).to_pandas()
+    joined = hash_bucket_join(revs, orders, on="l_orderkey", num_buckets=16)
+    from ..functions.topk import topk
+    top = topk(joined, ["revenue", "l_orderkey"], k=10,
+               descending=[True, False])
     top = top.rename(columns={"l_orderkey": "o_orderkey"})
-    top = top[["o_orderkey", "o_orderdate", "revenue"]]
+    top = top[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
     return _round(top, {"revenue": 2})
 
 
@@ -183,10 +191,12 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
 # sort/limit + distinct + simple groupbys
 # ---------------------------------------------------------------------------
 def top_orders_by_price(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    from ..functions.topk import topk
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    top = ds.sort(["o_totalprice", "o_orderkey"],
-                  descending=[True, False]).limit(k).to_pandas()
-    return _round(top, {"o_totalprice": 2})
+    top = topk(ds, ["o_totalprice", "o_orderkey"], k=k,
+               descending=[True, False])
+    return _round(top[["o_orderkey", "o_custkey", "o_totalprice"]],
+                  {"o_totalprice": 2})
 
 
 def mktsegment_stats(sf_dir: str) -> pd.DataFrame:
