@@ -98,8 +98,15 @@ def hash_bucket_join(left: rd.Dataset, right: rd.Dataset,
 
     # pad both sides to a shared schema (nulls for the other side's
     # columns) so the union's blocks concatenate cleanly in the shuffle
-    lschema = left.schema().base_schema
-    rschema = right.schema().base_schema
+    def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        return pa.schema(list(zip(s.names, s.types)))
+
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
     union_fields = list(lschema)
     seen = {f.name for f in lschema}
     for f in rschema:

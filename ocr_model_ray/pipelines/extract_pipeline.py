@@ -48,11 +48,21 @@ class ExtractConfig:
     batch_size: Optional[int] = None
     concurrency: Optional[int | tuple[int, int]] = None
     num_cpus: float = 1.0
+    #: "full" materializes the nested regions/rows/tables layout columns;
+    #: "summary" emits only text + stats (same values; ~2x less allocator
+    #: pressure — use when downstream drops the layout anyway)
+    emit: str = "full"
+    #: override_num_blocks for the read: set to ~4x cluster CPUs so the
+    #: read FUSES with derive+extract into one task (payload blocks never
+    #: round-trip the object store). None = Ray's default splitting.
+    num_blocks: Optional[int] = None
 
 
-def derived_pages(paths: str | Sequence[str]) -> rd.Dataset:
+def derived_pages(paths: str | Sequence[str],
+                  num_blocks: Optional[int] = None) -> rd.Dataset:
     """pages corpus with derived columns (content_hash/mime/size)."""
-    ds = read_pages(paths)
+    kwargs = {} if num_blocks is None else {"override_num_blocks": num_blocks}
+    ds = read_pages(paths, **kwargs)
     return ds.map_batches(derive_batch, batch_format="pyarrow")
 
 
@@ -60,17 +70,17 @@ def extract_pipeline(paths: str | Sequence[str],
                      cfg: ExtractConfig | None = None) -> rd.Dataset:
     """Build the lazy `extracted` Dataset for a pages corpus."""
     cfg = cfg or ExtractConfig()
-    ds = derived_pages(paths)
+    ds = derived_pages(paths, num_blocks=cfg.num_blocks)
     if cfg.dedup:
         ds = distinct_by_hash(ds)
     kwargs = dict(batch_format="pyarrow", batch_size=cfg.batch_size,
                   num_cpus=cfg.num_cpus)
+    ctor = {"max_pages": cfg.max_pages, "emit": cfg.emit}
     if cfg.concurrency is not None:
         # actor pool: class + concurrency
         return ds.map_batches(ExtractWorker, concurrency=cfg.concurrency,
-                              fn_constructor_kwargs={"max_pages": cfg.max_pages},
-                              **kwargs)
-    worker = ExtractWorker(max_pages=cfg.max_pages)
+                              fn_constructor_kwargs=ctor, **kwargs)
+    worker = ExtractWorker(**ctor)
     return ds.map_batches(worker, **kwargs)
 
 

@@ -107,6 +107,19 @@ class Region:
         return min(t["conf"] for t in self.tokens)
 
 
+class SimpleRegion:
+    """Layout-free region (text + conf only): used by the layout=False
+    fast path for branches whose synthetic bboxes carry no information
+    (HTML/plain-text flow layout). Duck-types Region for
+    assemble_summary; never reaches full assemble()."""
+    __slots__ = ("rtype", "text", "conf")
+
+    def __init__(self, rtype: str, text: str, conf: float = 1.0) -> None:
+        self.rtype = rtype
+        self.text = text
+        self.conf = conf
+
+
 @dataclass
 class PageOut:
     page_num: int                 # 1-based
@@ -413,15 +426,19 @@ def extract_image(payload: bytes) -> DocOut:
 # ----------------------------------------------------------------------------
 # Plain-text branch
 # ----------------------------------------------------------------------------
-def extract_plain_text(payload: bytes) -> DocOut:
+def extract_plain_text(payload: bytes, layout: bool = True) -> DocOut:
     """Plain text: decode with the fallback chain, split into paragraphs on
     blank lines, whitespace-normalize each paragraph. One page; regions
-    join with "\\n\\n"."""
+    join with "\\n\\n". ``layout=False`` skips synthetic token boxes
+    (identical text/conf output, far less allocation)."""
     text = decode_text(payload)
     paras = [p for p in re.split(r"\n\s*\n", text) if p.strip()]
     regions = []
     for si, para in enumerate(paras):
         words = para.split()
+        if not layout:
+            regions.append(SimpleRegion("paragraph", " ".join(words)))
+            continue
         toks = []
         x = 0.0
         y = 20.0 * si
@@ -577,7 +594,7 @@ def _keep_block(kind: str, norm_text: str, link_chars: int) -> bool:
     return n >= HTML_MIN_BLOCK_CHARS and ld <= HTML_MAX_LINK_DENSITY
 
 
-def extract_html(payload: bytes) -> DocOut:
+def extract_html(payload: bytes, layout: bool = True) -> DocOut:
     """HTML main-content extraction (M18).
 
     Parse with the stdlib tolerant parser; drop nav/header/footer/aside/
@@ -593,11 +610,15 @@ def extract_html(payload: bytes) -> DocOut:
     parser.feed(text)
     parser.close()
 
-    regions: list[Region] = []
+    regions: list = []
     seq = 0
     for kind, raw, link_chars in parser.blocks:
         norm = " ".join(raw.split())
         if not _keep_block(kind, norm, link_chars):
+            continue
+        if not layout:
+            regions.append(SimpleRegion(kind, norm))
+            seq += 1
             continue
         words = norm.split()
         toks = []
@@ -634,10 +655,13 @@ def extract_html(payload: bytes) -> DocOut:
 # ----------------------------------------------------------------------------
 # Dispatch + document assembly (M13/M14/M15 + rows M12)
 # ----------------------------------------------------------------------------
-def extract_document(payload: bytes, max_pages: int = 0) -> DocOut:
+def extract_document(payload: bytes, max_pages: int = 0,
+                     layout: bool = True) -> DocOut:
     """Type dispatch (S2/S3/M16) -> branch extraction. Exceptions become the
     ``error`` field on an empty DocOut (dead-letter semantics; never
-    poisons a batch)."""
+    poisons a batch). ``layout=False`` is the summary fast path: HTML and
+    plain-text branches skip synthetic token-box materialization (the PDF
+    and OCR branches keep boxes — their geometry is real input data)."""
     try:
         mime = sniff_mime(payload)
         if mime == "application/pdf":
@@ -645,10 +669,10 @@ def extract_document(payload: bytes, max_pages: int = 0) -> DocOut:
         if mime in ("image/png", "image/jpeg"):
             return extract_image(payload)
         if mime == "text/html":
-            return extract_html(payload)
+            return extract_html(payload, layout=layout)
         if mime == "application/zip":
             return DocOut(doc_kind="unknown", error="unsupported container: zip/docx")
-        return extract_plain_text(payload)
+        return extract_plain_text(payload, layout=layout)
     except Exception as exc:  # noqa: BLE001 — per-row dead letter
         return DocOut(doc_kind="unknown", error=f"{type(exc).__name__}: {exc}")
 
@@ -748,6 +772,43 @@ def assemble(url: str, doc: DocOut) -> dict:
         "regions": regions_out,
         "rows": rows_out,
         "tables": tables_out,
+    }
+
+
+def assemble_summary(url: str, doc: DocOut) -> dict:
+    """Summary-only assembly: identical extracted_text / counts /
+    confidence as assemble(), but no per-region dict materialization —
+    the hot path for pipelines that only consume text + stats (the
+    nested layout columns are a projection concern; computing them for
+    a consumer that drops them wastes allocator bandwidth)."""
+    page_texts = []
+    region_confs_sum = 0.0
+    n_regions = 0
+    for page in doc.pages:
+        parts = []
+        for region in page.regions:
+            parts.append(region.text)
+            region_confs_sum += region.conf
+            n_regions += 1
+        page_texts.append(page.region_sep.join(parts))
+    extracted_text = PAGE_SEP.join(page_texts).strip()
+    if doc.error is not None:
+        confidence = 0.0
+    elif n_regions:
+        confidence = region_confs_sum / n_regions
+    else:
+        confidence = 1.0
+    return {
+        "url": url,
+        "extracted_text": extracted_text,
+        "doc_kind": doc.doc_kind,
+        "n_pages": len(doc.pages),
+        "confidence": confidence,
+        "word_count": len(extracted_text.split()),
+        "char_count": len(extracted_text),
+        "table_count": len(doc.tables),
+        "region_count": n_regions,
+        "error": doc.error,
     }
 
 

@@ -23,17 +23,14 @@ def derive_batch(batch: pa.Table) -> pa.Table:
     (SURVEY.md §4.2): giant blobs land in their own buckets so a later
     ``repartition``/sort can isolate them into small blocks.
     """
-    payloads = batch["html"]
+    payloads = batch["html"].to_pylist()
     hashes, mimes, sizes, buckets = [], [], [], []
-    for chunk in payloads.chunks if isinstance(payloads, pa.ChunkedArray) else [payloads]:
-        for i in range(len(chunk)):
-            buf = chunk[i].as_buffer()
-            b = buf.to_pybytes()
-            hashes.append(hashlib.sha256(b).hexdigest())
-            mimes.append(sniff_mime(b[:512]))
-            n = len(b)
-            sizes.append(n)
-            buckets.append(int(math.ceil(math.log2(n))) if n > 1 else 0)
+    for b in payloads:
+        hashes.append(hashlib.sha256(b).hexdigest())
+        mimes.append(sniff_mime(b[:512]))
+        n = len(b)
+        sizes.append(n)
+        buckets.append(int(math.ceil(math.log2(n))) if n > 1 else 0)
     return (batch
             .append_column("content_hash", pa.array(hashes, pa.string()))
             .append_column("mime", pa.array(mimes, pa.string()))

@@ -1,0 +1,152 @@
+"""Export renderers (S9): the reference's 6-format exporter surface
+(worker/pipeline/processors/exporter.py:62-548) re-expressed as
+vectorized batch transforms + Dataset sinks.
+
+* parquet  — canonical interchange (`extracted` / `rows` tables).
+* csv      — flat rows table, bbox exploded to x1..y2 columns
+             (_export_csv:166-230 column shape).
+* txt      — markdown-ish rendering per url, mirroring the reference's
+             rules (_export_txt:487-548): "=== Page N ===" page headers,
+             "## " headings, "* " list items; code/quote blocks fenced.
+* json     — one canonical JSON document per url (results-dict shape of
+             worker/document_processor.py:847-891, minus wall-clock
+             fields — deterministic by construction).
+* xml      — per-url <document><page><region .../></page></document>
+             (_export_xml:285-367 shape, deterministic attribute order).
+
+The reference's timestamped output filenames (exporter.py:74-75) are
+non-deterministic and replaced by content-derived paths. The annotated-
+PDF export (_export_pdf:369-485) is a debug-only visualization in the
+reference and is intentionally out of engine scope.
+"""
+
+from __future__ import annotations
+
+import json
+from xml.sax.saxutils import escape, quoteattr
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def rows_to_csv_batch(batch: pa.Table) -> pa.Table:
+    """Flat rows batch -> CSV-ready columns (bbox exploded)."""
+    import pyarrow.compute as pc
+    bbox = batch["bbox"]
+    if isinstance(bbox, pa.ChunkedArray):
+        bbox = bbox.combine_chunks()
+    flat = pc.list_flatten(bbox)
+    n = batch.num_rows
+    coords = [flat.take(pa.array(range(i, 4 * n, 4))) for i in range(4)]
+    out = batch.drop_columns(["bbox"])
+    for name, arr in zip(("x1", "y1", "x2", "y2"), coords):
+        out = out.append_column(name, arr)
+    return out
+
+
+_HEAD_PREFIX = {"heading": "## ", "list_item": "* "}
+
+
+def render_txt(extracted_row: dict) -> str:
+    """Markdown-ish TXT per url (exporter.py:496-515 rules)."""
+    lines: list[str] = []
+    regions_by_page: dict[int, list[dict]] = {}
+    for r in extracted_row.get("regions") or []:
+        regions_by_page.setdefault(r["page"], []).append(r)
+    for p in extracted_row.get("pages") or []:
+        pn = p["page_num"]
+        lines.append(f"=== Page {pn} ===")
+        for r in regions_by_page.get(pn, []):
+            t = r["type"]
+            if t == "code":
+                lines.extend(["```", r["text"], "```"])
+            elif t == "quote":
+                lines.append("> " + r["text"])
+            else:
+                lines.append(_HEAD_PREFIX.get(t, "") + r["text"])
+        lines.append("")
+    return "\n".join(lines).rstrip("\n")
+
+
+def render_json(extracted_row: dict) -> str:
+    """Canonical per-url JSON (sorted keys, no wall-clock fields)."""
+    doc = {
+        "url": extracted_row["url"],
+        "doc_kind": extracted_row["doc_kind"],
+        "extracted_text": extracted_row["extracted_text"],
+        "confidence": extracted_row["confidence"],
+        "summary": {
+            "word_count": extracted_row["word_count"],
+            "char_count": extracted_row["char_count"],
+            "page_count": extracted_row["n_pages"],
+            "table_count": extracted_row["table_count"],
+        },
+        "pages": extracted_row.get("pages") or [],
+        "regions": extracted_row.get("regions") or [],
+        "tables": extracted_row.get("tables") or [],
+        "error": extracted_row.get("error"),
+    }
+    return json.dumps(doc, sort_keys=True, ensure_ascii=False)
+
+
+def render_xml(extracted_row: dict) -> str:
+    """Per-url XML document (deterministic attribute order)."""
+    parts = [f"<document url={quoteattr(extracted_row['url'])} "
+             f"kind={quoteattr(extracted_row['doc_kind'])}>"]
+    regions_by_page: dict[int, list[dict]] = {}
+    for r in extracted_row.get("regions") or []:
+        regions_by_page.setdefault(r["page"], []).append(r)
+    for p in extracted_row.get("pages") or []:
+        pn = p["page_num"]
+        parts.append(f'<page num="{pn}" scanned="{str(p["is_scanned"]).lower()}">')
+        for r in regions_by_page.get(pn, []):
+            parts.append(
+                f'<region id={quoteattr(r["region_id"])} type={quoteattr(r["type"])} '
+                f'conf="{r["conf"]:.6f}" start="{r["char_start"]}" '
+                f'end="{r["char_end"]}">{escape(r["text"])}</region>')
+        parts.append("</page>")
+    parts.append("</document>")
+    return "".join(parts)
+
+
+def _render_batch(batch: pa.Table, renderer, col: str) -> pa.Table:
+    rows = batch.to_pylist()
+    return pa.table({
+        "url": pa.array([r["url"] for r in rows], pa.string()),
+        col: pa.array([renderer(r) for r in rows], pa.string()),
+    })
+
+
+def txt_export(extracted: rd.Dataset) -> rd.Dataset:
+    """(url, txt) rendering of the extracted table."""
+    return extracted.map_batches(lambda b: _render_batch(b, render_txt, "txt"),
+                                 batch_format="pyarrow")
+
+
+def json_export(extracted: rd.Dataset) -> rd.Dataset:
+    return extracted.map_batches(lambda b: _render_batch(b, render_json, "json"),
+                                 batch_format="pyarrow")
+
+
+def xml_export(extracted: rd.Dataset) -> rd.Dataset:
+    return extracted.map_batches(lambda b: _render_batch(b, render_xml, "xml"),
+                                 batch_format="pyarrow")
+
+
+def write_all_formats(extracted: rd.Dataset, out_dir: str) -> dict:
+    """Write parquet + csv + txt + json + xml renderings under out_dir.
+    Returns per-format paths. Each rendering streams; nothing
+    materializes on the driver."""
+    from ..stages.explode import rows_batch
+    paths = {}
+    paths["parquet"] = f"{out_dir}/parquet"
+    extracted.write_parquet(paths["parquet"])
+    rows = extracted.map_batches(rows_batch, batch_format="pyarrow") \
+                    .map_batches(rows_to_csv_batch, batch_format="pyarrow")
+    paths["csv"] = f"{out_dir}/csv"
+    rows.write_csv(paths["csv"])
+    for name, fn in (("txt", txt_export), ("json", json_export),
+                     ("xml", xml_export)):
+        paths[name] = f"{out_dir}/{name}"
+        fn(extracted).write_parquet(paths[name])
+    return paths

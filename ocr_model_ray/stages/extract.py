@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..spec import SPEC_VERSION, assemble, extract_document
+from ..spec import SPEC_VERSION, assemble, assemble_summary, extract_document
 
 _PAGE_STRUCT = pa.struct([
     ("page_num", pa.int32()), ("width", pa.int32()), ("height", pa.int32()),
@@ -74,6 +74,24 @@ EXTRACTED_SCHEMA = pa.schema([
     ("tables", pa.list_(_TABLE_STRUCT)),
 ])
 
+#: Summary-only output schema (emit="summary"): same values as the
+#: matching EXTRACTED_SCHEMA columns, no nested layout columns.
+SUMMARY_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("content_hash", pa.string()),
+    ("mime", pa.string()),
+    ("doc_kind", pa.string()),
+    ("extracted_text", pa.string()),
+    ("n_pages", pa.int32()),
+    ("confidence", pa.float64()),
+    ("word_count", pa.int64()),
+    ("char_count", pa.int64()),
+    ("table_count", pa.int32()),
+    ("region_count", pa.int32()),
+    ("size_bytes", pa.int64()),
+    ("error", pa.string()),
+])
+
 
 def _result_record(url: str, res: dict, content_hash: str, mime: str,
                    size_bytes: int) -> dict:
@@ -97,30 +115,42 @@ class ExtractWorker:
     Output: EXTRACTED_SCHEMA rows.
     """
 
-    def __init__(self, max_pages: int = 0) -> None:
+    def __init__(self, max_pages: int = 0, emit: str = "full") -> None:
+        assert emit in ("full", "summary")
         self.max_pages = max_pages
+        self.emit = emit
         self.spec_version = SPEC_VERSION
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         names = set(batch.schema.names)
         has_meta = "content_hash" in names
         fanout = "urls" in names
-        out: list[dict] = []
         urls = batch["url"].to_pylist()
-        payloads = batch["html"]
+        # to_pylist on the binary column yields bytes in one C pass —
+        # avoids per-row ChunkedArray chunk lookups
+        payloads = batch["html"].to_pylist()
         hashes = batch["content_hash"].to_pylist() if has_meta else None
         mimes = batch["mime"].to_pylist() if has_meta else None
         sizes = batch["size_bytes"].to_pylist() if has_meta else None
         url_lists = batch["urls"].to_pylist() if fanout else None
+        summary_only = self.emit == "summary"
+        assemble_fn = assemble_summary if summary_only else assemble
+        out: list[dict] = []
         for i in range(batch.num_rows):
-            payload = payloads[i].as_py()
-            doc = extract_document(payload, max_pages=self.max_pages)
+            payload = payloads[i]
+            doc = extract_document(payload, max_pages=self.max_pages,
+                                   layout=not summary_only)
             ch = hashes[i] if has_meta else ""
             mime = mimes[i] if has_meta else ""
             size = sizes[i] if has_meta else len(payload)
             targets = url_lists[i] if fanout else [urls[i]]
             for u in targets:
-                out.append(_result_record(u, assemble(u, doc), ch, mime, size))
+                out.append(_result_record(u, assemble_fn(u, doc), ch, mime, size))
+        if summary_only:
+            # columnar build: one array per column, no nested conversion
+            cols = [pa.array([r[f.name] for r in out], f.type)
+                    for f in SUMMARY_SCHEMA]
+            return pa.Table.from_arrays(cols, schema=SUMMARY_SCHEMA)
         return pa.Table.from_pylist(out, schema=EXTRACTED_SCHEMA)
 
 

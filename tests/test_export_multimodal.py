@@ -1,0 +1,135 @@
+"""Tests for export renderers (S9) and the multimodal actor stages."""
+
+import base64
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from ocr_model_ray.spec import PSEUDO_PNG_HEADER, extract_and_assemble
+from ocr_model_ray.stages.export import (
+    render_json, render_txt, render_xml, rows_to_csv_batch, write_all_formats,
+)
+from ocr_model_ray.stages.multimodal import (
+    EMBED_DIM, FrameSampleWorker, ImageDecodeWorker, ImageFeatureWorker,
+)
+
+HTML = (b"<html><body><h1>Title Here</h1>"
+        b"<p>First paragraph body long enough to be kept by the scorer.</p>"
+        b"<ul><li>List item one long enough to be kept by the scorer ok.</li></ul>"
+        b"<pre>code block content here kept as preformatted text block</pre>"
+        b"</body></html>")
+
+
+def _rec():
+    return extract_and_assemble("https://e.test/x", HTML)
+
+
+def test_render_txt_rules():
+    txt = render_txt(_rec())
+    assert txt.startswith("=== Page 1 ===")
+    assert "## Title Here" in txt
+    assert "* List item one" in txt
+    assert "```" in txt
+
+
+def test_render_json_canonical():
+    s = render_json(_rec())
+    doc = json.loads(s)
+    assert doc["url"] == "https://e.test/x"
+    assert doc["summary"]["page_count"] == 1
+    assert render_json(_rec()) == s  # deterministic
+
+
+def test_render_xml_shape():
+    x = render_xml(_rec())
+    assert x.startswith('<document url="https://e.test/x"')
+    assert '<page num="1"' in x and "</document>" in x
+    assert "Title Here" in x
+
+
+def test_rows_to_csv_flattens_bbox():
+    rec = _rec()
+    batch = pa.table({
+        "url": [rec["url"]] * len(rec["rows"]),
+        "row_id": [r["row_id"] for r in rec["rows"]],
+        "bbox": pa.array([r["bbox"] for r in rec["rows"]],
+                         pa.list_(pa.float64(), 4)),
+        "text": [r["text"] for r in rec["rows"]],
+    })
+    out = rows_to_csv_batch(batch)
+    assert {"x1", "y1", "x2", "y2"} <= set(out.schema.names)
+    assert "bbox" not in out.schema.names
+    assert out.num_rows == batch.num_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_all_formats(t1_pages_dir, tmp_path):
+    from ocr_model_ray.pipelines.extract_pipeline import extract_pipeline
+    out = str(tmp_path / "exports")
+    paths = write_all_formats(extract_pipeline(t1_pages_dir), out)
+    assert set(paths) == {"parquet", "csv", "txt", "json", "xml"}
+    for p in paths.values():
+        assert os.path.isdir(p) and os.listdir(p)
+    import pyarrow.dataset as pads
+    txt = pads.dataset(paths["txt"]).to_table()
+    assert txt.num_rows == 66
+
+
+def _pseudo_png(words):
+    return PSEUDO_PNG_HEADER + json.dumps(
+        {"w": 640, "h": 480, "words": words}).encode()
+
+
+def test_image_decode_worker():
+    batch = pa.table({
+        "id": ["a", "b", "c"],
+        "image": pa.array([
+            _pseudo_png([["hi", 0, 0, 10, 10, 0.9]]),
+            b"\x89PNG\r\n\x1a\n real png without pillow",
+            b"garbage bytes",
+        ], pa.large_binary()),
+    })
+    out = ImageDecodeWorker()(batch).to_pylist()
+    assert out[0]["width"] == 640 and out[0]["n_objects"] == 1
+    assert out[0]["error"] is None
+    assert "NotImplementedError" in out[1]["error"]  # stub boundary
+    assert "ValueError" in out[2]["error"]
+
+
+def test_image_feature_worker_deterministic_unit_norm():
+    import numpy as np
+    batch = pa.table({"id": ["a", "b"],
+                      "image": pa.array([b"img-one", b"img-two"],
+                                        pa.large_binary())})
+    w = ImageFeatureWorker()
+    out1, out2 = w(batch), w(batch)
+    assert out1.equals(out2)
+    v = np.array(out1["embedding"].to_pylist()[0])
+    assert len(v) == EMBED_DIM
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    assert out1["embedding"].to_pylist()[0] != out1["embedding"].to_pylist()[1]
+
+
+def test_frame_sample_worker():
+    batch = pa.table({"id": ["v1", "v2"],
+                      "n_frames": pa.array([25, 5], pa.int32())})
+    out = FrameSampleWorker(stride=10)(batch)
+    assert out.to_pylist() == [
+        {"id": "v1", "frame_index": 0}, {"id": "v1", "frame_index": 10},
+        {"id": "v1", "frame_index": 20}, {"id": "v2", "frame_index": 0}]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_actor_pool_pipeline():
+    import ray.data as rd
+    from ocr_model_ray.stages.multimodal import decode_images, embed_images
+    items = [{"id": f"img{i}", "image": _pseudo_png([["w", 0, 0, 5, 5, 1.0]] * i)}
+             for i in range(20)]
+    ds = rd.from_arrow(pa.Table.from_pylist(items, schema=pa.schema(
+        [("id", pa.string()), ("image", pa.large_binary())])))
+    meta = decode_images(ds, concurrency=2, batch_size=8).to_pandas()
+    assert meta["n_objects"].tolist() == list(range(20))
+    emb = embed_images(ds, concurrency=2, batch_size=8).to_pandas()
+    assert len(emb) == 20 and len(emb["embedding"].iloc[0]) == EMBED_DIM

@@ -1,0 +1,132 @@
+"""Unit tests for functions/: text stats, dedup algorithms, similarity,
+joins, top-k — including behavior on real-language samples and planted
+near-duplicates (the testdata documents are word salad, so semantic
+checks live here)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_model_ray.functions.dedup_algos import (
+    minhash_signature, ngram_jaccard, shingles,
+)
+from ocr_model_ray.functions.text_stats import (
+    LangIdWorker, quality_batch, simhash64, token_count_batch,
+    winnow_fingerprints,
+)
+
+
+def test_token_count_semantics():
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["a b  c", "  ", "", "one\ttwo\nthree"]})
+    out = token_count_batch(df)
+    assert out["n_tokens"].tolist() == [3, 0, 0, 3]
+
+
+def test_quality_ratios_are_exact_divisions():
+    df = pd.DataFrame({"doc_id": [1], "text": ["ab, cd! 12"]})
+    out = quality_batch(df)
+    assert out["n_chars"].iloc[0] == 10
+    assert out["n_words"].iloc[0] == 3
+    assert out["punct_ratio"].iloc[0] == 2 / 10
+    assert out["digit_ratio"].iloc[0] == 2 / 10
+    assert out["avg_word_len"].iloc[0] == 8 / 3
+
+
+def test_lang_id_on_real_language():
+    w = LangIdWorker()
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat sat on the mat and it is a fine day for the team",
+                 "der Hund und die Katze sind nicht mit der Maus ich bin",
+                 "le chien et les chats sont dans la maison pour le dîner"],
+    })
+    out = w(df)
+    assert out["pred_lang"].tolist() == ["en", "de", "fr"]
+
+
+def test_simhash_similar_texts_close():
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy dog again and again!"
+    c = "completely different content about databases and query engines"
+    ha, hb, hc = simhash64(a), simhash64(b), simhash64(c)
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+    assert ham(ha, hb) < ham(ha, hc)
+    assert ham(ha, hb) <= 8
+    assert simhash64("") == 0
+
+
+def test_winnow_fingerprints_substring_overlap():
+    base = "abcdefghijklmnopqrstuvwxyz" * 4
+    other = "0123456789" * 10
+    fa = set(winnow_fingerprints(base))
+    fb = set(winnow_fingerprints(base[10:60]))   # substring -> shared prints
+    fc = set(winnow_fingerprints(other))
+    assert fa & fb
+    assert not (fa & fc)
+    assert winnow_fingerprints("") == []
+
+
+def test_minhash_jaccard_estimate():
+    a = "one two three four five six seven eight nine ten " * 5
+    b = a.replace("five", "FIVE")       # small edit
+    sa, sb = shingles(a), shingles(b)
+    true_j = len(sa & sb) / len(sa | sb)
+    siga, sigb = minhash_signature(sa), minhash_signature(sb)
+    est = float((siga == sigb).mean())
+    assert abs(est - true_j) < 0.2
+
+
+def test_ngram_jaccard_pairs():
+    texts = {1: "a b c d e f", 2: "a b c d e f", 3: "x y z w v u"}
+    pairs = pd.DataFrame({"doc_a": [1, 1], "doc_b": [2, 3]})
+    out = ngram_jaccard(texts, pairs)
+    assert out["jaccard"].tolist() == [1.0, 0.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_pipeline_finds_planted_dups():
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import near_dup_pairs
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "the green fields towards the old farm house near the river") * 3
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"unique document number {i} " +
+                     " ".join(f"w{i}x{j}" for j in range(60))})
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base + " extra tail words here"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = near_dup_pairs(ds, threshold=0.8)
+    assert [(100, 101)] == list(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_bucket_join_matches_pandas():
+    import ray.data as rd
+    from ocr_model_ray.functions.joins import hash_bucket_join
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame({"k": rng.randint(0, 50, 500),
+                         "v": rng.normal(size=500)})
+    right = pd.DataFrame({"k": np.arange(0, 60, 2),
+                          "w": np.arange(30) * 10})
+    got = hash_bucket_join(rd.from_pandas(left), rd.from_pandas(right),
+                           on="k", num_buckets=8).to_pandas()
+    want = left.merge(right, on="k")
+    assert len(got) == len(want)
+    gs = got.sort_values(["k", "v"]).reset_index(drop=True)
+    ws = want.sort_values(["k", "v"]).reset_index(drop=True)
+    assert np.allclose(gs["w"].astype(float), ws["w"].astype(float))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topk_matches_full_sort():
+    import ray.data as rd
+    from ocr_model_ray.functions.topk import topk
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"id": np.arange(5000), "score": rng.normal(size=5000)})
+    got = topk(rd.from_pandas(df).repartition(10), ["score", "id"], k=7,
+               descending=[True, False])
+    want = df.sort_values(["score", "id"], ascending=[False, True]).head(7)
+    assert got["id"].tolist() == want["id"].tolist()

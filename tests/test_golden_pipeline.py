@@ -36,6 +36,15 @@ class TestGoldensT1:
         out = canonical(dataset_to_table(extract_pipeline(t1_pages_dir, cfg)))
         _assert_tables_equal(out, load_golden("t1"))
 
+    def test_summary_emit_matches_full(self, t1_pages_dir):
+        from ocr_model_ray.stages.extract import SUMMARY_SCHEMA
+        full = canonical(dataset_to_table(extract_pipeline(t1_pages_dir)))
+        summ = canonical(dataset_to_table(
+            extract_pipeline(t1_pages_dir, ExtractConfig(emit="summary"))))
+        assert summ.schema.names == SUMMARY_SCHEMA.names
+        for name in SUMMARY_SCHEMA.names:
+            assert summ[name].equals(full[name]), f"summary col {name} differs"
+
     def test_parallelism_invariance(self, t1_pages_dir):
         a = canonical(dataset_to_table(
             extract_pipeline(t1_pages_dir, ExtractConfig(batch_size=4))))
