@@ -119,6 +119,7 @@ def main() -> None:
         "docs": head["docs"],
         "docs_per_sec": head["docs_per_sec"],
         "cold_sec": head["cold_sec"],
+        "sink": head["sink"],
     }))
 
 
