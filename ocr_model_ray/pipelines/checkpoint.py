@@ -73,23 +73,44 @@ def run_resumable(paths: str | Sequence[str], out_dir: str,
                 if pid not in done_before:
                     written.append(pid)
     rows = 0
+    errors = 0
     for pid in sorted(written):
         facts = mf.summarize_partition(out_dir, pid)
         rows += facts["row_count"]
+        errors += facts["error_count"]
         mf.commit_manifest(out_dir, pid, input_files=None, **facts)
 
+    wall = round(time.monotonic() - t0, 3)
     record = {
         "partitions_total": num_partitions,
         "partitions_done_before": sorted(done_before),
         "partitions_cleaned": sorted(cleaned),
         "partitions_written": sorted(written),
         "rows_written": rows,
-        "wall_s": round(time.monotonic() - t0, 3),
+        "error_rows": errors,
+        "docs_per_sec": round(rows / wall, 1) if wall else None,
+        "wall_s": wall,
         "config": {"dedup": cfg.dedup, "max_pages": cfg.max_pages,
-                   "batch_size": cfg.batch_size},
+                   "batch_size": cfg.batch_size, "emit": cfg.emit},
+        "stage_stats": _stage_stats(ds),
     }
     mf.write_metrics(out_dir, record)
     return record
+
+
+def _stage_stats(ds) -> list[dict]:
+    """Per-operator {stage, wall_s} parsed from Ray Data's stats; the raw
+    text is the authoritative record (saved alongside by callers that
+    want it via ds.stats())."""
+    import re
+    try:
+        text = ds.stats()
+    except Exception:  # noqa: BLE001 — stats are best-effort telemetry
+        return []
+    out = []
+    for m in re.finditer(r"Operator \d+ (.+?): .*?in ([\d.]+)s", text):
+        out.append({"stage": m.group(1)[:120], "wall_s": float(m.group(2))})
+    return out
 
 
 def _data_root(out_dir: str) -> str:

@@ -1,0 +1,83 @@
+"""Job driver: the `ray job submit`-able entry point for the extraction
+pipeline (north rule: resumable, lineage-manifested, metrics-emitting).
+
+    ray job submit -- python -m ocr_model_ray.run \
+        --input /data/pages --output /data/extracted \
+        --profile default --partitions 256 [--resume] [--exports]
+
+Owns the Ray session (guarded init — in-cluster `ray job submit` has an
+address; standalone runs init local). Emits per-stage metrics (docs,
+wall seconds, per-operator Ray Data stats) to <output>/metrics/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="pages parquet directory (url, warc_ts, html, text, lang)")
+    ap.add_argument("--output", required=True, help="output root directory")
+    ap.add_argument("--profile", default="default",
+                    choices=["default", "performance", "quality", "basic"])
+    ap.add_argument("--partitions", type=int, default=64,
+                    help="output partitions (crc32(url) %% P); align to cluster size")
+    ap.add_argument("--max-pages", type=int, default=None,
+                    help="override the profile's per-document page cap")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="ignore existing manifests and reprocess everything")
+    ap.add_argument("--exports", action="store_true",
+                    help="also write csv/txt/json/xml renderings")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="standalone only: ray.init(num_cpus=...)")
+    args = ap.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True}
+        if args.num_cpus:
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
+
+    from ocr_model_ray.pipelines.checkpoint import run_resumable
+    from ocr_model_ray.pipelines.profiles import profile
+    from ocr_model_ray.state import manifest as mf
+
+    cfg = profile(args.profile)
+    if args.max_pages is not None:
+        from dataclasses import replace
+        cfg = replace(cfg, max_pages=args.max_pages)
+
+    if args.no_resume:
+        import shutil
+        shutil.rmtree(args.output, ignore_errors=True)
+
+    t0 = time.monotonic()
+    record = run_resumable(args.input, args.output, cfg,
+                           num_partitions=args.partitions,
+                           drop_nested=(cfg.emit == "summary"))
+    record["driver_wall_s"] = round(time.monotonic() - t0, 3)
+    record["profile"] = args.profile
+
+    if args.exports:
+        from dataclasses import replace
+        from ocr_model_ray.pipelines.extract_pipeline import extract_pipeline
+        from ocr_model_ray.stages.export import write_all_formats
+        t1 = time.monotonic()
+        # exports render the layout (rows/regions/pages) -> full emit
+        write_all_formats(extract_pipeline(args.input, replace(cfg, emit="full")),
+                          f"{args.output}/exports")
+        record["exports_wall_s"] = round(time.monotonic() - t1, 3)
+
+    mf.write_metrics(args.output, record)
+    print(json.dumps(record))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

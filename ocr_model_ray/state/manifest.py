@@ -96,6 +96,7 @@ def clean_partial(out_dir: str, num_partitions: int) -> list[int]:
 
 def commit_manifest(out_dir: str, part_id: int, *, row_count: int,
                     url_checksum: int, char_count: int,
+                    error_count: int = 0,
                     input_files: Iterable[str] | None = None,
                     attempt: int = 0) -> None:
     """Atomically commit a partition manifest (write temp -> rename)."""
@@ -107,6 +108,7 @@ def commit_manifest(out_dir: str, part_id: int, *, row_count: int,
         "row_count": row_count,
         "url_checksum": url_checksum,   # order-independent sum of crc32(url) mod 2^32
         "char_count": char_count,       # total extracted chars (cheap value fingerprint)
+        "error_count": error_count,     # dead-lettered rows in this partition
         "input_files": sorted(input_files) if input_files else None,
         "attempt": attempt,
     }
@@ -118,21 +120,25 @@ def commit_manifest(out_dir: str, part_id: int, *, row_count: int,
 
 def summarize_partition(out_dir: str, part_id: int) -> dict:
     """Read back a written partition's lineage facts from its parquet files
-    (column-pruned: url + char_count only)."""
+    (column-pruned: url + char_count + error only)."""
     import pyarrow.parquet as pq
     pdir = data_path(out_dir, part_id)
     rows = 0
     checksum = 0
     chars = 0
+    errors = 0
     for name in sorted(os.listdir(pdir)):
         if not name.endswith(".parquet"):
             continue
-        t = pq.read_table(os.path.join(pdir, name), columns=["url", "char_count"])
+        t = pq.read_table(os.path.join(pdir, name),
+                          columns=["url", "char_count", "error"])
         rows += t.num_rows
         for u in t["url"].to_pylist():
             checksum = (checksum + zlib.crc32(u.encode("utf-8"))) % (2 ** 32)
         chars += pc.sum(t["char_count"]).as_py() or 0
-    return {"row_count": rows, "url_checksum": checksum, "char_count": chars}
+        errors += t.num_rows - t["error"].null_count  # non-null error rows
+    return {"row_count": rows, "url_checksum": checksum, "char_count": chars,
+            "error_count": errors}
 
 
 def write_metrics(out_dir: str, record: dict) -> str:
