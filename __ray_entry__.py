@@ -147,9 +147,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
         "q5_region_revenue": rel.q5_region_revenue,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q10_returned_revenue": rel.q10_returned_revenue,
         "top_orders_by_price": rel.top_orders_by_price,
         "mktsegment_stats": rel.mktsegment_stats,
         "order_priority_counts": rel.order_priority_counts,
+        "supplier_revenue": rel.supplier_revenue,
+        "nation_customer_counts": rel.nation_customer_counts,
+        "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
+        "region_nation_union_count": rel.region_nation_union_count,
+        "docs_lang_stats": rel.docs_lang_stats,
         "events_daily": rel.events_daily,
         "events_user_stats": rel.events_user_stats,
         "events_sessions": rel.events_sessions,
@@ -212,6 +219,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q10_returned_revenue": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+            LIMIT 20
+        """,
+        "supplier_revenue": """
+            SELECT s_name, count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
+        """,
+        "nation_customer_counts": """
+            SELECT n_name, count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "distinct_suppliers_per_flag": """
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "region_nation_union_count": """
+            SELECT count(*) AS n_names FROM (
+                SELECT r_name AS name FROM region
+                UNION ALL
+                SELECT n_name AS name FROM nation)
+        """,
+        "docs_lang_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(n_chars) AS BIGINT) * 1.0 / count(*) AS avg_chars
+            FROM documents GROUP BY lang
         """,
         "top_orders_by_price": """
             SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice

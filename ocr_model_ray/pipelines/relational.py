@@ -223,6 +223,144 @@ def order_priority_counts(sf_dir: str) -> pd.DataFrame:
         Count(alias_name="order_count")).to_pandas()
 
 
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: single-row filtered aggregate, fully fused with the
+    read (predicate + projection prune; partial sums per batch)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi)),
+            pc.and_(pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                            pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+                    pc.less(t["l_quantity"], pa.scalar(24.0))))
+        t = t.filter(mask)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
+        return pa.table({"rev": pa.array([rev], pa.float64())})
+
+    from ray.data.aggregate import Sum
+    total = (ds.map_batches(partial, batch_format="pyarrow")
+             .aggregate(Sum("rev", alias_name="revenue")))
+    return pd.DataFrame({"revenue": [round(total["revenue"], 2)]})
+
+
+def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top-k.
+    lineitem('R') pre-aggregated per orderkey -> bucket join with orders
+    -> re-aggregate per custkey -> broadcast-join customer names -> topk."""
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = (pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+             .group_by("l_orderkey").aggregate([("rev", "sum")]))
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    from ray.data.aggregate import Sum
+    revs = (line.map_batches(prep, batch_format="pyarrow")
+            .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev")))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    joined = hash_bucket_join(revs, orders, on="l_orderkey", num_buckets=16)
+    per_cust = joined.groupby("o_custkey").aggregate(
+        Sum("rev", alias_name="revenue"))
+    import pyarrow.parquet as pq
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    named = broadcast_join(
+        per_cust.map_batches(lambda t: t.rename_columns(["c_custkey", "revenue"]),
+                             batch_format="pyarrow"),
+        cust, on="c_custkey")
+    from ..functions.topk import topk
+    top = topk(named, ["revenue", "c_custkey"], k=k, descending=[True, False])
+    top = _round(top[["c_custkey", "c_name", "revenue"]], {"revenue": 2})
+    return top.reset_index(drop=True)
+
+
+def supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue per supplier name: broadcast dim join + grouped sum."""
+    import pyarrow.parquet as pq
+    sup = pq.read_table(_pq(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    line = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"s_suppkey": t["l_suppkey"], "rev": rev})
+
+    from ray.data.aggregate import Count, Sum
+    joined = broadcast_join(line.map_batches(prep, batch_format="pyarrow"), sup,
+                            on="s_suppkey")
+    out = joined.groupby("s_name").aggregate(
+        Count(alias_name="n_items"), Sum("rev", alias_name="revenue")).to_pandas()
+    return _round(out, {"revenue": 2})
+
+
+def nation_customer_counts(sf_dir: str) -> pd.DataFrame:
+    """Customers per nation name: groupby + broadcast dim lookup."""
+    import pyarrow.parquet as pq
+    nat = pq.read_table(_pq(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    from ray.data.aggregate import Count
+    cust = _read(sf_dir, "customer", ["c_nationkey"])
+    counts = cust.groupby("c_nationkey").aggregate(Count(alias_name="n_customers"))
+    named = broadcast_join(
+        counts.map_batches(lambda t: t.rename_columns(["n_nationkey", "n_customers"]),
+                           batch_format="pyarrow"),
+        nat, on="n_nationkey")
+    return named.to_pandas()[["n_name", "n_customers"]]
+
+
+def distinct_suppliers_per_flag(sf_dir: str) -> pd.DataFrame:
+    """count(DISTINCT l_suppkey) per returnflag: per-batch distinct pairs,
+    one pair-dedup shuffle over the (tiny) distinct set, then nunique."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_returnflag", "l_suppkey"]).aggregate([])
+
+    def per_flag(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "n_suppliers": [int(g["l_suppkey"].nunique())]})
+
+    return (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .map_groups(per_flag, batch_format="pandas").to_pandas())
+
+
+def region_nation_union_count(sf_dir: str) -> pd.DataFrame:
+    """Set-op surface: UNION ALL of two name projections, counted."""
+    reg = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow")
+    nat = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow")
+    n = reg.union(nat).count()
+    return pd.DataFrame({"n_names": [n]})
+
+
+def docs_lang_stats(sf_dir: str) -> pd.DataFrame:
+    """documents grouped by lang: count + exact avg chars (int sums ->
+    bit-identical double division)."""
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars")).to_pandas()
+    out["avg_chars"] = out["sum_chars"].astype("int64") / out["n_docs"]
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # events: windowed aggregate + per-user stats + sessionization
 # ---------------------------------------------------------------------------
