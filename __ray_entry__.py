@@ -20,11 +20,12 @@ def _fixture_dir(tier: str, multiplier: int = 1,
                  rows_per_file: int | None = None) -> str:
     """Synthesize (once per process tree) the deterministic pages corpus
     for a tier; cached on disk keyed by (tier, multiplier, layout)."""
-    from ocr_model_ray.fixtures import write_pages_parquet
+    from ocr_model_ray.fixtures import RECIPE_VERSION, write_pages_parquet
     if rows_per_file is None:
         rows_per_file = 500 if tier == "t2" else 16
     suffix = f"-r{rows_per_file}" if rows_per_file not in (500, 16) else ""
-    path = os.path.join(_FIXTURE_CACHE, f"{tier}-x{multiplier}{suffix}")
+    path = os.path.join(_FIXTURE_CACHE,
+                        f"v{RECIPE_VERSION}-{tier}-x{multiplier}{suffix}")
     marker = os.path.join(path, "_COMPLETE")
     if not os.path.exists(marker):
         write_pages_parquet(path, seed=0, tier=tier, multiplier=multiplier,

@@ -23,6 +23,9 @@ from .spec import PSEUDO_PDF_HEADER, PSEUDO_PNG_HEADER
 
 BASE_TS = dt.datetime(2024, 1, 1, 0, 0, 0)
 
+#: bump when the corpus recipe changes — keys the on-disk fixture caches
+RECIPE_VERSION = 2
+
 # (category, t1_count, t2_count)
 CATEGORY_COUNTS = [
     ("html-article", 20, 2000),
@@ -34,7 +37,40 @@ CATEGORY_COUNTS = [
     ("dup-content", 6, 300),
     ("giant-blob", 2, 20),
     ("malformed", 3, 80),
+    ("docx", 3, 150),
 ]
+
+
+def _docx_payload(rng: random.Random) -> bytes:
+    """Minimal WordprocessingML zip (deterministic bytes: ZIP_STORED,
+    fixed timestamps)."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    paras = []
+    for _ in range(rng.randint(2, 5)):
+        paras.append(f"<w:p><w:r><w:t>{escape(_paragraph(rng))}</w:t></w:r></w:p>")
+    paras.append("<w:p><w:r><w:t>   </w:t></w:r></w:p>")  # empty-para skip case
+    table = ""
+    if rng.random() < 0.5:
+        nr, nc = rng.randint(2, 3), rng.randint(2, 3)
+        rows = []
+        for r in range(nr):
+            cells = "".join(
+                f"<w:tc><w:p><w:r><w:t>{_words(rng, 1)[0]}{r}{c}</w:t></w:r></w:p></w:tc>"
+                for c in range(nc))
+            rows.append(f"<w:tr>{cells}</w:tr>")
+        table = "<w:tbl>" + "".join(rows) + "</w:tbl>"
+    doc = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+           f'<w:document xmlns:w="{w}"><w:body>{"".join(paras)}{table}'
+           f"</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        info = zipfile.ZipInfo("word/document.xml", date_time=(1980, 1, 1, 0, 0, 0))
+        zf.writestr(info, doc)
+    return buf.getvalue()
 
 _LOREM = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
           "eiusmod tempor incididunt ut labore et dolore magna aliqua enim "
@@ -232,6 +268,8 @@ def generate_rows(seed: int, tier: str, multiplier: int = 1) -> list[dict]:
                         payload = _article_html(rng, n_paras=400).encode("utf-8")
                     else:
                         payload = _pdf_payload(rng, 3, giant=True)
+                elif cat == "docx":
+                    payload = _docx_payload(rng)
                 else:  # malformed
                     variant = i % 3
                     if variant == 0:

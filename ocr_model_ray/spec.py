@@ -653,6 +653,78 @@ def extract_html(payload: bytes, layout: bool = True) -> DocOut:
 
 
 # ----------------------------------------------------------------------------
+# DOCX branch (S6 + T5 — worker/document_processor.py:551-604 semantics:
+# python-docx paragraphs + tables, reimplemented on stdlib zipfile + etree)
+# ----------------------------------------------------------------------------
+_W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def extract_docx(payload: bytes, layout: bool = True) -> DocOut:
+    """DOCX (WordprocessingML zip): paragraphs outside tables become
+    regions (runs joined, whitespace-normalized, empties skipped —
+    document_processor.py:560-567); <w:tbl> grids become TableOut rows of
+    cell texts (document_processor.py:570-577). One page; regions join
+    with "\\n\\n". Raises ValueError on non-docx zips (-> error column).
+    """
+    import io
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+        with zf.open("word/document.xml") as f:
+            root = ET.parse(f).getroot()
+    except (zipfile.BadZipFile, KeyError, ET.ParseError) as exc:
+        raise ValueError(f"docx parse failed: {exc}") from exc
+
+    def para_text(p) -> str:
+        return " ".join("".join(t.text or "" for t in p.iter(f"{_W_NS}t")).split())
+
+    body = root.find(f"{_W_NS}body")
+    if body is None:
+        raise ValueError("docx missing body")
+
+    regions: list = []
+    tables: list[TableOut] = []
+    si = 0
+    for child in body:
+        if child.tag == f"{_W_NS}p":
+            text = para_text(child)
+            if not text:
+                continue
+            if layout:
+                toks = []
+                x = 0.0
+                y = 20.0 * si
+                for w in text.split():
+                    wid = 8.0 * len(w)
+                    toks.append(token(w, x, y, x + wid, y + 16.0, 1.0))
+                    x += wid + 8.0
+                regions.append(Region(rtype="paragraph", tokens=toks))
+            else:
+                regions.append(SimpleRegion("paragraph", text))
+            si += 1
+        elif child.tag == f"{_W_NS}tbl":
+            cells = []
+            n_cols = 0
+            rows = child.findall(f"{_W_NS}tr")
+            for r, tr in enumerate(rows):
+                for c, tc in enumerate(tr.findall(f"{_W_NS}tc")):
+                    cells.append((r, c, " ".join(
+                        "".join(t.text or "" for t in tc.iter(f"{_W_NS}t")).split()),
+                        1.0))
+                    n_cols = max(n_cols, c + 1)
+            if cells:
+                tables.append(TableOut(page_num=1, bbox=(0.0, 0.0, 0.0, 0.0),
+                                       cells=cells, n_rows=len(rows),
+                                       n_cols=n_cols, conf=1.0,
+                                       needs_review=False))
+    page = PageOut(page_num=1, width=0, height=0, is_scanned=False,
+                   regions=regions, region_sep=PAGE_SEP)
+    return DocOut(doc_kind="docx", pages=[page], tables=tables)
+
+
+# ----------------------------------------------------------------------------
 # Dispatch + document assembly (M13/M14/M15 + rows M12)
 # ----------------------------------------------------------------------------
 def extract_document(payload: bytes, max_pages: int = 0,
@@ -671,7 +743,7 @@ def extract_document(payload: bytes, max_pages: int = 0,
         if mime == "text/html":
             return extract_html(payload, layout=layout)
         if mime == "application/zip":
-            return DocOut(doc_kind="unknown", error="unsupported container: zip/docx")
+            return extract_docx(payload, layout=layout)
         return extract_plain_text(payload, layout=layout)
     except Exception as exc:  # noqa: BLE001 — per-row dead letter
         return DocOut(doc_kind="unknown", error=f"{type(exc).__name__}: {exc}")

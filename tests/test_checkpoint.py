@@ -22,7 +22,7 @@ def test_full_run_then_resume_noop(t1_pages_dir, tmp_path):
     rec1 = run_resumable(t1_pages_dir, out, num_partitions=P)
     assert sorted(rec1["partitions_written"]) == sorted(
         set(rec1["partitions_written"]))
-    assert rec1["rows_written"] == 66
+    assert rec1["rows_written"] == 69
     # second run: everything already done -> nothing rewritten
     rec2 = run_resumable(t1_pages_dir, out, num_partitions=P)
     assert rec2["partitions_written"] == []
@@ -68,7 +68,7 @@ def test_kill_and_resume(t1_pages_dir, tmp_path):
     data = pads.dataset(os.path.join(out, "data"), partitioning="hive").to_table(
         columns=["url"])
     urls = data["url"].to_pylist()
-    assert len(urls) == 66 and len(set(urls)) == 66
+    assert len(urls) == 69 and len(set(urls)) == 69
     # metrics recorded per run
     runs = os.listdir(os.path.join(out, "metrics"))
     assert len(runs) == 2

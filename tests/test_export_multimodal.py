@@ -74,7 +74,7 @@ def test_write_all_formats(t1_pages_dir, tmp_path):
         assert os.path.isdir(p) and os.listdir(p)
     import pyarrow.dataset as pads
     txt = pads.dataset(paths["txt"]).to_table()
-    assert txt.num_rows == 66
+    assert txt.num_rows == 69
 
 
 def _pseudo_png(words):

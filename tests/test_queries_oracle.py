@@ -120,5 +120,5 @@ def test_lsh_knn_recall_vs_bruteforce():
 def test_entry_smoke():
     ds = entrymod.entry()
     df = _to_pandas(ds)
-    assert len(df) == 66
+    assert len(df) == 69
     assert "extracted_text" in df.columns
