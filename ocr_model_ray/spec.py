@@ -217,6 +217,15 @@ def ocr_stub(image_bytes: bytes) -> list[dict]:
     return toks
 
 
+def _token_sort_key(t: dict) -> tuple:
+    """TOTAL ordering for tokens: reading order (y1, x1) with full-field
+    tie-breaks, so grouping is invariant to input permutation (§2.8.8 —
+    the reference's bare (y1, x1) sort is stable-sort-order-dependent
+    for coincident tokens; a total key removes the latent
+    nondeterminism without changing any non-tied ordering)."""
+    return (t["y1"], t["x1"], t["y2"], t["x2"], t["text"], t["conf"])
+
+
 def ensemble_merge(token_lists: list[list[dict]]) -> list[dict]:
     """OCR ensemble merge — models/ocr_models.py:174-183.
 
@@ -229,7 +238,7 @@ def ensemble_merge(token_lists: list[list[dict]]) -> list[dict]:
             prev = best.get(key)
             if prev is None or t["conf"] > prev["conf"]:
                 best[key] = t
-    return sorted(best.values(), key=lambda t: (t["y1"], t["x1"]))
+    return sorted(best.values(), key=_token_sort_key)
 
 
 # ----------------------------------------------------------------------------
@@ -241,7 +250,7 @@ def group_tokens_into_lines(tokens: list[dict]) -> list[Region]:
     (text_regions.py:9-28)."""
     if not tokens:
         return []
-    toks = sorted(tokens, key=lambda t: (t["y1"], t["x1"]))
+    toks = sorted(tokens, key=_token_sort_key)
     regions: list[Region] = []
     cur: Optional[Region] = None
     prev_yc = None
@@ -298,7 +307,7 @@ def table_from_tokens(tokens: list[dict], bbox: tuple, page_num: int) -> Optiona
     heights = [t["y2"] - t["y1"] for t in toks]
     row_thresh = max(float(TABLE_ROW_MIN_THRESH),
                      TABLE_ROW_MEDIAN_FACTOR * _median(heights))
-    by_y = sorted(toks, key=lambda t: (t["y1"], t["x1"]))
+    by_y = sorted(toks, key=_token_sort_key)
     rows: list[list[dict]] = []
     cur_row: list[dict] = []
     prev_y = None
@@ -321,7 +330,7 @@ def table_from_tokens(tokens: list[dict], bbox: tuple, page_num: int) -> Optiona
 
     cells: dict[tuple, list[dict]] = {}
     for r, row_toks in enumerate(rows):
-        for t in sorted(row_toks, key=lambda t: t["x1"]):
+        for t in sorted(row_toks, key=lambda t: (t["x1"], _token_sort_key(t))):
             c = 0
             for ci, cx in enumerate(col_starts):
                 if t["x1"] >= cx - min_gap / 2.0:
