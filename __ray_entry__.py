@@ -112,6 +112,11 @@ def _docs_near_dup(sf_dir: str):
     return near_dup_pairs(_docs(sf_dir), threshold=0.8)
 
 
+def _docs_near_dup_clusters(sf_dir: str):
+    from ocr_model_ray.functions.dedup_algos import near_dup_clusters
+    return near_dup_clusters(_docs(sf_dir), threshold=0.8)
+
+
 def _emb(sf_dir: str):
     import ray.data as rd
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -161,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily": rel.events_daily,
         "events_user_stats": rel.events_user_stats,
         "events_sessions": rel.events_sessions,
+        "events_sliding_week": rel.events_sliding_week,
         # documents: dedup + text analysis
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_token_count": _docs_token_count,
@@ -169,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": _docs_simhash,
         "docs_fingerprint": _docs_fingerprint,
         "docs_near_dup": _docs_near_dup,
+        "docs_near_dup_clusters": _docs_near_dup_clusters,
         # embeddings: similarity search
         "emb_knn_bruteforce": _emb_knn,
         "emb_knn_lsh": _emb_knn_lsh,
@@ -304,6 +311,17 @@ def oracle_sql() -> dict[str, str]:
                          ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
                   FROM events)
             GROUP BY user_id
+        """,
+        "events_sliding_week": """
+            WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day
+                          FROM events),
+                 w AS (SELECT e.event_type, d.day, count(*) AS n_week
+                       FROM days d
+                       JOIN events e
+                         ON e.ts >= d.day - INTERVAL 6 DAY
+                        AND e.ts < d.day + INTERVAL 1 DAY
+                       GROUP BY e.event_type, d.day)
+            SELECT event_type, day, n_week FROM w
         """,
         "docs_exact_dedup": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dupes

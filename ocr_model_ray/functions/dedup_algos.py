@@ -167,6 +167,34 @@ def near_dup_pairs(ds: rd.Dataset, threshold: float = 0.8,
     return verified[verified["jaccard"] >= threshold].reset_index(drop=True)
 
 
+def near_dup_clusters(ds: rd.Dataset, threshold: float = 0.8,
+                      ngram: int = 3) -> pd.DataFrame:
+    """Near-dup clusters: verified pairs -> connected components ->
+    (doc_id, cluster_id = min doc_id of the component). Union-find runs
+    on the driver over the VERIFIED pair set only (provably small: pairs
+    already passed LSH banding + exact-Jaccard >= threshold; at corpus
+    scale swap in a few rounds of min-label propagation via groupby —
+    ray_guide pattern — without changing this function's contract)."""
+    pairs = near_dup_pairs(ds, threshold=threshold, ngram=ngram)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted(parent)
+    return pd.DataFrame({
+        "doc_id": pd.Series(members, dtype="int64"),
+        "cluster_id": pd.Series([find(m) for m in members], dtype="int64"),
+    })
+
+
 def simhash_buckets(ds: rd.Dataset) -> rd.Dataset:
     """(doc_id, band, bucket) rows from 16-bit SimHash sub-bands — docs
     within Hamming distance 3 share at least one of the 4 bands."""

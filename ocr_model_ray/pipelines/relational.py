@@ -396,6 +396,37 @@ def events_user_stats(sf_dir: str) -> pd.DataFrame:
         per_user, batch_format="pandas").to_pandas()
 
 
+def events_sliding_week(sf_dir: str) -> pd.DataFrame:
+    """Sliding 7-day window, evaluated at each distinct event day:
+    n_week = events of the type with ts in (day-6d, day+1d). The shuffle
+    reduces raw events to a (type, day) daily panel; the rolling sum runs
+    over that small panel (days x types), which is the scalable shape —
+    the window never re-scans raw rows."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "day": pc.floor_temporal(t["ts"], unit="day")})
+
+    from ray.data.aggregate import Count
+    daily = (ds.map_batches(add_day, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Count(alias_name="n")).to_pandas())
+    all_days = pd.Series(sorted(daily["day"].unique()))
+    out_type, out_day, out_n = [], [], []
+    for etype, g in daily.groupby("event_type", sort=True):
+        counts = g.set_index("day")["n"]
+        for day in all_days:
+            lo = day - pd.Timedelta(days=6)
+            n = int(counts[(counts.index >= lo) & (counts.index <= day)].sum())
+            if n > 0:
+                out_type.append(etype)
+                out_day.append(day)
+                out_n.append(n)
+    return pd.DataFrame({"event_type": out_type, "day": out_day,
+                         "n_week": pd.Series(out_n, dtype="int64")})
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Sessionization (streaming-shaped op, ray_guide pattern): per user,
     sort by ts, a new session starts when the gap exceeds ``gap_minutes``."""

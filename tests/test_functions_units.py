@@ -101,6 +101,12 @@ def test_near_dup_pipeline_finds_planted_dups():
     pairs = near_dup_pairs(ds, threshold=0.8)
     assert [(100, 101)] == list(zip(pairs["doc_a"], pairs["doc_b"]))
 
+    from ocr_model_ray.functions.dedup_algos import near_dup_clusters
+    clusters = near_dup_clusters(ds, threshold=0.8)
+    assert clusters.to_dict("records") == [
+        {"doc_id": 100, "cluster_id": 100},
+        {"doc_id": 101, "cluster_id": 100}]
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_hash_bucket_join_matches_pandas():
