@@ -136,12 +136,28 @@ def scaling() -> None:
     r_lo, r_hi = run(lo), run(hi)
     eff = (r_lo["docs_per_sec"] and
            (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo))
+
+    # self-calibration: the raw-multiprocessing ceiling for the SAME
+    # per-doc work measured in the same minutes — the sandbox shares one
+    # memory bus and has variable neighbor load (BASELINE.md), so the
+    # engine's efficiency is only meaningful relative to this bound
+    ceiling = subprocess.run(
+        [sys.executable, "scripts/mp_ceiling.py", "8"],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+    ceiling = json.loads(ceiling.strip().splitlines()[-1])
+
     print(json.dumps({
         "metric": "extraction throughput scaling (8 -> 32 cpus, same input)",
         "docs": r_lo["docs"], "sink": r_lo.get("sink"),
         "sec_8": r_lo["value"], "docs_per_sec_8": r_lo["docs_per_sec"],
         "sec_32": r_hi["value"], "docs_per_sec_32": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "mp_ceiling_docs_per_sec_8": ceiling["docs_per_sec_8"],
+        "mp_ceiling_docs_per_sec_32": ceiling["docs_per_sec_32"],
+        "mp_ceiling_efficiency": ceiling["ceiling_efficiency"],
+        "efficiency_vs_ceiling": round(eff / ceiling["ceiling_efficiency"], 3)
+        if ceiling["ceiling_efficiency"] else None,
     }))
 
 
