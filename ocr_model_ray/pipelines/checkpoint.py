@@ -44,7 +44,7 @@ def run_resumable(paths: str | Sequence[str], out_dir: str,
     cfg = cfg or ExtractConfig()
     t0 = time.monotonic()
     done_before = mf.done_partitions(out_dir)
-    cleaned = mf.clean_partial(out_dir, num_partitions)
+    cleaned = mf.clean_partial(out_dir)
 
     ds = extract_pipeline(paths, cfg)
     ds = ds.map_batches(lambda b: mf.add_partition_column(b, num_partitions),

@@ -33,6 +33,8 @@ def main(argv=None) -> int:
                     help="ignore existing manifests and reprocess everything")
     ap.add_argument("--exports", action="store_true",
                     help="also write csv/txt/json/xml renderings")
+    ap.add_argument("--side-tables", action="store_true",
+                    help="also write flat rows/regions/tables parquet")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="standalone only: ray.init(num_cpus=...)")
     args = ap.parse_args(argv)
@@ -73,6 +75,19 @@ def main(argv=None) -> int:
         write_all_formats(extract_pipeline(args.input, replace(cfg, emit="full")),
                           f"{args.output}/exports")
         record["exports_wall_s"] = round(time.monotonic() - t1, 3)
+
+    if args.side_tables:
+        from dataclasses import replace
+        from ocr_model_ray.pipelines.extract_pipeline import (
+            extract_pipeline, regions_table, rows_table, tables_table)
+        t2 = time.monotonic()
+        full = extract_pipeline(args.input, replace(cfg, emit="full"))
+        rows_table(full).write_parquet(f"{args.output}/rows")
+        regions_table(extract_pipeline(args.input, replace(cfg, emit="full"))) \
+            .write_parquet(f"{args.output}/regions")
+        tables_table(extract_pipeline(args.input, replace(cfg, emit="full"))) \
+            .write_parquet(f"{args.output}/tables")
+        record["side_tables_wall_s"] = round(time.monotonic() - t2, 3)
 
     mf.write_metrics(args.output, record)
     print(json.dumps(record))

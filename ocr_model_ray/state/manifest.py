@@ -76,7 +76,7 @@ def done_partitions(out_dir: str) -> set[int]:
     return done
 
 
-def clean_partial(out_dir: str, num_partitions: int) -> list[int]:
+def clean_partial(out_dir: str) -> list[int]:
     """Delete data dirs for partitions WITHOUT a committed manifest
     (partial output of a killed run). Returns the cleaned ids."""
     done = done_partitions(out_dir)

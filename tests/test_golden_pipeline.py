@@ -84,6 +84,11 @@ class TestGoldensT2:
         out = canonical(dataset_to_table(extract_pipeline(t2_pages_dir)))
         _assert_tables_equal(out, load_golden("t2"))
 
+    def test_dedup_mode_matches_golden_t2(self, t2_pages_dir):
+        out = canonical(dataset_to_table(
+            extract_pipeline(t2_pages_dir, ExtractConfig(dedup=True))))
+        _assert_tables_equal(out, load_golden("t2"))
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestExplodes:
