@@ -45,22 +45,39 @@ def _perm_params(num_perm: int = NUM_PERM, seed: int = 7) -> tuple[np.ndarray, n
 _A, _B = _perm_params()
 
 
-def shingles(text: str, n: int = 3) -> set[int]:
-    """Word n-gram shingle set, crc32-hashed."""
+_SHINGLE_P = np.uint64(1099511628211)
+
+
+def shingles(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram shingle hash set (unique uint64 array).
+
+    Per-word crc32 (C speed), then the n-gram combine is a vectorized
+    polynomial roll over the word-hash array — no per-shingle string
+    join/encode. Returned sorted-unique for set-style consumers."""
     words = text.split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    wh = np.fromiter((zlib.crc32(w.encode("utf-8")) for w in words),
+                     dtype=np.uint64, count=len(words))
     if len(words) < n:
-        return {zlib.crc32(" ".join(words).encode("utf-8"))} if words else set()
-    return {zlib.crc32(" ".join(words[i:i + n]).encode("utf-8"))
-            for i in range(len(words) - n + 1)}
+        n = len(words)
+    with np.errstate(over="ignore"):
+        acc = wh[: len(wh) - n + 1].copy()
+        for j in range(1, n):
+            acc = acc * _SHINGLE_P + wh[j: len(wh) - n + 1 + j]
+    return np.unique(acc)
 
 
-def minhash_signature(shingle_set: set[int]) -> np.ndarray:
-    """128 x uint64 MinHash signature (universal hashing mod Mersenne 61)."""
-    if not shingle_set:
+def minhash_signature(shingle_set) -> np.ndarray:
+    """128 x uint64 MinHash signature (universal hashing mod Mersenne 61).
+    Accepts the uint64 array from shingles() or any int iterable."""
+    xs = np.asarray(list(shingle_set) if not isinstance(shingle_set, np.ndarray)
+                    else shingle_set, dtype=np.uint64)
+    if xs.size == 0:
         return np.full(NUM_PERM, np.uint64(_MERSENNE), dtype=np.uint64)
-    xs = np.fromiter(shingle_set, dtype=np.uint64)
     # (a*x + b) mod p, vectorized over (perm, shingle)
-    prods = (_A[:, None] * xs[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
+    with np.errstate(over="ignore"):
+        prods = (_A[:, None] * xs[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
     return prods.min(axis=1)
 
 
@@ -97,7 +114,7 @@ def exact_dedup(ds: rd.Dataset) -> rd.Dataset:
 
 
 def minhash_lsh_candidates(ds: rd.Dataset, ngram: int = 3,
-                           concurrency: int | tuple = 2) -> pd.DataFrame:
+                           concurrency: int | tuple = (2, 8)) -> pd.DataFrame:
     """Candidate near-dup pairs from LSH banding. Returns a (small)
     pandas frame of unique (doc_a, doc_b) with doc_a < doc_b."""
     band_rows = ds.map_batches(MinHashWorker, batch_format="pandas",
@@ -127,9 +144,9 @@ def minhash_lsh_candidates(ds: rd.Dataset, ngram: int = 3,
 def ngram_jaccard(texts: dict[int, str], pairs: pd.DataFrame,
                   ngram: int = 3) -> pd.DataFrame:
     """Exact Jaccard over word n-gram shingles for candidate pairs."""
-    cache: dict[int, set[int]] = {}
+    cache: dict[int, np.ndarray] = {}
 
-    def sh(doc_id: int) -> set[int]:
+    def sh(doc_id: int) -> np.ndarray:
         if doc_id not in cache:
             cache[doc_id] = shingles(texts[doc_id], ngram)
         return cache[doc_id]
@@ -137,8 +154,9 @@ def ngram_jaccard(texts: dict[int, str], pairs: pd.DataFrame,
     sims = []
     for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
         sa, sb = sh(int(a)), sh(int(b))
-        union = len(sa | sb)
-        sims.append(round(len(sa & sb) / union, 6) if union else 1.0)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        sims.append(round(inter / union, 6) if union else 1.0)
     out = pairs.copy()
     out["jaccard"] = sims
     return out

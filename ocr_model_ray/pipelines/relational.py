@@ -175,15 +175,23 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
     line = _read(sf_dir, "lineitem",
                  ["l_suppkey", "l_extendedprice", "l_discount"])
 
+    # pre-aggregate by suppkey inside each batch: the shuffle then moves
+    # one row per supplier per batch, and the dim join happens on the
+    # (tiny) aggregate — never on raw lineitem rows
     def prep(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"s_suppkey": t["l_suppkey"], "rev": rev})
+        g = (pa.table({"s_suppkey": t["l_suppkey"], "rev": rev})
+             .group_by("s_suppkey").aggregate([("rev", "sum")]))
+        return g.rename_columns(["s_suppkey", "rev"])
 
-    line = line.map_batches(prep, batch_format="pyarrow")
-    joined = broadcast_join(line, dim_pd, on="s_suppkey")
     from ray.data.aggregate import Sum
-    out = joined.groupby("n_name").aggregate(Sum("rev", alias_name="revenue")).to_pandas()
+    per_supp = (line.map_batches(prep, batch_format="pyarrow")
+                .groupby("s_suppkey")
+                .aggregate(Sum("rev", alias_name="rev")).to_pandas())
+    out = (per_supp.merge(dim_pd, on="s_suppkey")
+           .groupby("n_name", as_index=False, sort=True)
+           .agg(revenue=("rev", "sum")))
     return _round(out, {"revenue": 2})
 
 
@@ -286,7 +294,8 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
 
 def supplier_revenue(sf_dir: str) -> pd.DataFrame:
-    """Revenue per supplier name: broadcast dim join + grouped sum."""
+    """Revenue + item count per supplier name: per-batch partial agg by
+    suppkey -> tiny groupby shuffle -> name lookup on the aggregate."""
     import pyarrow.parquet as pq
     sup = pq.read_table(_pq(sf_dir, "supplier"),
                         columns=["s_suppkey", "s_name"]).to_pandas()
@@ -295,13 +304,18 @@ def supplier_revenue(sf_dir: str) -> pd.DataFrame:
     def prep(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"s_suppkey": t["l_suppkey"], "rev": rev})
+        g = (pa.table({"s_suppkey": t["l_suppkey"], "rev": rev})
+             .group_by("s_suppkey")
+             .aggregate([("rev", "sum"), ("rev", "count")]))
+        return g.rename_columns(["s_suppkey", "rev", "n"])
 
-    from ray.data.aggregate import Count, Sum
-    joined = broadcast_join(line.map_batches(prep, batch_format="pyarrow"), sup,
-                            on="s_suppkey")
-    out = joined.groupby("s_name").aggregate(
-        Count(alias_name="n_items"), Sum("rev", alias_name="revenue")).to_pandas()
+    from ray.data.aggregate import Sum
+    per_supp = (line.map_batches(prep, batch_format="pyarrow")
+                .groupby("s_suppkey")
+                .aggregate(Sum("rev", alias_name="revenue"),
+                           Sum("n", alias_name="n_items")).to_pandas())
+    out = per_supp.merge(sup, on="s_suppkey")[["s_name", "n_items", "revenue"]]
+    out["n_items"] = out["n_items"].astype("int64")
     return _round(out, {"revenue": 2})
 
 
