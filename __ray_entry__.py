@@ -141,6 +141,11 @@ def _emb_knn_lsh(sf_dir: str):
     return lsh_knn(_emb(sf_dir), _emb_queries(sf_dir), k=5)
 
 
+def _emb_knn_ivf(sf_dir: str):
+    from ocr_model_ray.functions.similarity import ivf_knn
+    return ivf_knn(_emb(sf_dir), _emb_queries(sf_dir), k=5)
+
+
 def _emb_label_stats(sf_dir: str):
     from ocr_model_ray.functions.similarity import label_stats
     return label_stats(_emb(sf_dir))
@@ -179,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings: similarity search
         "emb_knn_bruteforce": _emb_knn,
         "emb_knn_lsh": _emb_knn_lsh,
+        "emb_knn_ivf": _emb_knn_ivf,
         "emb_label_stats": _emb_label_stats,
         # extraction flagship (pages fixture corpus; non-SQL -> rows-only)
         "extract_flagship": _extract_flagship,

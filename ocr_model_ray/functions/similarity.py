@@ -147,6 +147,79 @@ def lsh_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
     return top[["query_id", "neighbor_id", "sim"]]
 
 
+def ivf_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
+            num_centroids: int = 16, nprobe: int = 4, seed: int = 23,
+            kmeans_iters: int = 5, sample_size: int = 2048,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            exclude_self: bool = True, round_to: int = 5) -> pd.DataFrame:
+    """IVF-style approximate top-k: deterministic mini-kmeans centroids
+    from a seeded sample, per-batch assignment, queries probe their
+    ``nprobe`` nearest centroids only.
+
+    Scale shape: one sample pass trains centroids on the driver (sample
+    is bounded), then ONE streaming pass scores each batch's rows that
+    fall in any probed cell — per batch a mask + matmul; no shuffle.
+    Recall vs brute force is tested; raise nprobe toward num_centroids
+    to trade speed for recall (nprobe=num_centroids == exact)."""
+    sample = ds.limit(sample_size).to_pandas()
+    train = _normalize(_to_matrix(sample[vec_col]))
+    rng = np.random.RandomState(seed)
+    cent = train[rng.choice(len(train), size=min(num_centroids, len(train)),
+                            replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (train @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = train[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+
+    qmat = _normalize(_to_matrix(queries[vec_col]))
+    qids = queries[id_col].to_numpy()
+    qprobe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    # cell -> list of (query_id, query_vec) probing it
+    probes: dict[int, list] = {}
+    for qi, qv, cells in zip(qids, qmat, qprobe):
+        for c in cells:
+            probes.setdefault(int(c), []).append((int(qi), qv))
+    ref = ray.put((probes, cent))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        probe_map, centroids = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        cells = (m @ centroids.T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for cell in np.unique(cells):
+            hits = probe_map.get(int(cell))
+            if not hits:
+                continue
+            mask = cells == cell
+            sub_ids = ids[mask]
+            sub = m[mask]
+            for qi, qv in hits:
+                sims = sub @ qv
+                for t in range(len(sub_ids)):
+                    out_q.append(qi)
+                    out_n.append(int(sub_ids[t]))
+                    out_s.append(float(sims[t]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    if exclude_self:
+        partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "sim", "neighbor_id"],
+        ascending=[True, False, True], kind="mergesort")
+    top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["sim"] = top["sim"].round(round_to)
+    return top[["query_id", "neighbor_id", "sim"]]
+
+
 def label_stats(ds: rd.Dataset) -> pd.DataFrame:
     """Per-label count + mean L2 norm (partial agg per batch, tiny shuffle)."""
     def partial(batch: pa.Table) -> pa.Table:

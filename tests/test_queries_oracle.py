@@ -107,13 +107,15 @@ def test_lang_id_deterministic_schema():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_lsh_knn_recall_vs_bruteforce():
+@pytest.mark.parametrize("approx_name,min_recall", [("emb_knn_lsh", 0.3),
+                                                    ("emb_knn_ivf", 0.3)])
+def test_ann_recall_vs_bruteforce(approx_name, min_recall):
     exact = _to_pandas(entrymod.queries()["emb_knn_bruteforce"](SF_DIR))
-    approx = _to_pandas(entrymod.queries()["emb_knn_lsh"](SF_DIR))
+    approx = _to_pandas(entrymod.queries()[approx_name](SF_DIR))
     e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
     a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.3, f"LSH recall suspiciously low: {recall}"
+    assert recall >= min_recall, f"{approx_name} recall suspiciously low: {recall}"
 
 
 @pytest.mark.usefixtures("ray_session")
