@@ -18,7 +18,7 @@ test corpora are small; at scale a bucket-join against the corpus).
 
 from __future__ import annotations
 
-import hashlib
+
 import zlib
 
 import numpy as np

@@ -17,7 +17,7 @@ joins; these are the engine's scale-conscious primitives).
 from __future__ import annotations
 
 import zlib
-from typing import Optional, Sequence
+from typing import Sequence
 
 import pandas as pd
 import pyarrow as pa

@@ -16,7 +16,7 @@ import re
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
+
 import ray.data as rd
 
 _WS = re.compile(r"\s+")

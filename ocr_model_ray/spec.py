@@ -37,7 +37,7 @@ import json
 import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
-from typing import Any, Optional
+from typing import Optional
 
 SPEC_VERSION = "1.0.0"
 

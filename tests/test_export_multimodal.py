@@ -1,6 +1,6 @@
 """Tests for export renderers (S9) and the multimodal actor stages."""
 
-import base64
+
 import json
 import os
 

@@ -6,10 +6,10 @@ import json
 
 import pytest
 
-from ocr_model_ray import spec
+
 from ocr_model_ray.spec import (
-    PSEUDO_PDF_HEADER, PSEUDO_PNG_HEADER, assemble, decode_text,
-    ensemble_merge, extract_and_assemble, extract_document, extract_html,
+    PSEUDO_PDF_HEADER, PSEUDO_PNG_HEADER, decode_text,
+    ensemble_merge, extract_and_assemble, extract_html,
     group_tokens_into_lines, ocr_stub, sniff_mime, table_from_tokens, token,
 )
 
