@@ -272,14 +272,22 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return g.rename_columns(["l_orderkey", "rev"])
 
     from ray.data.aggregate import Sum
-    revs = (line.map_batches(prep, batch_format="pyarrow")
-            .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev")))
+    # no global pre-groupby: per-batch partials go straight into the
+    # bucket join (sums distribute — the post-join partial + final
+    # groupby finish the aggregation), saving one full shuffle
+    revs = line.map_batches(prep, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
         batch_format="pyarrow")
     joined = hash_bucket_join(revs, orders, on="l_orderkey", num_buckets=16)
-    per_cust = joined.groupby("o_custkey").aggregate(
-        Sum("rev", alias_name="revenue"))
+
+    def partial_cust(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("o_custkey", as_index=False)["rev"].sum()
+        return pa.table({"o_custkey": pa.array(g["o_custkey"].astype("int64")),
+                         "rev": pa.array(g["rev"].astype(float))})
+
+    per_cust = (joined.map_batches(partial_cust, batch_format="pandas")
+                .groupby("o_custkey").aggregate(Sum("rev", alias_name="revenue")))
     import pyarrow.parquet as pq
     cust = pq.read_table(_pq(sf_dir, "customer"),
                          columns=["c_custkey", "c_name"]).to_pandas()
