@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": rel.events_user_stats,
         "events_sessions": rel.events_sessions,
         "events_sliding_week": rel.events_sliding_week,
+        "events_top_users_per_type": rel.events_top_users_per_type,
+        "customers_without_orders": rel.customers_without_orders,
         # documents: dedup + text analysis
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_token_count": _docs_token_count,
@@ -328,6 +330,21 @@ def oracle_sql() -> dict[str, str]:
                         AND e.ts < d.day + INTERVAL 1 DAY
                        GROUP BY e.event_type, d.day)
             SELECT event_type, day, n_week FROM w
+        """,
+        "events_top_users_per_type": """
+            SELECT event_type, user_id, n_events FROM (
+                SELECT event_type, user_id, count(*) AS n_events,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY count(*) DESC, user_id) AS rn
+                FROM events GROUP BY event_type, user_id)
+            WHERE rn <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate < TIMESTAMP '1995-07-01')
         """,
         "docs_exact_dedup": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dupes

@@ -66,6 +66,86 @@ def broadcast_semi_filter(large: rd.Dataset, keys: pa.Array | Sequence,
     return large.map_batches(_filter, batch_format="pyarrow")
 
 
+class BloomFilter:
+    """Simple numpy Bloom filter for broadcast semi-joins when the key
+    set itself is too big to ship (guide: 'broadcast the key set (or a
+    Bloom filter of it)'). k hash probes derived from two mixes of the
+    int64 key; false-positive rate ~ (1-e^{-kn/m})^k."""
+
+    def __init__(self, capacity: int, bits_per_key: int = 12,
+                 num_probes: int = 4) -> None:
+        import numpy as np
+        self.m = max(64, capacity * bits_per_key)
+        self.k = num_probes
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    def _probes(self, keys):
+        import numpy as np
+        x = np.asarray(keys, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h1 = (x * np.uint64(0x9E3779B97F4A7C15)) ^ (x >> np.uint64(31))
+            h2 = (x * np.uint64(0xC2B2AE3D27D4EB4F)) ^ (x >> np.uint64(29)) | np.uint64(1)
+            return [((h1 + np.uint64(i) * h2) % np.uint64(self.m))
+                    for i in range(self.k)]
+
+    def add(self, keys) -> None:
+        import numpy as np
+        for pos in self._probes(keys):
+            # ufunc.at: fancy-index |= silently drops duplicate indices
+            np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+
+    def might_contain(self, keys):
+        import numpy as np
+        out = np.ones(len(keys), dtype=bool)
+        for pos in self._probes(keys):
+            word = self.bits[(pos >> np.uint64(6))]
+            out &= ((word >> (pos & np.uint64(63))) & np.uint64(1)) == 1
+        return out
+
+
+def bloom_semi_filter(large: rd.Dataset, keys, on: str) -> rd.Dataset:
+    """Approximate semi-join: keep rows whose integer ``on`` value might
+    be in ``keys`` (no false negatives; a small false-positive tail that
+    a downstream exact join removes). The filter broadcasts as a bit
+    array — ~1.5 bytes/key instead of 8+."""
+    import numpy as np
+    arr = np.asarray(list(keys), dtype=np.int64)
+    bf = BloomFilter(capacity=len(arr))
+    bf.add(arr)
+    ref = ray.put(bf)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        f = ray.get(ref)
+        vals = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(f.might_contain(vals)))
+
+    return large.map_batches(_filter, batch_format="pyarrow")
+
+
+def salted_group_count(ds: rd.Dataset, key: str, num_salts: int = 8) -> "pd.DataFrame":
+    """Skew-safe grouped count: hot keys are salted into ``num_salts``
+    sub-groups for the wide shuffle, then the (tiny) salted partials
+    collapse in a second pass — no single reducer ever sees a hot key's
+    full row set."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        # deterministic per-row salt: hash of row position within batch
+        salt = pa.array((np.arange(n) % num_salts).astype(np.int32))
+        counts = pa.table({key: batch[key], "__salt": salt})
+        return (counts.group_by([key, "__salt"]).aggregate([([], "count_all")])
+                .rename_columns([key, "__salt", "n"]))
+
+    salted = (ds.map_batches(add_salt, batch_format="pyarrow")
+              .groupby([key, "__salt"]).aggregate(Sum("n", alias_name="n")))
+    final = salted.to_pandas().groupby(key, as_index=False)["n"].sum()
+    final["n"] = final["n"].astype("int64")
+    return final.rename(columns={"n": "count"})
+
+
 def _bucket_of(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
     """Vectorized bucket id. Single integer key: a multiplicative hash in
     numpy (C speed). Otherwise: crc32 over the joined key strings."""

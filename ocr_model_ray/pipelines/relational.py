@@ -370,6 +370,47 @@ def region_nation_union_count(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_names": [n]})
 
 
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti-join: customers with no orders in H1-1995 (broadcast key-set
+    filter; the date filter keeps the result set non-empty)."""
+    import pyarrow.parquet as pq
+    orders = pq.read_table(_pq(sf_dir, "orders"),
+                           columns=["o_custkey", "o_orderdate"])
+    cutoff = pa.scalar(pd.Timestamp("1995-07-01"), pa.timestamp("us"))
+    okeys = orders.filter(pc.less(orders["o_orderdate"], cutoff))["o_custkey"] \
+                  .combine_chunks()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    out = broadcast_semi_filter(cust, okeys.unique(), on="c_custkey",
+                                anti=True).to_pandas()
+    if out.empty:  # all customers ordered — keep the typed schema
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                            "c_name": pd.Series([], dtype="object"),
+                            "c_mktsegment": pd.Series([], dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def events_top_users_per_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-event-type top-k users by event count (windowed rank shape):
+    partial (type,user) counts per batch -> grouped sum -> per-type
+    top-k with deterministic (count desc, user asc) tie-break."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (t.group_by(["event_type", "user_id"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["event_type", "user_id", "n"]))
+
+    from ray.data.aggregate import Sum
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "user_id"])
+              .aggregate(Sum("n", alias_name="n_events")).to_pandas())
+    counts["n_events"] = counts["n_events"].astype("int64")
+    top = (counts.sort_values(["event_type", "n_events", "user_id"],
+                              ascending=[True, False, True], kind="mergesort")
+           .groupby("event_type").head(k).reset_index(drop=True))
+    return top
+
+
 def docs_lang_stats(sf_dir: str) -> pd.DataFrame:
     """documents grouped by lang: count + exact avg chars (int sums ->
     bit-identical double division)."""

@@ -1,0 +1,92 @@
+"""Incremental streaming state via raw Ray actors (SURVEY.md custom-
+operator rule (c): only where the Dataset API can't express the
+semantics — here, windowed state that must SURVIVE ACROSS feeds of an
+unbounded, ordered stream).
+
+``ShardedSessionizer`` partitions keys over a pool of state actors
+(one per key-hash bucket). Batches are routed by key hash and must
+arrive in non-decreasing event-time order per key (the caller's
+contract, stated per ray_guide's streaming pattern). Each actor keeps
+the open session per key; ``flush`` closes remaining sessions.
+
+For BOUNDED data, `pipelines.relational.events_sessions` (one
+`groupby(key).map_groups` over sorted groups) is the right shape — this
+module exists for the genuinely incremental case (e.g. a log tailer
+feeding chunks), and its results are tested equal to the batch
+operator's.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections import defaultdict
+
+import pandas as pd
+import ray
+
+
+@ray.remote
+class _SessionShard:
+    """State actor for one key bucket: open-session tracking."""
+
+    def __init__(self, gap_seconds: float) -> None:
+        self.gap = gap_seconds
+        self.last_ts: dict = {}        # key -> last event ts (epoch seconds)
+        self.closed: dict = defaultdict(int)   # key -> closed session count
+        self.events: dict = defaultdict(int)   # key -> event count
+
+    def ingest(self, keys: list, ts_seconds: list) -> int:
+        """Feed (key, ts) pairs; ts non-decreasing per key across calls."""
+        for k, t in zip(keys, ts_seconds):
+            last = self.last_ts.get(k)
+            if last is not None and (t - last) > self.gap:
+                self.closed[k] += 1
+            self.last_ts[k] = t
+            self.events[k] += 1
+        return len(keys)
+
+    def flush(self) -> dict:
+        """Close all open sessions; return per-key totals."""
+        out = {}
+        for k in self.events:
+            n_open = 1 if k in self.last_ts else 0
+            out[k] = {"n_sessions": self.closed[k] + n_open,
+                      "n_events": self.events[k]}
+        return out
+
+
+class ShardedSessionizer:
+    """Driver-side facade: routes batches to shards, merges flush."""
+
+    def __init__(self, num_shards: int = 4, gap_minutes: float = 30.0) -> None:
+        self.num_shards = num_shards
+        self.shards = [_SessionShard.remote(gap_minutes * 60.0)
+                       for _ in range(num_shards)]
+
+    def _shard_of(self, key) -> int:
+        return zlib.crc32(str(key).encode()) % self.num_shards
+
+    def ingest_batch(self, df: pd.DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts") -> None:
+        """Route one (already per-key-time-ordered) batch to the shards."""
+        # unit-safe epoch seconds (datetime64[us].astype(int64) would give
+        # MICROseconds; dividing by a Timedelta is unit-independent)
+        ts = (pd.to_datetime(df[ts_col]) - pd.Timestamp(0)) / pd.Timedelta(seconds=1)
+        by_shard: dict[int, tuple[list, list]] = defaultdict(lambda: ([], []))
+        for k, t in zip(df[key_col], ts):
+            ks, tss = by_shard[self._shard_of(k)]
+            ks.append(k)
+            tss.append(float(t))
+        ray.get([self.shards[s].ingest.remote(ks, tss)
+                 for s, (ks, tss) in by_shard.items()])
+
+    def finalize(self, key_col: str = "user_id") -> pd.DataFrame:
+        parts = ray.get([s.flush.remote() for s in self.shards])
+        rows = []
+        for part in parts:
+            for k, v in part.items():
+                rows.append({key_col: k, **v})
+        return (pd.DataFrame(rows)
+                .sort_values(key_col).reset_index(drop=True)
+                if rows else pd.DataFrame(columns=[key_col, "n_sessions",
+                                                   "n_events"]))

@@ -1,0 +1,68 @@
+"""Tests for the incremental streaming-state actor pool and the
+scale-hardening join helpers (Bloom semi-join, salted group count)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_sessionizer_matches_batch_operator():
+    from ocr_model_ray.pipelines.relational import events_sessions
+    from ocr_model_ray.state.streaming import ShardedSessionizer
+    sf = "/root/testdata/sf0.001"
+    batch_result = events_sessions(sf).sort_values("user_id").reset_index(drop=True)
+
+    import pyarrow.parquet as pq
+    events = pq.read_table(f"{sf}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+    events = events.sort_values(["ts"]).reset_index(drop=True)  # global ts order
+    sz = ShardedSessionizer(num_shards=3, gap_minutes=30)
+    # feed in three chronological chunks — state survives across feeds
+    for chunk in np.array_split(events, 3):
+        sz.ingest_batch(chunk)
+    inc = sz.finalize().sort_values("user_id").reset_index(drop=True)
+
+    assert (inc["user_id"] == batch_result["user_id"]).all()
+    assert (inc["n_events"].astype(int) == batch_result["n_events"].astype(int)).all()
+    assert (inc["n_sessions"].astype(int) == batch_result["n_sessions"].astype(int)).all()
+
+
+def test_bloom_filter_no_false_negatives():
+    from ocr_model_ray.functions.joins import BloomFilter
+    rng = np.random.RandomState(9)
+    members = rng.randint(0, 10 ** 9, size=5000)
+    others = rng.randint(10 ** 9, 2 * 10 ** 9, size=5000)
+    bf = BloomFilter(capacity=len(members))
+    bf.add(members)
+    assert bf.might_contain(members).all()          # zero false negatives
+    fp = bf.might_contain(others).mean()
+    assert fp < 0.05, f"false positive rate too high: {fp}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_semi_filter_superset_of_exact():
+    import ray.data as rd
+    from ocr_model_ray.functions.joins import bloom_semi_filter
+    df = pd.DataFrame({"k": np.arange(2000), "v": np.arange(2000) * 2})
+    keys = list(range(0, 2000, 7))
+    out = bloom_semi_filter(rd.from_pandas(df), keys, on="k").to_pandas()
+    got = set(out["k"])
+    assert set(keys) <= got                          # no false negatives
+    assert len(got) <= len(keys) * 1.2               # small FP tail
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_group_count_matches_plain():
+    import ray.data as rd
+    from ocr_model_ray.functions.joins import salted_group_count
+    rng = np.random.RandomState(4)
+    # skewed: one hot key with 80% of rows
+    keys = np.where(rng.random(20000) < 0.8, 7, rng.randint(0, 50, 20000))
+    df = pd.DataFrame({"k": keys})
+    got = salted_group_count(rd.from_pandas(df).repartition(8), "k",
+                             num_salts=8)
+    want = df.groupby("k", as_index=False).size().rename(columns={"size": "count"})
+    merged = got.merge(want, on="k", suffixes=("_got", "_want"))
+    assert len(merged) == len(want)
+    assert (merged["count_got"] == merged["count_want"]).all()
