@@ -71,6 +71,22 @@ def _extract_dedup(sf_dir: str):
                          ExtractConfig(dedup=True)))
 
 
+def _extract_lang_id(sf_dir: str):
+    """Composition: extraction pipeline -> language-ID actor pool over the
+    extracted main-content text (pipeline chaining; rows-only check)."""
+    import pyarrow as pa
+    from ocr_model_ray.functions.text_stats import LangIdWorker
+    from ocr_model_ray.pipelines.extract_pipeline import (
+        ExtractConfig, extract_pipeline)
+    ds = extract_pipeline(_fixture_dir(_tier_for(sf_dir)),
+                          ExtractConfig(emit="summary"))
+    ds = ds.map_batches(
+        lambda t: pa.table({"doc_id": t["url"], "text": t["extracted_text"]}),
+        batch_format="pyarrow")
+    return ds.map_batches(LangIdWorker, batch_format="pandas",
+                          batch_size=1024, concurrency=2)
+
+
 def _docs(sf_dir: str):
     import ray.data as rd
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -192,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_flagship": _extract_flagship,
         "extract_rows": _extract_rows,
         "extract_dedup": _extract_dedup,
+        "extract_lang_id": _extract_lang_id,
     }
 
 

@@ -37,6 +37,31 @@ def test_full_run_then_resume_noop(t1_pages_dir, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_compaction_preserves_manifests(t1_pages_dir, tmp_path):
+    from ocr_model_ray.state.compact import compact_run
+    out = str(tmp_path / "out")
+    run_resumable(t1_pages_dir, out, num_partitions=4)
+    results = compact_run(out)
+    assert all(r["status"] in ("compacted", "already-compact") for r in results)
+    # every partition now holds exactly one file; lineage facts unchanged
+    for pid in sorted(mf.done_partitions(out)):
+        pdir = mf.data_path(out, pid)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        assert len(files) == 1
+        with open(mf.manifest_path(out, pid)) as f:
+            m = json.load(f)
+        facts = mf.summarize_partition(out, pid)
+        assert facts["row_count"] == m["row_count"]
+        assert facts["url_checksum"] == m["url_checksum"]
+    data = pads.dataset(os.path.join(out, "data"), partitioning="hive").to_table(
+        columns=["url"])
+    assert len(set(data["url"].to_pylist())) == 69
+    # resume after compaction: still a no-op
+    rec = run_resumable(t1_pages_dir, out, num_partitions=4)
+    assert rec["partitions_written"] == []
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_kill_and_resume(t1_pages_dir, tmp_path):
     out = str(tmp_path / "out")
     run_resumable(t1_pages_dir, out, num_partitions=P)
