@@ -87,6 +87,18 @@ def _extract_lang_id(sf_dir: str):
                           batch_size=1024, concurrency=2)
 
 
+def _extract_needs_review(sf_dir: str):
+    """Review queue: output rows flagged needs_review (min token conf <
+    0.8 — the reference's human-review routing, tables.py:157)."""
+    import pyarrow.compute as pc
+    from ocr_model_ray.pipelines.extract_pipeline import (
+        extract_pipeline, rows_table)
+    rows = rows_table(extract_pipeline(_fixture_dir(_tier_for(sf_dir))))
+    return rows.map_batches(
+        lambda t: t.filter(pc.equal(t["needs_review"], True)),
+        batch_format="pyarrow")
+
+
 def _docs(sf_dir: str):
     import ray.data as rd
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -209,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_rows": _extract_rows,
         "extract_dedup": _extract_dedup,
         "extract_lang_id": _extract_lang_id,
+        "extract_needs_review": _extract_needs_review,
     }
 
 
