@@ -245,22 +245,24 @@ def ensemble_merge(token_lists: list[list[dict]]) -> list[dict]:
 # Token -> line region grouping (M11)
 # ----------------------------------------------------------------------------
 def group_tokens_into_lines(tokens: list[dict]) -> list[Region]:
-    """Sort (y1, x1); new region when the token's y-center differs from the
-    previous token's y-center by more than REGION_Y_SPLIT px
-    (text_regions.py:9-28)."""
+    """Sort (y1, x1 + total tie-break); new region when the token's
+    y-center differs from the CURRENT REGION'S FIRST token's y-center by
+    more than REGION_Y_SPLIT px — the anchor stays fixed while tokens
+    append, exactly as text_regions.py:9-28 (``current_y`` is set only
+    when a region starts), so gradually drifting lines still split."""
     if not tokens:
         return []
     toks = sorted(tokens, key=_token_sort_key)
     regions: list[Region] = []
     cur: Optional[Region] = None
-    prev_yc = None
+    anchor_yc = None
     for t in toks:
         yc = (t["y1"] + t["y2"]) / 2.0
-        if cur is None or abs(yc - prev_yc) > REGION_Y_SPLIT:
+        if cur is None or abs(yc - anchor_yc) > REGION_Y_SPLIT:
             cur = Region(rtype="line")
             regions.append(cur)
+            anchor_yc = yc
         cur.tokens.append(t)
-        prev_yc = yc
     return regions
 
 

@@ -57,6 +57,17 @@ def test_region_split_boundary():
     assert len(group_tokens_into_lines([t0, t_far])) == 2
 
 
+def test_region_anchor_is_first_token_of_region():
+    # drifting tokens yc = 5, 13, 21: steps of 8 (< 12) but the ANCHOR
+    # stays at the region's first token (text_regions.py:16-24), so the
+    # third token (|21-5| > 12) starts a new region
+    toks = [token("a", 0, 0, 10, 10, 1.0),    # yc 5
+            token("b", 20, 8, 30, 18, 1.0),   # yc 13 -> |13-5|=8: same
+            token("c", 40, 16, 50, 26, 1.0)]  # yc 21 -> |21-5|=16: split
+    regions = group_tokens_into_lines(toks)
+    assert [[t["text"] for t in r.tokens] for r in regions] == [["a", "b"], ["c"]]
+
+
 def test_region_grouping_sorts_reading_order():
     toks = [token("second", 0, 30, 10, 40, 1.0), token("first", 0, 0, 10, 10, 1.0)]
     regions = group_tokens_into_lines(toks)
