@@ -269,18 +269,56 @@ def group_tokens_into_lines(tokens: list[dict]) -> list[Region]:
 # ----------------------------------------------------------------------------
 # Table structure from tokens (T2) — worker/pipeline/tables.py:13-160
 # ----------------------------------------------------------------------------
-def _tokens_in_bbox(tokens: list[dict], bbox: tuple, min_overlap: float = 0.5) -> list[dict]:
-    """Token inclusion by area-overlap ratio >= 0.5 (tables.py:299-334)."""
+def _tokens_in_bbox(tokens: list[dict], bbox: tuple,
+                    overlap_threshold: float = 0.5) -> list[dict]:
+    """Token inclusion — tables.py:299-334 `_inside`: full containment
+    fast-path, else IoU (intersection over UNION of token and table
+    boxes) >= 0.5."""
     bx1, by1, bx2, by2 = bbox
     out = []
     for t in tokens:
+        if t["x1"] >= bx1 and t["y1"] >= by1 and t["x2"] <= bx2 and t["y2"] <= by2:
+            out.append(t)
+            continue
         ix1, iy1 = max(t["x1"], bx1), max(t["y1"], by1)
         ix2, iy2 = min(t["x2"], bx2), min(t["y2"], by2)
-        inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
-        area = max(1e-9, (t["x2"] - t["x1"]) * (t["y2"] - t["y1"]))
-        if inter / area >= min_overlap:
+        if ix1 >= ix2 or iy1 >= iy2:
+            continue
+        inter = (ix2 - ix1) * (iy2 - iy1)
+        t_area = (t["x2"] - t["x1"]) * (t["y2"] - t["y1"])
+        box_area = (bx2 - bx1) * (by2 - by1)
+        union = t_area + box_area - inter
+        if union > 0 and inter / union >= overlap_threshold:
             out.append(t)
     return out
+
+
+def _ward_cluster_1d(centers: list[float], t: float = 20.0) -> list[float]:
+    """1-D Ward hierarchical clustering, cut at cophenetic distance ``t``
+    (tables.py:233-265 uses scipy linkage(...,'ward') + fcluster
+    criterion='distance'; for 1-D data Ward clusters are contiguous in
+    sorted order, so agglomerating the closest adjacent pair reproduces
+    the scipy dendrogram). Returns sorted cluster means."""
+    if len(centers) <= 1:
+        return list(centers)
+    xs = sorted(centers)
+    # clusters as (n, mean)
+    clusters: list[tuple[int, float]] = [(1, x) for x in xs]
+
+    def ward_dist(a: tuple[int, float], b: tuple[int, float]) -> float:
+        na, ma = a
+        nb, mb = b
+        return ((2.0 * na * nb / (na + nb)) ** 0.5) * abs(ma - mb)
+
+    while len(clusters) > 1:
+        dists = [ward_dist(clusters[i], clusters[i + 1])
+                 for i in range(len(clusters) - 1)]
+        i = min(range(len(dists)), key=lambda k: dists[k])
+        if dists[i] > t:
+            break
+        (na, ma), (nb, mb) = clusters[i], clusters[i + 1]
+        clusters[i:i + 2] = [(na + nb, (na * ma + nb * mb) / (na + nb))]
+    return [m for (_n, m) in clusters]
 
 
 def _median(vals: list[float]) -> float:
@@ -295,63 +333,90 @@ def _median(vals: list[float]) -> float:
 
 
 def table_from_tokens(tokens: list[dict], bbox: tuple, page_num: int) -> Optional[TableOut]:
-    """Reconstruct a row/column cell grid from tokens inside ``bbox``.
+    """Reconstruct a row/column cell grid from tokens inside ``bbox`` —
+    mirrors tables.py `extract_table_content` exactly:
 
-    Row grouping: sort by y1; new row when y1 gap > max(8, 0.6*median
-    token height) (tables.py:63-65). Column clustering: gap clustering
-    over x1 with min_gap = max(20, 0.04*x-span) (tables.py:125). Cell
-    assignment by nearest column start. needs_review when any token conf
-    < 0.8 (tables.py:157).
+    * inclusion: containment OR IoU >= 0.5 (`_inside`, tables.py:299-334);
+    * tokens sorted (y1, x1) reading order (+ total tie-break, §2.8.8);
+    * ROW grouping by token y-CENTER vs the row's FIRST token (anchor
+      fixed), threshold ``max(8, int(0.6 * median_height))``
+      (tables.py:60-86 — note the int() truncation);
+    * COLUMN positions: >= 8 token centers -> 1-D Ward clustering cut at
+      t=20 (tables.py:233-265); else gap clustering over sorted token
+      CENTER xs with min_gap = max(20, 0.04 * center-span), comparing
+      each center to the LAST element appended to the current cluster;
+      positions = cluster means (tables.py:113-139);
+    * CELL assignment: token center x into half-open column-midpoint
+      bounds (tables.py:268-296), tokens in row order;
+    * needs_review: any included token conf < 0.8 (tables.py:157).
     """
     toks = _tokens_in_bbox(tokens, bbox)
     if not toks:
         return None
-    heights = [t["y2"] - t["y1"] for t in toks]
-    row_thresh = max(float(TABLE_ROW_MIN_THRESH),
-                     TABLE_ROW_MEDIAN_FACTOR * _median(heights))
-    by_y = sorted(toks, key=_token_sort_key)
+    in_table = sorted(toks, key=_token_sort_key)
+
+    heights = [t["y2"] - t["y1"] for t in in_table]
+    row_thresh = max(TABLE_ROW_MIN_THRESH,
+                     int(TABLE_ROW_MEDIAN_FACTOR * _median(heights)))
     rows: list[list[dict]] = []
     cur_row: list[dict] = []
-    prev_y = None
-    for t in by_y:
-        if prev_y is not None and (t["y1"] - prev_y) > row_thresh:
-            rows.append(cur_row)
-            cur_row = []
-        cur_row.append(t)
-        prev_y = t["y1"]
+    anchor_ty = None
+    for t in in_table:
+        ty = (t["y1"] + t["y2"]) / 2.0
+        if anchor_ty is None:
+            anchor_ty = ty
+            cur_row.append(t)
+            continue
+        if abs(ty - anchor_ty) > row_thresh:
+            if cur_row:
+                rows.append(cur_row)
+            cur_row = [t]
+            anchor_ty = ty
+        else:
+            cur_row.append(t)
     if cur_row:
         rows.append(cur_row)
 
-    xs = sorted(t["x1"] for t in toks)
-    span = max(t["x2"] for t in toks) - min(t["x1"] for t in toks)
-    min_gap = max(TABLE_COL_MIN_GAP, TABLE_COL_SPAN_FACTOR * span)
-    col_starts = [xs[0]]
-    for x in xs[1:]:
-        if x - col_starts[-1] > min_gap:
-            col_starts.append(x)
+    centers = sorted((t["x1"] + t["x2"]) / 2.0 for t in in_table)
+    col_positions: list[float] = []
+    if len(centers) >= 8:
+        col_positions = _ward_cluster_1d(centers, t=20.0)
+    if not col_positions:
+        span = max(1.0, centers[-1] - centers[0])
+        min_gap = max(TABLE_COL_MIN_GAP, TABLE_COL_SPAN_FACTOR * span)
+        clustered: list[list[float]] = [[centers[0]]]
+        for c in centers[1:]:
+            if abs(c - clustered[-1][-1]) > min_gap:
+                clustered.append([c])
+            else:
+                clustered[-1].append(c)
+        col_positions = [sum(cl) / len(cl) for cl in clustered]
 
+    col_bounds = ([float("-inf")]
+                  + [(a + b) / 2.0 for a, b in zip(col_positions[:-1],
+                                                   col_positions[1:])]
+                  + [float("inf")])
     cells: dict[tuple, list[dict]] = {}
     for r, row_toks in enumerate(rows):
-        for t in sorted(row_toks, key=lambda t: (t["x1"], _token_sort_key(t))):
-            c = 0
-            for ci, cx in enumerate(col_starts):
-                if t["x1"] >= cx - min_gap / 2.0:
-                    c = ci
-            cells.setdefault((r, c), []).append(t)
+        for t in row_toks:
+            cx = (t["x1"] + t["x2"]) / 2.0
+            for ci in range(len(col_bounds) - 1):
+                if col_bounds[ci] <= cx < col_bounds[ci + 1]:
+                    cells.setdefault((r, ci), []).append(t)
+                    break
 
     cell_list = []
-    all_confs = []
     for (r, c) in sorted(cells.keys()):
         ctoks = cells[(r, c)]
         text = " ".join(t["text"] for t in ctoks)
-        conf = min(t["conf"] for t in ctoks)
-        all_confs.append(conf)
-        cell_list.append((r, c, text, conf))
-    needs_review = any(cf < REVIEW_CONF for cf in all_confs)
-    conf = sum(all_confs) / len(all_confs) if all_confs else 1.0
+        cell_list.append((r, c, text, min(t["conf"] for t in ctoks)))
+    needs_review = any(t["conf"] < REVIEW_CONF for t in in_table)
+    confs = [cf for (_r, _c, _tx, cf) in cell_list]
+    conf = sum(confs) / len(confs) if confs else 1.0
     return TableOut(page_num=page_num, bbox=tuple(float(v) for v in bbox),
-                    cells=cell_list, n_rows=len(rows), n_cols=len(col_starts),
-                    conf=conf, needs_review=needs_review)
+                    cells=cell_list, n_rows=len(rows),
+                    n_cols=len(col_positions), conf=conf,
+                    needs_review=needs_review)
 
 
 # ----------------------------------------------------------------------------

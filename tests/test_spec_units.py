@@ -95,6 +95,29 @@ def test_table_row_threshold_uses_median_height():
     assert t.n_rows == 2
 
 
+def test_ward_cluster_1d_groups_by_gap():
+    from ocr_model_ray.spec import _ward_cluster_1d
+    centers = [0.0, 1.0, 2.0, 100.0, 101.0, 102.0, 200.0, 201.0]
+    out = _ward_cluster_1d(centers, t=20.0)
+    assert out == [1.0, 101.0, 200.5]
+    assert _ward_cluster_1d([5.0]) == [5.0]
+    # permutation invariant (sorted internally)
+    assert _ward_cluster_1d(list(reversed(centers)), t=20.0) == out
+
+
+def test_table_ward_path_with_many_centers():
+    # 3 rows x 3 cols = 9 tokens >= 8 centers -> ward clustering path
+    toks = []
+    for r in range(3):
+        for c in range(3):
+            toks.append(token(f"v{r}{c}", 120.0 * c, 30.0 * r,
+                              120.0 * c + 40, 30.0 * r + 12, 1.0))
+    t = table_from_tokens(toks, (-5, -5, 500, 200), page_num=1)
+    assert t.n_rows == 3 and t.n_cols == 3
+    cells = {(r, c): tx for (r, c, tx, _cf) in t.cells}
+    assert cells[(0, 0)] == "v00" and cells[(2, 2)] == "v22"
+
+
 # --- OCR stub: deterministic + container passthrough ------------------------
 def test_ocr_stub_deterministic():
     img = PSEUDO_PNG_HEADER + json.dumps(
