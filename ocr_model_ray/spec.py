@@ -895,13 +895,23 @@ def assemble(url: str, doc: DocOut) -> dict:
             "conf": t.conf, "needs_review": t.needs_review,
         })
 
-    region_confs = [r["conf"] for r in regions_out]
+    # document confidence: FLAT mean over every token/span confidence
+    # (document_processor.py:490-500 averages block confidences, one per
+    # span; :768-789 averages OCR items — both flat, not mean-of-region-
+    # means); native-text default 1.0, error default 0.0
+    conf_sum = 0.0
+    n_conf = 0
+    for page in doc.pages:
+        for region in page.regions:
+            for t in getattr(region, "tokens", ()):
+                conf_sum += t["conf"]
+                n_conf += 1
     if doc.error is not None:
         confidence = 0.0
-    elif region_confs:
-        confidence = sum(region_confs) / len(region_confs)  # document_processor.py:768-789
+    elif n_conf:
+        confidence = conf_sum / n_conf
     else:
-        confidence = 1.0  # native-text default (document_processor.py:500)
+        confidence = 1.0
 
     return {
         "url": url,
@@ -930,20 +940,28 @@ def assemble_summary(url: str, doc: DocOut) -> dict:
     nested layout columns are a projection concern; computing them for
     a consumer that drops them wastes allocator bandwidth)."""
     page_texts = []
-    region_confs_sum = 0.0
+    conf_sum = 0.0
+    n_conf = 0
     n_regions = 0
     for page in doc.pages:
         parts = []
         for region in page.regions:
             parts.append(region.text)
-            region_confs_sum += region.conf
             n_regions += 1
+            tokens = getattr(region, "tokens", None)
+            if tokens is None:  # SimpleRegion fast path: uniform conf
+                conf_sum += region.conf
+                n_conf += 1
+            else:
+                for t in tokens:
+                    conf_sum += t["conf"]
+                    n_conf += 1
         page_texts.append(page.region_sep.join(parts))
     extracted_text = PAGE_SEP.join(page_texts).strip()
     if doc.error is not None:
         confidence = 0.0
-    elif n_regions:
-        confidence = region_confs_sum / n_regions
+    elif n_conf:
+        confidence = conf_sum / n_conf
     else:
         confidence = 1.0
     return {
