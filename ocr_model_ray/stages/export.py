@@ -48,14 +48,22 @@ _HEAD_PREFIX = {"heading": "## ", "list_item": "* "}
 
 
 def render_txt(extracted_row: dict) -> str:
-    """Markdown-ish TXT per url (exporter.py:496-515 rules)."""
+    """Markdown-ish TXT per url — exporter.py:487-548 rules: "=== Page N
+    ===" headers, blank line after every element, "## " headings, "* "
+    list items, tables as "Table N:" with pipe-separated, width-aligned
+    cells. (code/quote fencing covers region types the reference's HTML-
+    less pipeline never produced.)"""
     lines: list[str] = []
     regions_by_page: dict[int, list[dict]] = {}
     for r in extracted_row.get("regions") or []:
         regions_by_page.setdefault(r["page"], []).append(r)
+    tables_by_page: dict[int, list[dict]] = {}
+    for t in extracted_row.get("tables") or []:
+        tables_by_page.setdefault(t["page"], []).append(t)
     for p in extracted_row.get("pages") or []:
         pn = p["page_num"]
         lines.append(f"=== Page {pn} ===")
+        lines.append("")
         for r in regions_by_page.get(pn, []):
             t = r["type"]
             if t == "code":
@@ -64,6 +72,20 @@ def render_txt(extracted_row: dict) -> str:
                 lines.append("> " + r["text"])
             else:
                 lines.append(_HEAD_PREFIX.get(t, "") + r["text"])
+            lines.append("")
+        for ti, table in enumerate(tables_by_page.get(pn, [])):
+            lines.append(f"Table {ti + 1}:")
+            n_rows, n_cols = table["n_rows"], table["n_cols"]
+            grid = [["" for _ in range(n_cols)] for _ in range(n_rows)]
+            for cell in table.get("cells") or []:
+                if cell["r"] < n_rows and cell["c"] < n_cols:
+                    grid[cell["r"]][cell["c"]] = cell["text"]
+            widths = [max([len(grid[r][c]) for r in range(n_rows)] or [0])
+                      for c in range(n_cols)]
+            for row in grid:
+                lines.append("|" + "".join(
+                    f" {row[c].ljust(widths[c])} |" for c in range(n_cols)))
+            lines.append("")
         lines.append("")
     return "\n".join(lines).rstrip("\n")
 

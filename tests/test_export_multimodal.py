@@ -28,10 +28,20 @@ def _rec():
 
 def test_render_txt_rules():
     txt = render_txt(_rec())
-    assert txt.startswith("=== Page 1 ===")
-    assert "## Title Here" in txt
+    assert txt.startswith("=== Page 1 ===\n\n")
+    assert "## Title Here\n" in txt
     assert "* List item one" in txt
     assert "```" in txt
+
+
+def test_render_txt_table_grid():
+    html = (b"<html><body><p>Intro paragraph long enough to be kept here ok.</p>"
+            b"<table><tr><td>a</td><td>bb</td></tr>"
+            b"<tr><td>ccc</td><td>d</td></tr></table></body></html>")
+    txt = render_txt(extract_and_assemble("https://e.test/t", html))
+    assert "Table 1:" in txt
+    assert "| a   | bb |" in txt
+    assert "| ccc | d  |" in txt
 
 
 def test_render_json_canonical():
