@@ -44,6 +44,51 @@ def rows_to_csv_batch(batch: pa.Table) -> pa.Table:
     return out
 
 
+def regions_csv_batch(batch: pa.Table) -> pa.Table:
+    """Reference-shaped CSV rows (_export_csv:166-230): one row per
+    region (page_num, region_type, text, x1..y2, confidence) plus one
+    per non-empty table cell with region_type
+    ``table_cell_<table_id>_r<r>_c<c>``."""
+    rows = batch.to_pylist()
+    out = {k: [] for k in ("url", "page_num", "region_type", "text",
+                           "x1", "y1", "x2", "y2", "confidence")}
+
+    def emit(url, page, rtype, text, x1, y1, x2, y2, conf):
+        out["url"].append(url)
+        out["page_num"].append(page)
+        out["region_type"].append(rtype)
+        out["text"].append(text)
+        out["x1"].append(float(x1))
+        out["y1"].append(float(y1))
+        out["x2"].append(float(x2))
+        out["y2"].append(float(y2))
+        out["confidence"].append(float(conf))
+
+    for rec in rows:
+        for r in rec.get("regions") or []:
+            emit(rec["url"], r["page"], r["type"], r["text"],
+                 r["x1"], r["y1"], r["x2"], r["y2"], r["conf"])
+        for t in rec.get("tables") or []:
+            for cell in t.get("cells") or []:
+                if not cell["text"]:
+                    continue
+                emit(rec["url"], t["page"],
+                     f"table_cell_{t['table_id']}_r{cell['r']}_c{cell['c']}",
+                     cell["text"], t["x1"], t["y1"], t["x2"], t["y2"],
+                     cell["conf"])
+    return pa.table({
+        "url": pa.array(out["url"], pa.string()),
+        "page_num": pa.array(out["page_num"], pa.int32()),
+        "region_type": pa.array(out["region_type"], pa.string()),
+        "text": pa.array(out["text"], pa.string()),
+        "x1": pa.array(out["x1"], pa.float64()),
+        "y1": pa.array(out["y1"], pa.float64()),
+        "x2": pa.array(out["x2"], pa.float64()),
+        "y2": pa.array(out["y2"], pa.float64()),
+        "confidence": pa.array(out["confidence"], pa.float64()),
+    })
+
+
 _HEAD_PREFIX = {"heading": "## ", "list_item": "* "}
 
 
@@ -167,6 +212,9 @@ def write_all_formats(extracted: rd.Dataset, out_dir: str) -> dict:
                     .map_batches(rows_to_csv_batch, batch_format="pyarrow")
     paths["csv"] = f"{out_dir}/csv"
     rows.write_csv(paths["csv"])
+    paths["csv_regions"] = f"{out_dir}/csv_regions"
+    extracted.map_batches(regions_csv_batch, batch_format="pyarrow") \
+             .write_csv(paths["csv_regions"])
     for name, fn in (("txt", txt_export), ("json", json_export),
                      ("xml", xml_export)):
         paths[name] = f"{out_dir}/{name}"

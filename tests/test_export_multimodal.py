@@ -59,6 +59,17 @@ def test_render_xml_shape():
     assert "Title Here" in x
 
 
+def test_regions_csv_reference_shape():
+    from ocr_model_ray.stages.export import regions_csv_batch
+    import pyarrow as pa
+    rec = _rec()
+    out = regions_csv_batch(pa.Table.from_pylist([rec])).to_pylist()
+    types = [r["region_type"] for r in out]
+    assert "heading" in types and "paragraph" in types
+    assert all(set(r) == {"url", "page_num", "region_type", "text",
+                          "x1", "y1", "x2", "y2", "confidence"} for r in out)
+
+
 def test_rows_to_csv_flattens_bbox():
     rec = _rec()
     batch = pa.table({
@@ -79,7 +90,7 @@ def test_write_all_formats(t1_pages_dir, tmp_path):
     from ocr_model_ray.pipelines.extract_pipeline import extract_pipeline
     out = str(tmp_path / "exports")
     paths = write_all_formats(extract_pipeline(t1_pages_dir), out)
-    assert set(paths) == {"parquet", "csv", "txt", "json", "xml"}
+    assert set(paths) == {"parquet", "csv", "csv_regions", "txt", "json", "xml"}
     for p in paths.values():
         assert os.path.isdir(p) and os.listdir(p)
     import pyarrow.dataset as pads
