@@ -23,7 +23,7 @@ reference and is intentionally out of engine scope.
 from __future__ import annotations
 
 import json
-from xml.sax.saxutils import escape, quoteattr
+
 
 import pyarrow as pa
 import ray.data as rd
@@ -157,23 +157,58 @@ def render_json(extracted_row: dict) -> str:
 
 
 def render_xml(extracted_row: dict) -> str:
-    """Per-url XML document (deterministic attribute order)."""
-    parts = [f"<document url={quoteattr(extracted_row['url'])} "
-             f"kind={quoteattr(extracted_row['doc_kind'])}>"]
+    """Per-url XML in the reference's element structure
+    (_export_xml:285-367): Document/Pages/Page/Regions/Region with
+    nested BoundingBox + Text, Tables/Table/Rows/Row/Cell. Attribute
+    order deterministic; ids are the engine's url-derived ids; char-span
+    attributes are kept on Region (engine extension — the reference has
+    no span offsets)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.Element("Document")
+    root.set("id", extracted_row["url"])
+    root.set("kind", extracted_row["doc_kind"])
     regions_by_page: dict[int, list[dict]] = {}
     for r in extracted_row.get("regions") or []:
         regions_by_page.setdefault(r["page"], []).append(r)
+    tables_by_page: dict[int, list[dict]] = {}
+    for t in extracted_row.get("tables") or []:
+        tables_by_page.setdefault(t["page"], []).append(t)
+
+    pages_elem = ET.SubElement(root, "Pages")
     for p in extracted_row.get("pages") or []:
         pn = p["page_num"]
-        parts.append(f'<page num="{pn}" scanned="{str(p["is_scanned"]).lower()}">')
+        page_elem = ET.SubElement(pages_elem, "Page")
+        page_elem.set("number", str(pn))
+        regions_elem = ET.SubElement(page_elem, "Regions")
         for r in regions_by_page.get(pn, []):
-            parts.append(
-                f'<region id={quoteattr(r["region_id"])} type={quoteattr(r["type"])} '
-                f'conf="{r["conf"]:.6f}" start="{r["char_start"]}" '
-                f'end="{r["char_end"]}">{escape(r["text"])}</region>')
-        parts.append("</page>")
-    parts.append("</document>")
-    return "".join(parts)
+            region_elem = ET.SubElement(regions_elem, "Region")
+            region_elem.set("type", r["type"])
+            region_elem.set("id", r["region_id"])
+            region_elem.set("confidence", f"{r['conf']:.6f}")
+            region_elem.set("charStart", str(r["char_start"]))
+            region_elem.set("charEnd", str(r["char_end"]))
+            bbox_elem = ET.SubElement(region_elem, "BoundingBox")
+            for k in ("x1", "y1", "x2", "y2"):
+                bbox_elem.set(k, str(r[k]))
+            ET.SubElement(region_elem, "Text").text = r["text"]
+        tables_elem = ET.SubElement(page_elem, "Tables")
+        for t in tables_by_page.get(pn, []):
+            table_elem = ET.SubElement(tables_elem, "Table")
+            table_elem.set("id", t["table_id"])
+            rows_elem = ET.SubElement(table_elem, "Rows")
+            by_row: dict[int, list[dict]] = {}
+            for cell in t.get("cells") or []:
+                by_row.setdefault(cell["r"], []).append(cell)
+            for r_idx in sorted(by_row):
+                row_elem = ET.SubElement(rows_elem, "Row")
+                row_elem.set("index", str(r_idx))
+                for cell in sorted(by_row[r_idx], key=lambda c: c["c"]):
+                    cell_elem = ET.SubElement(row_elem, "Cell")
+                    cell_elem.set("col", str(cell["c"]))
+                    cell_elem.set("confidence", f"{cell['conf']:.6f}")
+                    ET.SubElement(cell_elem, "Text").text = cell["text"]
+    return ET.tostring(root, encoding="unicode")
 
 
 def _render_batch(batch: pa.Table, renderer, col: str) -> pa.Table:

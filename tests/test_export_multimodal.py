@@ -53,10 +53,15 @@ def test_render_json_canonical():
 
 
 def test_render_xml_shape():
+    import xml.etree.ElementTree as ET
     x = render_xml(_rec())
-    assert x.startswith('<document url="https://e.test/x"')
-    assert '<page num="1"' in x and "</document>" in x
-    assert "Title Here" in x
+    root = ET.fromstring(x)
+    assert root.tag == "Document" and root.get("id") == "https://e.test/x"
+    regions = root.findall("./Pages/Page/Regions/Region")
+    assert regions and regions[0].get("type") == "heading"
+    assert regions[0].find("Text").text == "Title Here"
+    assert regions[0].find("BoundingBox") is not None
+    assert render_xml(_rec()) == x  # deterministic
 
 
 def test_regions_csv_reference_shape():
