@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": rel.events_sessions,
         "events_sliding_week": rel.events_sliding_week,
         "events_top_users_per_type": rel.events_top_users_per_type,
+        "events_asof_last_click": rel.events_asof_last_click,
         "customers_without_orders": rel.customers_without_orders,
         # documents: dedup + text analysis
         "docs_exact_dedup": _docs_exact_dedup,
@@ -360,6 +361,18 @@ def oracle_sql() -> dict[str, str]:
                         AND e.ts < d.day + INTERVAL 1 DAY
                        GROUP BY e.event_type, d.day)
             SELECT event_type, day, n_week FROM w
+        """,
+        "events_asof_last_click": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   (SELECT max(c.ts) FROM events c
+                    WHERE c.user_id = e.user_id
+                      AND c.event_type = 'click'
+                      AND c.ts <= e.ts) AS last_click_ts
+            FROM events e
+            WHERE EXISTS (SELECT 1 FROM events c
+                          WHERE c.user_id = e.user_id
+                            AND c.event_type = 'click'
+                            AND c.ts <= e.ts)
         """,
         "events_top_users_per_type": """
             SELECT event_type, user_id, n_events FROM (

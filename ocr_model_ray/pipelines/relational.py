@@ -490,6 +490,30 @@ def events_sliding_week(sf_dir: str) -> pd.DataFrame:
                          "n_week": pd.Series(out_n, dtype="int64")})
 
 
+def events_asof_last_click(sf_dir: str, click_type: str = "click") -> pd.DataFrame:
+    """As-of join (ray_guide pattern): for every event, the ts of the
+    same user's most recent ``click_type`` event at-or-before it —
+    ``pd.merge_asof`` over sorted per-user groups inside map_groups.
+    Only events with a prior click are emitted (inner as-of)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        clicks = g[g["event_type"] == click_type][["ts"]].rename(
+            columns={"ts": "last_click_ts"})
+        if clicks.empty:
+            return pd.DataFrame(columns=["event_id", "user_id", "ts",
+                                         "last_click_ts"])
+        joined = pd.merge_asof(g, clicks, left_on="ts",
+                               right_on="last_click_ts", direction="backward")
+        joined = joined[joined["last_click_ts"].notna()]
+        return joined[["event_id", "user_id", "ts", "last_click_ts"]]
+
+    out = ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Sessionization (streaming-shaped op, ray_guide pattern): per user,
     sort by ts, a new session starts when the gap exceeds ``gap_minutes``."""
