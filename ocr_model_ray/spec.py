@@ -226,6 +226,51 @@ def _token_sort_key(t: dict) -> tuple:
     return (t["y1"], t["x1"], t["y2"], t["x2"], t["text"], t["conf"])
 
 
+def rotate_tokens(tokens: list[dict], rotation: int, width: float,
+                  height: float) -> list[dict]:
+    """Rotate token boxes by 0/90/180/270 deg within a (width, height)
+    page — geometry helper for the orientation sweep."""
+    if rotation == 0:
+        return tokens
+    out = []
+    for t in tokens:
+        if rotation == 180:
+            x1, y1 = width - t["x2"], height - t["y2"]
+            x2, y2 = width - t["x1"], height - t["y1"]
+        elif rotation == 90:
+            x1, y1 = height - t["y2"], t["x1"]
+            x2, y2 = height - t["y1"], t["x2"]
+        else:  # 270
+            x1, y1 = t["y1"], width - t["x2"]
+            x2, y2 = t["y2"], width - t["x1"]
+        out.append(token(t["text"], x1, y1, x2, y2, t["conf"]))
+    return out
+
+
+def ocr_rotation_sweep(image_bytes: bytes, width: float = 0.0,
+                       height: float = 0.0) -> tuple[int, list[dict]]:
+    """Orientation sweep (M17 — worker/model_manager.py:288-345): OCR at
+    0/90/180/270 and keep the best by (avg confidence, token count),
+    ties broken by the smaller rotation. With the stub engine the
+    payload decodes identically at every angle, so rotation 0 wins —
+    the MECHANISM (4 inferences + scoring + deterministic tie-break) is
+    what a real engine plugs into. Returns (rotation_deg, tokens in the
+    page's upright frame)."""
+    best: tuple[float, int, int] | None = None  # (-avg_conf, -n, rotation)
+    best_toks: list[dict] = []
+    for rotation in (0, 90, 180, 270):
+        toks = ocr_stub(image_bytes)
+        if rotation and width and height:
+            toks = rotate_tokens(toks, rotation, width, height)
+        n = len(toks)
+        avg = sum(t["conf"] for t in toks) / n if n else 0.0
+        key = (-avg, -n, rotation)
+        if best is None or key < best:
+            best = key
+            best_toks = toks
+    return (best[2], best_toks)
+
+
 def ensemble_merge(token_lists: list[list[dict]]) -> list[dict]:
     """OCR ensemble merge — models/ocr_models.py:174-183.
 

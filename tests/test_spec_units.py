@@ -129,6 +129,18 @@ def test_ocr_stub_deterministic():
     assert out1 == out2 and len(out1) >= 1
 
 
+def test_rotation_sweep_mechanism():
+    from ocr_model_ray.spec import ocr_rotation_sweep, rotate_tokens
+    img = PSEUDO_PNG_HEADER + json.dumps(
+        {"w": 100, "h": 50, "words": [["hi", 10, 10, 30, 20, 0.9]]}).encode()
+    rot, toks = ocr_rotation_sweep(img, width=100, height=50)
+    assert rot == 0 and toks[0]["text"] == "hi"  # tie -> smallest rotation
+    # geometry: 180-deg rotation is its own inverse
+    t = token("x", 10, 10, 30, 20, 1.0)
+    twice = rotate_tokens(rotate_tokens([t], 180, 100, 50), 180, 100, 50)
+    assert twice == [t]
+
+
 # --- HTML branch: boilerplate stripping + link density ----------------------
 def test_html_boilerplate_stripped():
     html = (b"<html><head><script>x()</script></head><body>"
