@@ -13,7 +13,19 @@ from ocr_model_ray.spec import (
     token,
 )
 
-payloads = st.binary(min_size=0, max_size=2048)
+from ocr_model_ray.spec import PSEUDO_PDF_HEADER, PSEUDO_PNG_HEADER
+
+_raw = st.binary(min_size=0, max_size=2048)
+#: bias the fuzz toward every branch parser's magic prefix so the
+#: pdf/docx/html/image paths all see malformed payloads, not just text
+payloads = st.one_of(
+    _raw,
+    _raw.map(lambda b: b"PK" + b),
+    _raw.map(lambda b: PSEUDO_PDF_HEADER + b),
+    _raw.map(lambda b: b"%PDF-1.4\n" + b),
+    _raw.map(lambda b: PSEUDO_PNG_HEADER + b),
+    _raw.map(lambda b: b"<html><body>" + b),
+)
 
 
 @settings(max_examples=150, deadline=None)
