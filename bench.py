@@ -71,9 +71,19 @@ def run_headline() -> dict:
             ds.write_parquet(out_dir)
         walls.append(time.monotonic() - t0)
     headline = walls[-1]
-    return {"sec": round(headline, 3), "cold_sec": round(walls[0], 3),
-            "docs": n_docs, "sink": sink,
-            "docs_per_sec": round(n_docs / headline, 1)}
+    out = {"sec": round(headline, 3), "cold_sec": round(walls[0], 3),
+           "docs": n_docs, "sink": sink,
+           "docs_per_sec": round(n_docs / headline, 1)}
+    if not os.environ.get("BENCH_SKIP_QUERIES"):
+        # one measured pass of the FULL emit (nested regions/rows/tables
+        # layout columns materialized) — the layout-production cost
+        t0 = time.monotonic()
+        extract_pipeline(pages_dir, ExtractConfig(
+            emit="full", num_blocks=4 * NUM_CPUS)).count()
+        full_sec = time.monotonic() - t0
+        out["full_emit_sec"] = round(full_sec, 3)
+        out["full_emit_docs_per_sec"] = round(n_docs / full_sec, 1)
+    return out
 
 
 def run_queries() -> dict[str, float]:
@@ -120,6 +130,8 @@ def main() -> None:
         "docs_per_sec": head["docs_per_sec"],
         "cold_sec": head["cold_sec"],
         "sink": head["sink"],
+        "full_emit_sec": head.get("full_emit_sec"),
+        "full_emit_docs_per_sec": head.get("full_emit_docs_per_sec"),
     }))
 
 
