@@ -105,6 +105,12 @@ def _docs(sf_dir: str):
                            columns=["doc_id", "text"])
 
 
+def _docs_sample(sf_dir: str):
+    from ocr_model_ray.functions.text_stats import deterministic_sample_batch
+    return _docs(sf_dir).map_batches(deterministic_sample_batch,
+                                     batch_format="pandas")
+
+
 def _docs_exact_dedup(sf_dir: str):
     from ocr_model_ray.functions.dedup_algos import exact_dedup
     return exact_dedup(_docs(sf_dir))
@@ -205,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": rel.customers_without_orders,
         # documents: dedup + text analysis
         "docs_exact_dedup": _docs_exact_dedup,
+        "docs_deterministic_sample": _docs_sample,
         "docs_token_count": _docs_token_count,
         "docs_quality": _docs_quality,
         "docs_lang_id": _docs_lang_id,
@@ -392,6 +399,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dupes
             FROM documents GROUP BY md5(text)
+        """,
+        "docs_deterministic_sample": """
+            SELECT doc_id, text
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(text), 1, 1)) AS INTEGER) < 4
         """,
         "docs_token_count": """
             SELECT doc_id,

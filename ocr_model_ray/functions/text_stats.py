@@ -37,6 +37,19 @@ def md5_hex(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
 
 
+def deterministic_sample_batch(df: pd.DataFrame, hex_digits: int = 1,
+                               keep_below: int = 4,
+                               text_col: str = "text") -> pd.DataFrame:
+    """Deterministic content-hash sampling: keep rows whose md5(text)
+    first ``hex_digits`` hex value < ``keep_below`` (defaults: first
+    nibble < 4 = a reproducible 25% sample). Shuffle-free, engine-
+    independent (the SQL oracle computes the identical predicate), and
+    stable across reruns/partitionings — the property a training-data
+    downsampler needs."""
+    h = md5_hex(df[text_col]).str[:hex_digits].apply(int, base=16)
+    return df[h < keep_below]
+
+
 def token_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Whitespace token count — matches SQL
     ``len(regexp_split_to_array(trim(text),'\\s+'))`` with empty guard."""
