@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_week": rel.events_sliding_week,
         "events_top_users_per_type": rel.events_top_users_per_type,
         "events_asof_last_click": rel.events_asof_last_click,
+        "events_session_ids": rel.events_session_ids,
         "customers_without_orders": rel.customers_without_orders,
         # documents: dedup + text analysis
         "docs_exact_dedup": _docs_exact_dedup,
@@ -368,6 +369,19 @@ def oracle_sql() -> dict[str, str]:
                         AND e.ts < d.day + INTERVAL 1 DAY
                        GROUP BY e.event_type, d.day)
             SELECT event_type, day, n_week FROM w
+        """,
+        "events_session_ids": """
+            SELECT event_id, user_id,
+                   CAST(1 + sum(CASE WHEN gap > INTERVAL 30 MINUTE
+                                     THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_idx
+            FROM (SELECT event_id, user_id, ts,
+                         ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS gap
+                  FROM events)
         """,
         "events_asof_last_click": """
             SELECT e.event_id, e.user_id, e.ts,

@@ -490,6 +490,26 @@ def events_sliding_week(sf_dir: str) -> pd.DataFrame:
                          "n_week": pd.Series(out_n, dtype="int64")})
 
 
+def events_session_ids(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Per-event session assignment: session_idx = running count of
+    >30-min gaps before this event within the user (1-based). The
+    windowed-row twin of events_sessions — every event gets its
+    session id, SQL-checkable with a window cumulative sum."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        new_session = (g["ts"].diff() > gap).astype("int64")
+        g = g.assign(session_idx=1 + new_session.cumsum())
+        return g[["event_id", "user_id", "session_idx"]]
+
+    out = ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas").to_pandas()
+    out["session_idx"] = out["session_idx"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def events_asof_last_click(sf_dir: str, click_type: str = "click") -> pd.DataFrame:
     """As-of join (ray_guide pattern): for every event, the ts of the
     same user's most recent ``click_type`` event at-or-before it —

@@ -91,6 +91,32 @@ class TestGoldensT2:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestSkew:
+    def test_giant_blobs_stream_under_tiny_block_budget(self, t1_pages_dir):
+        """Skew guard: with a 4 MiB target block size the 50-200x giant
+        payloads must still stream through (dynamic block splitting
+        isolates them) and their extraction stays byte-identical."""
+        from ray.data import DataContext
+        ctx = DataContext.get_current()
+        old = ctx.target_max_block_size
+        try:
+            ctx.target_max_block_size = 4 * 1024 * 1024
+            out = canonical(dataset_to_table(extract_pipeline(t1_pages_dir)))
+        finally:
+            ctx.target_max_block_size = old
+        golden = load_golden("t1")
+        got = dict(zip(out["url"].to_pylist(),
+                       out["extracted_text"].to_pylist()))
+        want = dict(zip(golden["url"].to_pylist(),
+                        golden["extracted_text"].to_pylist()))
+        giants = [u for u in want if "giant-blob" in u]
+        assert giants
+        for u in giants:
+            assert got[u] == want[u]
+        assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestExplodes:
     def test_rows_regions_tables_consistent(self, t1_pages_dir):
         ex = extract_pipeline(t1_pages_dir)
