@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_customer_counts": rel.nation_customer_counts,
         "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
         "region_nation_union_count": rel.region_nation_union_count,
+        "nations_without_suppliers": rel.nations_without_suppliers,
         "docs_lang_stats": rel.docs_lang_stats,
         "events_daily": rel.events_daily,
         "events_user_stats": rel.events_user_stats,
@@ -309,6 +310,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "nations_without_suppliers": """
+            SELECT n_nationkey, n_name FROM nation
+            WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
         """,
         "region_nation_union_count": """
             SELECT count(*) AS n_names FROM (

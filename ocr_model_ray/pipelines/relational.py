@@ -360,6 +360,21 @@ def distinct_suppliers_per_flag(sf_dir: str) -> pd.DataFrame:
             .map_groups(per_flag, batch_format="pandas").to_pandas())
 
 
+def nations_without_suppliers(sf_dir: str) -> pd.DataFrame:
+    """Set difference (EXCEPT shape): nations no supplier is based in —
+    broadcast anti-filter on the supplier nation-key set."""
+    import pyarrow.parquet as pq
+    skeys = pq.read_table(_pq(sf_dir, "supplier"),
+                          columns=["s_nationkey"])["s_nationkey"].combine_chunks()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    out = broadcast_semi_filter(nat, skeys.unique(), on="n_nationkey",
+                                anti=True).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"n_nationkey": pd.Series([], dtype="int32"),
+                            "n_name": pd.Series([], dtype="object")})
+    return out.sort_values("n_nationkey").reset_index(drop=True)
+
+
 def region_nation_union_count(sf_dir: str) -> pd.DataFrame:
     """Set-op surface: UNION ALL of two name projections, counted."""
     reg = _read(sf_dir, "region", ["r_name"]).map_batches(
