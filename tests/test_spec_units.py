@@ -182,6 +182,21 @@ def test_html_table_cells_with_colspan():
     assert cells[(1, 0)] == "wide" and cells[(1, 2)] == "x"
 
 
+def test_html_nested_tables_flatten_deterministically():
+    # Frozen behavior: inner-table rows flatten into the outer table
+    # (one grid row per <tr> regardless of nesting). Pinned so a future
+    # parser change cannot silently alter goldens.
+    html = (b"<html><body><table>"
+            b"<tr><td>outer1</td><td><table><tr><td>inner1</td></tr></table></td></tr>"
+            b"<tr><td>outer2</td></tr></table></body></html>")
+    doc = extract_html(html)
+    assert len(doc.tables) == 1
+    t = doc.tables[0]
+    assert t.n_rows == 3
+    texts = [tx for (_r, _c, tx, _cf) in t.cells]
+    assert "outer1" in texts and "inner1" in texts and "outer2" in texts
+
+
 # --- assembly: spans, page joins, rows (document_processor.py:474-488) ------
 def test_pdf_page_join_and_spans():
     pages = [{"width": 100, "height": 100,
