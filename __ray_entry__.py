@@ -238,25 +238,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB; views pre-registered per testdata table)
 # ---------------------------------------------------------------------------
+#: exact integer-cent revenue grid — matches relational._disc_rev_cents
+#: bit-for-bit: every money column is 2-dp, so round(x*100) is the exact
+#: integer and int sums are order-independent (no float-partial flakes)
+_REV_C = ("CAST(round(l_extendedprice*100) AS BIGINT)"
+          " * (100 - CAST(round(l_discount*100) AS BIGINT))")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
-        "q1_pricing_summary": """
+        "q1_pricing_summary": f"""
+            WITH g AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+                       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS base_c,
+                       CAST(sum({_REV_C}) AS BIGINT) AS disc_price_c,
+                       CAST(sum({_REV_C}
+                            * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS charge_c,
+                       CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS disc_c,
+                       count(*) AS count_order
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+                GROUP BY l_returnflag, l_linestatus)
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(sum(l_quantity), 2) / count(*) AS avg_qty,
-                   round(sum(l_extendedprice), 2) / count(*) AS avg_price,
-                   round(sum(l_discount), 2) / count(*) AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus
+                   qty * 1.0 AS sum_qty,
+                   base_c / 100.0 AS sum_base_price,
+                   disc_price_c / 10000.0 AS sum_disc_price,
+                   charge_c / 1000000.0 AS sum_charge,
+                   (qty * 1.0) / count_order AS avg_qty,
+                   (base_c / 100.0) / count_order AS avg_price,
+                   (disc_c / 100.0) / count_order AS avg_disc,
+                   count_order
+            FROM g
         """,
-        "q3_top_orders": """
+        "q3_top_orders": f"""
             SELECT l_orderkey AS o_orderkey, o_orderdate,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(sum({_REV_C}) AS BIGINT) / 10000.0 AS revenue
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -264,11 +281,11 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1998-03-15'
               AND l_shipdate > TIMESTAMP '1998-03-15'
             GROUP BY l_orderkey, o_orderdate
-            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+            ORDER BY sum({_REV_C}) DESC, l_orderkey
             LIMIT 10
         """,
-        "q5_region_revenue": """
-            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        "q5_region_revenue": f"""
+            SELECT n_name, CAST(sum({_REV_C}) AS BIGINT) / 10000.0 AS revenue
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
@@ -277,27 +294,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "q6_forecast_revenue": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                            * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+                   / 10000.0 AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
         """,
-        "q10_returned_revenue": """
+        "q10_returned_revenue": f"""
             SELECT c_custkey, c_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(sum({_REV_C}) AS BIGINT) / 10000.0 AS revenue
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
             WHERE l_returnflag = 'R'
             GROUP BY c_custkey, c_name
-            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+            ORDER BY sum({_REV_C}) DESC, c_custkey
             LIMIT 20
         """,
-        "supplier_revenue": """
+        "supplier_revenue": f"""
             SELECT s_name, count(*) AS n_items,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(sum({_REV_C}) AS BIGINT) / 10000.0 AS revenue
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name
         """,
@@ -334,7 +353,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mktsegment_stats": """
             SELECT c_mktsegment, count(*) AS n_customers,
-                   round(sum(c_acctbal), 2) / count(*) AS avg_acctbal
+                   (CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                    / 100.0) / count(*) AS avg_acctbal
             FROM customer GROUP BY c_mktsegment
         """,
         "order_priority_counts": """
@@ -346,13 +366,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_daily": """
             SELECT event_type, date_trunc('day', ts) AS day,
-                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS sum_value
             FROM events GROUP BY event_type, date_trunc('day', ts)
         """,
         "events_user_stats": """
             SELECT user_id, count(*) AS n_events,
                    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
-                   round(sum(value), 2) AS sum_value
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS sum_value
             FROM events GROUP BY user_id
         """,
         "events_sessions": """

@@ -40,6 +40,32 @@ def _round(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
     return df
 
 
+# --- exact money arithmetic -------------------------------------------------
+# Every money column in the testdata sits on a 2-dp grid (measured max
+# grid error ~1e-9), so round(x*100) IS the exact integer-cent value.
+# Summing cents in int64 is associative: partial-aggregation order
+# (batch boundaries, parallelism) can never flip a rounded total the way
+# float partial sums can (the round-1 supplier_revenue half-cent flake —
+# VERDICT.md "What's wrong" #1). The final int/10^k division is one
+# deterministic IEEE op, bit-identical to the DuckDB oracle's identical
+# integer expression. Exactness bound: |sum| < 2^63, i.e. ~9e18 —
+# charge-grid rows are ~1e11, so good to ~9e7 lineitems per group; at
+# larger scale split into (overflow-counted) hi/lo accumulators.
+_INT100 = pa.scalar(100, pa.int64())
+
+
+def _cents(arr) -> pa.ChunkedArray:
+    """Exact integer grid: round(x*100) as int64."""
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+
+
+def _disc_rev_cents(t: pa.Table) -> pa.ChunkedArray:
+    """l_extendedprice*(1-l_discount) on the 1e-4 grid:
+    price_cents * (100 - discount_hundredths), int64-exact."""
+    return pc.multiply(_cents(t["l_extendedprice"]),
+                       pc.subtract(_INT100, _cents(t["l_discount"])))
+
+
 # ---------------------------------------------------------------------------
 # q1: pricing summary (TPC-H Q1 shape) — partial agg per batch, tiny shuffle
 # ---------------------------------------------------------------------------
@@ -52,53 +78,55 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
         if batch.num_rows == 0:
-            return pa.table({c: [] for c in
-                             ["l_returnflag", "l_linestatus", "sum_qty",
-                              "sum_base_price", "sum_disc_price", "sum_charge",
-                              "sum_disc", "n"]},
-                            schema=_Q1_PARTIAL_SCHEMA)
-        disc_price = pc.multiply(batch["l_extendedprice"],
-                                 pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        charge = pc.multiply(disc_price,
-                             pc.add(pa.scalar(1.0), batch["l_tax"]))
-        t = (batch.select(["l_returnflag", "l_linestatus", "l_quantity",
-                           "l_extendedprice", "l_discount"])
-             .append_column("disc_price", disc_price)
-             .append_column("charge", charge))
+            return _Q1_PARTIAL_SCHEMA.empty_table()
+        price_c = _cents(batch["l_extendedprice"])
+        disc_h = _cents(batch["l_discount"])
+        tax_h = _cents(batch["l_tax"])
+        qty_i = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+        disc_price_c = pc.multiply(price_c, pc.subtract(_INT100, disc_h))
+        charge_c = pc.multiply(disc_price_c, pc.add(_INT100, tax_h))
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "l_linestatus": batch["l_linestatus"],
+                      "qty": qty_i, "base_c": price_c,
+                      "disc_price_c": disc_price_c, "charge_c": charge_c,
+                      "disc_c": disc_h})
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
-            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
-            ("disc_price", "sum"), ("charge", "sum"),
-            ("l_discount", "sum"), ("l_quantity", "count")])
-        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
-                                 "sum_base_price", "sum_disc_price",
-                                 "sum_charge", "sum_disc", "n"])
+            ("qty", "sum"), ("base_c", "sum"), ("disc_price_c", "sum"),
+            ("charge_c", "sum"), ("disc_c", "sum"), ("qty", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "qty",
+                                 "base_c", "disc_price_c", "charge_c",
+                                 "disc_c", "n"])
 
     from ray.data.aggregate import Sum
     partials = ds.map_batches(partial, batch_format="pyarrow")
     final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_price", alias_name="sum_base_price"),
-        Sum("sum_disc_price", alias_name="sum_disc_price"),
-        Sum("sum_charge", alias_name="sum_charge"),
-        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("qty", alias_name="qty"),
+        Sum("base_c", alias_name="base_c"),
+        Sum("disc_price_c", alias_name="disc_price_c"),
+        Sum("charge_c", alias_name="charge_c"),
+        Sum("disc_c", alias_name="disc_c"),
         Sum("n", alias_name="count_order"),
     ).to_pandas()
-    # bit-stable averages: round(sum, 2) / count is the identical IEEE
-    # division on both engines (rounding an average directly can land on
-    # .xxxx5 midpoints when count divides the money grid — flaky hashes)
-    final = _round(final, {"sum_qty": 2, "sum_base_price": 2,
-                           "sum_disc_price": 2, "sum_charge": 2, "sum_disc": 2})
+    # exact-grid emits: one IEEE division per column, identical to the
+    # oracle's CAST(int_sum AS BIGINT)/10^k expression
+    final["sum_qty"] = final["qty"].astype("int64") * 1.0
+    final["sum_base_price"] = final["base_c"].astype("int64") / 100.0
+    final["sum_disc_price"] = final["disc_price_c"].astype("int64") / 10000.0
+    final["sum_charge"] = final["charge_c"].astype("int64") / 1000000.0
     final["avg_qty"] = final["sum_qty"] / final["count_order"]
     final["avg_price"] = final["sum_base_price"] / final["count_order"]
-    final["avg_disc"] = final["sum_disc"] / final["count_order"]
-    return final.drop(columns=["sum_disc"])
+    final["avg_disc"] = (final["disc_c"].astype("int64") / 100.0) \
+        / final["count_order"]
+    return final[["l_returnflag", "l_linestatus", "sum_qty",
+                  "sum_base_price", "sum_disc_price", "sum_charge",
+                  "avg_qty", "avg_price", "avg_disc", "count_order"]]
 
 
 _Q1_PARTIAL_SCHEMA = pa.schema([
     ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
-    ("sum_qty", pa.float64()), ("sum_base_price", pa.float64()),
-    ("sum_disc_price", pa.float64()), ("sum_charge", pa.float64()),
-    ("sum_disc", pa.float64()), ("n", pa.int64()),
+    ("qty", pa.int64()), ("base_c", pa.int64()),
+    ("disc_price_c", pa.int64()), ("charge_c", pa.int64()),
+    ("disc_c", pa.int64()), ("n", pa.int64()),
 ])
 
 
@@ -128,32 +156,31 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
     def line_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(date, pa.timestamp("us"))))
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_c": _disc_rev_cents(t)})
 
     line = line.map_batches(line_prep, batch_format="pyarrow")
 
     # pre-aggregate revenue per orderkey BEFORE the join: the join then
     # shuffles one narrow row per orderkey instead of every lineitem
     def partial_rev(t: pa.Table) -> pa.Table:
-        return t.group_by("l_orderkey").aggregate([("rev", "sum")]) \
-                .rename_columns(["l_orderkey", "rev"])
+        return t.group_by("l_orderkey").aggregate([("rev_c", "sum")]) \
+                .rename_columns(["l_orderkey", "rev_c"])
 
     from ray.data.aggregate import Sum
     revs = (line.map_batches(partial_rev, batch_format="pyarrow")
-            .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue")))
+            .groupby("l_orderkey").aggregate(Sum("rev_c", alias_name="rev_c")))
     orders = orders.map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_custkey", "o_orderdate"]),
         batch_format="pyarrow")
 
-    joined = hash_bucket_join(revs, orders, on="l_orderkey", num_buckets=16)
+    joined = hash_bucket_join(revs, orders, on="l_orderkey", num_buckets=64)
     from ..functions.topk import topk
-    top = topk(joined, ["revenue", "l_orderkey"], k=10,
+    top = topk(joined, ["rev_c", "l_orderkey"], k=10,
                descending=[True, False])
     top = top.rename(columns={"l_orderkey": "o_orderkey"})
-    top = top[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
-    return _round(top, {"revenue": 2})
+    top["revenue"] = top["rev_c"].astype("int64") / 10000.0
+    return top[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -179,20 +206,19 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
     # one row per supplier per batch, and the dim join happens on the
     # (tiny) aggregate — never on raw lineitem rows
     def prep(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        g = (pa.table({"s_suppkey": t["l_suppkey"], "rev": rev})
-             .group_by("s_suppkey").aggregate([("rev", "sum")]))
-        return g.rename_columns(["s_suppkey", "rev"])
+        g = (pa.table({"s_suppkey": t["l_suppkey"], "rev_c": _disc_rev_cents(t)})
+             .group_by("s_suppkey").aggregate([("rev_c", "sum")]))
+        return g.rename_columns(["s_suppkey", "rev_c"])
 
     from ray.data.aggregate import Sum
     per_supp = (line.map_batches(prep, batch_format="pyarrow")
                 .groupby("s_suppkey")
-                .aggregate(Sum("rev", alias_name="rev")).to_pandas())
+                .aggregate(Sum("rev_c", alias_name="rev_c")).to_pandas())
     out = (per_supp.merge(dim_pd, on="s_suppkey")
            .groupby("n_name", as_index=False, sort=True)
-           .agg(revenue=("rev", "sum")))
-    return _round(out, {"revenue": 2})
+           .agg(rev_c=("rev_c", "sum")))
+    out["revenue"] = out["rev_c"].astype("int64") / 10000.0
+    return out[["n_name", "revenue"]]
 
 
 # ---------------------------------------------------------------------------
@@ -210,12 +236,16 @@ def top_orders_by_price(sf_dir: str, k: int = 20) -> pd.DataFrame:
 def mktsegment_stats(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
     ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"c_mktsegment": t["c_mktsegment"],
+                            "bal_c": _cents(t["c_acctbal"])}),
+        batch_format="pyarrow")
     out = ds.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_customers"),
-        Sum("c_acctbal", alias_name="sum_acctbal")).to_pandas()
-    out = _round(out, {"sum_acctbal": 2})
-    out["avg_acctbal"] = out["sum_acctbal"] / out["n_customers"]
-    return out.drop(columns=["sum_acctbal"])
+        Sum("bal_c", alias_name="bal_c")).to_pandas()
+    out["avg_acctbal"] = (out["bal_c"].astype("int64") / 100.0) \
+        / out["n_customers"]
+    return out.drop(columns=["bal_c"])
 
 
 def order_priority_counts(sf_dir: str) -> pd.DataFrame:
@@ -247,13 +277,14 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
                             pc.less_equal(t["l_discount"], pa.scalar(0.07))),
                     pc.less(t["l_quantity"], pa.scalar(24.0))))
         t = t.filter(mask)
-        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
-        return pa.table({"rev": pa.array([rev], pa.float64())})
+        rev_c = pc.sum(pc.multiply(_cents(t["l_extendedprice"]),
+                                   _cents(t["l_discount"]))).as_py() or 0
+        return pa.table({"rev_c": pa.array([rev_c], pa.int64())})
 
     from ray.data.aggregate import Sum
     total = (ds.map_batches(partial, batch_format="pyarrow")
-             .aggregate(Sum("rev", alias_name="revenue")))
-    return pd.DataFrame({"revenue": [round(total["revenue"], 2)]})
+             .aggregate(Sum("rev_c", alias_name="rev_c")))
+    return pd.DataFrame({"revenue": [int(total["rev_c"]) / 10000.0]})
 
 
 def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
@@ -265,11 +296,9 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["l_returnflag"], "R"))
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        g = (pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
-             .group_by("l_orderkey").aggregate([("rev", "sum")]))
-        return g.rename_columns(["l_orderkey", "rev"])
+        g = (pa.table({"l_orderkey": t["l_orderkey"], "rev_c": _disc_rev_cents(t)})
+             .group_by("l_orderkey").aggregate([("rev_c", "sum")]))
+        return g.rename_columns(["l_orderkey", "rev_c"])
 
     from ray.data.aggregate import Sum
     # no global pre-groupby: per-batch partials go straight into the
@@ -279,26 +308,25 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
         batch_format="pyarrow")
-    joined = hash_bucket_join(revs, orders, on="l_orderkey", num_buckets=16)
+    joined = hash_bucket_join(revs, orders, on="l_orderkey", num_buckets=64)
 
-    def partial_cust(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("o_custkey", as_index=False)["rev"].sum()
-        return pa.table({"o_custkey": pa.array(g["o_custkey"].astype("int64")),
-                         "rev": pa.array(g["rev"].astype(float))})
+    def partial_cust(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("rev_c", "sum")])
+        return g.rename_columns(["o_custkey", "rev_c"])
 
-    per_cust = (joined.map_batches(partial_cust, batch_format="pandas")
-                .groupby("o_custkey").aggregate(Sum("rev", alias_name="revenue")))
+    per_cust = (joined.map_batches(partial_cust, batch_format="pyarrow")
+                .groupby("o_custkey").aggregate(Sum("rev_c", alias_name="rev_c")))
     import pyarrow.parquet as pq
     cust = pq.read_table(_pq(sf_dir, "customer"),
                          columns=["c_custkey", "c_name"]).to_pandas()
     named = broadcast_join(
-        per_cust.map_batches(lambda t: t.rename_columns(["c_custkey", "revenue"]),
+        per_cust.map_batches(lambda t: t.rename_columns(["c_custkey", "rev_c"]),
                              batch_format="pyarrow"),
         cust, on="c_custkey")
     from ..functions.topk import topk
-    top = topk(named, ["revenue", "c_custkey"], k=k, descending=[True, False])
-    top = _round(top[["c_custkey", "c_name", "revenue"]], {"revenue": 2})
-    return top.reset_index(drop=True)
+    top = topk(named, ["rev_c", "c_custkey"], k=k, descending=[True, False])
+    top["revenue"] = top["rev_c"].astype("int64") / 10000.0
+    return top[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
 
 
 def supplier_revenue(sf_dir: str) -> pd.DataFrame:
@@ -310,21 +338,20 @@ def supplier_revenue(sf_dir: str) -> pd.DataFrame:
     line = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
 
     def prep(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        g = (pa.table({"s_suppkey": t["l_suppkey"], "rev": rev})
+        g = (pa.table({"s_suppkey": t["l_suppkey"], "rev_c": _disc_rev_cents(t)})
              .group_by("s_suppkey")
-             .aggregate([("rev", "sum"), ("rev", "count")]))
-        return g.rename_columns(["s_suppkey", "rev", "n"])
+             .aggregate([("rev_c", "sum"), ("rev_c", "count")]))
+        return g.rename_columns(["s_suppkey", "rev_c", "n"])
 
     from ray.data.aggregate import Sum
     per_supp = (line.map_batches(prep, batch_format="pyarrow")
                 .groupby("s_suppkey")
-                .aggregate(Sum("rev", alias_name="revenue"),
+                .aggregate(Sum("rev_c", alias_name="rev_c"),
                            Sum("n", alias_name="n_items")).to_pandas())
-    out = per_supp.merge(sup, on="s_suppkey")[["s_name", "n_items", "revenue"]]
+    out = per_supp.merge(sup, on="s_suppkey")[["s_name", "n_items", "rev_c"]]
     out["n_items"] = out["n_items"].astype("int64")
-    return _round(out, {"revenue": 2})
+    out["revenue"] = out["rev_c"].astype("int64") / 10000.0
+    return out[["s_name", "n_items", "revenue"]]
 
 
 def nation_customer_counts(sf_dir: str) -> pd.DataFrame:
@@ -448,26 +475,30 @@ def events_daily(sf_dir: str) -> pd.DataFrame:
     def add_day(t: pa.Table) -> pa.Table:
         day = pc.floor_temporal(t["ts"], unit="day")
         return pa.table({"event_type": t["event_type"], "day": day,
-                         "value": t["value"]})
+                         "value_c": _cents(t["value"])})
 
     from ray.data.aggregate import Count, Sum
     out = (ds.map_batches(add_day, batch_format="pyarrow")
            .groupby(["event_type", "day"])
            .aggregate(Count(alias_name="n_events"),
-                      Sum("value", alias_name="sum_value"))
+                      Sum("value_c", alias_name="value_c"))
            .to_pandas())
-    return _round(out, {"sum_value": 2})
+    out["sum_value"] = out["value_c"].astype("int64") / 100.0
+    return out.drop(columns=["value_c"])
 
 
 def events_user_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        # exact-cents sum: associative int addition, /100.0 matches the
+        # oracle's identical integer expression bit-for-bit
+        value_c = int((g["value"] * 100).round().astype("int64").sum())
         return pd.DataFrame({
             "user_id": [g["user_id"].iloc[0]],
             "n_events": [len(g)],
             "n_types": [g["event_type"].nunique()],
-            "sum_value": [round(g["value"].sum(), 2)],
+            "sum_value": [value_c / 100.0],
         })
 
     return ds.groupby("user_id").map_groups(
