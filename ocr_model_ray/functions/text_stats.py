@@ -129,11 +129,11 @@ def _gram_hashes(text: str, k: int) -> np.ndarray:
         windows = data[None, :]
     else:
         windows = np.lib.stride_tricks.sliding_window_view(data, k)
-    powers = np.empty(windows.shape[1], dtype=np.uint64)
-    powers[-1] = np.uint64(1)
-    for j in range(windows.shape[1] - 2, -1, -1):
-        powers[j] = powers[j + 1] * _ROLL_BASE
-    with np.errstate(over="ignore"):
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        powers = np.empty(windows.shape[1], dtype=np.uint64)
+        powers[-1] = np.uint64(1)
+        for j in range(windows.shape[1] - 2, -1, -1):
+            powers[j] = powers[j + 1] * _ROLL_BASE
         h = (windows.astype(np.uint64) * powers[None, :]).sum(
             axis=1, dtype=np.uint64)
         h = (h ^ (h >> np.uint64(33))) * _HASH_MULT

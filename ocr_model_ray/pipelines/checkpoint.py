@@ -46,17 +46,25 @@ def run_resumable(paths: str | Sequence[str], out_dir: str,
     done_before = mf.done_partitions(out_dir)
     cleaned = mf.clean_partial(out_dir)
 
-    ds = extract_pipeline(paths, cfg)
-    ds = ds.map_batches(lambda b: mf.add_partition_column(b, num_partitions),
-                        batch_format="pyarrow")
+    # drop done partitions from the RAW pages dataset, before derive /
+    # dedup / extract: part_id = crc32(url) % P depends only on url, so
+    # a resume skips the expensive work, not just the write (ADVICE
+    # round 1, medium). The filter fuses with the read.
+    pages_transform = None
     if done_before:
         done_arr = pa.array(sorted(done_before), pa.int32())
 
         def _drop_done(batch: pa.Table) -> pa.Table:
-            mask = pc.invert(pc.is_in(batch["part_id"], value_set=done_arr))
+            pids = mf.partition_ids(batch["url"], num_partitions)
+            mask = pc.invert(pc.is_in(pids, value_set=done_arr))
             return batch.filter(mask)
 
-        ds = ds.map_batches(_drop_done, batch_format="pyarrow")
+        def pages_transform(pages):  # noqa: F811 — conditional def
+            return pages.map_batches(_drop_done, batch_format="pyarrow")
+
+    ds = extract_pipeline(paths, cfg, pages_transform=pages_transform)
+    ds = ds.map_batches(lambda b: mf.add_partition_column(b, num_partitions),
+                        batch_format="pyarrow")
     if drop_nested:
         from .extract_pipeline import SUMMARY_COLUMNS
         ds = ds.select_columns(SUMMARY_COLUMNS + ["part_id"])
@@ -69,7 +77,10 @@ def run_resumable(paths: str | Sequence[str], out_dir: str,
     if os.path.isdir(ddir):
         for name in os.listdir(ddir):
             if name.startswith("part_id="):
-                pid = int(name.split("=", 1)[1])
+                try:
+                    pid = int(name.split("=", 1)[1])
+                except ValueError:  # stray/hive-default dir — skip
+                    continue
                 if pid not in done_before:
                     written.append(pid)
     rows = 0

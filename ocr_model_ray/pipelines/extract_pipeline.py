@@ -59,18 +59,27 @@ class ExtractConfig:
 
 
 def derived_pages(paths: str | Sequence[str],
-                  num_blocks: Optional[int] = None) -> rd.Dataset:
-    """pages corpus with derived columns (content_hash/mime/size)."""
+                  num_blocks: Optional[int] = None,
+                  pages_transform=None) -> rd.Dataset:
+    """pages corpus with derived columns (content_hash/mime/size).
+
+    ``pages_transform(ds) -> ds`` runs on the RAW pages dataset, before
+    any derived work — resumable runs drop already-done partitions here
+    so a resume skips the expensive stages, not just the write."""
     kwargs = {} if num_blocks is None else {"override_num_blocks": num_blocks}
     ds = read_pages(paths, **kwargs)
+    if pages_transform is not None:
+        ds = pages_transform(ds)
     return ds.map_batches(derive_batch, batch_format="pyarrow")
 
 
 def extract_pipeline(paths: str | Sequence[str],
-                     cfg: ExtractConfig | None = None) -> rd.Dataset:
+                     cfg: ExtractConfig | None = None,
+                     pages_transform=None) -> rd.Dataset:
     """Build the lazy `extracted` Dataset for a pages corpus."""
     cfg = cfg or ExtractConfig()
-    ds = derived_pages(paths, num_blocks=cfg.num_blocks)
+    ds = derived_pages(paths, num_blocks=cfg.num_blocks,
+                       pages_transform=pages_transform)
     if cfg.dedup:
         ds = distinct_by_hash(ds)
     kwargs = dict(batch_format="pyarrow", batch_size=cfg.batch_size,

@@ -517,7 +517,12 @@ def extract_pdf(payload: bytes, max_pages: int = 0) -> DocOut:
             if text.strip() == "":
                 continue  # whitespace-only span skip (pdf_processor.py:61-63)
             toks.append(token(text, s[1], s[2], s[3], s[4], 1.0))
-        is_scanned = len(toks) == 0 and page.get("image") is not None
+        # classify on RAW span presence (pdf_processor.py:34-45: ANY
+        # span, even whitespace-only, marks the page digital); the
+        # whitespace-only skip above applies only to the span WALK
+        # (pdf_processor.py:61-63). A page of only-whitespace spans plus
+        # an image is digital-with-empty-text, not OCR'd.
+        is_scanned = len(spans) == 0 and page.get("image") is not None
         if is_scanned:
             any_scanned = True
             img = base64.b64decode(page["image"])

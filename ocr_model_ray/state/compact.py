@@ -23,33 +23,59 @@ from . import manifest as mf
 
 
 def compact_partition(out_dir: str, part_id: int) -> dict:
-    """Merge one partition's fragments into part-<id>-compact.parquet."""
+    """Merge one partition's fragments into part-<id>-compact.parquet.
+
+    Crash-safe at every interleaving (ADVICE round 1, high):
+    * the compact file is NEVER an input to the merge — a rerun after a
+      crash mid-fragment-deletion must not double-count rows already
+      in the compact file and then destroy the only complete copy;
+    * if an existing compact file alone already matches the manifest,
+      the leftover fragments are stale duplicates from such a crash —
+      delete them and finish (resume path);
+    * the merged table is verified against the manifest BEFORE
+      os.replace, so a bad merge never overwrites anything.
+    """
     pdir = mf.data_path(out_dir, part_id)
-    frags = [f for f in sorted(os.listdir(pdir)) if f.endswith(".parquet")]
     compact_name = f"part-{part_id}-compact.parquet"
-    if frags == [compact_name]:
-        return {"partition": part_id, "status": "already-compact"}
+    frags = [f for f in sorted(os.listdir(pdir))
+             if f.endswith(".parquet") and f != compact_name]
+    with open(mf.manifest_path(out_dir, part_id)) as f:
+        m = json.load(f)
+
+    compact_path = os.path.join(pdir, compact_name)
+    if os.path.exists(compact_path):
+        # a previous compact completed (or crashed mid-cleanup): if the
+        # compact file ALONE matches the manifest it is the complete
+        # copy — just remove the stale fragments
+        existing = pq.read_table(compact_path, columns=["url"])
+        if existing.num_rows == m["row_count"]:
+            for f in frags:
+                os.remove(os.path.join(pdir, f))
+            return {"partition": part_id,
+                    "status": "already-compact" if not frags
+                    else "resumed-cleanup",
+                    "fragments_merged": 0, "rows": existing.num_rows}
+        # half-written/garbage compact file with no manifest backing:
+        # the fragments are the source of truth — rebuild from them
+        os.remove(compact_path)
+
+    if not frags:
+        raise RuntimeError(
+            f"partition {part_id}: no fragments and no valid compact file")
 
     table = pa.concat_tables(
         [pq.read_table(os.path.join(pdir, f)) for f in frags],
         promote_options="default")
+    # verify the MERGED TABLE against the manifest before touching disk
+    if table.num_rows != m["row_count"]:
+        raise RuntimeError(
+            f"partition {part_id}: fragment row count {table.num_rows} "
+            f"!= manifest {m['row_count']}; aborted (nothing modified)")
     tmp = os.path.join(pdir, f".{compact_name}.tmp")
     pq.write_table(table, tmp)
-    os.replace(tmp, os.path.join(pdir, compact_name))
-
-    # verify against the committed manifest BEFORE removing fragments
-    with open(mf.manifest_path(out_dir, part_id)) as f:
-        m = json.load(f)
-    facts = mf.summarize_partition(out_dir, part_id)
-    # fragments + compact file double-count until cleanup:
-    if facts["row_count"] != 2 * m["row_count"]:
-        os.remove(os.path.join(pdir, compact_name))
-        raise RuntimeError(
-            f"partition {part_id}: compact row count mismatch "
-            f"({facts['row_count']} != 2x{m['row_count']}); aborted")
+    os.replace(tmp, compact_path)
     for f in frags:
-        if f != compact_name:
-            os.remove(os.path.join(pdir, f))
+        os.remove(os.path.join(pdir, f))
     final = mf.summarize_partition(out_dir, part_id)
     assert final["row_count"] == m["row_count"]
     assert final["url_checksum"] == m["url_checksum"]

@@ -87,7 +87,10 @@ def clean_partial(out_dir: str) -> list[int]:
     for name in os.listdir(ddir):
         if not name.startswith("part_id="):
             continue
-        pid = int(name.split("=", 1)[1])
+        try:
+            pid = int(name.split("=", 1)[1])
+        except ValueError:  # hive default / stray dir — not ours to manage
+            continue
         if pid not in done:
             shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
             cleaned.append(pid)

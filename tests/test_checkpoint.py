@@ -62,6 +62,59 @@ def test_compaction_preserves_manifests(t1_pages_dir, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_compact_crash_mid_cleanup_loses_nothing(t1_pages_dir, tmp_path):
+    """ADVICE round-1 (high): a crash after os.replace but before all
+    fragments are deleted leaves compact file + stale fragments; the
+    re-run must NOT merge the compact file with the leftovers (double
+    count) and must NOT delete the only complete copy. Empirically a
+    14-row partition shrank to 2 rows under the old protocol."""
+    from ocr_model_ray.state.compact import compact_partition, compact_run
+    out = str(tmp_path / "out")
+    run_resumable(t1_pages_dir, out, num_partitions=4)
+    pid = sorted(mf.done_partitions(out))[0]
+    pdir = mf.data_path(out, pid)
+    # keep a pre-compaction fragment aside to replay as a stale leftover
+    frag = next(f for f in sorted(os.listdir(pdir)) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(pdir, frag), str(tmp_path / "stale.parquet"))
+    compact_run(out)
+    # simulate the crash: stale fragment reappears next to the compact file
+    shutil.copy(str(tmp_path / "stale.parquet"), os.path.join(pdir, frag))
+
+    res = compact_partition(out, pid)
+    assert res["status"] == "resumed-cleanup"
+    with open(mf.manifest_path(out, pid)) as f:
+        m = json.load(f)
+    facts = mf.summarize_partition(out, pid)
+    assert facts["row_count"] == m["row_count"]          # nothing lost
+    assert facts["url_checksum"] == m["url_checksum"]    # nothing duplicated
+    files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+    assert files == [f"part-{pid}-compact.parquet"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_filter_runs_on_raw_pages(t1_pages_dir):
+    """ADVICE round-1 (medium): the done-partition filter must run on the
+    RAW pages dataset — before derive/extract — so a resume skips the
+    expensive work. The transform sees pre-derive columns and an
+    all-dropping filter yields zero extracted rows (nothing reaches the
+    extract stage)."""
+    from ocr_model_ray.pipelines.extract_pipeline import extract_pipeline
+
+    def xform(pages):
+        def probe(b):
+            # raises inside the task (failing the run) if placed
+            # after derive: derive appends content_hash/mime
+            assert "html" in b.schema.names
+            assert "content_hash" not in b.schema.names
+            assert "mime" not in b.schema.names
+            return b.slice(0, 0)
+        return pages.map_batches(probe, batch_format="pyarrow")
+
+    ds = extract_pipeline(t1_pages_dir, pages_transform=xform)
+    assert ds.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_kill_and_resume(t1_pages_dir, tmp_path):
     out = str(tmp_path / "out")
     run_resumable(t1_pages_dir, out, num_partitions=P)
