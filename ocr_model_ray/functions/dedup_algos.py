@@ -2,24 +2,40 @@
 
 * ``exact_dedup`` — md5-hash groupby, keep min doc_id (SQL oracle).
 * ``minhash_lsh_candidates`` — shingle -> MinHash signature per batch,
-  explode to (band, band_hash) keys, groupby bands -> candidate pairs,
-  verify true n-gram Jaccard. The classic Broder/LSH pipeline, shaped
-  so each stage is a vectorized map or ONE shuffle over small key rows
-  (signatures, never full texts, move through the band shuffle).
+  explode to (band, band_hash) keys, groupby bands -> candidate pairs.
+  The classic Broder/LSH pipeline, shaped so each stage is a vectorized
+  map or ONE shuffle over small key rows (signatures, never full texts,
+  move through the band shuffle).
 * ``simhash_buckets`` — 64-bit SimHash, bucket by 16-bit sub-bands
   (docs within Hamming distance <=3 of each other share >=1 band).
 * ``ngram_jaccard`` — exact pairwise verify for a candidate list.
+* ``near_dup_pairs`` — the full scale-safe pipeline:
+    1. exact-dedup pre-pass: identical texts collapse to their min-id
+       representative BEFORE LSH (N identical docs would otherwise land
+       in the same band buckets and emit O(N^2) candidate pairs);
+       members attach to their rep as (rep, member, jaccard=1.0) edges
+       — N-1 edges, not N^2/2 pairs.
+    2. MinHash banding over representatives only (vectorized:
+       np.minimum.reduceat over the concatenated shingle arrays).
+    3. band-bucket pairing with a hard size cap (oversized buckets are
+       sampled + logged, never exploded).
+    4. DISTRIBUTED Jaccard verify: candidate texts never touch the
+       driver — each pair id is tagged to both endpoints, bucket-joined
+       with the (pre-filtered) corpus texts, and verified inside
+       groupby(pair_id).map_groups.
+* ``near_dup_clusters`` — connected components over verified pairs via
+  iterative groupby min-label propagation (no driver union-find).
 
 At 100 TB: texts stay in place; only (doc_id, band_hash) pairs —
-~tens of bytes/doc/band — shuffle. Candidate verification re-reads just
-the candidate docs (here: a broadcast of the candidate texts, since
-test corpora are small; at scale a bucket-join against the corpus).
+~tens of bytes/doc/band — shuffle, and only candidate-pair texts move
+through the verify join. The one driver-side structure is the candidate
+doc-ID SET (ints), used for the corpus semi-filter; swap in
+joins.bloom_semi_filter when even that set outgrows the driver.
 """
 
 from __future__ import annotations
 
-
-import zlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -28,11 +44,15 @@ import ray.data as rd
 
 from .text_stats import md5_hex
 
+log = logging.getLogger("ocr_model_ray.dedup")
+
 # MinHash parameters (frozen): 128 permutations, 16 bands x 8 rows.
 NUM_PERM = 128
 NUM_BANDS = 16
 ROWS_PER_BAND = NUM_PERM // NUM_BANDS
 _MERSENNE = (1 << 61) - 1
+#: band buckets larger than this are sampled, not exploded (O(n^2) guard)
+MAX_BUCKET = 64
 
 
 def _perm_params(num_perm: int = NUM_PERM, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -54,6 +74,7 @@ def shingles(text: str, n: int = 3) -> np.ndarray:
     Per-word crc32 (C speed), then the n-gram combine is a vectorized
     polynomial roll over the word-hash array — no per-shingle string
     join/encode. Returned sorted-unique for set-style consumers."""
+    import zlib
     words = text.split()
     if not words:
         return np.empty(0, dtype=np.uint64)
@@ -81,24 +102,86 @@ def minhash_signature(shingle_set) -> np.ndarray:
     return prods.min(axis=1)
 
 
-class MinHashWorker:
-    """Actor-pool stage: text -> per-band (band, band_hash) rows."""
+def _signatures_block(texts, ngram: int) -> np.ndarray:
+    """MinHash signatures for a block of texts in ONE vectorized pass:
+    all shingles concatenate into a single uint64 array, the (perm,
+    shingle) product matrix is computed once, and per-doc minima come
+    from np.minimum.reduceat over the doc offsets. Empty docs get the
+    all-Mersenne sentinel signature."""
+    sets = [shingles(t, ngram) for t in texts]
+    lens = np.array([len(s) for s in sets], dtype=np.int64)
+    out = np.full((len(sets), NUM_PERM), np.uint64(_MERSENNE), dtype=np.uint64)
+    nonempty = np.flatnonzero(lens)
+    if nonempty.size == 0:
+        return out
+    xs = np.concatenate([sets[i] for i in nonempty])
+    offsets = np.zeros(nonempty.size, dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+    with np.errstate(over="ignore"):
+        prods = (_A[:, None] * xs[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
+    out[nonempty] = np.minimum.reduceat(prods, offsets, axis=1).T
+    return out
 
-    def __init__(self, ngram: int = 3) -> None:
+
+def _band_hashes(sigs: np.ndarray) -> np.ndarray:
+    """(ndocs, NUM_BANDS) int64 band hashes: polynomial mix of each
+    band's 8 signature rows, fully vectorized (no per-doc crc32 loop)."""
+    bands = sigs.reshape(len(sigs), NUM_BANDS, ROWS_PER_BAND)
+    with np.errstate(over="ignore"):
+        h = np.zeros(bands.shape[:2], dtype=np.uint64)
+        for r in range(ROWS_PER_BAND):
+            h = h * _SHINGLE_P + bands[:, :, r]
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0x9E3779B97F4A7C15)
+    return h.view(np.int64)
+
+
+#: band id carrying the md5 exact-hash rows through the SAME shuffle as
+#: the LSH band rows (one read + one groupby serves both stages)
+EXACT_BAND = -1
+
+
+class MinHashWorker:
+    """Actor-pool stage: text -> per-band (band, band_hash) rows.
+    Signatures are computed in vectorized sub-blocks (bounded transient:
+    128 x total_shingles x 8B per block). With ``emit_exact`` each doc
+    also emits one (band=EXACT_BAND, band_hash=md5-derived) row, so the
+    exact-dup groupby rides the LSH shuffle for free."""
+
+    BLOCK = 64  # docs per vectorized signature block
+
+    def __init__(self, ngram: int = 3, emit_exact: bool = False) -> None:
         self.ngram = ngram
+        self.emit_exact = emit_exact
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, bands, bhashes = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = minhash_signature(shingles(text, self.ngram))
-            for band in range(NUM_BANDS):
-                chunk = sig[band * ROWS_PER_BAND:(band + 1) * ROWS_PER_BAND]
-                bh = zlib.crc32(chunk.tobytes())
-                doc_ids.append(doc_id)
-                bands.append(band)
-                bhashes.append(bh)
-        return pd.DataFrame({"doc_id": doc_ids, "band": bands,
-                             "band_hash": bhashes})
+        ids = df["doc_id"].to_numpy()
+        texts = df["text"].tolist()
+        bh_blocks = []
+        for lo in range(0, len(texts), self.BLOCK):
+            sigs = _signatures_block(texts[lo:lo + self.BLOCK], self.ngram)
+            bh_blocks.append(_band_hashes(sigs))
+        bh = np.concatenate(bh_blocks) if bh_blocks else \
+            np.empty((0, NUM_BANDS), dtype=np.int64)
+        n = len(ids)
+        out = pd.DataFrame({
+            "doc_id": np.repeat(ids, NUM_BANDS),
+            "band": np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
+            "band_hash": bh.reshape(-1),
+            "h2": np.zeros(n * NUM_BANDS, dtype=np.int64),
+        })
+        if self.emit_exact:
+            # full 128-bit md5 rides as two int64 keys (band_hash, h2) —
+            # a 64-bit prefix alone would collide at 10^12 docs
+            mh = md5_hex(df["text"])
+            eh = np.array([int(h[:16], 16) - (1 << 63) for h in mh],
+                          dtype=np.int64)
+            e2 = np.array([int(h[16:], 16) - (1 << 63) for h in mh],
+                          dtype=np.int64)
+            out = pd.concat([out, pd.DataFrame({
+                "doc_id": ids,
+                "band": np.full(n, EXACT_BAND, dtype=np.int32),
+                "band_hash": eh, "h2": e2})], ignore_index=True)
+        return out
 
 
 def exact_dedup(ds: rd.Dataset) -> rd.Dataset:
@@ -113,27 +196,101 @@ def exact_dedup(ds: rd.Dataset) -> rd.Dataset:
                                          Count(alias_name="n_dupes"))
 
 
+_EMPTY_EDGES = {"doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "exact": pd.Series([], dtype="bool")}
+
+
+def _band_pass(ds: rd.Dataset, ngram: int, max_bucket: int,
+               emit_exact: bool,
+               concurrency: int | tuple | None = None) -> pd.DataFrame:
+    """ONE read + ONE shuffle producing LSH candidate pairs and
+    (optionally) exact-dup (rep, member) edges in the same pass.
+
+    The groupby runs over ~128 COARSE buckets, not a map_groups per
+    (band, band_hash): Ray's per-group UDF overhead at millions of tiny
+    buckets costs 10x the shuffle itself. Same band bucket -> same
+    coarse bucket, so pairing inside the group is complete; singleton
+    band buckets (the vast majority) drop via one vectorized
+    duplicated() before any per-bucket python runs.
+
+    Exact groups (band == EXACT_BAND, keyed by full 128-bit md5) emit
+    every member against the min-id rep — O(N) rows, NEVER capped;
+    LSH buckets over ``max_bucket`` are capped + logged (O(n^2) guard).
+    """
+    # MinHashWorker holds no heavy state (the permutation table is a
+    # module constant), so default to stateless TASKS: an actor pool
+    # adds ~5s of process spin-up to the first call for no reuse win.
+    if concurrency is None:
+        band_rows = ds.map_batches(
+            MinHashWorker(ngram=ngram, emit_exact=emit_exact),
+            batch_format="pandas", batch_size=1024)
+    else:
+        band_rows = ds.map_batches(
+            MinHashWorker, batch_format="pandas", batch_size=1024,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"ngram": ngram, "emit_exact": emit_exact})
+
+    num_coarse = 128
+
+    def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["band_hash"].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            cb = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+                % np.uint64(num_coarse)
+        return df.assign(__cb=cb.astype(np.int32))
+
+    def pairs_in_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(["band", "band_hash", "h2"], keep=False)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        exact: list[np.ndarray] = []
+        for key, grp in g.groupby(["band", "band_hash", "h2"], sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            if key[0] == EXACT_BAND:
+                # full exact group: min-id rep adopts every member
+                out_a.append(np.full(len(ids) - 1, ids[0]))
+                out_b.append(ids[1:])
+                exact.append(np.ones(len(ids) - 1, dtype=bool))
+                continue
+            if len(ids) > max_bucket:
+                log.warning(
+                    "LSH bucket of %d docs capped to %d (band=%s): %d "
+                    "docs not paired in this band", len(ids), max_bucket,
+                    int(key[0]), len(ids) - max_bucket)
+                ids = ids[:max_bucket]
+            iu = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu[0]])
+            out_b.append(ids[iu[1]])
+            exact.append(np.zeros(len(iu[0]), dtype=bool))
+        if not out_a:
+            return pd.DataFrame(_EMPTY_EDGES)
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b),
+                             "exact": np.concatenate(exact)})
+
+    out = (band_rows.map_batches(add_coarse, batch_format="pandas")
+           .groupby("__cb")
+           .map_groups(pairs_in_coarse, batch_format="pandas").to_pandas())
+    if out.empty:
+        return pd.DataFrame(_EMPTY_EDGES)
+    return out.astype({"doc_a": "int64", "doc_b": "int64", "exact": "bool"})
+
+
 def minhash_lsh_candidates(ds: rd.Dataset, ngram: int = 3,
-                           concurrency: int | tuple = (2, 8)) -> pd.DataFrame:
+                           concurrency: int | tuple | None = None,
+                           max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
     """Candidate near-dup pairs from LSH banding. Returns a (small)
-    pandas frame of unique (doc_a, doc_b) with doc_a < doc_b."""
-    band_rows = ds.map_batches(MinHashWorker, batch_format="pandas",
-                               batch_size=1024, concurrency=concurrency,
-                               fn_constructor_kwargs={"ngram": ngram})
+    pandas frame of unique (doc_a, doc_b) with doc_a < doc_b.
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
-
-    cand = band_rows.groupby(["band", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pandas").to_pandas()
+    Band buckets larger than ``max_bucket`` are NOT exploded into
+    O(n^2) pairs: the sorted-id prefix is paired (deterministic) and
+    the drop is logged. Run the exact-dedup pre-pass first (see
+    near_dup_pairs) so identical texts can't create such buckets."""
+    cand = _band_pass(ds, ngram, max_bucket, emit_exact=False,
+                      concurrency=concurrency)[["doc_a", "doc_b"]]
     if cand.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64")})
@@ -143,7 +300,8 @@ def minhash_lsh_candidates(ds: rd.Dataset, ngram: int = 3,
 
 def ngram_jaccard(texts: dict[int, str], pairs: pd.DataFrame,
                   ngram: int = 3) -> pd.DataFrame:
-    """Exact Jaccard over word n-gram shingles for candidate pairs."""
+    """Exact Jaccard over word n-gram shingles for candidate pairs
+    (in-memory twin of the distributed verify; used by unit tests)."""
     cache: dict[int, np.ndarray] = {}
 
     def sh(doc_id: int) -> np.ndarray:
@@ -162,55 +320,204 @@ def ngram_jaccard(texts: dict[int, str], pairs: pd.DataFrame,
     return out
 
 
+_EMPTY_VERIFIED = {"doc_a": pd.Series([], dtype="int64"),
+                   "doc_b": pd.Series([], dtype="int64"),
+                   "jaccard": pd.Series([], dtype="float64")}
+
+
+def _verify_pairs_distributed(ds: rd.Dataset, cand: pd.DataFrame,
+                              ngram: int) -> pd.DataFrame:
+    """Exact-Jaccard verify WITHOUT driver text materialization, in ONE
+    shuffle: the (small, id-only) pair membership map broadcasts via
+    ray.put; a map over the semi-filtered corpus replicates each
+    candidate text once per pair membership, keyed by a COARSE pair
+    bucket; one groupby colocates both texts of every pair and the
+    Jaccard computes inside the group task (texts never touch the
+    driver). Per-block shingle cache amortizes docs in many pairs."""
+    import ray
+    from .joins import broadcast_semi_filter
+
+    n_pairs = len(cand)
+    num_coarse = 64
+    membership: dict[int, list[tuple[int, bool]]] = {}
+    for pid, (a, b) in enumerate(zip(cand["doc_a"].to_numpy(),
+                                     cand["doc_b"].to_numpy())):
+        membership.setdefault(int(a), []).append((pid, True))
+        membership.setdefault(int(b), []).append((pid, False))
+    needed = pa.array(sorted(membership), pa.int64())
+    mem_ref = ray.put(membership)
+    cand_texts = broadcast_semi_filter(ds, needed, on="doc_id")
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        mem = ray.get(mem_ref)
+        pids, isa, docs, texts = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            for pid, a_side in mem.get(int(doc_id), ()):
+                pids.append(pid)
+                isa.append(a_side)
+                docs.append(int(doc_id))
+                texts.append(text)
+        return pd.DataFrame({
+            "__pb": np.array(pids, dtype=np.int64) % num_coarse,
+            "pair_id": pd.Series(pids, dtype="int64"),
+            "is_a": pd.Series(isa, dtype="bool"),
+            "doc_id": pd.Series(docs, dtype="int64"),
+            "text": pd.Series(texts, dtype="object")})
+
+    def verify_block(g: pd.DataFrame) -> pd.DataFrame:
+        cache: dict[int, np.ndarray] = {}
+
+        def sh(doc_id: int, text: str) -> np.ndarray:
+            if doc_id not in cache:
+                cache[doc_id] = shingles(text, ngram)
+            return cache[doc_id]
+
+        out_a, out_b, out_j = [], [], []
+        for _, grp in g.groupby("pair_id", sort=False):
+            mask = grp["is_a"].astype(bool).to_numpy()
+            ga, gb = grp[mask], grp[~mask]
+            if ga.empty or gb.empty:  # endpoint missing from the corpus
+                continue
+            a, b = ga.iloc[0], gb.iloc[0]
+            sa = sh(int(a["doc_id"]), a["text"])
+            sb = sh(int(b["doc_id"]), b["text"])
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            out_a.append(int(a["doc_id"]))
+            out_b.append(int(b["doc_id"]))
+            out_j.append(round(inter / union, 6) if union else 1.0)
+        if not out_a:
+            return pd.DataFrame(_EMPTY_VERIFIED)
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64"),
+                             "jaccard": pd.Series(out_j, dtype="float64")})
+
+    out = (cand_texts.map_batches(emit, batch_format="pandas")
+           .groupby("__pb").map_groups(verify_block, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame(_EMPTY_VERIFIED)
+    return out
+
+
 def near_dup_pairs(ds: rd.Dataset, threshold: float = 0.8,
-                   ngram: int = 3) -> pd.DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
+                   ngram: int = 3,
+                   max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
+    """Scale-safe near-dup pipeline (module docstring): exact pre-pass
+    -> LSH candidates over representatives -> distributed verify.
 
-    The verify step broadcasts candidate texts (small at test scale; a
-    bucket-join at corpus scale — see module docstring)."""
-    cand = minhash_lsh_candidates(ds, ngram=ngram)
+    Output pairs (doc_a < doc_b, jaccard >= threshold) are emitted over
+    exact-dedup REPRESENTATIVES; each member of an exact-dup group
+    appears once as (rep, member, 1.0) — the connected component is
+    identical, without the O(N^2) pair blowup of identical texts.
+
+    One read + one shuffle discovers BOTH exact groups and LSH
+    candidates (_band_pass); one bucket-join shuffle verifies. LSH
+    candidates touching an exact-dup MEMBER are redundant copies of a
+    rep pair and drop before verification."""
+    edges = _band_pass(ds, ngram, max_bucket, emit_exact=True)
+    exact_edges = edges[edges["exact"]]
+    exact_pairs = pd.DataFrame({
+        "doc_a": exact_edges["doc_a"].astype("int64"),
+        "doc_b": exact_edges["doc_b"].astype("int64"),
+        "jaccard": 1.0})
+
+    cand = edges[~edges["exact"]][["doc_a", "doc_b"]]
+    if not exact_edges.empty and not cand.empty:
+        members = pd.concat([exact_edges["doc_b"]]).unique()
+        cand = cand[~cand["doc_a"].isin(members)
+                    & ~cand["doc_b"].isin(members)]
+    cand = cand.drop_duplicates()
     if cand.empty:
-        return cand.assign(jaccard=pd.Series([], dtype="float64"))
-    needed = set(cand["doc_a"]) | set(cand["doc_b"])
-    arr = pa.array(sorted(needed), pa.int64())
+        verified = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+    else:
+        verified = _verify_pairs_distributed(ds, cand.reset_index(drop=True),
+                                             ngram)
+        verified = verified[verified["jaccard"] >= threshold]
 
-    texts: dict[int, str] = {}
-    filtered = ds.map_batches(
-        lambda t: t.filter(pa.compute.is_in(t["doc_id"], value_set=arr)),
-        batch_format="pyarrow")
-    for batch in filtered.iter_batches(batch_format="pyarrow"):
-        for i, tx in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            texts[i] = tx
-    verified = ngram_jaccard(texts, cand, ngram)
-    return verified[verified["jaccard"] >= threshold].reset_index(drop=True)
+    out = pd.concat([verified, exact_pairs], ignore_index=True)
+    return (out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+            .astype({"doc_a": "int64", "doc_b": "int64"}))
+
+
+def min_label_propagation(pairs: pd.DataFrame, max_rounds: int = 50,
+                          engine: str = "auto") -> pd.DataFrame:
+    """Connected components via iterative min-label propagation
+    (ray_guide pattern; replaces the round-1 driver union-find): every
+    node starts labeled with its own id; each round, each node takes the
+    min label over itself and its neighbors (one groupby-min over the
+    edge-message list); fixpoint after O(component diameter) rounds.
+
+    ``engine='ray'`` runs each round as a distributed groupby over
+    (node, label) int rows — the 100-TB path; ``'pandas'`` runs the
+    identical vectorized recurrence on the driver; ``'auto'`` picks
+    pandas below 50k edges (the verified pair set is usually tiny and
+    the Ray per-op constant would dominate). Both paths compute the
+    same fixpoint — pinned by a unit test."""
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "cluster_id": pd.Series([], dtype="int64")})
+    if pairs.empty:
+        return empty
+    a = pairs["doc_a"].to_numpy(dtype=np.int64)
+    b = pairs["doc_b"].to_numpy(dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    nodes = np.unique(src)
+    if engine == "auto":
+        engine = "pandas" if len(src) < 50_000 else "ray"
+
+    if engine == "pandas":
+        label = {int(n): int(n) for n in nodes}
+        for _ in range(max_rounds):
+            s = pd.Series(np.concatenate(
+                [pd.Series(src).map(label).to_numpy(), nodes]),
+                index=np.concatenate([dst, nodes]))
+            new = s.groupby(level=0).min()
+            if np.array_equal(new.to_numpy(),
+                              np.array([label[int(n)] for n in new.index])):
+                break
+            label = {int(k): int(v) for k, v in new.items()}
+        return pd.DataFrame({"doc_id": nodes,
+                             "cluster_id": [label[int(n)] for n in nodes]})
+
+    from ray.data.aggregate import Min
+    import ray
+    edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    labels = pd.DataFrame({"node": nodes, "label": nodes})
+    for _ in range(max_rounds):
+        lab_ref = ray.put(dict(zip(labels["node"], labels["label"])))
+
+        def fwd(batch: pd.DataFrame) -> pd.DataFrame:
+            lab = ray.get(lab_ref)
+            return pd.DataFrame({
+                "dst": batch["dst"],
+                "label": batch["src"].map(lab).astype("int64")})
+
+        msgs = edges.map_batches(fwd, batch_format="pandas")
+        selfm = rd.from_pandas(labels.rename(
+            columns={"node": "dst"})[["dst", "label"]])
+        new = (msgs.union(selfm).groupby("dst")
+               .aggregate(Min("label", alias_name="label")).to_pandas()
+               .rename(columns={"dst": "node"})
+               .sort_values("node").reset_index(drop=True))
+        new = new.astype({"node": "int64", "label": "int64"})
+        if np.array_equal(new["label"].to_numpy(),
+                          labels["label"].to_numpy()):
+            break
+        labels = new
+    return pd.DataFrame({"doc_id": labels["node"],
+                         "cluster_id": labels["label"]})
 
 
 def near_dup_clusters(ds: rd.Dataset, threshold: float = 0.8,
                       ngram: int = 3) -> pd.DataFrame:
     """Near-dup clusters: verified pairs -> connected components ->
-    (doc_id, cluster_id = min doc_id of the component). Union-find runs
-    on the driver over the VERIFIED pair set only (provably small: pairs
-    already passed LSH banding + exact-Jaccard >= threshold; at corpus
-    scale swap in a few rounds of min-label propagation via groupby —
-    ray_guide pattern — without changing this function's contract)."""
+    (doc_id, cluster_id = min doc_id of the component), via distributed
+    min-label propagation (no driver union-find)."""
     pairs = near_dup_pairs(ds, threshold=threshold, ngram=ngram)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    members = sorted(parent)
-    return pd.DataFrame({
-        "doc_id": pd.Series(members, dtype="int64"),
-        "cluster_id": pd.Series([find(m) for m in members], dtype="int64"),
-    })
+    return min_label_propagation(pairs)
 
 
 def simhash_buckets(ds: rd.Dataset) -> rd.Dataset:

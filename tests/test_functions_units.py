@@ -110,6 +110,95 @@ def test_near_dup_pipeline_finds_planted_dups():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_near_dup_exact_group_skew_no_blowup():
+    """5k identical docs must NOT explode into O(n^2) LSH pairs: the
+    exact-dedup pre-pass collapses them to one representative, members
+    attach as (rep, member, 1.0) edges — 4,999 pairs, one cluster —
+    and the pipeline finishes in seconds (VERDICT round-1 #2)."""
+    import time
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import (
+        near_dup_clusters, near_dup_pairs)
+    boiler = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+              "do eiusmod tempor incididunt ut labore et dolore magna") * 2
+    rows = [{"doc_id": i, "text": boiler} for i in range(5000)]
+    rows += [{"doc_id": 10_000 + i,
+              "text": f"distinct filler document {i} " +
+              " ".join(f"tok{i}q{j}" for j in range(50))} for i in range(50)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    t0 = time.monotonic()
+    pairs = near_dup_pairs(ds, threshold=0.8)
+    wall = time.monotonic() - t0
+    # 4999 exact edges (rep=0), nothing else
+    assert len(pairs) == 4999
+    assert (pairs["doc_a"] == 0).all()
+    assert (pairs["jaccard"] == 1.0).all()
+    assert wall < 60, f"skew pipeline took {wall:.1f}s — pair blowup?"
+    clusters = near_dup_clusters(ds, threshold=0.8)
+    assert len(clusters) == 5000
+    assert (clusters["cluster_id"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_mixed_exact_and_near():
+    """Exact members must connect THROUGH their representative to the
+    rep's near-dups: X==Y (exact), Z ~ X -> pairs (X,Y,1.0) + (X,Z,j);
+    clusters put all three together."""
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import (
+        near_dup_clusters, near_dup_pairs)
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "the green fields towards the old farm house near the river") * 3
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                        # exact dup of 1
+        {"doc_id": 3, "text": base + " extra tail words"},  # near dup of 1
+        {"doc_id": 9, "text": "totally unrelated content " +
+         " ".join(f"z{j}" for j in range(80))},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = near_dup_pairs(ds, threshold=0.8)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert got == {(1, 2), (1, 3)}
+    assert pairs.set_index(["doc_a", "doc_b"])["jaccard"][(1, 2)] == 1.0
+    clusters = near_dup_clusters(ds, threshold=0.8)
+    assert clusters.to_dict("records") == [
+        {"doc_id": 1, "cluster_id": 1},
+        {"doc_id": 2, "cluster_id": 1},
+        {"doc_id": 3, "cluster_id": 1}]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("engine", ["pandas", "ray"])
+def test_min_label_propagation_chain(engine):
+    """Label propagation must traverse chains (a-b, b-c, c-d -> one
+    component labeled min) and keep disjoint components apart — on BOTH
+    the driver-vectorized and the distributed groupby engine."""
+    from ocr_model_ray.functions.dedup_algos import min_label_propagation
+    pairs = pd.DataFrame({"doc_a": [10, 20, 30, 50],
+                          "doc_b": [20, 30, 40, 60]})
+    out = min_label_propagation(pairs, engine=engine)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10, 50: 50, 60: 50}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_bucket_cap_bounds_pairs():
+    """A band bucket over max_bucket is sampled, not exploded (the
+    warning fires inside the worker task; the observable contract is
+    the pair bound)."""
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import minhash_lsh_candidates
+    # same text -> all docs share every band bucket (no exact pre-pass
+    # here: minhash_lsh_candidates is the raw candidate stage)
+    rows = [{"doc_id": i, "text": "same words everywhere again and again"}
+            for i in range(40)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    cand = minhash_lsh_candidates(ds, max_bucket=8)
+    assert len(cand) <= 8 * 7 // 2  # capped prefix pairs only
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hash_bucket_join_matches_pandas():
     import ray.data as rd
     from ocr_model_ray.functions.joins import hash_bucket_join
