@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mktsegment_stats": rel.mktsegment_stats,
         "order_priority_counts": rel.order_priority_counts,
         "supplier_revenue": rel.supplier_revenue,
+        "promo_revenue_share": rel.promo_revenue_share,
+        "brand_revenue": rel.brand_revenue,
         "nation_customer_counts": rel.nation_customer_counts,
         "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
         "region_nation_union_count": rel.region_nation_union_count,
@@ -319,6 +321,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum({_REV_C}) AS BIGINT) / 10000.0 AS revenue
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name
+        """,
+        "promo_revenue_share": f"""
+            WITH g AS (
+                SELECT CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                                     THEN {_REV_C} ELSE 0 END) AS BIGINT)
+                           AS promo_c,
+                       CAST(sum({_REV_C}) AS BIGINT) AS tot_c
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-02-01')
+            SELECT 100.0 * promo_c / tot_c AS promo_share,
+                   promo_c / 10000.0 AS promo_revenue,
+                   tot_c / 10000.0 AS total_revenue
+            FROM g
+        """,
+        "brand_revenue": f"""
+            SELECT p_brand, count(*) AS n_items,
+                   CAST(sum({_REV_C}) AS BIGINT) / 10000.0 AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+            ORDER BY p_brand
         """,
         "nation_customer_counts": """
             SELECT n_name, count(*) AS n_customers

@@ -376,6 +376,92 @@ def supplier_revenue(sf_dir: str) -> pd.DataFrame:
     return out[["s_name", "n_items", "revenue"]]
 
 
+def promo_revenue_share(sf_dir: str, promo_type: str = "ECONOMY",
+                        month: str = "1996-01-01") -> pd.DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from promo-type
+    parts. The part dim ships ONCE as a broadcast key set (ray.put);
+    lineitem reduces to two int64 cents sums per batch — no shuffle at
+    all beyond the trivial 2-cell aggregate."""
+    import pyarrow.parquet as pq
+    import ray
+    part = pq.read_table(_pq(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    promo_keys = part.filter(
+        pc.equal(part["p_type"], promo_type))["p_partkey"].combine_chunks()
+    promo_ref = ray.put(promo_keys)
+    lo = pa.scalar(pd.Timestamp(month), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(month) + pd.offsets.MonthBegin(1),
+                   pa.timestamp("us"))
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+                 num_blocks=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        rev_c = _disc_rev_cents(t)
+        mask = pc.is_in(t["l_partkey"], value_set=_ray.get(promo_ref))
+        promo = pc.sum(pc.if_else(mask, rev_c, pa.scalar(0, pa.int64())))
+        total = pc.sum(rev_c)
+        return pa.table({"promo_c": pa.array([promo.as_py() or 0], pa.int64()),
+                         "tot_c": pa.array([total.as_py() or 0], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = (line.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("promo_c", alias_name="promo_c"),
+                      Sum("tot_c", alias_name="tot_c")))
+    promo_c, tot_c = int(agg["promo_c"]), int(agg["tot_c"])
+    return pd.DataFrame({
+        "promo_share": [100.0 * promo_c / tot_c if tot_c else 0.0],
+        "promo_revenue": [promo_c / 10000.0],
+        "total_revenue": [tot_c / 10000.0]})
+
+
+def brand_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue + item count per part brand (second fact⋈dim pattern over
+    the part table): the partkey->brand code map broadcasts once;
+    per-batch partials aggregate by brand CODE (int groupby, vectorized
+    searchsorted lookup), one tiny final shuffle, codes decode at the
+    end."""
+    import pyarrow.parquet as pq
+    import ray
+    part = pq.read_table(_pq(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    import numpy as np
+    pk = part["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    brand_dict = part["p_brand"].to_pandas().astype("category")
+    lookup_ref = ray.put((pk[order],
+                          brand_dict.cat.codes.to_numpy()[order]))
+    brands = list(brand_dict.cat.categories)
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_discount"],
+                 num_blocks=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        keys, codes = _ray.get(lookup_ref)
+        idx = np.searchsorted(keys, t["l_partkey"].to_numpy())
+        code = codes[idx]
+        g = (pa.table({"brand_code": pa.array(code.astype("int32")),
+                       "rev_c": _disc_rev_cents(t)})
+             .group_by("brand_code")
+             .aggregate([("rev_c", "sum"), ("rev_c", "count")]))
+        return g.rename_columns(["brand_code", "rev_c", "n"])
+
+    from ray.data.aggregate import Sum
+    out = (line.map_batches(partial, batch_format="pyarrow")
+           .groupby("brand_code")
+           .aggregate(Sum("rev_c", alias_name="rev_c"),
+                      Sum("n", alias_name="n_items")).to_pandas())
+    out["p_brand"] = out["brand_code"].map(lambda c: brands[c])
+    out["n_items"] = out["n_items"].astype("int64")
+    out["revenue"] = out["rev_c"].astype("int64") / 10000.0
+    return (out[["p_brand", "n_items", "revenue"]]
+            .sort_values("p_brand").reset_index(drop=True))
+
+
 def nation_customer_counts(sf_dir: str) -> pd.DataFrame:
     """Customers per nation name: groupby + broadcast dim lookup."""
     import pyarrow.parquet as pq
