@@ -36,7 +36,35 @@ def _fixture_dir(tier: str, multiplier: int = 1,
 
 
 def _tier_for(sf_dir: str) -> str:
-    return "t1" if "0.001" in sf_dir else "t2"
+    """Fixture tier from DATA size, not path substrings (round-1 verdict
+    nit): sf0.001's lineitem has ~6k rows, larger sfs 60k+. The same
+    rule runs in the extract oracles' SQL ((SELECT count(*) FROM
+    lineitem) < 20000), so query and oracle always pick the same tier."""
+    import pyarrow.parquet as pq
+    try:
+        n = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")) \
+            .metadata.num_rows
+    except (OSError, ValueError):
+        return "t2"
+    return "t1" if n < 20000 else "t2"
+
+
+_GOLDENS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "goldens")
+
+
+def _tiered_golden_sql(select: str, relpath: str) -> str:
+    """Oracle over a committed per-tier golden: the tier branch mirrors
+    _tier_for via the registered lineitem view's row count."""
+    t1 = os.path.join(_GOLDENS, "t1", relpath)
+    t2 = os.path.join(_GOLDENS, "t2", relpath)
+    return f"""
+        SELECT {select} FROM read_parquet('{t1}')
+        WHERE (SELECT count(*) FROM lineitem) < 20000
+        UNION ALL
+        SELECT {select} FROM read_parquet('{t2}')
+        WHERE (SELECT count(*) FROM lineitem) >= 20000
+    """
 
 
 def entry() -> Any:
@@ -57,10 +85,29 @@ def _extract_flagship(sf_dir: str):
     return extracted_summary(extract_pipeline(_fixture_dir(_tier_for(sf_dir))))
 
 
+def _flat_rows_batch(t):
+    """rows table with bbox flattened to scalar x1/y1/x2/y2 — scalar
+    columns value-hash robustly on both the Ray and DuckDB side (list
+    cells compare as numpy-array-vs-list otherwise)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    bbox = t["bbox"]
+    if isinstance(bbox, pa.ChunkedArray):
+        bbox = bbox.combine_chunks()
+    return pa.table({
+        "url": t["url"], "row_id": t["row_id"], "page": t["page"],
+        "region_id": t["region_id"],
+        "x1": pc.list_element(bbox, 0), "y1": pc.list_element(bbox, 1),
+        "x2": pc.list_element(bbox, 2), "y2": pc.list_element(bbox, 3),
+        "text": t["text"], "min_conf": t["min_conf"],
+        "needs_review": t["needs_review"]})
+
+
 def _extract_rows(sf_dir: str):
     from ocr_model_ray.pipelines.extract_pipeline import (
         extract_pipeline, rows_table)
-    return rows_table(extract_pipeline(_fixture_dir(_tier_for(sf_dir))))
+    rows = rows_table(extract_pipeline(_fixture_dir(_tier_for(sf_dir))))
+    return rows.map_batches(_flat_rows_batch, batch_format="pyarrow")
 
 
 def _extract_dedup(sf_dir: str):
@@ -94,6 +141,7 @@ def _extract_needs_review(sf_dir: str):
     from ocr_model_ray.pipelines.extract_pipeline import (
         extract_pipeline, rows_table)
     rows = rows_table(extract_pipeline(_fixture_dir(_tier_for(sf_dir))))
+    rows = rows.map_batches(_flat_rows_batch, batch_format="pyarrow")
     return rows.map_batches(
         lambda t: t.filter(pc.equal(t["needs_review"], True)),
         batch_format="pyarrow")
@@ -487,6 +535,76 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS avg_word_len
             FROM documents
         """,
+        # deterministic text stats: committed golden keyed by md5(text)
+        # (covers every sf — the join recovers this sf's subset)
+        "docs_lang_id": f"""
+            SELECT d.doc_id, g.pred_lang, g.stopword_hit_ratio
+            FROM documents d
+            JOIN read_parquet('{os.path.join(_GOLDENS, "docs_text_keyed.parquet")}') g
+              ON md5(d.text) = g.h
+        """,
+        "docs_simhash": f"""
+            SELECT d.doc_id, g.simhash_hex
+            FROM documents d
+            JOIN read_parquet('{os.path.join(_GOLDENS, "docs_text_keyed.parquet")}') g
+              ON md5(d.text) = g.h
+        """,
+        "docs_fingerprint": f"""
+            SELECT d.doc_id, g.n_fingerprints, g.fingerprint_min,
+                   g.fingerprint_max
+            FROM documents d
+            JOIN read_parquet('{os.path.join(_GOLDENS, "docs_text_keyed.parquet")}') g
+              ON md5(d.text) = g.h
+        """,
+        # near-dup: pair presence and jaccard are PAIR-LOCAL (functions
+        # of the two texts), so a hash-keyed pair golden recovers this
+        # corpus's pairs by joining documents twice; components derive
+        # from those pairs with a recursive min-label CTE
+        "docs_near_dup": f"""
+            SELECT least(da.doc_id, db.doc_id) AS doc_a,
+                   greatest(da.doc_id, db.doc_id) AS doc_b, g.jaccard
+            FROM read_parquet('{os.path.join(_GOLDENS, "near_dup_pairs_by_hash.parquet")}') g
+            JOIN documents da ON md5(da.text) = g.ha
+            JOIN documents db ON md5(db.text) = g.hb
+        """,
+        "docs_near_dup_clusters": f"""
+            WITH RECURSIVE
+            p AS (SELECT least(da.doc_id, db.doc_id) AS a,
+                         greatest(da.doc_id, db.doc_id) AS b
+                  FROM read_parquet('{os.path.join(_GOLDENS, "near_dup_pairs_by_hash.parquet")}') g
+                  JOIN documents da ON md5(da.text) = g.ha
+                  JOIN documents db ON md5(db.text) = g.hb),
+            e AS (SELECT a AS src, b AS dst FROM p
+                  UNION SELECT b, a FROM p),
+            reach(node, label) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.dst, r.label FROM reach r
+                JOIN e ON e.src = r.node)
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        # extraction flagship: committed per-tier goldens (parity with
+        # the reference pinned by the golden suite; the oracle makes the
+        # driver's rows+schema+hash gate real for these pipelines)
+        "extract_flagship": _tiered_golden_sql(
+            "url, content_hash, mime, doc_kind, extracted_text, n_pages, "
+            "confidence, word_count, char_count, table_count, region_count, "
+            "size_bytes, error", "extracted.parquet"),
+        "extract_dedup": _tiered_golden_sql(
+            "url, content_hash, mime, doc_kind, extracted_text, n_pages, "
+            "confidence, word_count, char_count, table_count, region_count, "
+            "size_bytes, error", "extracted.parquet"),
+        "extract_rows": _tiered_golden_sql(
+            "url, row_id, page, region_id, bbox[1] AS x1, bbox[2] AS y1, "
+            "bbox[3] AS x2, bbox[4] AS y2, text, min_conf, needs_review",
+            "rows.parquet"),
+        "extract_needs_review": "SELECT * FROM (" + _tiered_golden_sql(
+            "url, row_id, page, region_id, bbox[1] AS x1, bbox[2] AS y1, "
+            "bbox[3] AS x2, bbox[4] AS y2, text, min_conf, needs_review",
+            "rows.parquet") + ") WHERE needs_review",
+        "extract_lang_id": _tiered_golden_sql(
+            "doc_id, pred_lang, stopword_hit_ratio", "extract_lang_id.parquet"),
         "emb_knn_bruteforce": """
             -- cosine computed in DOUBLE via lambda dot products:
             -- list_cosine_similarity is single-precision in DuckDB 1.0,

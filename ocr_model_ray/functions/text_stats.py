@@ -182,8 +182,12 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
 
 
 def fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    # min/max emit as zero-padded hex: the raw uint64 values overflow
+    # int64 (pandas would fall back to object dtype) and hex strings
+    # hash/compare identically everywhere (DuckDB golden join included)
     fps = df[text_col].map(winnow_fingerprints)
-    return pd.DataFrame({"doc_id": df["doc_id"],
-                         "n_fingerprints": fps.str.len().astype("int64"),
-                         "fingerprint_min": fps.map(lambda f: min(f) if f else 0),
-                         "fingerprint_max": fps.map(lambda f: max(f) if f else 0)})
+    return pd.DataFrame({
+        "doc_id": df["doc_id"],
+        "n_fingerprints": fps.str.len().astype("int64"),
+        "fingerprint_min": fps.map(lambda f: f"{min(f):016x}" if f else ""),
+        "fingerprint_max": fps.map(lambda f: f"{max(f):016x}" if f else "")})

@@ -56,8 +56,9 @@ def _compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> None:
                                rtol=0, atol=1e-9, equal_nan=True), \
                 f"{name}: float col {col} differs"
         else:
-            assert (gv.reset_index(drop=True) == wv.reset_index(drop=True)).all(), \
-                f"{name}: col {col} differs"
+            gv = gv.reset_index(drop=True).fillna("\0<NA>")
+            wv = wv.reset_index(drop=True).fillna("\0<NA>")
+            assert (gv == wv).all(), f"{name}: col {col} differs"
 
 
 ORACLE_QUERIES = sorted(entrymod.oracle_sql().keys())
