@@ -52,6 +52,9 @@ class ExtractConfig:
     #: "summary" emits only text + stats (same values; ~2x less allocator
     #: pressure — use when downstream drops the layout anyway)
     emit: str = "full"
+    #: OCR engine: "stub" (deterministic, golden-reproducible default)
+    #: or "auto" (Tesseract/Paddle when installed — stages.engines).
+    engine: str = "stub"
     #: override_num_blocks for the read: set to ~4x cluster CPUs so the
     #: read FUSES with derive+extract into one task (payload blocks never
     #: round-trip the object store). None = Ray's default splitting.
@@ -84,7 +87,8 @@ def extract_pipeline(paths: str | Sequence[str],
         ds = distinct_by_hash(ds)
     kwargs = dict(batch_format="pyarrow", batch_size=cfg.batch_size,
                   num_cpus=cfg.num_cpus)
-    ctor = {"max_pages": cfg.max_pages, "emit": cfg.emit}
+    ctor = {"max_pages": cfg.max_pages, "emit": cfg.emit,
+            "engine": cfg.engine}
     if cfg.concurrency is not None:
         # actor pool: class + concurrency
         return ds.map_batches(ExtractWorker, concurrency=cfg.concurrency,

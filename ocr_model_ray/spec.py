@@ -491,7 +491,7 @@ def parse_pseudo_pdf(payload: bytes) -> dict:
     return doc
 
 
-def extract_pdf(payload: bytes, max_pages: int = 0) -> DocOut:
+def extract_pdf(payload: bytes, max_pages: int = 0, ocr=None) -> DocOut:
     """Digital/scanned PDF extraction.
 
     Per page (pdf_processor.py:119-164): classify scanned-vs-digital by
@@ -526,7 +526,7 @@ def extract_pdf(payload: bytes, max_pages: int = 0) -> DocOut:
         if is_scanned:
             any_scanned = True
             img = base64.b64decode(page["image"])
-            toks = ensemble_merge([ocr_stub(img)])
+            toks = ensemble_merge([(ocr or ocr_stub)(img)])
         regions = group_tokens_into_lines(toks)
         out.pages.append(PageOut(page_num=pi, width=width, height=height,
                                  is_scanned=is_scanned, regions=regions,
@@ -540,9 +540,9 @@ def extract_pdf(payload: bytes, max_pages: int = 0) -> DocOut:
     return out
 
 
-def extract_image(payload: bytes) -> DocOut:
-    """Standalone scanned image: OCR stub -> ensemble merge -> line regions."""
-    toks = ensemble_merge([ocr_stub(payload)])
+def extract_image(payload: bytes, ocr=None) -> DocOut:
+    """Standalone scanned image: OCR -> ensemble merge -> line regions."""
+    toks = ensemble_merge([(ocr or ocr_stub)(payload)])
     regions = group_tokens_into_lines(toks)
     page = PageOut(page_num=1, width=0, height=0, is_scanned=True,
                    regions=regions, region_sep=" ")
@@ -854,18 +854,21 @@ def extract_docx(payload: bytes, layout: bool = True) -> DocOut:
 # Dispatch + document assembly (M13/M14/M15 + rows M12)
 # ----------------------------------------------------------------------------
 def extract_document(payload: bytes, max_pages: int = 0,
-                     layout: bool = True) -> DocOut:
+                     layout: bool = True, ocr=None) -> DocOut:
     """Type dispatch (S2/S3/M16) -> branch extraction. Exceptions become the
     ``error`` field on an empty DocOut (dead-letter semantics; never
     poisons a batch). ``layout=False`` is the summary fast path: HTML and
     plain-text branches skip synthetic token-box materialization (the PDF
-    and OCR branches keep boxes — their geometry is real input data)."""
+    and OCR branches keep boxes — their geometry is real input data).
+    ``ocr`` overrides the OCR engine (bytes -> token list); None = the
+    deterministic seeded stub (golden-reproducible default; pass
+    stages.engines.ocr_engine() for a real engine when installed)."""
     try:
         mime = sniff_mime(payload)
         if mime == "application/pdf":
-            return extract_pdf(payload, max_pages=max_pages)
+            return extract_pdf(payload, max_pages=max_pages, ocr=ocr)
         if mime in ("image/png", "image/jpeg"):
-            return extract_image(payload)
+            return extract_image(payload, ocr=ocr)
         if mime == "text/html":
             return extract_html(payload, layout=layout)
         if mime == "application/zip":

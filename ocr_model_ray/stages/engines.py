@@ -1,0 +1,290 @@
+"""Real OCR-engine adapters + line-based table detection (A1/A2 + T1).
+
+The container this repo is developed in has no pytesseract / paddleocr /
+cv2 / PIL, so:
+
+* ``TesseractAdapter`` / ``PaddleAdapter`` are IMPORT-GUARDED: they
+  raise a clear RuntimeError when the engine is absent, and their
+  output-normalization logic (the part the reference implements in
+  models/ocr_models.py:39-152 — conf/100 scaling, empty-text skip,
+  left/top/width/height -> x1y1x2y2, polygon -> bbox) lives in pure
+  static methods unit-tested against recorded engine outputs.
+* ``ocr_engine()`` picks the best available engine and falls back to
+  the deterministic seeded stub (spec.ocr_stub), so the extraction
+  pipeline runs unchanged with or without the real libraries.
+* ``detect_table_regions_lines`` reimplements the reference's OpenCV
+  morphological line detector (table_detector.py:162-199: threshold at
+  150, erode+dilate with width//30 x 1 and 1 x height//30 kernels,
+  combine, external contours, area > 1% filter) in PURE NUMPY — no cv2
+  needed, so line-based table detection is a real code path here, not
+  a stub.
+
+All tokens are spec.token dicts, so adapter output feeds directly into
+spec.ensemble_merge / group_tokens_into_lines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..spec import ocr_stub, token
+
+
+def _try_import(name: str):
+    try:
+        return __import__(name)
+    except ImportError:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Tesseract (reference models/ocr_models.py:39-71)
+# ---------------------------------------------------------------------------
+class TesseractAdapter:
+    """Word-level tokens via pytesseract image_to_data."""
+
+    @staticmethod
+    def available() -> bool:
+        return _try_import("pytesseract") is not None \
+            and _try_import("PIL") is not None
+
+    def __init__(self, lang: str = "eng",
+                 config: str = "--oem 1 --psm 6") -> None:
+        if not self.available():
+            raise RuntimeError(
+                "pytesseract/PIL not available; use spec.ocr_stub or "
+                "install pytesseract to use TesseractAdapter")
+        self.lang = lang
+        self.config = config
+
+    @staticmethod
+    def tokens_from_data(data: dict) -> list[dict]:
+        """Normalize an image_to_data DICT result — the reference's
+        mapping (ocr_models.py:50-69): skip empty text, conf is 0-100
+        (-> /100, unparseable -> 0.0), bbox = [left, top, left+width,
+        top+height]."""
+        out: list[dict] = []
+        n = len(data.get("text", []))
+        for i in range(n):
+            text = (data["text"][i] or "").strip()
+            if not text:
+                continue
+            try:
+                conf = float(data.get("conf", [0])[i]) / 100.0
+            except (TypeError, ValueError, IndexError):
+                conf = 0.0
+            x = int(data.get("left", [0])[i])
+            y = int(data.get("top", [0])[i])
+            w = int(data.get("width", [0])[i])
+            h = int(data.get("height", [0])[i])
+            out.append(token(text, x, y, x + w, y + h, conf))
+        return out
+
+    def __call__(self, image_bytes: bytes) -> list[dict]:
+        import io
+
+        import pytesseract
+        from PIL import Image
+        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+        data = pytesseract.image_to_data(
+            img, lang=self.lang, config=self.config,
+            output_type=pytesseract.Output.DICT)
+        return self.tokens_from_data(data)
+
+
+# ---------------------------------------------------------------------------
+# PaddleOCR (reference models/ocr_models.py:74-152)
+# ---------------------------------------------------------------------------
+class PaddleAdapter:
+    """Normalizes PaddleOCR predict()/ocr() outputs to token dicts."""
+
+    @staticmethod
+    def available() -> bool:
+        return _try_import("paddleocr") is not None
+
+    def __init__(self, lang: str = "en") -> None:
+        if not self.available():
+            raise RuntimeError(
+                "paddleocr not available; use spec.ocr_stub or install "
+                "paddleocr to use PaddleAdapter")
+        from paddleocr import PaddleOCR
+        self._ocr = PaddleOCR(use_textline_orientation=True, lang=lang)
+
+    @staticmethod
+    def tokens_from_result(result) -> list[dict]:
+        """Both Paddle formats (ocr_models.py:103-144): new dict
+        (rec_texts/rec_scores/rec_polys) and old list [[box, (text,
+        conf)], ...]; polygon -> min/max bbox; malformed items skip."""
+        if not result or not isinstance(result, list):
+            return []
+        batch = result[0]
+        out: list[dict] = []
+        if isinstance(batch, dict):
+            texts = batch.get("rec_texts", [])
+            scores = batch.get("rec_scores", [])
+            polys = batch.get("rec_polys", [])
+            for i, text in enumerate(texts):
+                try:
+                    conf = float(scores[i]) if i < len(scores) else 0.0
+                    poly = polys[i] if i < len(polys) else None
+                    if poly is not None:
+                        xs = [p[0] for p in poly]
+                        ys = [p[1] for p in poly]
+                        bbox = (int(min(xs)), int(min(ys)),
+                                int(max(xs)), int(max(ys)))
+                    else:
+                        bbox = (0, 0, 0, 0)
+                    out.append(token(text, *bbox, conf))
+                except (TypeError, ValueError, IndexError):
+                    continue
+        else:
+            for item in batch:
+                try:
+                    box, (text, conf) = item[0], item[1]
+                    xs = [p[0] for p in box]
+                    ys = [p[1] for p in box]
+                    out.append(token(text, int(min(xs)), int(min(ys)),
+                                     int(max(xs)), int(max(ys)),
+                                     float(conf)))
+                except (TypeError, ValueError, IndexError):
+                    continue
+        return out
+
+    def __call__(self, image_bytes: bytes) -> list[dict]:
+        import io
+
+        import numpy as _np
+        from PIL import Image
+        img = _np.array(Image.open(io.BytesIO(image_bytes)).convert("RGB"))
+        try:
+            result = self._ocr.predict(img)
+        except Exception:  # noqa: BLE001 — old-API fallback per reference
+            try:
+                result = self._ocr.ocr(img)
+            except Exception:  # noqa: BLE001
+                return []
+        return self.tokens_from_result(result)
+
+
+def ocr_engine():
+    """Best available engine as a ``bytes -> list[token]`` callable:
+    Tesseract > Paddle > deterministic seeded stub. Call once per actor
+    in __init__ (engine/model load), not per batch."""
+    if TesseractAdapter.available():
+        return TesseractAdapter()
+    if PaddleAdapter.available():
+        return PaddleAdapter()
+    return ocr_stub
+
+
+# ---------------------------------------------------------------------------
+# Line-based table detection, cv2-free (reference table_detector.py:162-199)
+# ---------------------------------------------------------------------------
+def _erode_1d(mask: np.ndarray, k: int, axis: int) -> np.ndarray:
+    """Binary erosion with a 1-D structuring element of length k along
+    ``axis`` (zero-padded borders, matching cv2's constant border for
+    binary masks)."""
+    if k <= 1:
+        return mask
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (k // 2, k - 1 - k // 2)
+    padded = np.pad(mask, pad, mode="constant", constant_values=False)
+    win = np.lib.stride_tricks.sliding_window_view(padded, k, axis=axis)
+    return win.all(axis=-1)
+
+
+def _dilate_1d(mask: np.ndarray, k: int, axis: int) -> np.ndarray:
+    if k <= 1:
+        return mask
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (k // 2, k - 1 - k // 2)
+    padded = np.pad(mask, pad, mode="constant", constant_values=False)
+    win = np.lib.stride_tricks.sliding_window_view(padded, k, axis=axis)
+    return win.any(axis=-1)
+
+
+def _connected_bboxes(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """Bounding boxes of 4-connected components — run-length rows +
+    union-find across adjacent rows (no cv2/scipy)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    next_label = 0
+    prev_runs: list[tuple[int, int, int]] = []  # (x0, x1, label)
+    boxes: dict[int, list[int]] = {}
+    for y in range(mask.shape[0]):
+        row = mask[y]
+        if not row.any():
+            prev_runs = []
+            continue
+        d = np.diff(row.astype(np.int8))
+        starts = list(np.flatnonzero(d == 1) + 1)
+        ends = list(np.flatnonzero(d == -1) + 1)
+        if row[0]:
+            starts.insert(0, 0)
+        if row[-1]:
+            ends.append(len(row))
+        runs = []
+        for x0, x1 in zip(starts, ends):
+            label = None
+            for px0, px1, pl in prev_runs:
+                if px0 < x1 and x0 < px1:  # overlap -> same component
+                    if label is None:
+                        label = find(pl)
+                    else:
+                        union(label, pl)
+            if label is None:
+                label = next_label
+                parent[label] = label
+                next_label += 1
+            runs.append((x0, x1, label))
+            b = boxes.setdefault(label, [x0, y, x1, y + 1])
+            b[0] = min(b[0], x0)
+            b[2] = max(b[2], x1)
+            b[3] = y + 1
+        prev_runs = runs
+    merged: dict[int, list[int]] = {}
+    for label, b in boxes.items():
+        root = find(label)
+        m = merged.setdefault(root, list(b))
+        m[0] = min(m[0], b[0])
+        m[1] = min(m[1], b[1])
+        m[2] = max(m[2], b[2])
+        m[3] = max(m[3], b[3])
+    return [tuple(b) for b in merged.values()]
+
+
+def detect_table_regions_lines(gray: np.ndarray,
+                               threshold: int = 150,
+                               min_area_frac: float = 0.01) -> list[dict]:
+    """The reference's cv2 fallback detector, numpy-only: binary-invert
+    threshold, keep pixels that survive erosion+dilation with a
+    (width//30 x 1) horizontal and (1 x height//30) vertical line
+    kernel, OR the two line masks, and emit external component bboxes
+    covering > ``min_area_frac`` of the image at confidence 0.8."""
+    if gray.ndim != 2:
+        raise ValueError("expected a 2-D grayscale array")
+    height, width = gray.shape
+    thresh = gray < threshold  # THRESH_BINARY_INV
+    k_h = max(2, width // 30)
+    k_v = max(2, height // 30)
+    horizontal = _dilate_1d(_erode_1d(thresh, k_h, axis=1), k_h, axis=1)
+    vertical = _dilate_1d(_erode_1d(thresh, k_v, axis=0), k_v, axis=0)
+    table_mask = horizontal | vertical
+    min_area = width * height * min_area_frac
+    out = []
+    for x0, y0, x1, y1 in _connected_bboxes(table_mask):
+        if (x1 - x0) * (y1 - y0) > min_area:
+            out.append({"bbox": [int(x0), int(y0), int(x1), int(y1)],
+                        "confidence": 0.8})
+    return sorted(out, key=lambda t: tuple(t["bbox"]))

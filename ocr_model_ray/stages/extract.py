@@ -115,11 +115,21 @@ class ExtractWorker:
     Output: EXTRACTED_SCHEMA rows.
     """
 
-    def __init__(self, max_pages: int = 0, emit: str = "full") -> None:
+    def __init__(self, max_pages: int = 0, emit: str = "full",
+                 engine: str = "stub") -> None:
         assert emit in ("full", "summary")
+        assert engine in ("stub", "auto")
         self.max_pages = max_pages
         self.emit = emit
         self.spec_version = SPEC_VERSION
+        # OCR engine resolves ONCE PER ACTOR here (A4/A10 lifecycle):
+        # "auto" picks Tesseract/Paddle when installed, else the seeded
+        # stub; "stub" pins the golden-reproducible default.
+        if engine == "auto":
+            from .engines import ocr_engine
+            self.ocr = ocr_engine()
+        else:
+            self.ocr = None  # spec default (ocr_stub)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         names = set(batch.schema.names)
@@ -139,7 +149,7 @@ class ExtractWorker:
         for i in range(batch.num_rows):
             payload = payloads[i]
             doc = extract_document(payload, max_pages=self.max_pages,
-                                   layout=not summary_only)
+                                   layout=not summary_only, ocr=self.ocr)
             ch = hashes[i] if has_meta else ""
             mime = mimes[i] if has_meta else ""
             size = sizes[i] if has_meta else len(payload)
