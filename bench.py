@@ -110,6 +110,15 @@ def main() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # Our operators emit typed (never schema-less) blocks — the round-1
+    # sources of Ray's "RefBundle with a different schema" warning are
+    # fixed. The residual emissions come from Ray's OWN AggregateNumRows
+    # / aggregate-reduce internals (empty count partitions have schema
+    # "."); silence that logger so the bench tail shows real signal.
+    import logging
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
 
     # untimed warmup: spins up the worker pool and warms the page cache
     # so the timed run measures steady-state compute, not process forks
