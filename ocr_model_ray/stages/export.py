@@ -254,4 +254,7 @@ def write_all_formats(extracted: rd.Dataset, out_dir: str) -> dict:
                      ("xml", xml_export)):
         paths[name] = f"{out_dir}/{name}"
         fn(extracted).write_parquet(paths[name])
+    from .xlsx import xlsx_export
+    paths["xlsx"] = f"{out_dir}/xlsx"
+    xlsx_export(extracted).write_parquet(paths["xlsx"])
     return paths

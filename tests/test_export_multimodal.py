@@ -95,7 +95,8 @@ def test_write_all_formats(t1_pages_dir, tmp_path):
     from ocr_model_ray.pipelines.extract_pipeline import extract_pipeline
     out = str(tmp_path / "exports")
     paths = write_all_formats(extract_pipeline(t1_pages_dir), out)
-    assert set(paths) == {"parquet", "csv", "csv_regions", "txt", "json", "xml"}
+    assert set(paths) == {"parquet", "csv", "csv_regions", "txt", "json",
+                          "xml", "xlsx"}
     for p in paths.values():
         assert os.path.isdir(p) and os.listdir(p)
     import pyarrow.dataset as pads
