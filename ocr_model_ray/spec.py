@@ -491,6 +491,32 @@ def parse_pseudo_pdf(payload: bytes) -> dict:
     return doc
 
 
+def pdf_metadata(payload: bytes) -> dict:
+    """PDF metadata projection (M5, pdf_processor.py:238-274): document
+    info keys plus derived flags — page_count, file_size, has_toc,
+    has_links (any page with links), has_images (any page with an
+    image), form_fields. The pseudo-PDF container carries ``meta``
+    (title/author/...), ``toc``, per-page ``links`` and ``form_fields``
+    as optional keys; absent keys mean False/empty, same as a PDF
+    without them. Parse failures return {"error": ...} like the
+    reference."""
+    try:
+        doc = parse_pseudo_pdf(payload)
+    except ValueError as exc:
+        return {"error": f"Failed to extract metadata: {exc}"}
+    pages = doc.get("pages") or []
+    meta = dict(doc.get("meta") or {})
+    meta.update({
+        "page_count": len(pages),
+        "file_size": len(payload),
+        "has_toc": bool(doc.get("toc")),
+        "has_links": any(p.get("links") for p in pages),
+        "has_images": any(p.get("image") is not None for p in pages),
+        "form_fields": bool(doc.get("form_fields")),
+    })
+    return meta
+
+
 def extract_pdf(payload: bytes, max_pages: int = 0, ocr=None) -> DocOut:
     """Digital/scanned PDF extraction.
 

@@ -168,3 +168,38 @@ def extract_batch(batch: pa.Table, max_pages: int = 0) -> pa.Table:
     """Stateless-function form of the same transform (for task-based stages
     and direct unit-testing)."""
     return ExtractWorker(max_pages=max_pages)(batch)
+
+
+PDF_META_SCHEMA = pa.schema([
+    ("url", pa.string()), ("title", pa.string()), ("author", pa.string()),
+    ("page_count", pa.int32()), ("file_size", pa.int64()),
+    ("has_toc", pa.bool_()), ("has_links", pa.bool_()),
+    ("has_images", pa.bool_()), ("form_fields", pa.bool_()),
+    ("error", pa.string()),
+])
+
+
+def pdf_metadata_batch(batch: pa.Table) -> pa.Table:
+    """(url, html) pages batch -> PDF_META_SCHEMA rows for the PDF rows
+    (M5 projection; non-PDF payloads are skipped). Use after a mime
+    filter, e.g. derived_pages(...).filter(mime == application/pdf)."""
+    from ..spec import PDF_MAGIC, pdf_metadata
+    urls = batch["url"].to_pylist()
+    payloads = batch["html"].to_pylist()
+    out = []
+    for url, payload in zip(urls, payloads):
+        if not payload.startswith(PDF_MAGIC):
+            continue
+        m = pdf_metadata(payload)
+        out.append({
+            "url": url,
+            "title": m.get("title"), "author": m.get("author"),
+            "page_count": m.get("page_count", 0),
+            "file_size": m.get("file_size", len(payload)),
+            "has_toc": bool(m.get("has_toc")),
+            "has_links": bool(m.get("has_links")),
+            "has_images": bool(m.get("has_images")),
+            "form_fields": bool(m.get("form_fields")),
+            "error": m.get("error"),
+        })
+    return pa.Table.from_pylist(out, schema=PDF_META_SCHEMA)

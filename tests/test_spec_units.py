@@ -256,3 +256,55 @@ def test_deterministic_ids_embed_url():
     html = b"<html><body><p>Deterministic identifier check paragraph body.</p></body></html>"
     res = extract_and_assemble("https://e.test/a", html)
     assert res["regions"][0]["region_id"] == "https://e.test/a#p1:r0"
+
+
+def _pdf_container(body: dict) -> bytes:
+    import json as _json
+    return b"%PDF-1.7\n%CURIO1\n" + _json.dumps(body).encode("utf-8")
+
+
+def test_pdf_metadata_projection_flags():
+    from ocr_model_ray.spec import pdf_metadata
+    payload = _pdf_container({
+        "meta": {"title": "T", "author": "A"},
+        "toc": [["1", "Intro", 1]],
+        "form_fields": True,
+        "pages": [
+            {"width": 100, "height": 200, "spans": [["hi", 0, 0, 9, 9, 10, 0]],
+             "links": ["https://x.test"], "image": None},
+            {"width": 100, "height": 200, "spans": [], "image": "aW1n"},
+        ],
+    })
+    m = pdf_metadata(payload)
+    assert m["title"] == "T" and m["author"] == "A"
+    assert m["page_count"] == 2 and m["file_size"] == len(payload)
+    assert m["has_toc"] and m["has_links"] and m["has_images"]
+    assert m["form_fields"] is True
+    assert "error" not in m
+
+
+def test_pdf_metadata_defaults_and_error():
+    from ocr_model_ray.spec import pdf_metadata
+    plain = _pdf_container({"pages": [
+        {"width": 10, "height": 10, "spans": [["a", 0, 0, 1, 1, 10, 0]]}]})
+    m = pdf_metadata(plain)
+    assert (m["has_toc"], m["has_links"], m["has_images"],
+            m["form_fields"]) == (False, False, False, False)
+    bad = pdf_metadata(b"%PDF-1.7\nnot-a-container")
+    assert "error" in bad and "Failed to extract metadata" in bad["error"]
+
+
+def test_pdf_metadata_batch_skips_non_pdf():
+    import pyarrow as pa
+    from ocr_model_ray.stages.extract import PDF_META_SCHEMA, pdf_metadata_batch
+    payload = _pdf_container({"pages": [{"width": 1, "height": 1,
+                                         "spans": [], "image": "aW1n"}]})
+    batch = pa.table({
+        "url": pa.array(["u1", "u2"], pa.string()),
+        "html": pa.array([payload, b"<html><body>x</body></html>"],
+                         pa.binary()),
+    })
+    out = pdf_metadata_batch(batch)
+    assert out.schema == PDF_META_SCHEMA
+    assert out.num_rows == 1
+    assert out["has_images"][0].as_py() is True
