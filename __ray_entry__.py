@@ -228,6 +228,11 @@ def _emb_knn_ivf(sf_dir: str):
     return ivf_knn(_emb(sf_dir), _emb_queries(sf_dir), k=5)
 
 
+def _emb_near_dup(sf_dir: str):
+    from ocr_model_ray.functions.similarity import cosine_near_dup
+    return cosine_near_dup(_emb(sf_dir), threshold=0.4)
+
+
 def _emb_label_stats(sf_dir: str):
     from ocr_model_ray.functions.similarity import label_stats
     return label_stats(_emb(sf_dir))
@@ -276,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_lsh": _emb_knn_lsh,
         "emb_knn_ivf": _emb_knn_ivf,
         "emb_label_stats": _emb_label_stats,
+        "emb_near_dup": _emb_near_dup,
         # extraction flagship (pages fixture corpus; non-SQL -> rows-only)
         "extract_flagship": _extract_flagship,
         "extract_rows": _extract_rows,
@@ -627,6 +633,23 @@ def oracle_sql() -> dict[str, str]:
                             FROM sims)
             SELECT query_id, neighbor_id, round(sim, 5) AS sim
             FROM ranked WHERE rn <= 5
+        """,
+        "emb_near_dup": """
+            -- double-precision lambda cosine (list_cosine_similarity is
+            -- float32 in DuckDB 1.0); threshold margins in the testdata
+            -- are >=1e-5, far above engine-vs-oracle float noise
+            WITH n AS (SELECT vec_id, embedding,
+                              sqrt(list_sum(list_transform(embedding,
+                                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+                       FROM embeddings),
+                 s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                              list_sum(list_transform(
+                                  list_zip(a.embedding, b.embedding),
+                                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                              / (a.nrm * b.nrm) AS sim
+                       FROM n a JOIN n b ON b.vec_id > a.vec_id)
+            SELECT vec_a, vec_b, round(sim, 5) AS sim
+            FROM s WHERE sim >= 0.4
         """,
         "emb_label_stats": """
             WITH comp AS (SELECT vec_id, label, unnest(embedding) AS x

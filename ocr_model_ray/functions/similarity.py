@@ -220,6 +220,41 @@ def ivf_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
     return top[["query_id", "neighbor_id", "sim"]]
 
 
+def cosine_near_dup(ds: rd.Dataset, threshold: float = 0.4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_to: int = 5) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a < vec_b, sim) for
+    every pair with cosine >= threshold.
+
+    Shape: the normalized matrix broadcasts once (ray.put); each batch
+    computes its (batch x all) block of the similarity matrix and emits
+    only its upper-triangle hits, so the stream side never holds more
+    than one block. At corpus scale the broadcast side outgrows the
+    object store — swap in the LSH banding from lsh_knn (bucket by
+    hyperplane signature, all-pairs within bucket) for the same output
+    minus sub-threshold recall loss."""
+    full = ds.to_pandas()
+    ids = full[id_col].to_numpy(dtype=np.int64)
+    mat = _normalize(_to_matrix(full[vec_col]))
+    ref = ray.put((ids, mat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(ref)
+        bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        bm = _normalize(_to_matrix(batch[vec_col]))
+        sims = bm @ all_m.T                       # (batch, N)
+        hit = (sims >= threshold) & (all_ids[None, :] > bids[:, None])
+        bi, ai = np.nonzero(hit)
+        return pa.table({"vec_a": pa.array(bids[bi], pa.int64()),
+                         "vec_b": pa.array(all_ids[ai], pa.int64()),
+                         "sim": pa.array(sims[bi, ai], pa.float64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out["sim"] = out["sim"].round(round_to)
+    return (out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+            .astype({"vec_a": "int64", "vec_b": "int64"}))
+
+
 def label_stats(ds: rd.Dataset) -> pd.DataFrame:
     """Per-label count + mean L2 norm (partial agg per batch, tiny shuffle)."""
     def partial(batch: pa.Table) -> pa.Table:
