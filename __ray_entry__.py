@@ -169,6 +169,12 @@ def _docs_token_count(sf_dir: str):
     return _docs(sf_dir).map_batches(token_count_batch, batch_format="pandas")
 
 
+def _docs_bpe_token_count(sf_dir: str):
+    from ocr_model_ray.functions.text_stats import bpe_token_count_batch
+    return _docs(sf_dir).map_batches(bpe_token_count_batch,
+                                     batch_format="pandas")
+
+
 def _docs_quality(sf_dir: str):
     from ocr_model_ray.functions.text_stats import quality_batch
     return _docs(sf_dir).map_batches(quality_batch, batch_format="pandas")
@@ -270,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_deterministic_sample": _docs_sample,
         "docs_token_count": _docs_token_count,
+        "docs_bpe_token_count": _docs_bpe_token_count,
         "docs_quality": _docs_quality,
         "docs_lang_id": _docs_lang_id,
         "docs_simhash": _docs_simhash,
@@ -527,6 +534,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_count": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "docs_bpe_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s'))
+                        AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "docs_quality": """

@@ -59,6 +59,22 @@ def token_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return pd.DataFrame({"doc_id": df["doc_id"], "n_tokens": n})
 
 
+#: BPE-ish pre-tokenizer (GPT-2-style split classes, ASCII form so the
+#: DuckDB RE2 oracle matches byte-for-byte): an optional leading space
+#: glued to a run of letters, digits, or other non-space symbols.
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s"
+
+
+def bpe_token_count_batch(df: pd.DataFrame,
+                          text_col: str = "text") -> pd.DataFrame:
+    """Token count under the BPE-ish pre-tokenizer split (the
+    whitespace-run fallback alternative counts pure-whitespace stretches
+    as one token each, mirroring GPT-2's pre-tokenization shape).
+    Vectorized str.count over the compiled pattern."""
+    n = df[text_col].str.count(BPE_TOKEN_PATTERN).fillna(0).astype("int64")
+    return pd.DataFrame({"doc_id": df["doc_id"], "n_bpe_tokens": n})
+
+
 def quality_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Quality metrics: char/word counts, punctuation & digit ratios,
     mean word length. Ratios rounded to 6 (same in the SQL oracle)."""
