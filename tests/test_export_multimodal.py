@@ -160,3 +160,31 @@ def test_multimodal_actor_pool_pipeline():
     assert meta["n_objects"].tolist() == list(range(20))
     emb = embed_images(ds, concurrency=2, batch_size=8).to_pandas()
     assert len(emb) == 20 and len(emb["embedding"].iloc[0]) == EMBED_DIM
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_debug_svg_export(t1_pages_dir):
+    import xml.etree.ElementTree as ET
+    from ocr_model_ray.pipelines.extract_pipeline import extract_pipeline
+    from ocr_model_ray.stages.debug_export import debug_svg_export
+    out = debug_svg_export(extract_pipeline(t1_pages_dir)).to_pandas()
+    assert len(out) > 0
+    sample = out.sort_values(["url", "page"]).iloc[0]
+    svg = ET.fromstring(sample["svg"])  # well-formed XML
+    ns = "{http://www.w3.org/2000/svg}"
+    rects = svg.findall(f"{ns}rect")
+    assert rects, "no annotation boxes drawn"
+    classes = {r.get("class") for r in rects}
+    assert "region" in classes
+    # every drawn box has finite geometry inside the page
+    w, h = float(svg.get("width")), float(svg.get("height"))
+    for r in rects:
+        assert 0 <= float(r.get("x")) <= w
+        assert float(r.get("width")) >= 0
+
+
+def test_conf_color_ramp():
+    from ocr_model_ray.stages.debug_export import conf_color
+    assert conf_color(0.0) == "rgb(255,0,0)"
+    assert conf_color(1.0) == "rgb(0,255,0)"
+    assert conf_color(2.0) == "rgb(0,255,0)"  # clamped
