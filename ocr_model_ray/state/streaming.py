@@ -68,17 +68,32 @@ class ShardedSessionizer:
 
     def ingest_batch(self, df: pd.DataFrame, key_col: str = "user_id",
                      ts_col: str = "ts") -> None:
-        """Route one (already per-key-time-ordered) batch to the shards."""
+        """Route one (already per-key-time-ordered) batch to the shards.
+        Shard assignment is vectorized (numpy multiplicative hash for
+        integer keys; crc32 fallback otherwise); mask selection keeps
+        per-key event order intact."""
+        import numpy as np
         # unit-safe epoch seconds (datetime64[us].astype(int64) would give
         # MICROseconds; dividing by a Timedelta is unit-independent)
         ts = (pd.to_datetime(df[ts_col]) - pd.Timestamp(0)) / pd.Timedelta(seconds=1)
-        by_shard: dict[int, tuple[list, list]] = defaultdict(lambda: ([], []))
-        for k, t in zip(df[key_col], ts):
-            ks, tss = by_shard[self._shard_of(k)]
-            ks.append(k)
-            tss.append(float(t))
-        ray.get([self.shards[s].ingest.remote(ks, tss)
-                 for s, (ks, tss) in by_shard.items()])
+        keys = df[key_col].to_numpy()
+        if np.issubdtype(keys.dtype, np.integer):
+            with np.errstate(over="ignore"):
+                shards = ((keys.astype(np.uint64)
+                           * np.uint64(0x9E3779B97F4A7C15))
+                          >> np.uint64(33)) % np.uint64(self.num_shards)
+            shards = shards.astype(np.int64)
+        else:
+            shards = np.fromiter(
+                (self._shard_of(k) for k in keys),
+                dtype=np.int64, count=len(keys))
+        tsv = ts.to_numpy(dtype=np.float64)
+        refs = []
+        for s in np.unique(shards):
+            m = shards == s
+            refs.append(self.shards[int(s)].ingest.remote(
+                keys[m].tolist(), tsv[m].tolist()))
+        ray.get(refs)
 
     def finalize(self, key_col: str = "user_id") -> pd.DataFrame:
         parts = ray.get([s.flush.remote() for s in self.shards])
