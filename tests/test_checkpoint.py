@@ -150,3 +150,31 @@ def test_kill_and_resume(t1_pages_dir, tmp_path):
     # metrics recorded per run
     runs = os.listdir(os.path.join(out, "metrics"))
     assert len(runs) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_metrics_parquet_and_rollup(t1_pages_dir, tmp_path):
+    """Milestone-9 tail: run records flatten to a queryable per-stage
+    parquet table and a cross-run rollup."""
+    import pyarrow.parquet as pq
+    from ocr_model_ray.state.metrics import (
+        metrics_rollup, metrics_table, write_metrics_parquet)
+    out = str(tmp_path / "out")
+    run_resumable(t1_pages_dir, out, num_partitions=4)
+    run_resumable(t1_pages_dir, out, num_partitions=4)  # resume no-op run
+
+    t = metrics_table(out)
+    assert t.num_rows > 0
+    assert set(t.column_names) == {"run", "stage", "wall_s", "rows_written",
+                                   "error_rows", "docs_per_sec"}
+    assert sorted(set(t["run"].to_pylist())) == [0, 1]
+
+    path = write_metrics_parquet(out)
+    assert pq.read_table(path).num_rows == t.num_rows
+
+    roll = metrics_rollup(out)
+    assert len(roll) > 0
+    # sorted by total wall desc — the "where does time go" view
+    assert (roll["total_wall_s"].to_numpy()[:-1]
+            >= roll["total_wall_s"].to_numpy()[1:]).all()
+    assert roll["n_runs"].max() <= 2
