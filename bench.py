@@ -153,7 +153,14 @@ def main() -> None:
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
-                   BENCH_SINK=os.environ.get("BENCH_SINK", "count"))
+                   BENCH_SINK=os.environ.get("BENCH_SINK", "count"),
+                   # sustained stream (830k docs): the ~2s fixed
+                   # executor/plan cost dominates short runs and
+                   # understates the streaming ratio the N-vs-4N
+                   # criterion is about (measured: 0.68 at 1x vs 0.86
+                   # at 2x on the same quiet window)
+                   BENCH_REPEAT_INPUT=os.environ.get(
+                       "BENCH_REPEAT_INPUT", "2"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__))).stdout
