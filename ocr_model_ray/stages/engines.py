@@ -166,6 +166,108 @@ class PaddleAdapter:
         return self.tokens_from_result(result)
 
 
+# ---------------------------------------------------------------------------
+# TableTransformer table detector (A6, reference models/table_detector.py)
+# ---------------------------------------------------------------------------
+class TableTransformerAdapter:
+    """HF table-transformer detection normalized to the engine's table
+    bbox dicts. The reference (models/table_detector.py:5-23) runs DETR
+    post-processing at threshold 0.9 against the page size and returns
+    raw box lists; here those become the same {'bbox', 'confidence'}
+    records detect_table_regions_lines emits, so either detector slots
+    into the table stage."""
+
+    THRESHOLD = 0.9
+
+    @staticmethod
+    def available() -> bool:
+        return _try_import("transformers") is not None \
+            and _try_import("torch") is not None \
+            and _try_import("PIL") is not None
+
+    def __init__(self, model_name: str = "microsoft/table-transformer-detection") -> None:
+        if not self.available():
+            raise RuntimeError(
+                "transformers/torch not available; use "
+                "detect_table_regions_lines or install transformers to "
+                "use TableTransformerAdapter")
+        from transformers import (AutoFeatureExtractor,
+                                  TableTransformerForObjectDetection)
+        self.model = TableTransformerForObjectDetection.from_pretrained(model_name)
+        self.feature_extractor = AutoFeatureExtractor.from_pretrained(model_name)
+
+    @staticmethod
+    def tables_from_detection(result: dict) -> list[dict]:
+        """Normalize one post_process_object_detection record: float box
+        tensors/lists -> int bboxes + float confidence, sorted."""
+        out = []
+        boxes = result.get("boxes", [])
+        scores = result.get("scores", [])
+        for i, box in enumerate(boxes):
+            vals = [int(round(float(v))) for v in box]
+            conf = float(scores[i]) if i < len(scores) else 0.0
+            out.append({"bbox": vals, "confidence": conf})
+        return sorted(out, key=lambda t: tuple(t["bbox"]))
+
+    def __call__(self, image_bytes: bytes) -> list[dict]:
+        import io
+
+        import torch
+        from PIL import Image
+        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+        encoding = self.feature_extractor(img, return_tensors="pt")
+        with torch.no_grad():
+            outputs = self.model(**encoding)
+        result = self.feature_extractor.post_process_object_detection(
+            outputs, threshold=self.THRESHOLD,
+            target_sizes=[(img.height, img.width)])[0]
+        return self.tables_from_detection(
+            {k: v.tolist() for k, v in result.items()})
+
+
+# ---------------------------------------------------------------------------
+# TrOCR long-form recognizer (A8, reference models/ocr_models.py:186-204)
+# ---------------------------------------------------------------------------
+class TrOCRAdapter:
+    """VisionEncoderDecoder TrOCR: whole-image generated text, emitted
+    as one page-level token (the reference returns (text, []) with no
+    boxes — conf 1.0, zero bbox, empty text -> no tokens)."""
+
+    @staticmethod
+    def available() -> bool:
+        return _try_import("transformers") is not None \
+            and _try_import("torch") is not None \
+            and _try_import("PIL") is not None
+
+    def __init__(self, model_name: str = "microsoft/trocr-base-handwritten") -> None:
+        if not self.available():
+            raise RuntimeError(
+                "transformers/torch not available for TrOCR; use "
+                "spec.ocr_stub or install transformers")
+        from transformers import TrOCRProcessor, VisionEncoderDecoderModel
+        self.processor = TrOCRProcessor.from_pretrained(model_name)
+        self.model = VisionEncoderDecoderModel.from_pretrained(model_name)
+
+    @staticmethod
+    def tokens_from_text(text: str) -> list[dict]:
+        text = (text or "").strip()
+        if not text:
+            return []
+        return [token(text, 0, 0, 0, 0, 1.0)]
+
+    def __call__(self, image_bytes: bytes) -> list[dict]:
+        import io
+
+        from PIL import Image
+        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+        pixel_values = self.processor(images=img,
+                                      return_tensors="pt").pixel_values
+        generated_ids = self.model.generate(pixel_values)
+        text = self.processor.batch_decode(generated_ids,
+                                           skip_special_tokens=True)[0]
+        return self.tokens_from_text(text)
+
+
 def ocr_engine():
     """Best available engine as a ``bytes -> list[token]`` callable:
     Tesseract > Paddle > deterministic seeded stub. Call once per actor

@@ -127,3 +127,33 @@ def test_line_table_detect_two_separate_tables():
     img[120:200, 180:300] = _grid_image(120, 80, 5, 5, 115, 75, 2, 2)[0:80, 0:120]
     out = detect_table_regions_lines(img)
     assert len(out) == 2
+
+
+def test_table_transformer_mapping():
+    from ocr_model_ray.stages.engines import TableTransformerAdapter
+    # recorded post_process_object_detection shape (.tolist()'d)
+    result = {"boxes": [[10.4, 20.6, 200.2, 150.9], [5.0, 5.0, 50.0, 40.0]],
+              "scores": [0.97, 0.91], "labels": [0, 0]}
+    out = TableTransformerAdapter.tables_from_detection(result)
+    assert out[0]["bbox"] == [5, 5, 50, 40]
+    assert out[1]["bbox"] == [10, 21, 200, 151]   # rounded, sorted
+    assert out[1]["confidence"] == pytest.approx(0.97)
+
+
+def test_table_transformer_guard():
+    from ocr_model_ray.stages.engines import TableTransformerAdapter
+    if TableTransformerAdapter.available():
+        pytest.skip("transformers installed")
+    with pytest.raises(RuntimeError, match="transformers"):
+        TableTransformerAdapter()
+
+
+def test_trocr_text_mapping_and_guard():
+    from ocr_model_ray.stages.engines import TrOCRAdapter
+    toks = TrOCRAdapter.tokens_from_text("  hello world  ")
+    assert len(toks) == 1 and toks[0]["text"] == "hello world"
+    assert toks[0]["conf"] == 1.0
+    assert TrOCRAdapter.tokens_from_text("   ") == []
+    if not TrOCRAdapter.available():
+        with pytest.raises(RuntimeError, match="TrOCR"):
+            TrOCRAdapter()
