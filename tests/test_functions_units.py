@@ -226,3 +226,32 @@ def test_topk_matches_full_sort():
                descending=[True, False])
     want = df.sort_values(["score", "id"], ascending=[False, True]).head(7)
     assert got["id"].tolist() == want["id"].tolist()
+
+
+def test_signatures_block_equals_per_doc_signatures():
+    """The vectorized reduceat signature path must equal the per-doc
+    reference computation exactly — including empty docs."""
+    from ocr_model_ray.functions.dedup_algos import (
+        _signatures_block, minhash_signature, shingles)
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "", "   ", "one two", "one two three four five six " * 10,
+             "unrelated words entirely here present"]
+    block = _signatures_block(texts, 3)
+    for i, t in enumerate(texts):
+        ref = minhash_signature(shingles(t, 3))
+        assert np.array_equal(block[i], ref), f"doc {i} signature differs"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet="abcdefg hij", min_size=0, max_size=60),
+                min_size=1, max_size=12))
+def test_signatures_block_property(texts):
+    from ocr_model_ray.functions.dedup_algos import (
+        _signatures_block, minhash_signature, shingles)
+    block = _signatures_block(texts, 3)
+    for i, t in enumerate(texts):
+        assert np.array_equal(block[i], minhash_signature(shingles(t, 3)))
