@@ -130,8 +130,10 @@ def _extract_lang_id(sf_dir: str):
     ds = ds.map_batches(
         lambda t: pa.table({"doc_id": t["url"], "text": t["extracted_text"]}),
         batch_format="pyarrow")
-    return ds.map_batches(LangIdWorker, batch_format="pandas",
-                          batch_size=1024, concurrency=2)
+    # stateless tasks: the heuristic's state is trivial to rebuild, so
+    # an actor pool would only add spin-up (text_stats.lang_id note)
+    return ds.map_batches(LangIdWorker(), batch_format="pandas",
+                          batch_size=1024)
 
 
 def _extract_needs_review(sf_dir: str):

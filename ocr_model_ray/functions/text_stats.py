@@ -125,7 +125,15 @@ class LangIdWorker:
                              "stopword_hit_ratio": scores})
 
 
-def lang_id(ds: rd.Dataset, concurrency: int | tuple = 2) -> rd.Dataset:
+def lang_id(ds: rd.Dataset,
+            concurrency: int | tuple | None = None) -> rd.Dataset:
+    """Language-ID stage. Default = stateless TASKS (the worker's state
+    is a compiled regex + frozensets — rebuilt in microseconds, so an
+    actor pool only adds ~5s spin-up); pass ``concurrency`` to pin an
+    actor pool when a real model replaces the heuristic."""
+    if concurrency is None:
+        return ds.map_batches(LangIdWorker(), batch_format="pandas",
+                              batch_size=1024)
     return ds.map_batches(LangIdWorker, batch_format="pandas",
                           batch_size=1024, concurrency=concurrency)
 
