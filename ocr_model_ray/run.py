@@ -90,6 +90,8 @@ def main(argv=None) -> int:
         record["side_tables_wall_s"] = round(time.monotonic() - t2, 3)
 
     mf.write_metrics(args.output, record)
+    from ocr_model_ray.state.metrics import write_metrics_parquet
+    write_metrics_parquet(args.output)
     print(json.dumps(record))
     return 0
 
