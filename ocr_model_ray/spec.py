@@ -746,6 +746,146 @@ def _keep_block(kind: str, norm_text: str, link_chars: int) -> bool:
     return n >= HTML_MIN_BLOCK_CHARS and ld <= HTML_MAX_LINK_DENSITY
 
 
+# --- fast HTML tokenizer ---------------------------------------------------
+# html.parser's per-character goahead() machinery is ~90% of extraction
+# wall time. This scanner emits the IDENTICAL event stream
+# (handle_starttag / handle_endtag / handle_data with the same
+# lowercasing, attr parsing via html.parser's own attrfind_tolerant,
+# unescape()d data outside raw-text elements, raw data inside
+# script/style, startend = start+end) for well-formed markup, and BAILS
+# (returns False -> caller reparses with html.parser) on anything
+# irregular: quoted '>' in attributes, bogus '<', marked sections,
+# malformed end tags, ambiguous raw-text closers. Equivalence is pinned
+# by tests forcing both paths over every HTML fixture plus adversarial
+# constructs; the byte-identity goldens are the final gate.
+_FAST_START = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)")
+_FAST_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_RAW_TEXT_TAGS = ("script", "style")
+_RAW_CLOSERS = {t: re.compile(r"</\s*%s" % t, re.IGNORECASE)
+                for t in _RAW_TEXT_TAGS}
+
+
+def _fast_feed(parser: "_BlockParser", text: str) -> bool:
+    """Feed ``text`` through the fast scanner. True = full event stream
+    delivered; False = unsupported construct seen (parser state may be
+    partial — caller must reparse on a FRESH parser)."""
+    from html import unescape
+    from html.parser import attrfind_tolerant
+    i, n = 0, len(text)
+    while i < n:
+        lt = text.find("<", i)
+        if lt < 0:
+            parser.handle_data(unescape(text[i:]))
+            return True
+        if lt > i:
+            parser.handle_data(unescape(text[i:lt]))
+        nxt = text[lt + 1:lt + 2]
+        if nxt == "!":
+            if text.startswith("<!--", lt):
+                end = text.find("-->", lt + 4)
+                if end < 0:
+                    return False
+                i = end + 3
+                continue
+            end = text.find(">", lt)
+            if end < 0 or "[" in text[lt:end]:  # marked section / EOF
+                return False
+            i = end + 1  # doctype/decl — handle_decl is a no-op here
+            continue
+        if nxt == "?":
+            end = text.find(">", lt)
+            if end < 0:
+                return False
+            i = end + 1  # processing instruction — no-op handler
+            continue
+        if nxt == "/":
+            m = _FAST_END.match(text, lt)
+            if not m:
+                return False
+            parser.handle_endtag(m.group(1).lower())
+            i = m.end()
+            continue
+        m = _FAST_START.match(text, lt)
+        if not m:
+            return False  # bogus '<' — html.parser folds it into data
+        tag = m.group(1).lower()
+        # walk to the closing '>' tracking quotes; bail on '<' or EOF
+        j = m.end()
+        quote = ""
+        while j < n:
+            c = text[j]
+            if quote:
+                if c == quote:
+                    quote = ""
+            elif c in "\"'":
+                quote = c
+            elif c == ">":
+                break
+            elif c == "<":
+                return False
+            j += 1
+        else:
+            return False
+        if quote:
+            return False
+        attr_chunk = text[m.end():j]
+        startend = attr_chunk.endswith("/")
+        if startend:
+            attr_chunk = attr_chunk[:-1]
+        # _BlockParser reads attrs ONLY on td/th (colspan); every other
+        # handler ignores them, so [] is event-equivalent there. For
+        # td/th, replicate html.parser's sequential attrfind loop
+        # exactly (lookbehind needs the leading separator) and bail on
+        # any residue its loop would have rejected.
+        attrs = []
+        if tag in ("td", "th") and attr_chunk.strip():
+            # skip the leading separators tagfind_tolerant consumes (the
+            # attrfind lookbehind needs them BEHIND the match position)
+            k = 0
+            while k < len(attr_chunk) and attr_chunk[k] in " \t\n\r\f/":
+                k += 1
+            while k < len(attr_chunk):
+                am = attrfind_tolerant.match(attr_chunk, k)
+                if not am or am.end() == k:
+                    break
+                name = am.group(1).lower()
+                value = am.group(3)
+                if value is None:
+                    pass
+                elif value[:1] == "'" == value[-1:] or \
+                        value[:1] == '"' == value[-1:]:
+                    value = value[1:-1]
+                if value:
+                    value = unescape(value)
+                attrs.append((name, value))
+                k = am.end()
+            if attr_chunk[k:].strip():
+                return False
+        if startend:
+            parser.handle_startendtag(tag, attrs)
+            i = j + 1
+            continue
+        parser.handle_starttag(tag, attrs)
+        i = j + 1
+        if tag in _RAW_TEXT_TAGS:
+            # raw-text mode: data passes through UN-unescaped until the
+            # simple matching closer; an ambiguous prefix closer
+            # (</scriptx) or a non-trivial closing form bails
+            cm = _RAW_CLOSERS[tag].search(text, i)
+            if cm is None:
+                if i < n:
+                    parser.handle_data(text[i:])
+                return True  # never closed: tail is raw data (parser parity)
+            em = _FAST_END.match(text, cm.start())
+            if em is None or em.group(1).lower() != tag:
+                return False
+            if cm.start() > i:
+                parser.handle_data(text[i:cm.start()])
+            parser.handle_endtag(tag)
+            i = em.end()
+    return True
+
+
 def extract_html(payload: bytes, layout: bool = True) -> DocOut:
     """HTML main-content extraction (M18).
 
@@ -759,8 +899,13 @@ def extract_html(payload: bytes, layout: bool = True) -> DocOut:
     """
     text = decode_text(payload)
     parser = _BlockParser()
-    parser.feed(text)
-    parser.close()
+    if _fast_feed(parser, text):
+        parser._end_cell()   # close()'s own cleanup, minus the (empty)
+        parser._flush()      # html.parser goahead flush
+    else:  # irregular markup: reparse from scratch with html.parser
+        parser = _BlockParser()
+        parser.feed(text)
+        parser.close()
 
     regions: list = []
     seq = 0
