@@ -98,6 +98,9 @@ CASES = [
     b"<p>unclosed paragraph",
     b"<h2>heading &nbsp; entity</h2>",
     b"<script >spaced attr area</script><p>ok</p>",
+    b"<table><tr><td>unclosed table cell text",
+    b"<table><tr><td colspan=2>open cell</td><tr><td>second row",
+    b"<div>text <a href='q'>anchor</a> tail</div><nav>dropped nav</nav>",
 ]
 
 
