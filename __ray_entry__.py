@@ -53,6 +53,25 @@ _GOLDENS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "tests", "goldens")
 
 
+def _sf_branch_golden_sql(select: str, base: str) -> str:
+    """Oracle over per-sf recorded goldens (three-way branch on the
+    registered lineitem view's row count: sf0.001=6k, sf0.01=60k,
+    sf0.1=600k)."""
+    a = os.path.join(_GOLDENS, f"{base}_a.parquet")
+    b = os.path.join(_GOLDENS, f"{base}_b.parquet")
+    c = os.path.join(_GOLDENS, f"{base}_c.parquet")
+    return f"""
+        SELECT {select} FROM read_parquet('{a}')
+        WHERE (SELECT count(*) FROM lineitem) < 20000
+        UNION ALL
+        SELECT {select} FROM read_parquet('{b}')
+        WHERE (SELECT count(*) FROM lineitem) BETWEEN 20000 AND 199999
+        UNION ALL
+        SELECT {select} FROM read_parquet('{c}')
+        WHERE (SELECT count(*) FROM lineitem) >= 200000
+    """
+
+
 def _tiered_golden_sql(select: str, relpath: str) -> str:
     """Oracle over a committed per-tier golden: the tier branch mirrors
     _tier_for via the registered lineitem view's row count."""
@@ -650,6 +669,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, round(sim, 5) AS sim
             FROM ranked WHERE rn <= 5
         """,
+        # approximate-ANN recordings: lsh planes / ivf centroids are
+        # pure seeded functions of the corpus, so the deterministic
+        # output is committed per sf and selected by lineitem row count
+        # (6k / 60k / 600k at sf0.001 / 0.01 / 0.1); recall quality vs
+        # the exact result is separately pinned by tests
+        "emb_knn_lsh": _sf_branch_golden_sql(
+            "query_id, neighbor_id, sim", "emb_knn_lsh"),
+        "emb_knn_ivf": _sf_branch_golden_sql(
+            "query_id, neighbor_id, sim", "emb_knn_ivf"),
         "emb_near_dup": """
             -- double-precision lambda cosine (list_cosine_similarity is
             -- float32 in DuckDB 1.0); threshold margins in the testdata

@@ -109,6 +109,23 @@ def near_dup_pair_golden() -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def emb_ann_goldens() -> dict[str, pa.Table]:
+    """Recorded deterministic outputs of the seeded approximate-ANN
+    queries per sf (lsh planes and ivf centroids are pure functions of
+    (seed, corpus)); the oracle branches on lineitem row count to pick
+    the matching recording."""
+    import __ray_entry__ as em
+    out = {}
+    for sf, tag in zip(SF_DIRS, ["a", "b", "c"]):
+        for q in ["emb_knn_lsh", "emb_knn_ivf"]:
+            res = em.queries()[q](sf)
+            res = res.sort_values(["query_id", "neighbor_id"]) \
+                .reset_index(drop=True)
+            out[f"{q}_{tag}.parquet"] = pa.Table.from_pandas(
+                res, preserve_index=False)
+    return out
+
+
 def main() -> None:
     import ray
     if not ray.is_initialized():
@@ -128,6 +145,13 @@ def main() -> None:
     assert nd.equals(nd2), "near-dup pair golden not deterministic"
     pq.write_table(nd, os.path.join(GOLDEN_DIR, "near_dup_pairs_by_hash.parquet"))
     print(f"near_dup_pairs_by_hash.parquet: {nd.num_rows} pairs")
+
+    ann = emb_ann_goldens()
+    ann2 = emb_ann_goldens()
+    for name in ann:
+        assert ann[name].equals(ann2[name]), f"{name} not deterministic"
+        pq.write_table(ann[name], os.path.join(GOLDEN_DIR, name))
+        print(f"{name}: {ann[name].num_rows} rows")
 
     for tier in ["t1", "t2"]:
         a = extract_goldens(tier)
