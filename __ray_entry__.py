@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_week": rel.events_sliding_week,
         "events_top_users_per_type": rel.events_top_users_per_type,
         "events_asof_last_click": rel.events_asof_last_click,
+        "events_value_delta": rel.events_value_delta,
+        "order_price_median": rel.order_price_median,
         "events_session_ids": rel.events_session_ids,
         "customers_without_orders": rel.customers_without_orders,
         # documents: dedup + text analysis
@@ -515,6 +517,20 @@ def oracle_sql() -> dict[str, str]:
                          ts - lag(ts) OVER (PARTITION BY user_id
                                             ORDER BY ts, event_id) AS gap
                   FROM events)
+        """,
+        "events_value_delta": """
+            SELECT event_id, user_id,
+                   (CAST(round(value*100) AS BIGINT)
+                    - lag(CAST(round(value*100) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   / 100.0 AS value_delta
+            FROM events
+        """,
+        "order_price_median": """
+            SELECT o_orderpriority,
+                   median(o_totalprice) AS median_price,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
         """,
         "events_asof_last_click": """
             SELECT e.event_id, e.user_id, e.ts,

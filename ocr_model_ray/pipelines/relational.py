@@ -664,6 +664,45 @@ def events_session_ids(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def events_value_delta(sf_dir: str) -> pd.DataFrame:
+    """LAG window shape: per event, value minus the same user's previous
+    event value (ts, event_id order). Exact-cents arithmetic so the
+    delta is bit-identical to the SQL window twin; first event per user
+    emits NULL like LAG does."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        value_c = (g["value"] * 100).round().astype("int64")
+        delta_c = value_c.diff()
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"],
+                             "value_delta": delta_c / 100.0})
+
+    out = ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def order_price_median(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group median (holistic aggregate — needs the full
+    group, so groupby().map_groups, unlike the distributive sums):
+    median o_totalprice per order priority. numpy's even-count
+    mean-of-middles matches SQL median() on DOUBLE bit-for-bit."""
+    import numpy as np
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def per_prio(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "median_price": [float(np.median(g["o_totalprice"].to_numpy()))],
+            "n_orders": [len(g)]})
+
+    return (ds.groupby("o_orderpriority")
+            .map_groups(per_prio, batch_format="pandas").to_pandas()
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
 def events_asof_last_click(sf_dir: str, click_type: str = "click") -> pd.DataFrame:
     """As-of join (ray_guide pattern): for every event, the ts of the
     same user's most recent ``click_type`` event at-or-before it —
