@@ -224,15 +224,12 @@ def _lang(rng: random.Random) -> tuple[str, list[str] | None]:
     return "fr", _FR
 
 
-def generate_rows(seed: int, tier: str, multiplier: int = 1) -> list[dict]:
-    """All fixture rows for a tier ('t1' | 't2'), optionally replicated
-    ``multiplier`` times with distinct content (seeded per replica) and
-    url suffixes — the bench recipe from FIXTURES.md."""
-    assert tier in ("t1", "t2")
+def _replica_rows(seed: int, tier: str, rep: int, suffix: str) -> list[dict]:
+    """One replica's rows (seeded independently per replica — the unit
+    the streaming writer generates at a time)."""
     rows: list[dict] = []
-    for rep in range(multiplier):
+    if True:
         rng = random.Random(seed * 1_000_003 + rep)
-        suffix = "" if multiplier == 1 else f"?rep={rep}"
         article_payloads: list[bytes] = []
         i_global = 0
         for cat, n1, n2 in CATEGORY_COUNTS:
@@ -291,6 +288,18 @@ def generate_rows(seed: int, tier: str, multiplier: int = 1) -> list[dict]:
     return rows
 
 
+def generate_rows(seed: int, tier: str, multiplier: int = 1) -> list[dict]:
+    """All fixture rows for a tier ('t1' | 't2'), optionally replicated
+    ``multiplier`` times with distinct content (seeded per replica) and
+    url suffixes — the bench recipe from FIXTURES.md."""
+    assert tier in ("t1", "t2")
+    rows: list[dict] = []
+    for rep in range(multiplier):
+        suffix = "" if multiplier == 1 else f"?rep={rep}"
+        rows.extend(_replica_rows(seed, tier, rep, suffix))
+    return rows
+
+
 PAGES_SCHEMA = pa.schema([
     pa.field("url", pa.string()),
     pa.field("warc_ts", pa.timestamp("us")),
@@ -311,12 +320,25 @@ def write_pages_parquet(path: str, seed: int = 0, tier: str = "t1",
     read_parquet parallelizes). Returns ``path``."""
     import os
     import pyarrow.parquet as pq
-    table = pages_table(seed, tier, multiplier)
     os.makedirs(path, exist_ok=True)
-    n = table.num_rows
+    # STREAM replica-by-replica: peak memory is one replica plus one
+    # shard buffer, not the whole corpus (the old build-then-slice path
+    # held ~8 GB for a 200x corpus and could not finish). Shard
+    # contents and names are byte-identical to the old layout.
+    buf: list[dict] = []
     shard = 0
-    for start in range(0, n, rows_per_file):
-        chunk = table.slice(start, min(rows_per_file, n - start))
-        pq.write_table(chunk, os.path.join(path, f"pages-{shard:05d}.parquet"))
-        shard += 1
+
+    def flush(final: bool = False) -> None:
+        nonlocal buf, shard
+        while len(buf) >= rows_per_file or (final and buf):
+            chunk, buf = buf[:rows_per_file], buf[rows_per_file:]
+            pq.write_table(pa.Table.from_pylist(chunk, schema=PAGES_SCHEMA),
+                           os.path.join(path, f"pages-{shard:05d}.parquet"))
+            shard += 1
+
+    for rep in range(multiplier):
+        suffix = "" if multiplier == 1 else f"?rep={rep}"
+        buf.extend(_replica_rows(seed, tier, rep, suffix))
+        flush()
+    flush(final=True)
     return path
