@@ -617,20 +617,42 @@ def oracle_sql() -> dict[str, str]:
         # of the two texts), so a hash-keyed pair golden recovers this
         # corpus's pairs by joining documents twice; components derive
         # from those pairs with a recursive min-label CTE
+        # near pairs (distinct texts) come from the hash-keyed golden;
+        # exact-dup (rep, member, 1.0) edges derive in pure SQL from
+        # the corpus itself, so corpora WITH identical texts (sf0.1)
+        # oracle correctly too
         "docs_near_dup": f"""
             SELECT least(da.doc_id, db.doc_id) AS doc_a,
                    greatest(da.doc_id, db.doc_id) AS doc_b, g.jaccard
             FROM read_parquet('{os.path.join(_GOLDENS, "near_dup_pairs_by_hash.parquet")}') g
-            JOIN documents da ON md5(da.text) = g.ha
-            JOIN documents db ON md5(db.text) = g.hb
+            JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                  FROM documents GROUP BY md5(text)) da ON da.h = g.ha
+            JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                  FROM documents GROUP BY md5(text)) db ON db.h = g.hb
+            UNION ALL
+            SELECT min_id AS doc_a, doc_id AS doc_b, 1.0 AS jaccard
+            FROM (SELECT doc_id,
+                         min(doc_id) OVER (PARTITION BY md5(text)) AS min_id,
+                         count(*) OVER (PARTITION BY md5(text)) AS n
+                  FROM documents)
+            WHERE n >= 2 AND doc_id <> min_id
         """,
         "docs_near_dup_clusters": f"""
             WITH RECURSIVE
             p AS (SELECT least(da.doc_id, db.doc_id) AS a,
                          greatest(da.doc_id, db.doc_id) AS b
                   FROM read_parquet('{os.path.join(_GOLDENS, "near_dup_pairs_by_hash.parquet")}') g
-                  JOIN documents da ON md5(da.text) = g.ha
-                  JOIN documents db ON md5(db.text) = g.hb),
+                  JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                        FROM documents GROUP BY md5(text)) da ON da.h = g.ha
+                  JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                        FROM documents GROUP BY md5(text)) db ON db.h = g.hb
+                  UNION ALL
+                  SELECT min_id, doc_id
+                  FROM (SELECT doc_id,
+                               min(doc_id) OVER (PARTITION BY md5(text)) AS min_id,
+                               count(*) OVER (PARTITION BY md5(text)) AS n
+                        FROM documents)
+                  WHERE n >= 2 AND doc_id <> min_id),
             e AS (SELECT a AS src, b AS dst FROM p
                   UNION SELECT b, a FROM p),
             reach(node, label) AS (

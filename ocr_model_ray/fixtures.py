@@ -228,63 +228,62 @@ def _replica_rows(seed: int, tier: str, rep: int, suffix: str) -> list[dict]:
     """One replica's rows (seeded independently per replica — the unit
     the streaming writer generates at a time)."""
     rows: list[dict] = []
-    if True:
-        rng = random.Random(seed * 1_000_003 + rep)
-        article_payloads: list[bytes] = []
-        i_global = 0
-        for cat, n1, n2 in CATEGORY_COUNTS:
-            n = n1 if tier == "t1" else n2
-            for i in range(n):
-                url = f"https://fixture.test/{cat}/{i:06d}{suffix}"
-                lang, vocab = _lang(rng)
-                if cat == "html-article":
-                    payload = _article_html(rng, vocab=vocab).encode("utf-8")
-                    article_payloads.append(payload)
-                elif cat == "html-table":
-                    payload = _article_html(rng, vocab=vocab,
-                                            tables=rng.randint(1, 3)).encode("utf-8")
-                elif cat == "html-minimal":
-                    variant = i % 3
-                    if variant == 0:
-                        payload = b"<html><body><p>short</p></body></html>"
-                    elif variant == 1:
-                        payload = b"<html><body></body></html>"
-                    else:
-                        payload = b"<html><body><p>   </p><p>\n\t </p></body></html>"
-                elif cat == "pdf-digital":
-                    payload = _pdf_payload(rng, rng.randint(1, 5),
-                                           with_table=(i % 4 == 0))
-                elif cat == "pdf-scanned":
-                    payload = _pdf_payload(rng, rng.randint(1, 2), scanned=True)
-                elif cat == "text-plain":
-                    payload = _text_payload(rng, i)
-                elif cat == "dup-content":
-                    payload = article_payloads[i % len(article_payloads)]
-                elif cat == "giant-blob":
-                    if i % 2 == 0:
-                        payload = _article_html(rng, n_paras=400).encode("utf-8")
-                    else:
-                        payload = _pdf_payload(rng, 3, giant=True)
-                elif cat == "docx":
-                    payload = _docx_payload(rng)
-                else:  # malformed
-                    variant = i % 3
-                    if variant == 0:
-                        base = _article_html(rng).encode("utf-8")
-                        payload = base[: len(base) // 2]  # truncated mid-document
-                    elif variant == 1:
-                        payload = b"\x00\x01\x02" + bytes(rng.randrange(256) for _ in range(64))
-                    else:
-                        payload = PSEUDO_PDF_HEADER + b"{not json!!"
-                ts = BASE_TS + dt.timedelta(seconds=i_global + rep * 86400)
-                rows.append({
-                    "url": url,
-                    "warc_ts": ts,
-                    "html": payload,
-                    "text": " ".join(_words(rng, 20)),
-                    "lang": lang,
-                })
-                i_global += 1
+    rng = random.Random(seed * 1_000_003 + rep)
+    article_payloads: list[bytes] = []
+    i_global = 0
+    for cat, n1, n2 in CATEGORY_COUNTS:
+        n = n1 if tier == "t1" else n2
+        for i in range(n):
+            url = f"https://fixture.test/{cat}/{i:06d}{suffix}"
+            lang, vocab = _lang(rng)
+            if cat == "html-article":
+                payload = _article_html(rng, vocab=vocab).encode("utf-8")
+                article_payloads.append(payload)
+            elif cat == "html-table":
+                payload = _article_html(rng, vocab=vocab,
+                                        tables=rng.randint(1, 3)).encode("utf-8")
+            elif cat == "html-minimal":
+                variant = i % 3
+                if variant == 0:
+                    payload = b"<html><body><p>short</p></body></html>"
+                elif variant == 1:
+                    payload = b"<html><body></body></html>"
+                else:
+                    payload = b"<html><body><p>   </p><p>\n\t </p></body></html>"
+            elif cat == "pdf-digital":
+                payload = _pdf_payload(rng, rng.randint(1, 5),
+                                       with_table=(i % 4 == 0))
+            elif cat == "pdf-scanned":
+                payload = _pdf_payload(rng, rng.randint(1, 2), scanned=True)
+            elif cat == "text-plain":
+                payload = _text_payload(rng, i)
+            elif cat == "dup-content":
+                payload = article_payloads[i % len(article_payloads)]
+            elif cat == "giant-blob":
+                if i % 2 == 0:
+                    payload = _article_html(rng, n_paras=400).encode("utf-8")
+                else:
+                    payload = _pdf_payload(rng, 3, giant=True)
+            elif cat == "docx":
+                payload = _docx_payload(rng)
+            else:  # malformed
+                variant = i % 3
+                if variant == 0:
+                    base = _article_html(rng).encode("utf-8")
+                    payload = base[: len(base) // 2]  # truncated mid-document
+                elif variant == 1:
+                    payload = b"\x00\x01\x02" + bytes(rng.randrange(256) for _ in range(64))
+                else:
+                    payload = PSEUDO_PDF_HEADER + b"{not json!!"
+            ts = BASE_TS + dt.timedelta(seconds=i_global + rep * 86400)
+            rows.append({
+                "url": url,
+                "warc_ts": ts,
+                "html": payload,
+                "text": " ".join(_words(rng, 20)),
+                "lang": lang,
+            })
+            i_global += 1
     return rows
 
 

@@ -163,24 +163,30 @@ class MinHashWorker:
         bh = np.concatenate(bh_blocks) if bh_blocks else \
             np.empty((0, NUM_BANDS), dtype=np.int64)
         n = len(ids)
+        # every row carries ch = md5-low64 of the text: inside an LSH
+        # band bucket, identical texts collapse to one representative
+        # BEFORE the size cap (else a big exact-dup group fills the
+        # capped prefix and evicts genuine near-dup candidates)
+        mh = md5_hex(df["text"])
+        ch = np.array([int(h[16:], 16) - (1 << 63) for h in mh],
+                      dtype=np.int64)
         out = pd.DataFrame({
             "doc_id": np.repeat(ids, NUM_BANDS),
             "band": np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
             "band_hash": bh.reshape(-1),
             "h2": np.zeros(n * NUM_BANDS, dtype=np.int64),
+            "ch": np.repeat(ch, NUM_BANDS),
         })
         if self.emit_exact:
             # full 128-bit md5 rides as two int64 keys (band_hash, h2) —
             # a 64-bit prefix alone would collide at 10^12 docs
-            mh = md5_hex(df["text"])
             eh = np.array([int(h[:16], 16) - (1 << 63) for h in mh],
-                          dtype=np.int64)
-            e2 = np.array([int(h[16:], 16) - (1 << 63) for h in mh],
                           dtype=np.int64)
             out = pd.concat([out, pd.DataFrame({
                 "doc_id": ids,
                 "band": np.full(n, EXACT_BAND, dtype=np.int32),
-                "band_hash": eh, "h2": e2})], ignore_index=True)
+                "band_hash": eh, "h2": ch, "ch": ch}),
+            ], ignore_index=True)
         return out
 
 
@@ -254,6 +260,13 @@ def _band_pass(ds: rd.Dataset, ngram: int, max_bucket: int,
                 out_a.append(np.full(len(ids) - 1, ids[0]))
                 out_b.append(ids[1:])
                 exact.append(np.ones(len(ids) - 1, dtype=bool))
+                continue
+            # collapse identical texts to their min-id rep BEFORE the
+            # cap: a large exact-dup group would otherwise occupy the
+            # whole capped prefix and evict genuine near-dup candidates
+            # (members pair via their rep's exact edge instead)
+            ids = np.sort(grp.groupby("ch")["doc_id"].min().to_numpy())
+            if len(ids) < 2:
                 continue
             if len(ids) > max_bucket:
                 log.warning(
@@ -424,7 +437,7 @@ def near_dup_pairs(ds: rd.Dataset, threshold: float = 0.8,
 
     cand = edges[~edges["exact"]][["doc_a", "doc_b"]]
     if not exact_edges.empty and not cand.empty:
-        members = pd.concat([exact_edges["doc_b"]]).unique()
+        members = exact_edges["doc_b"].unique()
         cand = cand[~cand["doc_a"].isin(members)
                     & ~cand["doc_b"].isin(members)]
     cand = cand.drop_duplicates()

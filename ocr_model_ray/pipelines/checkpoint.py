@@ -50,6 +50,16 @@ def run_resumable(paths: str | Sequence[str], out_dir: str,
     # dedup / extract: part_id = crc32(url) % P depends only on url, so
     # a resume skips the expensive work, not just the write (ADVICE
     # round 1, medium). The filter fuses with the read.
+    #
+    # Interaction with cfg.dedup: filtering pre-dedup can change which
+    # url of a duplicate-content group acts as the extraction
+    # representative on resume. That is OUTPUT-INVARIANT: extraction is
+    # a pure function of the payload, every url in the group gets its
+    # own (identical-content) output row, and each row's partition is
+    # crc32(its url) — so a resumed run's data equals an uninterrupted
+    # run's (pinned by test_dedup_resume_output_invariant). The only
+    # cost is re-extracting shared content whose prior rep was in a
+    # completed partition.
     pages_transform = None
     if done_before:
         done_arr = pa.array(sorted(done_before), pa.int32())

@@ -442,7 +442,17 @@ def brand_revenue(sf_dir: str) -> pd.DataFrame:
     def partial(t: pa.Table) -> pa.Table:
         import ray as _ray
         keys, codes = _ray.get(lookup_ref)
-        idx = np.searchsorted(keys, t["l_partkey"].to_numpy())
+        lp = t["l_partkey"].to_numpy()
+        idx = np.searchsorted(keys, lp)
+        # inner-join semantics: a partkey missing from part would
+        # otherwise IndexError (idx == len) or silently credit the
+        # next brand — drop those rows like the SQL join does
+        valid = idx < len(keys)
+        ok = valid.copy()
+        ok[valid] = keys[idx[valid]] == lp[valid]
+        if not ok.all():
+            t = t.filter(pa.array(ok))
+            idx = idx[ok]
         code = codes[idx]
         g = (pa.table({"brand_code": pa.array(code.astype("int32")),
                        "rev_c": _disc_rev_cents(t)})

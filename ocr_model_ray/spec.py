@@ -763,6 +763,7 @@ _FAST_END = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _RAW_TEXT_TAGS = ("script", "style")
 _RAW_CLOSERS = {t: re.compile(r"</\s*%s" % t, re.IGNORECASE)
                 for t in _RAW_TEXT_TAGS}
+_COMMENT_CLOSE = re.compile(r"--\s*>")
 
 
 def _fast_feed(parser: "_BlockParser", text: str) -> bool:
@@ -782,10 +783,12 @@ def _fast_feed(parser: "_BlockParser", text: str) -> bool:
         nxt = text[lt + 1:lt + 2]
         if nxt == "!":
             if text.startswith("<!--", lt):
-                end = text.find("-->", lt + 4)
-                if end < 0:
+                # html.parser closes comments on '--\s*>' (parse_comment),
+                # not only the literal '-->'
+                cm = _COMMENT_CLOSE.search(text, lt + 4)
+                if cm is None:
                     return False
-                i = end + 3
+                i = cm.end()
                 continue
             end = text.find(">", lt)
             if end < 0 or "[" in text[lt:end]:  # marked section / EOF
@@ -809,29 +812,47 @@ def _fast_feed(parser: "_BlockParser", text: str) -> bool:
         if not m:
             return False  # bogus '<' — html.parser folds it into data
         tag = m.group(1).lower()
-        # walk to the closing '>' tracking quotes; bail on '<' or EOF
+        # walk to the closing '>'. A quote char OPENS a quoted value
+        # only directly after '=' (+ws) — html.parser treats quotes
+        # inside unquoted values (x=don't) as literal value chars, so
+        # any other quote position BAILS rather than mis-scan the tag
+        # end. '<' inside the tag (outside quotes) bails too.
         j = m.end()
         quote = ""
+        prev_sig = ""  # last non-whitespace char outside quotes
         while j < n:
             c = text[j]
             if quote:
                 if c == quote:
                     quote = ""
+                    prev_sig = c
             elif c in "\"'":
+                if prev_sig != "=":
+                    return False
                 quote = c
             elif c == ">":
                 break
             elif c == "<":
                 return False
+            else:
+                if c not in " \t\n\r\f":
+                    prev_sig = c
             j += 1
         else:
             return False
         if quote:
             return False
         attr_chunk = text[m.end():j]
-        startend = attr_chunk.endswith("/")
-        if startend:
-            attr_chunk = attr_chunk[:-1]
+        # self-closing ONLY when html.parser would see end=='/>': the
+        # '/' must follow a separator or quoted value — a '/' glued to
+        # an unquoted value char (src=foo/) is part of THAT VALUE and
+        # the tag is a plain starttag (attrfind's [^>\s]* eats it)
+        startend = False
+        if attr_chunk.endswith("/"):
+            before = attr_chunk[:-1]
+            if before == "" or before[-1] in " \t\n\r\f\"'":
+                startend = True
+                attr_chunk = before
         # _BlockParser reads attrs ONLY on td/th (colspan); every other
         # handler ignores them, so [] is event-equivalent there. For
         # td/th, replicate html.parser's sequential attrfind loop

@@ -50,14 +50,26 @@ def _col_letter(idx: int) -> str:
     return out
 
 
+_XML_ILLEGAL = dict.fromkeys(
+    [c for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)])
+
+
 def _cell_xml(ref: str, value) -> str:
     if value is None:
         return ""
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
+        # non-finite floats have no OOXML number form — emit an empty
+        # cell (what openpyxl does) instead of an unparseable <v>nan</v>
+        if isinstance(value, float) and value != value or value in (
+                float("inf"), float("-inf")):
+            return ""
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    text = escape(str(value))
+    # strip control chars that are illegal in XML 1.0 (a binary-ish
+    # payload sniffed as HTML can leak them into extracted text and
+    # would make the whole sheet unparseable)
+    text = escape(str(value).translate(_XML_ILLEGAL))
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{text}</t></is></c>'
 
 

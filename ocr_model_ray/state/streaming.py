@@ -64,7 +64,19 @@ class ShardedSessionizer:
                        for _ in range(num_shards)]
 
     def _shard_of(self, key) -> int:
-        return zlib.crc32(str(key).encode()) % self.num_shards
+        """Dtype-independent routing: an integral VALUE always takes
+        the integer hash (so int64 7, numpy 7 and '7'-as-object land on
+        the same shard even when batches arrive with different column
+        dtypes); everything else hashes its string form."""
+        try:
+            v = int(key)
+        except (TypeError, ValueError):
+            return zlib.crc32(str(key).encode()) % self.num_shards
+        import numpy as np
+        with np.errstate(over="ignore"):
+            h = (np.uint64(v & 0xFFFFFFFFFFFFFFFF)   # int64 wrap
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return int(h % np.uint64(self.num_shards))
 
     def ingest_batch(self, df: pd.DataFrame, key_col: str = "user_id",
                      ts_col: str = "ts") -> None:

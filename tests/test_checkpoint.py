@@ -178,3 +178,44 @@ def test_metrics_parquet_and_rollup(t1_pages_dir, tmp_path):
     assert (roll["total_wall_s"].to_numpy()[:-1]
             >= roll["total_wall_s"].to_numpy()[1:]).all()
     assert roll["n_runs"].max() <= 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_resume_output_invariant(t1_pages_dir, tmp_path):
+    """Round-2 code-review check: with cfg.dedup=True, a kill+resume may
+    pick a DIFFERENT duplicate-content representative than the original
+    run (the done-partition filter runs pre-dedup) — the written output
+    must be identical to an uninterrupted run regardless."""
+    from ocr_model_ray.pipelines.extract_pipeline import ExtractConfig
+
+    def read_out(out):
+        t = pads.dataset(os.path.join(out, "data"), partitioning="hive") \
+            .to_table(columns=["url", "extracted_text", "content_hash"])
+        return sorted(zip(t["url"].to_pylist(),
+                          t["extracted_text"].to_pylist(),
+                          t["content_hash"].to_pylist()))
+
+    cfg = ExtractConfig(dedup=True, emit="summary")
+    ref = str(tmp_path / "ref")
+    run_resumable(t1_pages_dir, ref, cfg, num_partitions=P)
+    want = read_out(ref)
+    assert len(want) == 69
+
+    out = str(tmp_path / "out")
+    run_resumable(t1_pages_dir, out, cfg, num_partitions=P)
+    # kill the partitions holding the first url of every dup-content
+    # group (the fixture dup-content urls share hashes with articles)
+    import collections
+    by_hash = collections.defaultdict(list)
+    for url, _, h in want:
+        by_hash[h].append(url)
+    import zlib as _z
+    victim_parts = sorted({_z.crc32(us[0].encode()) % P
+                           for us in by_hash.values() if len(us) > 1})
+    assert victim_parts, "fixture corpus must contain dup content"
+    for pid in victim_parts:
+        os.remove(mf.manifest_path(out, pid))
+        shutil.rmtree(mf.data_path(out, pid), ignore_errors=True)
+
+    run_resumable(t1_pages_dir, out, cfg, num_partitions=P)
+    assert read_out(out) == want

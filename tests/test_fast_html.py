@@ -101,6 +101,17 @@ CASES = [
     b"<table><tr><td>unclosed table cell text",
     b"<table><tr><td colspan=2>open cell</td><tr><td>second row",
     b"<div>text <a href='q'>anchor</a> tail</div><nav>dropped nav</nav>",
+    # round-2 code-review regressions: '/' glued to an unquoted value is
+    # NOT self-closing; quotes inside unquoted values; '--  >' comments
+    b"<script src=foo/>alert(1); var x = 2;</script><p>after the script "
+    b"with enough words to clear the block threshold</p>",
+    b"<a href=http://x.com/>link text with plenty of characters here</a>"
+    b"<p>plain paragraph beside it with enough text to keep</p>",
+    b"<table><tr><td colspan=2/>cell</td></tr></table>",
+    b"<div x=don't y='a>b'>text stays visible with plenty of words to "
+    b"pass thresholds</div>",
+    b"<p>before</p><!--c--  >visible text here-->tail words and more "
+    b"of them to pass the threshold limits</p>",
 ]
 
 

@@ -255,3 +255,22 @@ def test_signatures_block_property(texts):
     block = _signatures_block(texts, 3)
     for i, t in enumerate(texts):
         assert np.array_equal(block[i], minhash_signature(shingles(t, 3)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_recall_with_large_exact_group():
+    """Round-2 code-review regression: a >max_bucket exact-dup group
+    must not evict genuine near-dup candidates from the capped LSH
+    buckets — identical texts collapse to their rep (via the ch column)
+    BEFORE the cap."""
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import near_dup_pairs
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "the green fields towards the old farm house near the river ") * 3
+    rows = [{"doc_id": i, "text": base} for i in range(100)]
+    rows.append({"doc_id": 1000, "text": base + " extra tail words here"})
+    pairs = near_dup_pairs(rd.from_pandas(pd.DataFrame(rows)), threshold=0.8)
+    exact = pairs[pairs["jaccard"] == 1.0]
+    near = pairs[pairs["jaccard"] < 1.0]
+    assert len(exact) == 99 and (exact["doc_a"] == 0).all()
+    assert list(zip(near["doc_a"], near["doc_b"])) == [(0, 1000)]

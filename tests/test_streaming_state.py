@@ -66,3 +66,24 @@ def test_salted_group_count_matches_plain():
     merged = got.merge(want, on="k", suffixes=("_got", "_want"))
     assert len(merged) == len(want)
     assert (merged["count_got"] == merged["count_want"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shard_routing_is_dtype_independent():
+    """Round-2 code-review regression: the same logical key must land on
+    the same shard whether the batch column arrives as int64 or object
+    dtype (a dtype flip used to split one user's stream across actors)."""
+    import pandas as pd
+    from ocr_model_ray.state.streaming import ShardedSessionizer
+    s = ShardedSessionizer(num_shards=4)
+    ints = pd.DataFrame({"user_id": pd.Series([1, 7, 42, -3], dtype="int64"),
+                         "ts": pd.to_datetime(["2024-01-01"] * 4)})
+    objs = ints.copy()
+    objs["user_id"] = objs["user_id"].astype(object)
+    import numpy as np
+    keys = ints["user_id"].to_numpy()
+    with np.errstate(over="ignore"):
+        vec = ((keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+               >> np.uint64(33)) % np.uint64(4)
+    scalar = [s._shard_of(k) for k in objs["user_id"]]
+    assert list(vec.astype(int)) == scalar

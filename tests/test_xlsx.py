@@ -80,3 +80,14 @@ def test_xlsx_export_over_golden_corpus(t1_pages_dir):
     rows = _sheet_rows(sample["xlsx"])
     assert rows[0] == HEADERS
     assert len(rows) > 1
+
+
+def test_workbook_sanitizes_nan_and_control_chars():
+    """Round-2 code-review regression: NaN/inf confidences and XML-1.0
+    illegal control chars must not produce an unparseable sheet."""
+    rows = [[1, "line", "bad\x08ctl\x00chars", 0.0, 0.0, 1.0, 1.0,
+             float("nan")],
+            [2, "line", "ok", 0.0, 0.0, 1.0, 1.0, float("inf")]]
+    got = _sheet_rows(workbook_bytes(HEADERS, rows))  # parses cleanly
+    assert got[1][2] == "badctlchars"       # control chars stripped
+    assert len(got[1]) == 7                 # NaN cell omitted entirely
