@@ -261,13 +261,17 @@ def _band_pass(ds: rd.Dataset, ngram: int, max_bucket: int,
                 out_b.append(ids[1:])
                 exact.append(np.ones(len(ids) - 1, dtype=bool))
                 continue
-            # collapse identical texts to their min-id rep BEFORE the
-            # cap: a large exact-dup group would otherwise occupy the
-            # whole capped prefix and evict genuine near-dup candidates
-            # (members pair via their rep's exact edge instead)
-            ids = np.sort(grp.groupby("ch")["doc_id"].min().to_numpy())
-            if len(ids) < 2:
-                continue
+            if emit_exact:
+                # collapse identical texts to their min-id rep BEFORE
+                # the cap: a large exact-dup group would otherwise fill
+                # the capped prefix and evict genuine near-dup
+                # candidates. Members pair via their (rep, member)
+                # exact edge — which only exists in emit_exact mode, so
+                # the standalone candidate stage keeps identical-text
+                # pairs as ordinary candidates instead.
+                ids = np.sort(grp.groupby("ch")["doc_id"].min().to_numpy())
+                if len(ids) < 2:
+                    continue
             if len(ids) > max_bucket:
                 log.warning(
                     "LSH bucket of %d docs capped to %d (band=%s): %d "

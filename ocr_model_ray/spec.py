@@ -812,47 +812,74 @@ def _fast_feed(parser: "_BlockParser", text: str) -> bool:
         if not m:
             return False  # bogus '<' — html.parser folds it into data
         tag = m.group(1).lower()
-        # walk to the closing '>'. A quote char OPENS a quoted value
-        # only directly after '=' (+ws) — html.parser treats quotes
-        # inside unquoted values (x=don't) as literal value chars, so
-        # any other quote position BAILS rather than mis-scan the tag
-        # end. '<' inside the tag (outside quotes) bails too.
+        # walk to the closing '>' with html.parser's attr grammar as a
+        # tiny state machine (SEP / NAME / AFTER_EQ / UNQUOTED / QUOTED):
+        # * a quote opens a value ONLY as the first sig char after '='
+        #   (attrfind: \s*=+\s*('...'|"..."|unquoted)); quotes inside
+        #   unquoted values (x=don't) and inside names BAIL;
+        # * unquoted values eat '/', '=', quotes literally and stop at
+        #   whitespace or '>' ([^>\s]*), so src=foo/ is NOT self-closing;
+        # * '/' in separator/name position is a separator (/(?!>)), so
+        #   the tag is self-closing iff the char before '>' is a
+        #   SEPARATOR slash ('<a //>' is startend, 'a=b//>' is not);
+        # * '=' at attribute-NAME position and '<' inside the tag BAIL.
+        SEP, NAME, AFTER_EQ, UNQUOTED, QUOTED = 0, 1, 2, 3, 4
         j = m.end()
-        quote = ""
-        prev_sig = ""  # last non-whitespace char outside quotes
+        state = SEP
+        qch = ""
+        sep_slash_at = -2
         while j < n:
             c = text[j]
-            if quote:
-                if c == quote:
-                    quote = ""
-                    prev_sig = c
-            elif c in "\"'":
-                if prev_sig != "=":
-                    return False
-                quote = c
+            if state == QUOTED:
+                if c == qch:
+                    state = SEP
             elif c == ">":
                 break
             elif c == "<":
                 return False
+            elif state == UNQUOTED:
+                if c in " \t\n\r\f":
+                    state = SEP
+                # quotes / '=' / '/' are literal value chars here
+            elif c in "\"'":
+                if state == AFTER_EQ:
+                    state = QUOTED
+                    qch = c
+                else:
+                    return False  # quote in name/separator position
+            elif c == "=":
+                if state == NAME:
+                    state = AFTER_EQ
+                elif state == AFTER_EQ:
+                    pass  # attrfind allows =+
+                else:
+                    return False  # '=' at attr-name position
+            elif c == "/":
+                if state == AFTER_EQ:
+                    state = UNQUOTED  # '/' starts an unquoted value
+                else:
+                    sep_slash_at = j  # separator slash (SEP or ends NAME)
+                    state = SEP
+            elif c in " \t\n\r\f":
+                if state == NAME:
+                    state = SEP
+                elif state == AFTER_EQ:
+                    pass  # \s*=+\s* allows space before the value
             else:
-                if c not in " \t\n\r\f":
-                    prev_sig = c
+                if state == SEP:
+                    state = NAME
+                elif state == AFTER_EQ:
+                    state = UNQUOTED
+                # NAME / UNQUOTED: stay
             j += 1
         else:
             return False
-        if quote:
+        if state == QUOTED:
             return False
         attr_chunk = text[m.end():j]
-        # self-closing ONLY when html.parser would see end=='/>': the
-        # '/' must follow a separator or quoted value — a '/' glued to
-        # an unquoted value char (src=foo/) is part of THAT VALUE and
-        # the tag is a plain starttag (attrfind's [^>\s]* eats it)
-        startend = False
-        if attr_chunk.endswith("/"):
-            before = attr_chunk[:-1]
-            if before == "" or before[-1] in " \t\n\r\f\"'":
-                startend = True
-                attr_chunk = before
+        startend = sep_slash_at == j - 1
+        if startend:
+            attr_chunk = attr_chunk[:-1]
         # _BlockParser reads attrs ONLY on td/th (colspan); every other
         # handler ignores them, so [] is event-equivalent there. For
         # td/th, replicate html.parser's sequential attrfind loop

@@ -63,20 +63,27 @@ class ShardedSessionizer:
         self.shards = [_SessionShard.remote(gap_minutes * 60.0)
                        for _ in range(num_shards)]
 
-    def _shard_of(self, key) -> int:
-        """Dtype-independent routing: an integral VALUE always takes
-        the integer hash (so int64 7, numpy 7 and '7'-as-object land on
-        the same shard even when batches arrive with different column
-        dtypes); everything else hashes its string form."""
+    @staticmethod
+    def _norm_key(key):
+        """Canonical key: integral VALUES become python int (so int64 7,
+        numpy 7 and '7'-as-object are ONE key — same shard AND same
+        per-key state); everything else (inf/NaN/Decimal oddities
+        included — hence the broad except) keys by its value as-is."""
         try:
             v = int(key)
-        except (TypeError, ValueError):
-            return zlib.crc32(str(key).encode()) % self.num_shards
-        import numpy as np
-        with np.errstate(over="ignore"):
-            h = (np.uint64(v & 0xFFFFFFFFFFFFFFFF)   # int64 wrap
-                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        return int(h % np.uint64(self.num_shards))
+        except Exception:  # noqa: BLE001 — inf=OverflowError, etc.
+            return key
+        return v if v == key or isinstance(key, str) else key
+
+    def _shard_of(self, key) -> int:
+        key = self._norm_key(key)
+        if isinstance(key, int):
+            # pure-int twin of the vectorized uint64 multiplicative
+            # hash in ingest_batch (identical results, no numpy boxing)
+            h = ((key & 0xFFFFFFFFFFFFFFFF) * 0x9E3779B97F4A7C15) \
+                & 0xFFFFFFFFFFFFFFFF
+            return (h >> 33) % self.num_shards
+        return zlib.crc32(str(key).encode()) % self.num_shards
 
     def ingest_batch(self, df: pd.DataFrame, key_col: str = "user_id",
                      ts_col: str = "ts") -> None:
@@ -96,6 +103,11 @@ class ShardedSessionizer:
                           >> np.uint64(33)) % np.uint64(self.num_shards)
             shards = shards.astype(np.int64)
         else:
+            # normalize the VALUES too, not just the routing: the shard
+            # actors key their state dicts by the shipped value, so
+            # int64 7 and '7'-as-object must arrive as the same key
+            keys = np.array([self._norm_key(k) for k in keys],
+                            dtype=object)
             shards = np.fromiter(
                 (self._shard_of(k) for k in keys),
                 dtype=np.int64, count=len(keys))

@@ -87,3 +87,18 @@ def test_shard_routing_is_dtype_independent():
                >> np.uint64(33)) % np.uint64(4)
     scalar = [s._shard_of(k) for k in objs["user_id"]]
     assert list(vec.astype(int)) == scalar
+    # state-level merge: int batch then str batch of the SAME ids must
+    # land in one per-key state (not split sessions), and odd keys
+    # (inf/NaN) must not crash routing
+    s.ingest_batch(ints)
+    later = ints.copy()
+    later["user_id"] = later["user_id"].map(str).astype(object)
+    later["ts"] = later["ts"] + pd.Timedelta(minutes=5)
+    s.ingest_batch(later)
+    out = s.finalize()
+    assert len(out) == 4
+    assert (out["n_events"] == 2).all()
+    assert (out["n_sessions"] == 1).all()
+    weird = pd.DataFrame({"user_id": [float("inf"), float("nan"), "x"],
+                          "ts": pd.to_datetime(["2024-01-01"] * 3)})
+    ShardedSessionizer(num_shards=2).ingest_batch(weird)  # no crash
