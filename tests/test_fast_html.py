@@ -127,3 +127,57 @@ def test_fast_equals_slow_tag_soup(soup):
     fast = _fast_state(text)
     if fast is not None:
         assert fast == _slow_state(text)
+
+
+def test_fast_equals_slow_structured_fuzz():
+    """Seeded structured-HTML fuzz (realistic tags/attrs incl. unquoted
+    values, separator slashes, spaced comments, raw-text elements):
+    every fast-accepted document must match html.parser exactly."""
+    import random
+    random.seed(7)
+    TAGS = ["p", "div", "h1", "li", "ul", "a", "td", "tr", "table",
+            "br", "span", "nav", "script", "style"]
+    WORDS = ["alpha", "beta", "x>y", "a&b", "don't", "q=r", "5<6", "tail"]
+
+    def rand_attrs():
+        out = []
+        for _ in range(random.randint(0, 3)):
+            name = random.choice(["href", "colspan", "id", "src"])
+            style = random.randint(0, 4)
+            if style == 0:
+                out.append(name)
+            elif style == 1:
+                out.append(f'{name}="{random.choice(WORDS)}"')
+            elif style == 2:
+                out.append(name + "='" + random.choice(["v", "2", "a b"]) + "'")
+            elif style == 3:
+                out.append(f"{name}={random.choice(['v1', '2', 'foo/', 'b//'])}")
+            else:
+                out.append(f'{name} = "{random.choice(["z", "3"])}"')
+        return (" " + " ".join(out)) if out else ""
+
+    def rand_html(depth=0):
+        parts = []
+        for _ in range(random.randint(1, 5)):
+            r = random.random()
+            if r < 0.35 or depth > 3:
+                parts.append(random.choice(WORDS) + " ")
+            elif r < 0.45:
+                parts.append(f"<{random.choice(TAGS)}{rand_attrs()}/>")
+            elif r < 0.55:
+                parts.append("<!-- c " + random.choice(["-->", "--  >"]))
+            else:
+                t = random.choice(TAGS)
+                parts.append(f"<{t}{rand_attrs()}>" + rand_html(depth + 1)
+                             + (f"</{t}>" if random.random() < 0.9 else ""))
+        return "".join(parts)
+
+    n_fast = 0
+    for _ in range(1500):
+        text = rand_html()
+        fast = _fast_state(text)
+        if fast is None:
+            continue
+        n_fast += 1
+        assert fast == _slow_state(text), repr(text[:200])
+    assert n_fast > 200  # the fast path must actually fire
