@@ -163,21 +163,24 @@ class MinHashWorker:
         bh = np.concatenate(bh_blocks) if bh_blocks else \
             np.empty((0, NUM_BANDS), dtype=np.int64)
         n = len(ids)
-        # every row carries ch = md5-low64 of the text: inside an LSH
-        # band bucket, identical texts collapse to one representative
-        # BEFORE the size cap (else a big exact-dup group fills the
-        # capped prefix and evicts genuine near-dup candidates)
-        mh = md5_hex(df["text"])
-        ch = np.array([int(h[16:], 16) - (1 << 63) for h in mh],
-                      dtype=np.int64)
         out = pd.DataFrame({
             "doc_id": np.repeat(ids, NUM_BANDS),
             "band": np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
             "band_hash": bh.reshape(-1),
             "h2": np.zeros(n * NUM_BANDS, dtype=np.int64),
-            "ch": np.repeat(ch, NUM_BANDS),
         })
         if self.emit_exact:
+            # ch = md5-low64 rides on every band row: inside an LSH
+            # bucket, identical texts collapse to one representative
+            # BEFORE the size cap (a big exact-dup group would fill the
+            # capped prefix and evict genuine near-dup candidates).
+            # Only emitted in emit_exact mode — the standalone candidate
+            # stage has no (rep, member) edges to compensate, and skips
+            # both the md5 pass and the two extra shuffle columns.
+            mh = md5_hex(df["text"])
+            ch = np.array([int(h[16:], 16) - (1 << 63) for h in mh],
+                          dtype=np.int64)
+            out["ch"] = np.repeat(ch, NUM_BANDS)
             # full 128-bit md5 rides as two int64 keys (band_hash, h2) —
             # a 64-bit prefix alone would collide at 10^12 docs
             eh = np.array([int(h[:16], 16) - (1 << 63) for h in mh],
@@ -459,7 +462,7 @@ def near_dup_pairs(ds: rd.Dataset, threshold: float = 0.8,
             .astype({"doc_a": "int64", "doc_b": "int64"}))
 
 
-def min_label_propagation(pairs: pd.DataFrame, max_rounds: int = 50,
+def min_label_propagation(pairs: pd.DataFrame, max_rounds: int | None = None,
                           engine: str = "auto") -> pd.DataFrame:
     """Connected components via iterative min-label propagation
     (ray_guide pattern; replaces the round-1 driver union-find): every
@@ -472,7 +475,13 @@ def min_label_propagation(pairs: pd.DataFrame, max_rounds: int = 50,
     identical vectorized recurrence on the driver; ``'auto'`` picks
     pandas below 50k edges (the verified pair set is usually tiny and
     the Ray per-op constant would dominate). Both paths compute the
-    same fixpoint — pinned by a unit test."""
+    same fixpoint — pinned by a unit test.
+
+    ``max_rounds=None`` (default) iterates to the FIXPOINT: convergence
+    needs O(component diameter) rounds (bounded by the node count, the
+    hard stop), and a long boilerplate-drift chain can exceed any fixed
+    small cap — a premature stop would silently split a component. Pass
+    a cap only for best-effort runs; hitting it logs a warning."""
     empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                           "cluster_id": pd.Series([], dtype="int64")})
     if pairs.empty:
@@ -485,17 +494,24 @@ def min_label_propagation(pairs: pd.DataFrame, max_rounds: int = 50,
     if engine == "auto":
         engine = "pandas" if len(src) < 50_000 else "ray"
 
+    rounds_cap = max_rounds if max_rounds is not None else len(nodes) + 1
     if engine == "pandas":
         label = {int(n): int(n) for n in nodes}
-        for _ in range(max_rounds):
+        converged = False
+        for _ in range(rounds_cap):
             s = pd.Series(np.concatenate(
                 [pd.Series(src).map(label).to_numpy(), nodes]),
                 index=np.concatenate([dst, nodes]))
             new = s.groupby(level=0).min()
             if np.array_equal(new.to_numpy(),
                               np.array([label[int(n)] for n in new.index])):
+                converged = True
                 break
             label = {int(k): int(v) for k, v in new.items()}
+        if not converged:
+            log.warning("min_label_propagation stopped at max_rounds=%s "
+                        "before convergence — components may be split",
+                        max_rounds)
         return pd.DataFrame({"doc_id": nodes,
                              "cluster_id": [label[int(n)] for n in nodes]})
 
@@ -503,7 +519,8 @@ def min_label_propagation(pairs: pd.DataFrame, max_rounds: int = 50,
     import ray
     edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
     labels = pd.DataFrame({"node": nodes, "label": nodes})
-    for _ in range(max_rounds):
+    converged = False
+    for _ in range(rounds_cap):
         lab_ref = ray.put(dict(zip(labels["node"], labels["label"])))
 
         def fwd(batch: pd.DataFrame) -> pd.DataFrame:
@@ -522,8 +539,13 @@ def min_label_propagation(pairs: pd.DataFrame, max_rounds: int = 50,
         new = new.astype({"node": "int64", "label": "int64"})
         if np.array_equal(new["label"].to_numpy(),
                           labels["label"].to_numpy()):
+            converged = True
             break
         labels = new
+    if not converged:
+        log.warning("min_label_propagation stopped at max_rounds=%s "
+                    "before convergence — components may be split",
+                    max_rounds)
     return pd.DataFrame({"doc_id": labels["node"],
                          "cluster_id": labels["label"]})
 

@@ -37,6 +37,13 @@ def broadcast_join(large: rd.Dataset, small: pa.Table | pd.DataFrame,
     ``small`` is put in the object store once; tasks deserialize the
     shared copy (per node), not per batch.
     """
+    if how not in ("inner", "left"):
+        # right/outer are NOT expressible per batch: every batch would
+        # re-emit the small side's rows unmatched in THAT batch,
+        # duplicating them once per batch — use hash_bucket_join
+        raise ValueError(
+            f"broadcast_join supports how='inner'|'left', got {how!r}; "
+            "right/outer joins need hash_bucket_join")
     if isinstance(small, pa.Table):
         small = small.to_pandas()
     keys = _key_cols(on)
@@ -136,8 +143,12 @@ def salted_group_count(ds: rd.Dataset, key: str, num_salts: int = 8) -> "pd.Data
         # deterministic per-row salt: hash of row position within batch
         salt = pa.array((np.arange(n) % num_salts).astype(np.int32))
         counts = pa.table({key: batch[key], "__salt": salt})
-        return (counts.group_by([key, "__salt"]).aggregate([([], "count_all")])
-                .rename_columns([key, "__salt", "n"]))
+        g = counts.group_by([key, "__salt"]).aggregate([([], "count_all")])
+        # select by NAME: pyarrow's key/aggregate column order has
+        # flipped between releases, so a positional rename can silently
+        # mislabel the count as the key
+        return g.select([key, "__salt", "count_all"]) \
+                .rename_columns([key, "__salt", "n"])
 
     salted = (ds.map_batches(add_salt, batch_format="pyarrow")
               .groupby([key, "__salt"]).aggregate(Sum("n", alias_name="n")))
@@ -192,7 +203,18 @@ def hash_bucket_join(left: rd.Dataset, right: rd.Dataset,
         base = getattr(s, "base_schema", None)
         if isinstance(base, pa.Schema):
             return base
-        return pa.schema(list(zip(s.names, s.types)))
+        # pandas-block datasets report numpy/python types — map them
+        # (object dtype means strings in this engine's frames)
+        fields = []
+        for name, t in zip(s.names, s.types):
+            if isinstance(t, pa.DataType):
+                fields.append((name, t))
+                continue
+            try:
+                fields.append((name, pa.from_numpy_dtype(t)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append((name, pa.string()))
+        return pa.schema(fields)
 
     lschema = _arrow_schema(left)
     rschema = _arrow_schema(right)
@@ -236,7 +258,10 @@ def hash_bucket_join(left: rd.Dataset, right: rd.Dataset,
         lmask = pc.equal(g["__side"], "l")
         lf = g.filter(lmask).select(lnames)
         rf = g.filter(pc.invert(lmask)).select(rnames)
-        if left_agg is not None and lf.num_rows:
+        if left_agg is not None:
+            # run on EMPTY left frames too: an aggregation typically
+            # changes the column set, and a right-only bucket must emit
+            # the same (aggregated) schema as every other bucket
             lf = left_agg(lf)
         out = lf.join(rf, keys=keys, join_type=join_type,
                       left_suffix=suffixes[0], right_suffix=suffixes[1])

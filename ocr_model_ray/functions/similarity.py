@@ -36,6 +36,39 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+
+def _empty_topk() -> pd.DataFrame:
+    return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                         "neighbor_id": pd.Series([], dtype="int64"),
+                         "sim": pd.Series([], dtype="float64")})
+
+
+def _topk_candidates(col: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of every row whose sim >= the kk-th largest VALUE —
+    value-threshold keep, so ties at the boundary are never dropped
+    arbitrarily (argpartition alone breaks the (sim desc, id asc)
+    tie-break contract: the globally smallest tied id could be cut
+    before the final sort sees it)."""
+    if kk >= len(col):
+        return np.arange(len(col))
+    kth_val = np.partition(col, len(col) - kk)[len(col) - kk]
+    return np.flatnonzero(col >= kth_val)
+
+
+def _finalize_topk(partials: pd.DataFrame, k: int, exclude_self: bool,
+                   round_to: int) -> pd.DataFrame:
+    """Shared ranking contract: (sim desc, neighbor_id asc) tie-break,
+    per-query head(k), round — ONE implementation for all kNN paths."""
+    if exclude_self:
+        partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "sim", "neighbor_id"],
+        ascending=[True, False, True], kind="mergesort")
+    top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["sim"] = top["sim"].round(round_to)
+    return top[["query_id", "neighbor_id", "sim"]]
+
+
 def knn_bruteforce(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    exclude_self: bool = True, round_to: int = 5) -> pd.DataFrame:
@@ -45,6 +78,8 @@ def knn_bruteforce(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
     (query_id, neighbor_id, sim) with deterministic tie-break
     (sim desc, neighbor_id asc), sims rounded to ``round_to``.
     """
+    if len(queries) == 0:
+        return _empty_topk()
     qids = queries[id_col].to_numpy()
     qmat = _normalize(_to_matrix(queries[vec_col]))
     ref = ray.put((qids, qmat))
@@ -58,8 +93,7 @@ def knn_bruteforce(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
         kk = min(k + (1 if exclude_self else 0), len(ids))
         for qi in range(sims.shape[1]):
             col = sims[:, qi]
-            top = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
-            for t in top:
+            for t in _topk_candidates(col, kk):
                 out_q.append(int(q_ids[qi]))
                 out_n.append(int(ids[t]))
                 out_s.append(float(col[t]))
@@ -68,15 +102,7 @@ def knn_bruteforce(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
                          "sim": pa.array(out_s, pa.float64())})
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-
-    if exclude_self:
-        partials = partials[partials["query_id"] != partials["neighbor_id"]]
-    partials = partials.sort_values(
-        ["query_id", "sim", "neighbor_id"],
-        ascending=[True, False, True], kind="mergesort")
-    top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    top["sim"] = top["sim"].round(round_to)
-    return top[["query_id", "neighbor_id", "sim"]]
+    return _finalize_topk(partials, k, exclude_self, round_to)
 
 
 def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -96,6 +122,8 @@ def lsh_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
     the ``num_tables`` independent plane sets. One pass over the corpus;
     per-batch work is bucket-local matmuls. Recall ≈ 1-(1-p^b)^T with
     p = 1 - angle/pi per plane (tested against brute force)."""
+    if len(queries) == 0:
+        return _empty_topk()
     dim = len(queries[vec_col].iloc[0])
     rng = np.random.RandomState(seed)
     plane_sets = [rng.normal(size=(num_planes, dim)) for _ in range(num_tables)]
@@ -137,14 +165,7 @@ def lsh_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
                          "sim": pa.array(out_s, pa.float64())})
 
     partials = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
-    if exclude_self:
-        partials = partials[partials["query_id"] != partials["neighbor_id"]]
-    partials = partials.sort_values(
-        ["query_id", "sim", "neighbor_id"],
-        ascending=[True, False, True], kind="mergesort")
-    top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    top["sim"] = top["sim"].round(round_to)
-    return top[["query_id", "neighbor_id", "sim"]]
+    return _finalize_topk(partials, k, exclude_self, round_to)
 
 
 def ivf_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
@@ -161,6 +182,8 @@ def ivf_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
     fall in any probed cell — per batch a mask + matmul; no shuffle.
     Recall vs brute force is tested; raise nprobe toward num_centroids
     to trade speed for recall (nprobe=num_centroids == exact)."""
+    if len(queries) == 0:
+        return _empty_topk()
     sample = ds.limit(sample_size).to_pandas()
     train = _normalize(_to_matrix(sample[vec_col]))
     rng = np.random.RandomState(seed)
@@ -191,6 +214,7 @@ def ivf_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         m = _normalize(_to_matrix(batch[vec_col]))
         cells = (m @ centroids.T).argmax(axis=1)
+        kk = k + (1 if exclude_self else 0)
         out_q, out_n, out_s = [], [], []
         for cell in np.unique(cells):
             hits = probe_map.get(int(cell))
@@ -201,7 +225,9 @@ def ivf_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
             sub = m[mask]
             for qi, qv in hits:
                 sims = sub @ qv
-                for t in range(len(sub_ids)):
+                # per-(batch, query) tie-safe partial top-k: ship ~k
+                # rows per query per batch, not every row of the cell
+                for t in _topk_candidates(sims, kk):
                     out_q.append(qi)
                     out_n.append(int(sub_ids[t]))
                     out_s.append(float(sims[t]))
@@ -210,14 +236,7 @@ def ivf_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
                          "sim": pa.array(out_s, pa.float64())})
 
     partials = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
-    if exclude_self:
-        partials = partials[partials["query_id"] != partials["neighbor_id"]]
-    partials = partials.sort_values(
-        ["query_id", "sim", "neighbor_id"],
-        ascending=[True, False, True], kind="mergesort")
-    top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    top["sim"] = top["sim"].round(round_to)
-    return top[["query_id", "neighbor_id", "sim"]]
+    return _finalize_topk(partials, k, exclude_self, round_to)
 
 
 def cosine_near_dup(ds: rd.Dataset, threshold: float = 0.4,

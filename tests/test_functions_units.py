@@ -274,3 +274,70 @@ def test_near_dup_recall_with_large_exact_group():
     near = pairs[pairs["jaccard"] < 1.0]
     assert len(exact) == 99 and (exact["doc_a"] == 0).all()
     assert list(zip(near["doc_a"], near["doc_b"])) == [(0, 1000)]
+
+
+def test_topk_candidates_keeps_boundary_ties():
+    """Round-2 review-3 regression: tied sims at the k-boundary must ALL
+    survive the per-batch partial top-k so the global (sim desc, id asc)
+    tie-break can pick the smallest id."""
+    from ocr_model_ray.functions.similarity import _topk_candidates
+    col = np.array([0.9, 0.9, 0.9, 0.9, 0.1])
+    keep = set(_topk_candidates(col, 2))
+    assert keep == {0, 1, 2, 3}          # every tied candidate kept
+    assert set(_topk_candidates(col, 5)) == {0, 1, 2, 3, 4}
+    assert set(_topk_candidates(col, 9)) == {0, 1, 2, 3, 4}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_tie_break_across_blocks():
+    """Duplicate embeddings split across blocks: the smallest tied
+    neighbor_id must win regardless of block partitioning."""
+    import ray.data as rd
+    from ocr_model_ray.functions.similarity import knn_bruteforce
+    vec = [1.0, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0]
+    rows = [{"vec_id": i, "embedding": vec} for i in (12, 3, 9, 40, 25)]
+    rows.append({"vec_id": 100, "embedding": other})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+    q = pd.DataFrame({"vec_id": [999], "embedding": [vec]})
+    out = knn_bruteforce(ds, q, k=2, exclude_self=True)
+    assert out["neighbor_id"].tolist() == [3, 9]   # smallest tied ids
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_join_rejects_outer():
+    import ray.data as rd
+    from ocr_model_ray.functions.joins import broadcast_join
+    ds = rd.from_pandas(pd.DataFrame({"k": [1], "v": [2]}))
+    with pytest.raises(ValueError, match="hash_bucket_join"):
+        broadcast_join(ds, pd.DataFrame({"k": [1], "w": [3]}),
+                       on="k", how="outer")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucket_join_left_agg_schema_stable_on_right_only_buckets():
+    """left_agg must run on empty left frames too, so right-only buckets
+    emit the aggregated schema (not the raw left columns)."""
+    import ray.data as rd
+    from ocr_model_ray.functions.joins import hash_bucket_join
+    left = pd.DataFrame({"k": [1, 1], "x": [2.0, 3.0], "junk": ["a", "b"]})
+    right = pd.DataFrame({"k": list(range(64)), "w": list(range(64))})
+
+    def agg(lf):
+        return (lf.group_by("k").aggregate([("x", "sum")])
+                .rename_columns(["k", "sum_x"]))
+
+    out = hash_bucket_join(rd.from_pandas(left), rd.from_pandas(right),
+                           on="k", num_buckets=8, left_agg=agg).to_pandas()
+    assert sorted(out.columns) == ["k", "sum_x", "w"]
+    assert out["sum_x"].tolist() == [5.0]
+
+
+def test_min_label_propagation_converges_on_long_chain():
+    """Round-2 review-3 regression: fixpoint default must traverse
+    chains longer than any fixed round cap."""
+    from ocr_model_ray.functions.dedup_algos import min_label_propagation
+    pairs = pd.DataFrame({"doc_a": list(range(0, 80)),
+                          "doc_b": list(range(1, 81))})
+    out = min_label_propagation(pairs, engine="pandas")
+    assert (out["cluster_id"] == 0).all() and len(out) == 81
