@@ -31,6 +31,14 @@ At 100 TB: texts stay in place; only (doc_id, band_hash) pairs —
 through the verify join. The one driver-side structure is the candidate
 doc-ID SET (ints), used for the corpus semi-filter; swap in
 joins.bloom_semi_filter when even that set outgrows the driver.
+
+Plan selection (``mode='auto'``): Ray's sort-shuffle carries seconds of
+driver-side fixed cost per exchange, so provably-small inputs (pure
+parquet reads under SMALL_INPUT_BYTES) take a single-task plan — band
+rows collapse to one frame, verify runs in-process — exactly like a
+query optimizer swapping a shuffle join for a broadcast join. The
+distributed plan is the default whenever input size is unknown and is
+pinned equal to the local plan by test.
 """
 
 from __future__ import annotations
@@ -53,6 +61,42 @@ ROWS_PER_BAND = NUM_PERM // NUM_BANDS
 _MERSENNE = (1 << 61) - 1
 #: band buckets larger than this are sampled, not exploded (O(n^2) guard)
 MAX_BUCKET = 64
+
+#: inputs smaller than this (parquet metadata bytes) take the
+#: single-task plan: Ray's sort-based shuffle costs seconds of driver
+#: fixed overhead regardless of data size (measured: SortMap+SortReduce
+#: tasks 90ms, operator wall 2-4s at 85k rows), so below the threshold
+#: the band rows (ints, ~40B/doc/band — NOT the texts) collapse to one
+#: pandas frame instead of shuffling. Identical semantics, pinned by
+#: test_near_dup_local_equals_distributed.
+SMALL_INPUT_BYTES = 128 << 20
+
+
+def _input_size_hint(ds: rd.Dataset) -> int | None:
+    """Parquet-metadata size of a PURE READ dataset, else None.
+
+    ``Dataset.size_bytes()`` is metadata-only for an untransformed read
+    but EXECUTES the pipeline otherwise — so only consult it when the
+    logical plan is a single Read; any other shape returns None (caller
+    must assume large)."""
+    try:
+        dag = ds._plan._logical_plan.dag
+        if not dag.input_dependencies and type(dag).__name__ == "Read":
+            return ds.size_bytes()
+    except Exception:
+        pass
+    return None
+
+
+def _resolve_mode(ds: rd.Dataset, mode: str) -> str:
+    """'auto' -> 'local' when the input is provably small, else
+    'distributed' (the scale-safe default when size is unknowable)."""
+    if mode != "auto":
+        return mode
+    size = _input_size_hint(ds)
+    if size is not None and size < SMALL_INPUT_BYTES:
+        return "local"
+    return "distributed"
 
 
 def _perm_params(num_perm: int = NUM_PERM, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -210,9 +254,91 @@ _EMPTY_EDGES = {"doc_a": pd.Series([], dtype="int64"),
                 "exact": pd.Series([], dtype="bool")}
 
 
+def _pairs_in_frame(g: pd.DataFrame, max_bucket: int,
+                    emit_exact: bool) -> pd.DataFrame:
+    """Candidate/exact edges from a frame of band rows. Runs per coarse
+    bucket in the distributed plan and once on the whole band frame in
+    the local plan — grouping is by the full (band, band_hash, h2) key
+    either way, so both plans produce the same edge set.
+
+    Fully array-based: one lexsort keys the groups, boundaries come from
+    np.diff, and the per-group work is numpy slicing (pandas per-group
+    apply measured ~2s on an 85k-row frame; this path is ~30ms)."""
+    band = g["band"].to_numpy()
+    bh = g["band_hash"].to_numpy()
+    h2 = g["h2"].to_numpy()
+    doc = g["doc_id"].to_numpy(dtype=np.int64)
+    ch = g["ch"].to_numpy(dtype=np.int64) if emit_exact and "ch" in g \
+        else None
+    # sort by (band, band_hash, h2, doc_id) -> contiguous groups with
+    # ascending doc ids inside each
+    order = np.lexsort((doc, h2, bh, band))
+    band, bh, h2, doc = band[order], bh[order], h2[order], doc[order]
+    if ch is not None:
+        ch = ch[order]
+    n = len(doc)
+    if n == 0:
+        return pd.DataFrame(_EMPTY_EDGES)
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = ((band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+                   | (h2[1:] != h2[:-1]))
+    starts = np.flatnonzero(new_grp)
+    ends = np.append(starts[1:], n)
+    sizes = ends - starts
+    multi = sizes > 1
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    exact: list[np.ndarray] = []
+    for s, e in zip(starts[multi], ends[multi]):
+        ids = np.unique(doc[s:e])
+        if len(ids) < 2:
+            continue
+        if band[s] == EXACT_BAND:
+            # full exact group: min-id rep adopts every member
+            out_a.append(np.full(len(ids) - 1, ids[0]))
+            out_b.append(ids[1:])
+            exact.append(np.ones(len(ids) - 1, dtype=bool))
+            continue
+        if ch is not None:
+            # collapse identical texts to their min-id rep BEFORE
+            # the cap: a large exact-dup group would otherwise fill
+            # the capped prefix and evict genuine near-dup
+            # candidates. Members pair via their (rep, member)
+            # exact edge — which only exists in emit_exact mode, so
+            # the standalone candidate stage keeps identical-text
+            # pairs as ordinary candidates instead.
+            # doc is ascending within the group, so taking the first
+            # doc per sorted-ch run IS the per-ch minimum.
+            co = np.argsort(ch[s:e], kind="stable")
+            gch, gdoc = ch[s:e][co], doc[s:e][co]
+            first = np.empty(len(gch), dtype=bool)
+            first[0] = True
+            first[1:] = gch[1:] != gch[:-1]
+            ids = np.unique(gdoc[first])
+            if len(ids) < 2:
+                continue
+        if len(ids) > max_bucket:
+            log.warning(
+                "LSH bucket of %d docs capped to %d (band=%s): %d "
+                "docs not paired in this band", len(ids), max_bucket,
+                int(band[s]), len(ids) - max_bucket)
+            ids = ids[:max_bucket]
+        iu = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[iu[0]])
+        out_b.append(ids[iu[1]])
+        exact.append(np.zeros(len(iu[0]), dtype=bool))
+    if not out_a:
+        return pd.DataFrame(_EMPTY_EDGES)
+    return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                         "doc_b": np.concatenate(out_b),
+                         "exact": np.concatenate(exact)})
+
+
 def _band_pass(ds: rd.Dataset, ngram: int, max_bucket: int,
                emit_exact: bool,
-               concurrency: int | tuple | None = None) -> pd.DataFrame:
+               concurrency: int | tuple | None = None,
+               mode: str = "auto") -> pd.DataFrame:
     """ONE read + ONE shuffle producing LSH candidate pairs and
     (optionally) exact-dup (rep, member) edges in the same pass.
 
@@ -250,50 +376,18 @@ def _band_pass(ds: rd.Dataset, ngram: int, max_bucket: int,
         return df.assign(__cb=cb.astype(np.int32))
 
     def pairs_in_coarse(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g.duplicated(["band", "band_hash", "h2"], keep=False)]
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        exact: list[np.ndarray] = []
-        for key, grp in g.groupby(["band", "band_hash", "h2"], sort=False):
-            ids = np.unique(grp["doc_id"].to_numpy())
-            if len(ids) < 2:
-                continue
-            if key[0] == EXACT_BAND:
-                # full exact group: min-id rep adopts every member
-                out_a.append(np.full(len(ids) - 1, ids[0]))
-                out_b.append(ids[1:])
-                exact.append(np.ones(len(ids) - 1, dtype=bool))
-                continue
-            if emit_exact:
-                # collapse identical texts to their min-id rep BEFORE
-                # the cap: a large exact-dup group would otherwise fill
-                # the capped prefix and evict genuine near-dup
-                # candidates. Members pair via their (rep, member)
-                # exact edge — which only exists in emit_exact mode, so
-                # the standalone candidate stage keeps identical-text
-                # pairs as ordinary candidates instead.
-                ids = np.sort(grp.groupby("ch")["doc_id"].min().to_numpy())
-                if len(ids) < 2:
-                    continue
-            if len(ids) > max_bucket:
-                log.warning(
-                    "LSH bucket of %d docs capped to %d (band=%s): %d "
-                    "docs not paired in this band", len(ids), max_bucket,
-                    int(key[0]), len(ids) - max_bucket)
-                ids = ids[:max_bucket]
-            iu = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[iu[0]])
-            out_b.append(ids[iu[1]])
-            exact.append(np.zeros(len(iu[0]), dtype=bool))
-        if not out_a:
-            return pd.DataFrame(_EMPTY_EDGES)
-        return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b),
-                             "exact": np.concatenate(exact)})
+        return _pairs_in_frame(g, max_bucket, emit_exact)
 
-    out = (band_rows.map_batches(add_coarse, batch_format="pandas")
-           .groupby("__cb")
-           .map_groups(pairs_in_coarse, batch_format="pandas").to_pandas())
+    if _resolve_mode(ds, mode) == "local":
+        # small-input plan: the band rows (int keys, never texts) are a
+        # few MB — one fused read+MinHash pass collects them and the
+        # identical pairing function runs once on the whole frame,
+        # skipping the sort-shuffle and its seconds of fixed cost
+        out = _pairs_in_frame(band_rows.to_pandas(), max_bucket, emit_exact)
+    else:
+        out = (band_rows.map_batches(add_coarse, batch_format="pandas")
+               .groupby("__cb")
+               .map_groups(pairs_in_coarse, batch_format="pandas").to_pandas())
     if out.empty:
         return pd.DataFrame(_EMPTY_EDGES)
     return out.astype({"doc_a": "int64", "doc_b": "int64", "exact": "bool"})
@@ -301,7 +395,8 @@ def _band_pass(ds: rd.Dataset, ngram: int, max_bucket: int,
 
 def minhash_lsh_candidates(ds: rd.Dataset, ngram: int = 3,
                            concurrency: int | tuple | None = None,
-                           max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
+                           max_bucket: int = MAX_BUCKET,
+                           mode: str = "auto") -> pd.DataFrame:
     """Candidate near-dup pairs from LSH banding. Returns a (small)
     pandas frame of unique (doc_a, doc_b) with doc_a < doc_b.
 
@@ -310,7 +405,7 @@ def minhash_lsh_candidates(ds: rd.Dataset, ngram: int = 3,
     the drop is logged. Run the exact-dedup pre-pass first (see
     near_dup_pairs) so identical texts can't create such buckets."""
     cand = _band_pass(ds, ngram, max_bucket, emit_exact=False,
-                      concurrency=concurrency)[["doc_a", "doc_b"]]
+                      concurrency=concurrency, mode=mode)[["doc_a", "doc_b"]]
     if cand.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64")})
@@ -420,9 +515,40 @@ def _verify_pairs_distributed(ds: rd.Dataset, cand: pd.DataFrame,
     return out
 
 
+def _verify_pairs_local(ds: rd.Dataset, cand: pd.DataFrame,
+                        ngram: int) -> pd.DataFrame:
+    """Small-input verify: the semi-filtered candidate texts (bounded by
+    2 x n_pairs rows, already a tiny fraction of a small corpus) collect
+    to the driver and exact Jaccard runs in-process via ngram_jaccard —
+    no pair shuffle. When the input is a pure parquet read (the
+    local-plan precondition), the filtered read happens directly via
+    pyarrow — predicate-pushdown on the driver beats launching a whole
+    Ray execution for a <128MB file. Same output as
+    _verify_pairs_distributed (pinned by test)."""
+    needed_ids = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
+    needed = pa.array(needed_ids, pa.int64())
+    got = None
+    if _input_size_hint(ds) is not None:
+        try:
+            import pyarrow.dataset as pads
+            got = pads.dataset(ds.input_files()).to_table(
+                columns=["doc_id", "text"],
+                filter=pads.field("doc_id").isin(needed)).to_pandas()
+        except Exception:
+            got = None
+    if got is None:
+        from .joins import broadcast_semi_filter
+        got = broadcast_semi_filter(ds, needed, on="doc_id").to_pandas()
+    texts = dict(zip(got["doc_id"].astype(int), got["text"]))
+    have = cand["doc_a"].isin(texts) & cand["doc_b"].isin(texts)
+    out = ngram_jaccard(texts, cand[have].reset_index(drop=True), ngram)
+    return out if not out.empty else pd.DataFrame(_EMPTY_VERIFIED)
+
+
 def near_dup_pairs(ds: rd.Dataset, threshold: float = 0.8,
                    ngram: int = 3,
-                   max_bucket: int = MAX_BUCKET) -> pd.DataFrame:
+                   max_bucket: int = MAX_BUCKET,
+                   mode: str = "auto") -> pd.DataFrame:
     """Scale-safe near-dup pipeline (module docstring): exact pre-pass
     -> LSH candidates over representatives -> distributed verify.
 
@@ -434,8 +560,13 @@ def near_dup_pairs(ds: rd.Dataset, threshold: float = 0.8,
     One read + one shuffle discovers BOTH exact groups and LSH
     candidates (_band_pass); one bucket-join shuffle verifies. LSH
     candidates touching an exact-dup MEMBER are redundant copies of a
-    rep pair and drop before verification."""
-    edges = _band_pass(ds, ngram, max_bucket, emit_exact=True)
+    rep pair and drop before verification.
+
+    ``mode``: 'distributed' always shuffles (the 10^12-doc plan);
+    'local' collapses the two tiny exchanges to single-task combines;
+    'auto' (default) picks by input size (_resolve_mode)."""
+    mode = _resolve_mode(ds, mode)
+    edges = _band_pass(ds, ngram, max_bucket, emit_exact=True, mode=mode)
     exact_edges = edges[edges["exact"]]
     exact_pairs = pd.DataFrame({
         "doc_a": exact_edges["doc_a"].astype("int64"),
@@ -453,8 +584,9 @@ def near_dup_pairs(ds: rd.Dataset, threshold: float = 0.8,
                                  "doc_b": pd.Series([], dtype="int64"),
                                  "jaccard": pd.Series([], dtype="float64")})
     else:
-        verified = _verify_pairs_distributed(ds, cand.reset_index(drop=True),
-                                             ngram)
+        verify = (_verify_pairs_local if mode == "local"
+                  else _verify_pairs_distributed)
+        verified = verify(ds, cand.reset_index(drop=True), ngram)
         verified = verified[verified["jaccard"] >= threshold]
 
     out = pd.concat([verified, exact_pairs], ignore_index=True)
@@ -551,11 +683,11 @@ def min_label_propagation(pairs: pd.DataFrame, max_rounds: int | None = None,
 
 
 def near_dup_clusters(ds: rd.Dataset, threshold: float = 0.8,
-                      ngram: int = 3) -> pd.DataFrame:
+                      ngram: int = 3, mode: str = "auto") -> pd.DataFrame:
     """Near-dup clusters: verified pairs -> connected components ->
     (doc_id, cluster_id = min doc_id of the component), via distributed
     min-label propagation (no driver union-find)."""
-    pairs = near_dup_pairs(ds, threshold=threshold, ngram=ngram)
+    pairs = near_dup_pairs(ds, threshold=threshold, ngram=ngram, mode=mode)
     return min_label_propagation(pairs)
 
 

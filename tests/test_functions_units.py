@@ -341,3 +341,45 @@ def test_min_label_propagation_converges_on_long_chain():
                           "doc_b": list(range(1, 81))})
     out = min_label_propagation(pairs, engine="pandas")
     assert (out["cluster_id"] == 0).all() and len(out) == 81
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_local_plan_equals_distributed():
+    """mode='local' (small-input single-task plan) and
+    mode='distributed' (sort-shuffle plan) must produce identical pairs
+    and clusters; 'auto' on a small parquet read resolves to local."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import (
+        _resolve_mode, near_dup_clusters, near_dup_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "the green fields towards the old farm house near the river") * 3
+    rows = [{"doc_id": i, "text": f"unique document number {i} " +
+             " ".join(f"w{i}x{j}" for j in range(60))} for i in range(30)]
+    rows += [{"doc_id": 100, "text": base},
+             {"doc_id": 101, "text": base},                       # exact
+             {"doc_id": 102, "text": base + " extra tail words"}]  # near
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "docs.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), path)
+        ds = rd.read_parquet(path)
+        assert _resolve_mode(ds, "auto") == "local"
+        results = {}
+        for mode in ("local", "distributed"):
+            p = near_dup_pairs(ds, threshold=0.8, mode=mode)
+            c = near_dup_clusters(ds, threshold=0.8, mode=mode)
+            results[mode] = (p, c)
+        pd.testing.assert_frame_equal(*(results[m][0] for m in results))
+        pd.testing.assert_frame_equal(*(results[m][1] for m in results))
+        got = set(zip(results["local"][0]["doc_a"],
+                      results["local"][0]["doc_b"]))
+        assert got == {(100, 101), (100, 102)}
+
+    # from_pandas has no parquet metadata -> auto must stay distributed
+    ds_mem = rd.from_pandas(pd.DataFrame(rows))
+    assert _resolve_mode(ds_mem, "auto") == "distributed"
