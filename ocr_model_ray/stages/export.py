@@ -258,3 +258,88 @@ def write_all_formats(extracted: rd.Dataset, out_dir: str) -> dict:
     paths["xlsx"] = f"{out_dir}/xlsx"
     xlsx_export(extracted).write_parquet(paths["xlsx"])
     return paths
+
+
+EXPORT_MEDIA_TYPES = {
+    "json": "application/json",
+    "csv": "text/csv",
+    "xlsx": ("application/vnd.openxmlformats-officedocument"
+             ".spreadsheetml.sheet"),
+    "txt": "text/plain",
+    "xml": "application/xml",
+}
+
+
+def export_on_the_fly(out_dir: str, url: str, fmt: str = "json"
+                      ) -> tuple[bytes, str, str]:
+    """Per-document download with format synthesis (S11,
+    api/routers/results.py:29-130): serve the pre-rendered export from
+    ``out_dir`` (the write_all_formats layout) when it exists, else
+    synthesize the requested format on the fly from the canonical
+    extracted parquet. Returns (content, filename, media_type) — the
+    engine-side twin of the reference endpoint's FileResponse.
+
+    Driver-side by design: this is a single-document fetch (parquet
+    predicate pushdown on ``url``), not a corpus pass. Raises
+    ValueError for an unsupported format, LookupError when the url has
+    no extracted row (the reference's 400/404 branches)."""
+    import os
+    import re
+
+    import pyarrow.dataset as pads
+
+    fmt = fmt.lower()
+    if fmt not in EXPORT_MEDIA_TYPES:
+        raise ValueError(f"Unsupported format: {fmt}. "
+                         f"Supported: {', '.join(sorted(EXPORT_MEDIA_TYPES))}")
+    slug = re.sub(r"[^A-Za-z0-9._-]+", "_", url).strip("_") or "document"
+    filename = f"{slug}_result.{fmt}"
+    media = EXPORT_MEDIA_TYPES[fmt]
+
+    def _lookup(dirname: str, col: str):
+        path = os.path.join(out_dir, dirname)
+        if not os.path.isdir(path):
+            return None
+        dataset = pads.dataset(path, format="parquet")
+        t = dataset.to_table(columns=["url", col],
+                             filter=pads.field("url") == url)
+        if t.num_rows == 0:
+            return None
+        return t[col][0].as_py()
+
+    # serve directly from the pre-rendered store if present
+    pre = {"json": ("json", "json"), "txt": ("txt", "txt"),
+           "xml": ("xml", "xml"), "xlsx": ("xlsx", "xlsx")}.get(fmt)
+    if pre is not None:
+        hit = _lookup(*pre)
+        if hit is not None:
+            content = hit if isinstance(hit, bytes) else hit.encode("utf-8")
+            return content, filename, media
+
+    # synthesize from the canonical extracted parquet
+    canon = os.path.join(out_dir, "parquet")
+    if not os.path.isdir(canon):
+        canon = out_dir  # out_dir IS the extracted parquet
+    dataset = pads.dataset(canon, format="parquet")
+    t = dataset.to_table(filter=pads.field("url") == url)
+    if t.num_rows == 0:
+        raise LookupError(f"No results found for {url}")
+    row = t.to_pylist()[0]
+    if fmt == "json":
+        return render_json(row).encode("utf-8"), filename, media
+    if fmt == "txt":
+        return render_txt(row).encode("utf-8"), filename, media
+    if fmt == "xml":
+        return render_xml(row).encode("utf-8"), filename, media
+    if fmt == "xlsx":
+        from .xlsx import render_xlsx
+        return render_xlsx(row), filename, media
+    # csv: the reference's _results_to_csv_bytes row layout == our
+    # regions_csv_batch columns
+    import io as _io
+
+    import pyarrow.csv as pacsv
+    table = regions_csv_batch(pa.Table.from_pylist([row]))
+    buf = _io.BytesIO()
+    pacsv.write_csv(table, buf)
+    return buf.getvalue(), filename, media

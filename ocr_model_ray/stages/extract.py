@@ -170,6 +170,83 @@ def extract_batch(batch: pa.Table, max_pages: int = 0) -> pa.Table:
     return ExtractWorker(max_pages=max_pages)(batch)
 
 
+EMBEDDED_IMAGE_SCHEMA = pa.schema([
+    ("url", pa.string()), ("page", pa.int32()), ("img_index", pa.int32()),
+    ("filename", pa.string()), ("ext", pa.string()),
+    ("width", pa.int32()), ("height", pa.int32()),
+    ("image", pa.binary()), ("error", pa.string()),
+])
+
+
+def _png_dims(payload: bytes) -> tuple[int, int]:
+    """Width/height from a real PNG IHDR (bytes 16..24), (0,0) when the
+    header is absent/short — mirrors the reference's
+    ``base_image.get("size", (0, 0))`` fallback."""
+    if len(payload) >= 24:
+        import struct
+        return struct.unpack(">II", payload[16:24])
+    return (0, 0)
+
+
+def embedded_images_batch(batch: pa.Table) -> pa.Table:
+    """(url, html) pages batch -> one EMBEDDED_IMAGE_SCHEMA row per
+    embedded page image (M6, pdf_processor.py:276-343): the reference
+    walks every page's xref images and saves each as
+    ``{base}_p{page}_img{idx}.{ext}``; here the decoded bytes become a
+    ``binary`` side-table column instead of loose files (partitioned
+    parquet is the engine's interchange), same filename/page/index
+    fields. Non-PDF payloads are skipped; a malformed PDF dead-letters
+    as one row with ``error`` set, like the reference's error dict."""
+    import base64
+    import json
+    import os as _os
+
+    from ..spec import (JPEG_MAGIC, PDF_MAGIC, PSEUDO_PNG_HEADER,
+                        parse_pseudo_pdf)
+    urls = batch["url"].to_pylist()
+    payloads = batch["html"].to_pylist()
+    out = []
+    for url, payload in zip(urls, payloads):
+        if not payload.startswith(PDF_MAGIC):
+            continue
+        base = _os.path.splitext(_os.path.basename(url.rstrip("/")) or
+                                 "document")[0]
+        try:
+            doc = parse_pseudo_pdf(payload)
+        except ValueError as exc:
+            out.append({"url": url, "page": 0, "img_index": 0,
+                        "filename": None, "ext": None, "width": 0,
+                        "height": 0, "image": None,
+                        "error": f"Failed to extract images: {exc}"})
+            continue
+        for page_num, page in enumerate(doc.get("pages") or [], start=1):
+            img_b64 = page.get("image")
+            if not img_b64:
+                continue
+            try:
+                img = base64.b64decode(img_b64)
+            except (ValueError, TypeError):
+                continue
+            if img.startswith(PSEUDO_PNG_HEADER):
+                ext = "png"
+                try:
+                    body = json.loads(
+                        img[len(PSEUDO_PNG_HEADER):].decode("utf-8"))
+                    width, height = int(body.get("w", 0)), int(body.get("h", 0))
+                except (ValueError, UnicodeDecodeError):
+                    width, height = _png_dims(img)
+            elif img.startswith(JPEG_MAGIC):
+                ext, (width, height) = "jpeg", (0, 0)
+            else:
+                ext, (width, height) = "bin", (0, 0)
+            out.append({
+                "url": url, "page": page_num, "img_index": 1,
+                "filename": f"{base}_p{page_num}_img1.{ext}",
+                "ext": ext, "width": width, "height": height,
+                "image": img, "error": None})
+    return pa.Table.from_pylist(out, schema=EMBEDDED_IMAGE_SCHEMA)
+
+
 PDF_META_SCHEMA = pa.schema([
     ("url", pa.string()), ("title", pa.string()), ("author", pa.string()),
     ("page_count", pa.int32()), ("file_size", pa.int64()),

@@ -188,3 +188,49 @@ def test_conf_color_ramp():
     assert conf_color(0.0) == "rgb(255,0,0)"
     assert conf_color(1.0) == "rgb(0,255,0)"
     assert conf_color(2.0) == "rgb(0,255,0)"  # clamped
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_on_the_fly(t1_pages_dir, tmp_path):
+    """S11 (results.py:29-130): pre-rendered formats serve from the
+    write_all_formats store; missing formats synthesize from the
+    canonical parquet and equal the pre-rendered bytes; unknown format
+    / unknown url raise the reference's 400/404 analogues."""
+    import pyarrow.dataset as pads
+    from ocr_model_ray.pipelines.extract_pipeline import extract_pipeline
+    from ocr_model_ray.stages.export import export_on_the_fly
+
+    full = str(tmp_path / "exports")
+    write_all_formats(extract_pipeline(t1_pages_dir), full)
+    canon = pads.dataset(os.path.join(full, "parquet")).to_table(
+        columns=["url", "extracted_text", "error"]).to_pylist()
+    # deterministic pick: the smallest url with a non-empty extraction
+    # (file listing order varies run-to-run; error rows render empty)
+    url = min(r["url"] for r in canon
+              if r["extracted_text"] and not r["error"])
+
+    served = {}
+    for fmt in ("json", "txt", "xml", "xlsx", "csv"):
+        content, filename, media = export_on_the_fly(full, url, fmt)
+        assert content and filename.endswith(f"_result.{fmt}")
+        assert "/" not in filename
+        served[fmt] = content
+    doc = json.loads(served["json"].decode("utf-8"))
+    assert doc["url"] == url
+    assert served["xlsx"].startswith(b"PK")  # zip container
+    assert b"page_num" in served["csv"]
+
+    # canonical-parquet-only store (no pre-rendered dirs): synthesis
+    # must produce the same bytes the pre-rendered store served
+    canon_only = str(tmp_path / "canon")
+    os.makedirs(canon_only)
+    os.symlink(os.path.join(full, "parquet"),
+               os.path.join(canon_only, "parquet"))
+    for fmt in ("json", "txt", "xml", "xlsx"):
+        content, _, _ = export_on_the_fly(canon_only, url, fmt)
+        assert content == served[fmt]
+
+    with pytest.raises(ValueError, match="Unsupported format"):
+        export_on_the_fly(full, url, "docx")
+    with pytest.raises(LookupError, match="No results"):
+        export_on_the_fly(full, "https://nope.test/x", "json")

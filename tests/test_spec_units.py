@@ -308,3 +308,43 @@ def test_pdf_metadata_batch_skips_non_pdf():
     assert out.schema == PDF_META_SCHEMA
     assert out.num_rows == 1
     assert out["has_images"][0].as_py() is True
+
+
+def test_embedded_images_batch_side_table():
+    """M6 (pdf_processor.py:276-343): one row per embedded page image
+    with the reference's {base}_p{page}_img{idx}.{ext} filename, decoded
+    bytes in a binary column; pages without images skip; malformed PDFs
+    dead-letter one error row; non-PDF payloads are skipped."""
+    import base64
+    import json as _json
+
+    import pyarrow as pa
+    from ocr_model_ray.spec import PSEUDO_PNG_HEADER
+    from ocr_model_ray.stages.extract import (
+        EMBEDDED_IMAGE_SCHEMA, embedded_images_batch)
+
+    png = PSEUDO_PNG_HEADER + _json.dumps(
+        {"w": 640, "h": 480, "words": [["hi", 1, 2, 3, 4, 0.9]]}).encode()
+    payload = _pdf_container({"pages": [
+        {"width": 100, "height": 100, "spans": [],
+         "image": base64.b64encode(png).decode()},
+        {"width": 100, "height": 100, "spans": [["t", 1, 1, 2, 2, 10, 0]]},
+    ]})
+    batch = pa.table({
+        "url": pa.array(["http://x/report.pdf", "u2", "u3"], pa.string()),
+        "html": pa.array([payload, b"<html><body>x</body></html>",
+                          b"%PDF-1.7\nnot-a-container"], pa.binary()),
+    })
+    out = embedded_images_batch(batch)
+    assert out.schema == EMBEDDED_IMAGE_SCHEMA
+    rows = out.to_pylist()
+    assert len(rows) == 2
+    img_row = rows[0]
+    assert img_row["filename"] == "report_p1_img1.png"
+    assert (img_row["page"], img_row["img_index"]) == (1, 1)
+    assert (img_row["width"], img_row["height"]) == (640, 480)
+    assert img_row["image"] == png and img_row["error"] is None
+    err_row = rows[1]
+    assert err_row["url"] == "u3"
+    assert "Failed to extract images" in err_row["error"]
+    assert err_row["image"] is None
