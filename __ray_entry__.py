@@ -201,6 +201,17 @@ def _docs_quality(sf_dir: str):
     return _docs(sf_dir).map_batches(quality_batch, batch_format="pandas")
 
 
+def _docs_pii_scrub(sf_dir: str):
+    from ocr_model_ray.functions.text_stats import pii_scrub_batch
+    return _docs(sf_dir).map_batches(pii_scrub_batch, batch_format="pandas")
+
+
+def _docs_normalize(sf_dir: str):
+    from ocr_model_ray.functions.text_stats import normalize_text_batch
+    return _docs(sf_dir).map_batches(normalize_text_batch,
+                                     batch_format="pandas")
+
+
 def _docs_lang_id(sf_dir: str):
     from ocr_model_ray.functions.text_stats import lang_id
     return lang_id(_docs(sf_dir))
@@ -301,6 +312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_count": _docs_token_count,
         "docs_bpe_token_count": _docs_bpe_token_count,
         "docs_quality": _docs_quality,
+        "docs_pii_scrub": _docs_pii_scrub,
+        "docs_normalize": _docs_normalize,
         "docs_lang_id": _docs_lang_id,
         "docs_simhash": _docs_simhash,
         "docs_fingerprint": _docs_fingerprint,
@@ -590,6 +603,47 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(length(text), 1) AS digit_ratio,
                    length(regexp_replace(text, '\\s+', '', 'g'))
                        / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS avg_word_len
+            FROM documents
+        """,
+        # staged scrub: each count runs on the PREVIOUS stage's output,
+        # matching pii_scrub_batch's email -> ip -> phone pass order
+        "docs_pii_scrub": """
+            WITH e AS (
+                SELECT doc_id, text,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g') AS t1
+                FROM documents),
+            i AS (
+                SELECT doc_id, text, t1,
+                       regexp_replace(t1,
+                           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                           '[IP]', 'g') AS t2
+                FROM e)
+            SELECT doc_id,
+                   regexp_replace(t2, '\\+?\\d[\\d() -]{7,}\\d',
+                                  '[PHONE]', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t1,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(t2,
+                       '\\+?\\d[\\d() -]{7,}\\d')) AS BIGINT) AS n_phones
+            FROM i
+        """,
+        "docs_normalize": """
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                        '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+                        '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ') AS normalized,
+                   CAST(length(text) AS BIGINT) AS n_chars_raw,
+                   CAST(length(trim(regexp_replace(regexp_replace(
+                        nfc_normalize(text),
+                        '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+                        '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' '))
+                        AS BIGINT) AS n_chars_norm
             FROM documents
         """,
         # deterministic text stats: committed golden keyed by md5(text)

@@ -215,3 +215,56 @@ def fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
         "n_fingerprints": fps.str.len().astype("int64"),
         "fingerprint_min": fps.map(lambda f: f"{min(f):016x}" if f else ""),
         "fingerprint_max": fps.map(lambda f: f"{max(f):016x}" if f else "")})
+
+
+# ---------------------------------------------------------------------------
+# Cleaning operators (PII scrub + normalization) — training-data
+# preprocessing staples. Patterns use ASCII classes shared verbatim with
+# the DuckDB RE2 oracles ("\s"/"\b" semantics differ between Python re
+# and RE2 on non-ASCII input, so whitespace is an explicit class and the
+# \b usage is ASCII-context only — pinned by the SQL oracle).
+# ---------------------------------------------------------------------------
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d() -]{7,}\d"
+_PII = [(re.compile(PII_EMAIL), "[EMAIL]", "n_emails"),
+        (re.compile(PII_IP), "[IP]", "n_ips"),
+        (re.compile(PII_PHONE), "[PHONE]", "n_phones")]
+
+WS_CLASS = r"[ \t\n\r\f\v]+"
+CTRL_CLASS = "[\x00-\x08\x0e-\x1f\x7f]"
+_WS_EXPLICIT = re.compile(WS_CLASS)
+_CTRL = re.compile(CTRL_CLASS)
+
+
+def pii_scrub_batch(df: pd.DataFrame,
+                    text_col: str = "text") -> pd.DataFrame:
+    """Redact emails -> IPs -> phones (in that order: the email pass
+    removes @-adjacent digit runs before the looser phone pattern can
+    see them) with typed placeholders, plus per-kind match counts.
+    Output: doc_id, scrubbed, n_emails, n_ips, n_phones."""
+    out = {"doc_id": df["doc_id"]}
+    s = df[text_col]
+    for pat, repl, cnt_col in _PII:
+        out[cnt_col] = s.str.count(pat).astype("int64")
+        s = s.str.replace(pat, repl, regex=True)
+    out["scrubbed"] = s
+    return pd.DataFrame(out)[["doc_id", "scrubbed", "n_emails", "n_ips",
+                              "n_phones"]]
+
+
+def normalize_text_batch(df: pd.DataFrame,
+                         text_col: str = "text") -> pd.DataFrame:
+    """Unicode NFC + control-char strip + whitespace collapse + trim —
+    the canonical text-normalization pass before tokenization/dedup.
+    Output: doc_id, normalized, n_chars_raw, n_chars_norm."""
+    import unicodedata
+    raw = df[text_col]
+    nfc = raw.map(lambda t: unicodedata.normalize("NFC", t))
+    cleaned = (nfc.str.replace(_CTRL, "", regex=True)
+               .str.replace(_WS_EXPLICIT, " ", regex=True)
+               .str.strip(" "))
+    return pd.DataFrame({
+        "doc_id": df["doc_id"], "normalized": cleaned,
+        "n_chars_raw": raw.str.len().astype("int64"),
+        "n_chars_norm": cleaned.str.len().astype("int64")})

@@ -383,3 +383,65 @@ def test_near_dup_local_plan_equals_distributed():
     # from_pandas has no parquet metadata -> auto must stay distributed
     ds_mem = rd.from_pandas(pd.DataFrame(rows))
     assert _resolve_mode(ds_mem, "auto") == "distributed"
+
+
+def test_pii_scrub_semantics_and_duckdb_parity():
+    """Scrub order (email -> ip -> phone), placeholder text, counts per
+    stage — and byte-identical parity with the DuckDB RE2 oracle on
+    text that actually CONTAINS PII (the sf testdata is word salad, so
+    the sf-level oracle check alone never exercises the patterns)."""
+    import duckdb
+    from ocr_model_ray.functions.text_stats import pii_scrub_batch
+
+    df = pd.DataFrame({"doc_id": list(range(6)), "text": [
+        "write to john.doe+spam@mail.example.org today",
+        "server at 192.168.0.1 and 10.0.0.255, call +1 555-123-4567",
+        "bare number 12345678901 and (020) 7946-0958 end",
+        "email-with-ip user@10.0.0.1.example.com mixed",
+        "no pii here at all",
+        "v4-ish 999.999.999.999 still matches the shape",
+    ]})
+    out = pii_scrub_batch(df)
+    assert out["scrubbed"][0] == "write to [EMAIL] today"
+    assert out["scrubbed"][1] == "server at [IP] and [IP], call [PHONE]"
+    # the phone pattern anchors on a digit, so a leading "(" survives
+    assert out["scrubbed"][2] == "bare number [PHONE] and ([PHONE] end"
+    assert out["scrubbed"][4] == "no pii here at all"
+    assert out["n_emails"].tolist() == [1, 0, 0, 1, 0, 0]
+    assert out["n_ips"].tolist() == [0, 2, 0, 0, 0, 1]
+    assert out["n_phones"].tolist() == [0, 1, 2, 0, 0, 0]
+
+    import __ray_entry__ as em
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(em.oracle_sql()["docs_pii_scrub"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_normalize_text_semantics_and_duckdb_parity():
+    import duckdb
+    from ocr_model_ray.functions.text_stats import normalize_text_batch
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": [
+        "café combining",          # NFC composes e + U+0301
+        "  tabs\tand\nnewlines\r\n  ",
+        "ctrl\x01chars\x1fstripped\x7f",
+        " nbsp is NOT ascii ws ",  # explicit class keeps NBSP
+    ]})
+    out = normalize_text_batch(df)
+    assert out["normalized"][0] == "café combining"
+    assert out["normalized"][1] == "tabs and newlines"
+    assert out["normalized"][2] == "ctrlcharsstripped"
+    assert out["normalized"][3] == " nbsp is NOT ascii ws "
+    assert out["n_chars_raw"][0] == len("café combining")
+    assert out["n_chars_norm"][0] == len("café combining")
+
+    import __ray_entry__ as em
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(em.oracle_sql()["docs_normalize"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
