@@ -173,12 +173,33 @@ def _bucket_of(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
     return pa.array(out, pa.int32())
 
 
+def _collect_arrow(ds: rd.Dataset) -> pa.Table:
+    """Materialize a (small) dataset as ONE arrow table, exact types
+    preserved. Zero-row blocks are dropped unless they're all there is
+    (they can carry degenerate schemas)."""
+    blocks = ray.get(ds.to_arrow_refs())
+    nonempty = [b for b in blocks if b.num_rows]
+    use = nonempty if nonempty else blocks[:1]
+    return pa.concat_tables(use, promote_options="default")
+
+
 def hash_bucket_join(left: rd.Dataset, right: rd.Dataset,
                      on: str | Sequence[str], num_buckets: int = 32,
                      how: str = "inner",
                      suffixes: tuple[str, str] = ("", "_r"),
-                     left_agg=None, post_merge=None) -> rd.Dataset:
+                     left_agg=None, post_merge=None,
+                     mode: str = "distributed") -> rd.Dataset:
     """Partitioned hash join: one shuffle, pairwise merge per bucket.
+
+    ``mode='local'`` is the small-input plan (the caller picks it when
+    it KNOWS both sides are small, e.g. from the input parquet
+    metadata): both sides — usually per-batch pre-aggregates, not raw
+    rows — collect to one arrow table each, ``left_agg`` completes
+    globally, and one ``pa.Table.join`` runs in-process. Identical
+    results (every per-key aggregate is distributive and exact-integer;
+    join semantics are the same C++ kernel), pinned by test; it exists
+    because Ray's sort-shuffle costs seconds of fixed driver time that
+    swamps sub-128MB joins. The distributed plan below is the default.
 
     Both inputs gain ``__bucket`` and a provenance tag, are unioned (the
     union is free — no data movement), shuffled once by
@@ -195,6 +216,19 @@ def hash_bucket_join(left: rd.Dataset, right: rd.Dataset,
     re-aggregation by a different key before the next small shuffle).
     """
     keys = _key_cols(on)
+    join_type_map = {"inner": "inner", "left": "left outer",
+                     "right": "right outer", "outer": "full outer"}
+
+    if mode == "local":
+        lf = _collect_arrow(left)
+        rf = _collect_arrow(right)
+        if left_agg is not None:
+            lf = left_agg(lf)
+        out = lf.join(rf, keys=keys, join_type=join_type_map[how],
+                      left_suffix=suffixes[0], right_suffix=suffixes[1])
+        if post_merge is not None:
+            out = post_merge(out)
+        return rd.from_arrow(out)
 
     # pad both sides to a shared schema (nulls for the other side's
     # columns) so the union's blocks concatenate cleanly in the shuffle
@@ -244,8 +278,7 @@ def hash_bucket_join(left: rd.Dataset, right: rd.Dataset,
 
     lnames = list(lschema.names)
     rnames = list(rschema.names)
-    join_type = {"inner": "inner", "left": "left outer",
-                 "right": "right outer", "outer": "full outer"}[how]
+    join_type = join_type_map[how]
 
     # the whole merge stays in ARROW: splitting sides by filter keeps
     # each side's own columns null-free (so no int64->float64 dtype

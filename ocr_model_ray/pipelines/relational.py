@@ -30,6 +30,23 @@ def _pq(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
+#: fact tables below this on-disk total take the local join plan (the
+#: same broadcast-vs-shuffle size cut as dedup_algos.SMALL_INPUT_BYTES:
+#: Ray's sort-shuffle fixed cost swamps small exchanges)
+SMALL_JOIN_BYTES = 128 << 20
+
+
+def _join_mode(sf_dir: str, *tables: str) -> str:
+    """'local' when every joined fact table is provably small (parquet
+    file metadata — the caller reads these same files), else
+    'distributed'."""
+    try:
+        total = sum(os.path.getsize(_pq(sf_dir, t)) for t in tables)
+    except OSError:
+        return "distributed"
+    return "local" if total < SMALL_JOIN_BYTES else "distributed"
+
+
 def _read(sf_dir: str, table: str, columns=None,
           num_blocks: int | None = None) -> rd.Dataset:
     """Column-pruned parquet read. ``num_blocks`` caps the block split:
@@ -183,11 +200,20 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         return (lf.group_by("l_orderkey").aggregate([("rev_c", "sum")])
                 .rename_columns(["l_orderkey", "rev_c"]))
 
+    mode = _join_mode(sf_dir, "lineitem", "orders")
     joined = hash_bucket_join(revs, orders, on="l_orderkey", num_buckets=64,
-                              left_agg=finish_rev)
-    from ..functions.topk import topk
-    top = topk(joined, ["rev_c", "l_orderkey"], k=10,
-               descending=[True, False])
+                              left_agg=finish_rev, mode=mode)
+    if mode == "local":
+        # the joined table is already in-process — same ordering rule
+        # as topk's final merge, without another dataset execution
+        top = (joined.to_pandas()
+               .sort_values(["rev_c", "l_orderkey"],
+                            ascending=[False, True], kind="mergesort")
+               .head(10).reset_index(drop=True))
+    else:
+        from ..functions.topk import topk
+        top = topk(joined, ["rev_c", "l_orderkey"], k=10,
+                   descending=[True, False])
     top = top.rename(columns={"l_orderkey": "o_orderkey"})
     top["revenue"] = top["rev_c"].astype("int64") / 10000.0
     return top[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
@@ -333,19 +359,33 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return (t.group_by("o_custkey").aggregate([("rev_c", "sum")])
                 .rename_columns(["o_custkey", "rev_c"]))
 
+    mode = _join_mode(sf_dir, "lineitem", "orders")
     joined = hash_bucket_join(revs, orders, on="l_orderkey", num_buckets=64,
-                              left_agg=finish_rev, post_merge=partial_cust)
-    per_cust = joined.groupby("o_custkey").aggregate(
-        Sum("rev_c", alias_name="rev_c"))
+                              left_agg=finish_rev, post_merge=partial_cust,
+                              mode=mode)
     import pyarrow.parquet as pq
     cust = pq.read_table(_pq(sf_dir, "customer"),
                          columns=["c_custkey", "c_name"]).to_pandas()
-    named = broadcast_join(
-        per_cust.map_batches(lambda t: t.rename_columns(["c_custkey", "rev_c"]),
-                             batch_format="pyarrow"),
-        cust, on="c_custkey")
-    from ..functions.topk import topk
-    top = topk(named, ["rev_c", "c_custkey"], k=k, descending=[True, False])
+    if mode == "local":
+        # post_merge ran on the single global merge, so the per-custkey
+        # aggregation is already COMPLETE — merge names and rank here
+        per_cust_pd = (joined.to_pandas()
+                       .rename(columns={"o_custkey": "c_custkey"}))
+        top = (per_cust_pd.merge(cust, on="c_custkey")
+               .sort_values(["rev_c", "c_custkey"],
+                            ascending=[False, True], kind="mergesort")
+               .head(k).reset_index(drop=True))
+    else:
+        per_cust = joined.groupby("o_custkey").aggregate(
+            Sum("rev_c", alias_name="rev_c"))
+        named = broadcast_join(
+            per_cust.map_batches(
+                lambda t: t.rename_columns(["c_custkey", "rev_c"]),
+                batch_format="pyarrow"),
+            cust, on="c_custkey")
+        from ..functions.topk import topk
+        top = topk(named, ["rev_c", "c_custkey"], k=k,
+                   descending=[True, False])
     top["revenue"] = top["rev_c"].astype("int64") / 10000.0
     return top[["c_custkey", "c_name", "revenue"]].reset_index(drop=True)
 

@@ -445,3 +445,56 @@ def test_normalize_text_semantics_and_duckdb_parity():
         .sort_values("doc_id").reset_index(drop=True)
     got = out.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("how", ["inner", "left", "outer"])
+def test_hash_bucket_join_local_mode_equals_distributed(how):
+    """mode='local' (collect + one pa.Table.join) must equal the
+    bucket-shuffle plan for every join type, including left_agg and
+    post_merge hooks."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ocr_model_ray.functions.joins import hash_bucket_join
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame({"k": rng.randint(0, 40, 300),
+                         "x": rng.randint(0, 1000, 300).astype("int64")})
+    right = pd.DataFrame({"k": np.arange(0, 50, 2),
+                          "w": np.arange(25) * 10})
+
+    def agg(lf: pa.Table) -> pa.Table:
+        return (lf.group_by("k").aggregate([("x", "sum")])
+                .rename_columns(["k", "sum_x"]))
+
+    def post(t: pa.Table) -> pa.Table:
+        return t.append_column("z", pa.array([1] * t.num_rows, pa.int64()))
+
+    results = {}
+    for mode in ("local", "distributed"):
+        out = hash_bucket_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k",
+            num_buckets=8, how=how, left_agg=agg, post_merge=post,
+            mode=mode).to_pandas()
+        results[mode] = out.sort_values(["k"]).reset_index(drop=True)
+    a, b = results["local"], results["distributed"]
+    assert sorted(a.columns) == sorted(b.columns)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q3_q10_local_plan_equals_distributed(monkeypatch):
+    """q3/q10 results must be identical whichever join plan the
+    size cut picks (sf0.001 is far under the threshold, so flipping
+    SMALL_JOIN_BYTES to 0 forces the distributed plan)."""
+    from ocr_model_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    local_q3 = relational.q3_top_orders(sf)
+    local_q10 = relational.q10_returned_revenue(sf)
+    monkeypatch.setattr(relational, "SMALL_JOIN_BYTES", 0)
+    assert relational._join_mode(sf, "lineitem", "orders") == "distributed"
+    dist_q3 = relational.q3_top_orders(sf)
+    dist_q10 = relational.q10_returned_revenue(sf)
+    pd.testing.assert_frame_equal(local_q3, dist_q3, check_dtype=False)
+    pd.testing.assert_frame_equal(local_q10, dist_q10, check_dtype=False)
