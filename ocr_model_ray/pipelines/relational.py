@@ -246,10 +246,17 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
              .group_by("s_suppkey").aggregate([("rev_c", "sum")]))
         return g.rename_columns(["s_suppkey", "rev_c"])
 
-    from ray.data.aggregate import Sum
-    per_supp = (line.map_batches(prep, batch_format="pyarrow")
-                .groupby("s_suppkey")
-                .aggregate(Sum("rev_c", alias_name="rev_c")).to_pandas())
+    partials = line.map_batches(prep, batch_format="pyarrow")
+    if _join_mode(sf_dir, "lineitem") == "local":
+        # per-batch partials are one small row per (supplier, batch) —
+        # collect them and finish the sum in-process instead of paying
+        # the sort-shuffle's fixed cost (exact int cents: order-free)
+        per_supp = (partials.to_pandas()
+                    .groupby("s_suppkey", as_index=False)["rev_c"].sum())
+    else:
+        from ray.data.aggregate import Sum
+        per_supp = (partials.groupby("s_suppkey")
+                    .aggregate(Sum("rev_c", alias_name="rev_c")).to_pandas())
     out = (per_supp.merge(dim_pd, on="s_suppkey")
            .groupby("n_name", as_index=False, sort=True)
            .agg(rev_c=("rev_c", "sum")))

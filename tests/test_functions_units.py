@@ -492,9 +492,12 @@ def test_q3_q10_local_plan_equals_distributed(monkeypatch):
     sf = "/root/testdata/sf0.001"
     local_q3 = relational.q3_top_orders(sf)
     local_q10 = relational.q10_returned_revenue(sf)
+    local_q5 = relational.q5_region_revenue(sf)
     monkeypatch.setattr(relational, "SMALL_JOIN_BYTES", 0)
     assert relational._join_mode(sf, "lineitem", "orders") == "distributed"
     dist_q3 = relational.q3_top_orders(sf)
     dist_q10 = relational.q10_returned_revenue(sf)
+    dist_q5 = relational.q5_region_revenue(sf)
     pd.testing.assert_frame_equal(local_q3, dist_q3, check_dtype=False)
     pd.testing.assert_frame_equal(local_q10, dist_q10, check_dtype=False)
+    pd.testing.assert_frame_equal(local_q5, dist_q5, check_dtype=False)
