@@ -150,6 +150,17 @@ def main() -> None:
     }))
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — the sandbox is a
+    shared host, and steal time is the direct evidence of neighbor load
+    during a measurement window."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(v) for v in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
@@ -161,10 +172,14 @@ def scaling() -> None:
                    # at 2x on the same quiet window)
                    BENCH_REPEAT_INPUT=os.environ.get(
                        "BENCH_REPEAT_INPUT", "2"))
+        s0, t0 = _cpu_stat()
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__))).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        s1, t1 = _cpu_stat()
+        parsed = json.loads(out.strip().splitlines()[-1])
+        parsed["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+        return parsed
 
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)
@@ -186,6 +201,8 @@ def scaling() -> None:
         "docs": r_lo["docs"], "sink": r_lo.get("sink"),
         "sec_8": r_lo["value"], "docs_per_sec_8": r_lo["docs_per_sec"],
         "sec_32": r_hi["value"], "docs_per_sec_32": r_hi["docs_per_sec"],
+        "steal_pct_8": r_lo.get("steal_pct"),
+        "steal_pct_32": r_hi.get("steal_pct"),
         "scaling_efficiency": round(eff, 3),
         "mp_ceiling_docs_per_sec_8": ceiling["docs_per_sec_8"],
         "mp_ceiling_docs_per_sec_32": ceiling["docs_per_sec_32"],
