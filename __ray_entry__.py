@@ -212,6 +212,16 @@ def _docs_normalize(sf_dir: str):
                                      batch_format="pandas")
 
 
+def _docs_top_tokens(sf_dir: str):
+    from ocr_model_ray.functions.corpus_stats import top_tokens
+    return top_tokens(_docs(sf_dir), k=50)
+
+
+def _docs_vocab_size(sf_dir: str):
+    from ocr_model_ray.functions.corpus_stats import vocab_size
+    return vocab_size(_docs(sf_dir))
+
+
 def _docs_lang_id(sf_dir: str):
     from ocr_model_ray.functions.text_stats import lang_id
     return lang_id(_docs(sf_dir))
@@ -314,6 +324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": _docs_quality,
         "docs_pii_scrub": _docs_pii_scrub,
         "docs_normalize": _docs_normalize,
+        "docs_top_tokens": _docs_top_tokens,
+        "docs_vocab_size": _docs_vocab_size,
         "docs_lang_id": _docs_lang_id,
         "docs_simhash": _docs_simhash,
         "docs_fingerprint": _docs_fingerprint,
@@ -604,6 +616,25 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '\\s+', '', 'g'))
                        / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS avg_word_len
             FROM documents
+        """,
+        "docs_top_tokens": """
+            SELECT token, n FROM (
+                SELECT token, CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT unnest(regexp_split_to_array(text,
+                             '[ \\t\\n\\r\\f\\v]+')) AS token
+                      FROM documents)
+                WHERE token <> ''
+                GROUP BY token)
+            ORDER BY n DESC, token ASC
+            LIMIT 50
+        """,
+        "docs_vocab_size": """
+            SELECT CAST(count(DISTINCT token) AS BIGINT)
+                       AS n_distinct_tokens
+            FROM (SELECT unnest(regexp_split_to_array(text,
+                         '[ \\t\\n\\r\\f\\v]+')) AS token
+                  FROM documents)
+            WHERE token <> ''
         """,
         # staged scrub: each count runs on the PREVIOUS stage's output,
         # matching pii_scrub_batch's email -> ip -> phone pass order

@@ -1,0 +1,177 @@
+"""Corpus-level statistics over a document table: token frequencies,
+vocabulary size (exact + HyperLogLog approximate), all shaped for
+10^12-doc inputs.
+
+* Tokenization is ``pc.split_pattern_regex`` over an explicit ASCII
+  whitespace class — pyarrow's RE2 is the same engine DuckDB uses, so
+  the SQL oracles split byte-for-byte identically (``\\s`` differs
+  between engines; an explicit class doesn't).
+* ``top_tokens`` / ``vocab_size`` follow the combiner pattern: exact
+  per-batch partial counts (pa.Table.group_by inside ``map_batches``)
+  shrink each block to its local vocabulary BEFORE the one token
+  shuffle — raw token streams never move. Small inputs (pure reads
+  under the dedup_algos size cut) skip the shuffle and finish the
+  partials in-process, pinned equal by test.
+* ``approx_vocab_size`` is a HyperLogLog sketch (Flajolet et al. 2007,
+  the standard 2^p-register formulation) as a Ray ``AggregateFnV2``:
+  each block folds its token hashes into a 16 KB register vector,
+  vectors combine by elementwise max (associative + commutative, so
+  Ray's tree combine is exact), and finalize applies the
+  bias-corrected estimate. The whole corpus reduces to 16 KB of state
+  — the sketch path exists because exact distinct-count at 10^12 docs
+  shuffles the full vocabulary while the sketch moves one register
+  vector per block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .dedup_algos import _resolve_mode
+
+#: ASCII whitespace split class, shared verbatim with the SQL oracles
+WS_SPLIT = "[ \t\n\r\f\v]+"
+
+
+def _token_counts_block(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """(token, n) partial counts for one batch — the combiner."""
+    flat = pc.list_flatten(pc.split_pattern_regex(t[text_col], WS_SPLIT))
+    tbl = pa.table({"token": flat})
+    tbl = tbl.filter(pc.not_equal(tbl["token"], ""))
+    g = tbl.group_by("token").aggregate([([], "count_all")])
+    return g.select(["token", "count_all"]).rename_columns(["token", "n"])
+
+
+def top_tokens(ds: rd.Dataset, k: int = 50, text_col: str = "text",
+               mode: str = "auto") -> pd.DataFrame:
+    """Global top-k tokens by count (ties broken token-ascending).
+    One shuffle over (token, partial-count) rows; local plan for small
+    pure reads."""
+    partials = ds.map_batches(
+        lambda t: _token_counts_block(t, text_col), batch_format="pyarrow")
+    if _resolve_mode(ds, mode) == "local":
+        merged = (partials.to_pandas()
+                  .groupby("token", as_index=False)["n"].sum())
+        out = (merged.sort_values(["n", "token"],
+                                  ascending=[False, True], kind="mergesort")
+               .head(k).reset_index(drop=True))
+    else:
+        from ray.data.aggregate import Sum
+
+        from .topk import topk
+        summed = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+        out = topk(summed, ["n", "token"], k=k, descending=[True, False])
+    out["n"] = out["n"].astype("int64")
+    return out[["token", "n"]]
+
+
+def vocab_size(ds: rd.Dataset, text_col: str = "text",
+               mode: str = "auto") -> pd.DataFrame:
+    """Exact distinct-token count. Per-batch partials already collapse
+    each block to its unique tokens; the distributed plan counts
+    distinct keys with one groupby shuffle."""
+    partials = ds.map_batches(
+        lambda t: _token_counts_block(t, text_col).select(["token"]),
+        batch_format="pyarrow")
+    if _resolve_mode(ds, mode) == "local":
+        n = int(partials.to_pandas()["token"].nunique())
+    else:
+        from ray.data.aggregate import Count
+        n = (partials.groupby("token")
+             .aggregate(Count(alias_name="c")).count())
+    return pd.DataFrame({"n_distinct_tokens": pd.Series([n], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+HLL_P = 14
+HLL_M = 1 << HLL_P
+_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: 50-bit mask: hash bits not used for the register index feed the rank
+_REST_BITS = 64 - HLL_P
+_REST_MASK = np.uint64((1 << _REST_BITS) - 1)
+
+
+def hll_fold(hashes: np.ndarray, regs: np.ndarray | None = None) -> np.ndarray:
+    """Fold uint64 hashes into a register vector (elementwise-max
+    update). Top p bits pick the register; the rank is the position of
+    the first set bit in the remaining 50 (all-zero rest -> rank 51).
+    The rest fits float64's 52-bit mantissa, so the log2-based
+    bit-length is exact."""
+    if regs is None:
+        regs = np.zeros(HLL_M, dtype=np.uint8)
+    if hashes.size == 0:
+        return regs
+    idx = (hashes >> np.uint64(_REST_BITS)).astype(np.int64)
+    rest = hashes & _REST_MASK
+    bitlen = np.zeros(len(rest), dtype=np.int64)
+    nz = rest > 0
+    bitlen[nz] = np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64) + 1
+    rank = (_REST_BITS + 1 - bitlen).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected cardinality estimate with the small-range
+    (linear-counting) correction; the 64-bit hash space needs no
+    large-range correction at any realistic vocabulary."""
+    e = _ALPHA * HLL_M * HLL_M / np.sum(np.exp2(-regs.astype(np.float64)))
+    if e <= 2.5 * HLL_M:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            return float(HLL_M * np.log(HLL_M / zeros))
+    return float(e)
+
+
+def _token_hashes_block(block: pa.Table, text_col: str) -> np.ndarray:
+    flat = pc.list_flatten(pc.split_pattern_regex(block[text_col], WS_SPLIT))
+    toks = flat.to_numpy(zero_copy_only=False)
+    toks = toks[toks != ""]
+    if toks.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    # siphash with pandas' fixed default key: deterministic across
+    # processes, so partial sketches from different workers agree
+    return pd.util.hash_array(toks.astype(object))
+
+
+try:
+    from ray.data.aggregate import AggregateFnV2
+
+    class HllVocab(AggregateFnV2):
+        """Distributed HLL distinct-token sketch: 16 KB accumulator per
+        block, elementwise-max combine, estimate on finalize."""
+
+        def __init__(self, text_col: str = "text",
+                     name: str = "approx_vocab") -> None:
+            self._text_col = text_col
+            super().__init__(name,
+                             zero_factory=lambda: np.zeros(HLL_M, np.uint8),
+                             on=None, ignore_nulls=True)
+
+        def aggregate_block(self, block):
+            if isinstance(block, pd.DataFrame):
+                block = pa.Table.from_pandas(block)
+            return hll_fold(_token_hashes_block(block, self._text_col))
+
+        def combine(self, current_accumulator, new):
+            return np.maximum(current_accumulator, new)
+
+        def finalize(self, accumulator):
+            return hll_estimate(accumulator)
+except ImportError:  # older ray: expose the fold/estimate pieces only
+    HllVocab = None
+
+
+def approx_vocab_size(ds: rd.Dataset, text_col: str = "text") -> float:
+    """HLL estimate of the distinct-token count (one 16 KB reduction;
+    relative error ~1.04/sqrt(2^14) = 0.8%)."""
+    if HllVocab is None:
+        raise NotImplementedError("ray.data.aggregate.AggregateFnV2 required")
+    out = ds.aggregate(HllVocab(text_col=text_col))
+    return float(out["approx_vocab"])

@@ -1,0 +1,80 @@
+"""Corpus statistics: token frequencies, vocab size, HyperLogLog."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_model_ray.functions.corpus_stats import (
+    HLL_M, approx_vocab_size, hll_estimate, hll_fold, top_tokens, vocab_size,
+)
+
+
+def _corpus(n_docs=300, vocab_n=5000, seed=0):
+    rng = np.random.RandomState(seed)
+    vocab = np.array([f"tok{i}" for i in range(vocab_n)])
+    return pd.DataFrame({
+        "doc_id": np.arange(n_docs),
+        "text": [" ".join(rng.choice(vocab, 60)) for _ in range(n_docs)]})
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_tokens_local_equals_distributed_equals_duckdb():
+    import duckdb
+    import ray.data as rd
+    df = _corpus(n_docs=120, vocab_n=80)
+    # tabs/newlines + empty-yielding edges exercise the split class
+    df.loc[0, "text"] = "alpha\talpha\nalpha  beta "
+    ds = rd.from_pandas(df).repartition(4)
+    dist = top_tokens(ds, k=10, mode="distributed")
+    loc = top_tokens(ds, k=10, mode="local")
+    pd.testing.assert_frame_equal(dist, loc)
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute("""
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_split_to_array(text,
+                     '[ \\t\\n\\r\\f\\v]+')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT 10""").df()
+    pd.testing.assert_frame_equal(dist, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vocab_size_modes_agree_with_pandas():
+    import ray.data as rd
+    df = _corpus(n_docs=100, vocab_n=900)
+    exact = len(set(" ".join(df["text"]).split()))
+    ds = rd.from_pandas(df).repartition(4)
+    assert vocab_size(ds, mode="distributed")["n_distinct_tokens"][0] == exact
+    assert vocab_size(ds, mode="local")["n_distinct_tokens"][0] == exact
+
+
+def test_hll_accuracy_and_exact_merge():
+    """Estimate within ~3 sigma (1.04/sqrt(m)) of truth at several
+    cardinalities; partial-fold merge is EXACTLY the full fold
+    (elementwise max is associative/commutative)."""
+    rng = np.random.RandomState(1)
+    for n in (500, 20_000, 300_000):
+        # full 64-bit range: the top p bits index the registers, so a
+        # 63-bit draw would leave half the registers unreachable
+        h = np.unique(rng.randint(0, 2**64, size=n, dtype=np.uint64))
+        regs = hll_fold(h)
+        est = hll_estimate(regs)
+        rel = abs(est - len(h)) / len(h)
+        assert rel < 3 * 1.04 / np.sqrt(HLL_M), (n, rel)
+        thirds = [hll_fold(h[i::3]) for i in range(3)]
+        merged = np.maximum.reduce(thirds)
+        assert np.array_equal(merged, regs)
+    # empty + zero-register estimate is 0-ish via linear counting
+    assert hll_estimate(np.zeros(HLL_M, np.uint8)) == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_vocab_size_near_exact_on_dataset():
+    import ray.data as rd
+    df = _corpus(n_docs=400, vocab_n=15_000, seed=3)
+    ds = rd.from_pandas(df).repartition(8)
+    exact = int(vocab_size(ds, mode="local")["n_distinct_tokens"][0])
+    est = approx_vocab_size(ds)
+    assert abs(est - exact) / exact < 0.05
