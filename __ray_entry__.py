@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_revenue": rel.supplier_revenue,
         "promo_revenue_share": rel.promo_revenue_share,
         "brand_revenue": rel.brand_revenue,
+        "q4_priority_returned": rel.q4_priority_returned,
+        "q19_bracket_revenue": rel.q19_bracket_revenue,
         "nation_customer_counts": rel.nation_customer_counts,
         "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
         "region_nation_union_count": rel.region_nation_union_count,
@@ -451,6 +453,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
             ORDER BY p_brand
+        """,
+        "q4_priority_returned": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q19_bracket_revenue": f"""
+            SELECT CAST(sum({_REV_C}) AS BIGINT) / 10000.0 AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#12' AND p_size <= 15
+              AND l_quantity BETWEEN 5 AND 30
         """,
         "nation_customer_counts": """
             SELECT n_name, count(*) AS n_customers

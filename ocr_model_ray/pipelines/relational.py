@@ -799,3 +799,73 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 
     return ds.groupby("user_id").map_groups(
         per_user, batch_format="pandas").to_pandas()
+
+
+def q4_priority_returned(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape (EXISTS semi-join): count orders by priority that
+    have at least one returned ('R') lineitem. The semi side reduces to
+    per-batch DISTINCT orderkeys (one int row per key per batch) before
+    the key set ships as a broadcast filter; the counted side then
+    needs only (priority, count) partials — no wide shuffle. When the
+    key set outgrows the driver, swap the broadcast for
+    joins.bloom_semi_filter + an exact bucket-join rescreen (bloom
+    false positives must be re-checked for exact counts)."""
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"],
+                 num_blocks=16)
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.equal(t["l_returnflag"], "R"))["l_orderkey"]
+        return pa.table({"l_orderkey": keys.unique()})
+
+    rkeys = (line.map_batches(distinct_keys, batch_format="pyarrow")
+             .to_pandas()["l_orderkey"].unique())
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    kept = broadcast_semi_filter(
+        orders, pa.array(sorted(rkeys), pa.int64()), on="o_orderkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"o_orderpriority": t["o_orderpriority"]})
+             .group_by("o_orderpriority").aggregate([([], "count_all")]))
+        return g.select(["o_orderpriority", "count_all"]) \
+                .rename_columns(["o_orderpriority", "n"])
+
+    out = (kept.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby("o_orderpriority", as_index=False)["n"].sum()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return out.rename(columns={"n": "order_count"})
+
+
+def q19_bracket_revenue(sf_dir: str, brand: str = "Brand#12",
+                        size_max: int = 15, qty_lo: int = 5,
+                        qty_hi: int = 30) -> pd.DataFrame:
+    """TPC-H Q19 shape: revenue from one brand's small parts within a
+    quantity bracket — compound predicates across both tables. The part
+    dim filters down to a broadcast key set; lineitem reduces per batch
+    to ONE int64 cents cell (predicates applied before any movement)."""
+    import pyarrow.parquet as pq
+    import ray
+    part = pq.read_table(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    keys = part.filter(pc.and_(
+        pc.equal(part["p_brand"], brand),
+        pc.less_equal(part["p_size"], size_max)))["p_partkey"].combine_chunks()
+    keys_ref = ray.put(keys)
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+                 num_blocks=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_quantity"], pa.scalar(float(qty_lo))),
+            pc.less_equal(t["l_quantity"], pa.scalar(float(qty_hi)))))
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=_ray.get(keys_ref)))
+        rev = pc.sum(_disc_rev_cents(t))
+        return pa.table({"rev_c": pa.array([rev.as_py() or 0], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = (line.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("rev_c", alias_name="rev_c")))
+    return pd.DataFrame({"revenue": [int(agg["rev_c"]) / 10000.0]})
