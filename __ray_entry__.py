@@ -212,6 +212,15 @@ def _docs_normalize(sf_dir: str):
                                      batch_format="pandas")
 
 
+def _orders_price_histogram(sf_dir: str):
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import numeric_histogram
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_totalprice"])
+    return numeric_histogram(orders, "o_totalprice", lo=0.0, hi=500000.0,
+                             nbins=20)
+
+
 def _docs_top_tokens(sf_dir: str):
     from ocr_model_ray.functions.corpus_stats import top_tokens
     return top_tokens(_docs(sf_dir), k=50)
@@ -302,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_share": rel.promo_revenue_share,
         "brand_revenue": rel.brand_revenue,
         "q4_priority_returned": rel.q4_priority_returned,
+        "orders_price_histogram": _orders_price_histogram,
         "q19_bracket_revenue": rel.q19_bracket_revenue,
         "nation_customer_counts": rel.nation_customer_counts,
         "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
@@ -462,6 +472,24 @@ def oracle_sql() -> dict[str, str]:
                             AND l_returnflag = 'R')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        # identical bin rule to numeric_histogram:
+        # clamp(floor((x-lo)/w), 0, nbins-1) in double precision
+        "orders_price_histogram": """
+            WITH b AS (
+                SELECT CAST(least(greatest(
+                           floor((o_totalprice - 0.0) / 25000.0),
+                           0), 19) AS BIGINT) AS bin
+                FROM orders),
+            c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
+                  FROM b GROUP BY bin)
+            SELECT g.bin,
+                   0.0 + g.bin * 25000.0 AS bin_lo,
+                   0.0 + (g.bin + 1) * 25000.0 AS bin_hi,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM generate_series(0, 19) AS g(bin)
+            LEFT JOIN c USING (bin)
+            ORDER BY g.bin
         """,
         "q19_bracket_revenue": f"""
             SELECT CAST(sum({_REV_C}) AS BIGINT) / 10000.0 AS revenue

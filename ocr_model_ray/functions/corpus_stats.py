@@ -175,3 +175,35 @@ def approx_vocab_size(ds: rd.Dataset, text_col: str = "text") -> float:
         raise NotImplementedError("ray.data.aggregate.AggregateFnV2 required")
     out = ds.aggregate(HllVocab(text_col=text_col))
     return float(out["approx_vocab"])
+
+
+def numeric_histogram(ds: rd.Dataset, col: str, lo: float, hi: float,
+                      nbins: int = 20, mode: str = "auto") -> pd.DataFrame:
+    """Fixed-width histogram over a numeric column: per-batch bin
+    counts (one small row per occupied bin per batch) -> grouped sum.
+    Out-of-range values clamp into the edge bins, so every row is
+    counted exactly once. Bin rule (shared verbatim with the SQL
+    oracle): ``clamp(floor((x - lo) / w), 0, nbins-1)``.
+    Output: (bin, bin_lo, bin_hi, n) for every bin, zeros included."""
+    w = (hi - lo) / nbins
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(np.floor((x - lo) / w), 0, nbins - 1).astype(np.int64)
+        idx, n = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(idx, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if _resolve_mode(ds, mode) == "local":
+        merged = partials.to_pandas().groupby("bin", as_index=False)["n"].sum()
+    else:
+        from ray.data.aggregate import Sum
+        merged = (partials.groupby("bin")
+                  .aggregate(Sum("n", alias_name="n")).to_pandas())
+    full = pd.DataFrame({"bin": np.arange(nbins, dtype=np.int64)})
+    out = full.merge(merged, on="bin", how="left").fillna({"n": 0})
+    out["n"] = out["n"].astype("int64")
+    out["bin_lo"] = lo + out["bin"] * w
+    out["bin_hi"] = lo + (out["bin"] + 1) * w
+    return out[["bin", "bin_lo", "bin_hi", "n"]]

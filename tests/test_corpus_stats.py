@@ -78,3 +78,28 @@ def test_approx_vocab_size_near_exact_on_dataset():
     exact = int(vocab_size(ds, mode="local")["n_distinct_tokens"][0])
     est = approx_vocab_size(ds)
     assert abs(est - exact) / exact < 0.05
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_numeric_histogram_modes_clamp_and_zero_bins():
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import numeric_histogram
+    rng = np.random.RandomState(2)
+    # values beyond both edges must clamp into the edge bins; bin 3 of
+    # [0,100)x10 is deliberately empty
+    vals = np.concatenate([rng.uniform(0, 30, 200),
+                           rng.uniform(40, 100, 300),
+                           [-5.0, -0.001, 100.0, 250.0]])
+    df = pd.DataFrame({"x": vals})
+    ds = rd.from_pandas(df).repartition(4)
+    dist = numeric_histogram(ds, "x", lo=0.0, hi=100.0, nbins=10,
+                             mode="distributed")
+    loc = numeric_histogram(ds, "x", lo=0.0, hi=100.0, nbins=10,
+                            mode="local")
+    pd.testing.assert_frame_equal(dist, loc)
+    assert dist["n"].sum() == len(vals)          # every row counted once
+    assert len(dist) == 10                       # zero bins present
+    b = np.clip(np.floor(vals / 10.0), 0, 9).astype(int)
+    want = np.bincount(b, minlength=10)
+    assert dist["n"].tolist() == want.tolist()
+    assert dist["bin_lo"].tolist()[:3] == [0.0, 10.0, 20.0]
