@@ -268,6 +268,46 @@ class TrOCRAdapter:
         return self.tokens_from_text(text)
 
 
+class PPStructureAdapter:
+    """PaddleOCR PP-Structure layout engine (A7). The reference only
+    ever INITIALIZES this engine (table_detector.py:66-75 — pp_engine
+    is created and then never invoked), so the adapter both mirrors
+    that init-with-fallback lifecycle and supplies the missing call
+    path: PP-Structure region dicts normalize to the same
+    {'bbox', 'confidence'} table records the line detector emits."""
+
+    @staticmethod
+    def available() -> bool:
+        mod = _try_import("paddleocr")
+        return mod is not None and hasattr(mod, "PPStructure")
+
+    def __init__(self) -> None:
+        if not self.available():
+            raise RuntimeError(
+                "paddleocr.PPStructure not available; use "
+                "detect_table_regions_lines instead")
+        from paddleocr import PPStructure
+        self.engine = PPStructure(show_log=False)
+
+    @staticmethod
+    def tables_from_regions(regions: list[dict]) -> list[dict]:
+        """Normalize PP-Structure output: keep type=='table' regions,
+        bbox ints, res.score (or 1.0) as confidence, sorted by bbox."""
+        out = []
+        for r in regions:
+            if r.get("type") != "table":
+                continue
+            bbox = [int(round(float(v))) for v in r.get("bbox", (0, 0, 0, 0))]
+            res = r.get("res") or {}
+            conf = float(res.get("score", 1.0)) if isinstance(res, dict) \
+                else 1.0
+            out.append({"bbox": bbox, "confidence": conf})
+        return sorted(out, key=lambda t: tuple(t["bbox"]))
+
+    def __call__(self, image: "np.ndarray") -> list[dict]:
+        return self.tables_from_regions(self.engine(image))
+
+
 def ocr_engine():
     """Best available engine as a ``bytes -> list[token]`` callable:
     Tesseract > Paddle > deterministic seeded stub. Call once per actor

@@ -157,3 +157,24 @@ def test_trocr_text_mapping_and_guard():
     if not TrOCRAdapter.available():
         with pytest.raises(RuntimeError, match="TrOCR"):
             TrOCRAdapter()
+
+
+def test_ppstructure_adapter_normalization_and_guard():
+    """A7: unavailable in this container -> clean RuntimeError; the
+    region normalizer keeps only table regions with int bboxes and
+    res.score confidence, sorted."""
+    import pytest as _pytest
+
+    from ocr_model_ray.stages.engines import PPStructureAdapter
+    assert PPStructureAdapter.available() is False
+    with _pytest.raises(RuntimeError, match="PPStructure not available"):
+        PPStructureAdapter()
+    regions = [
+        {"type": "text", "bbox": [0, 0, 10, 10], "res": {}},
+        {"type": "table", "bbox": [10.6, 2.2, 99.4, 50.0],
+         "res": {"score": 0.75}},
+        {"type": "table", "bbox": [1, 1, 5, 5], "res": []},  # list res
+    ]
+    got = PPStructureAdapter.tables_from_regions(regions)
+    assert got == [{"bbox": [1, 1, 5, 5], "confidence": 1.0},
+                   {"bbox": [11, 2, 99, 50], "confidence": 0.75}]
