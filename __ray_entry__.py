@@ -212,6 +212,26 @@ def _docs_normalize(sf_dir: str):
                                      batch_format="pandas")
 
 
+def _docs_sample_per_lang(sf_dir: str):
+    """Stratified deterministic sample: 5 docs per language, ranked by
+    (md5(text), doc_id) — grouped_topk keeps per-block per-group
+    partials only."""
+    import ray.data as rd
+
+    from ocr_model_ray.functions.text_stats import md5_hex
+    from ocr_model_ray.functions.topk import grouped_topk
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+
+    def add_rank_key(df):
+        return df.assign(h=md5_hex(df["text"]))
+
+    ranked = docs.map_batches(add_rank_key, batch_format="pandas")
+    out = grouped_topk(ranked, ["lang"], ["h", "doc_id"], k=5)
+    return out[["lang", "doc_id", "h"]]
+
+
 def _orders_price_histogram(sf_dir: str):
     import ray.data as rd
     from ocr_model_ray.functions.corpus_stats import numeric_histogram
@@ -312,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": rel.brand_revenue,
         "q4_priority_returned": rel.q4_priority_returned,
         "orders_price_histogram": _orders_price_histogram,
+        "docs_sample_per_lang": _docs_sample_per_lang,
         "q19_bracket_revenue": rel.q19_bracket_revenue,
         "nation_customer_counts": rel.nation_customer_counts,
         "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
@@ -472,6 +493,13 @@ def oracle_sql() -> dict[str, str]:
                             AND l_returnflag = 'R')
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "docs_sample_per_lang": """
+            SELECT lang, doc_id, md5(text) AS h
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY lang ORDER BY md5(text), doc_id) <= 5
+            ORDER BY lang, h, doc_id
         """,
         # identical bin rule to numeric_histogram:
         # clamp(floor((x-lo)/w), 0, nbins-1) in double precision

@@ -32,3 +32,31 @@ def topk(ds: rd.Dataset, by: Sequence[str], k: int,
     small = ds.map_batches(partial, batch_format="pandas").to_pandas()
     return (small.sort_values(by, ascending=ascending, kind="mergesort")
             .head(k).reset_index(drop=True))
+
+
+def grouped_topk(ds: rd.Dataset, group_cols: Sequence[str],
+                 by: Sequence[str], k: int,
+                 descending: Sequence[bool] | bool = False) -> pd.DataFrame:
+    """Top-k rows PER GROUP (windowed-rank shape, the stratified-sample
+    primitive). Per-group top-k is associative, so each block prunes to
+    its own per-group top-k first and only ``k x groups`` rows per
+    block ever move; the driver-side final merge holds at most
+    ``k x n_groups`` rows — fine for k-per-stratum sampling; for
+    millions of groups route the partials through
+    ``groupby(group).map_groups`` instead."""
+    group_cols = list(group_cols)
+    by = list(by)
+    if isinstance(descending, bool):
+        descending = [descending] * len(by)
+    ascending = [not d for d in descending]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(by, ascending=ascending, kind="mergesort")
+                .groupby(group_cols, sort=False).head(k))
+
+    small = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (small.sort_values(by, ascending=ascending, kind="mergesort")
+            .groupby(group_cols, sort=False).head(k)
+            .sort_values(group_cols + by, ascending=[True] * len(group_cols)
+                         + ascending, kind="mergesort")
+            .reset_index(drop=True))

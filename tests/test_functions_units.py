@@ -501,3 +501,22 @@ def test_q3_q10_local_plan_equals_distributed(monkeypatch):
     pd.testing.assert_frame_equal(local_q3, dist_q3, check_dtype=False)
     pd.testing.assert_frame_equal(local_q10, dist_q10, check_dtype=False)
     pd.testing.assert_frame_equal(local_q5, dist_q5, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_topk_matches_pandas_window():
+    """Per-group top-k across many blocks equals the single-frame
+    window computation, with deterministic tie-break."""
+    import ray.data as rd
+    from ocr_model_ray.functions.topk import grouped_topk
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 400),
+        "v": rng.randint(0, 40, 400),
+        "id": np.arange(400)})
+    got = grouped_topk(rd.from_pandas(df).repartition(7),
+                       ["g"], ["v", "id"], k=5)
+    want = (df.sort_values(["v", "id"]).groupby("g", sort=False).head(5)
+            .sort_values(["g", "v", "id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["g", "v", "id"]],
+                                  want[["g", "v", "id"]])
