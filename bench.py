@@ -161,6 +161,25 @@ def _cpu_stat() -> tuple[int, int]:
     return steal, sum(vals)
 
 
+def _mem_bw_probe(n_mb: int = 256, reps: int = 3) -> float:
+    """Single-thread memory-copy bandwidth (GB/s), best of ``reps``.
+    Neighbor tenants saturating the host's shared memory bus do NOT
+    show up as steal time; this probe makes that contention visible
+    (measured: a zero-steal window with this probe down ~35% matched a
+    ~35% whole-pipeline throughput drop)."""
+    import numpy as np
+    src = np.ones(n_mb * 131072, dtype=np.float64)  # n_mb MiB
+    dst = np.empty_like(src)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        dt = time.perf_counter() - t0
+        # copy touches 2x the buffer (read + write)
+        best = max(best, 2 * src.nbytes / dt / 1e9)
+    return round(best, 2)
+
+
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
@@ -172,6 +191,7 @@ def scaling() -> None:
                    # at 2x on the same quiet window)
                    BENCH_REPEAT_INPUT=os.environ.get(
                        "BENCH_REPEAT_INPUT", "2"))
+        bw = _mem_bw_probe()
         s0, t0 = _cpu_stat()
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
@@ -179,6 +199,7 @@ def scaling() -> None:
         s1, t1 = _cpu_stat()
         parsed = json.loads(out.strip().splitlines()[-1])
         parsed["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+        parsed["mem_bw_gbps"] = bw
         return parsed
 
     lo, hi = 8, 32
@@ -203,6 +224,8 @@ def scaling() -> None:
         "sec_32": r_hi["value"], "docs_per_sec_32": r_hi["docs_per_sec"],
         "steal_pct_8": r_lo.get("steal_pct"),
         "steal_pct_32": r_hi.get("steal_pct"),
+        "mem_bw_gbps_8": r_lo.get("mem_bw_gbps"),
+        "mem_bw_gbps_32": r_hi.get("mem_bw_gbps"),
         "scaling_efficiency": round(eff, 3),
         "mp_ceiling_docs_per_sec_8": ceiling["docs_per_sec_8"],
         "mp_ceiling_docs_per_sec_32": ceiling["docs_per_sec_32"],
