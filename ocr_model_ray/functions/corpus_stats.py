@@ -189,7 +189,12 @@ def numeric_histogram(ds: rd.Dataset, col: str, lo: float, hi: float,
 
     def partial(t: pa.Table) -> pa.Table:
         x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        b = np.clip(np.floor((x - lo) / w), 0, nbins - 1).astype(np.int64)
+        b = np.clip(np.floor((x - lo) / w), 0, nbins - 1)
+        # NaN/null -> top bin, matching the oracle: DuckDB's
+        # least(greatest(NaN, 0), nbins-1) orders NaN greatest, so the
+        # SQL rule clamps it high — without this the float->int64 cast
+        # of NaN is UB and the row silently vanishes from the counts
+        b = np.where(np.isnan(b), nbins - 1, b).astype(np.int64)
         idx, n = np.unique(b, return_counts=True)
         return pa.table({"bin": pa.array(idx, pa.int64()),
                          "n": pa.array(n, pa.int64())})

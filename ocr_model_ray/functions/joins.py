@@ -173,14 +173,61 @@ def _bucket_of(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
     return pa.array(out, pa.int32())
 
 
+def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
+    """Dataset schema as a pa.Schema (pandas-block datasets report
+    numpy/python types — map them; object dtype means strings in this
+    engine's frames)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            fields.append((name, t))
+            continue
+        try:
+            fields.append((name, pa.from_numpy_dtype(t)))
+        except (pa.ArrowNotImplementedError, TypeError):
+            fields.append((name, pa.string()))
+    return pa.schema(fields)
+
+
 def _collect_arrow(ds: rd.Dataset) -> pa.Table:
     """Materialize a (small) dataset as ONE arrow table, exact types
     preserved. Zero-row blocks are dropped unless they're all there is
-    (they can carry degenerate schemas)."""
+    (they can carry degenerate schemas); a dataset that materializes to
+    no blocks at all yields a typed empty table."""
     blocks = ray.get(ds.to_arrow_refs())
     nonempty = [b for b in blocks if b.num_rows]
     use = nonempty if nonempty else blocks[:1]
+    if not use:
+        return _arrow_schema(ds).empty_table()
     return pa.concat_tables(use, promote_options="default")
+
+
+def local_join_table(left: rd.Dataset, right: rd.Dataset,
+                     on: str | Sequence[str], how: str = "inner",
+                     suffixes: tuple[str, str] = ("", "_r"),
+                     left_agg=None, post_merge=None) -> pa.Table:
+    """The small-input join plan as a plain arrow table: collect both
+    sides, complete ``left_agg`` globally, one ``pa.Table.join``.
+    hash_bucket_join(mode='local') wraps this in a Dataset for API
+    parity; call this directly when the caller consumes the (small)
+    result in-process anyway — wrapping and re-collecting costs an
+    extra object-store round trip for nothing."""
+    keys = _key_cols(on)
+    join_type = {"inner": "inner", "left": "left outer",
+                 "right": "right outer", "outer": "full outer"}[how]
+    lf = _collect_arrow(left)
+    rf = _collect_arrow(right)
+    if left_agg is not None:
+        lf = left_agg(lf)
+    out = lf.join(rf, keys=keys, join_type=join_type,
+                  left_suffix=suffixes[0], right_suffix=suffixes[1])
+    if post_merge is not None:
+        out = post_merge(out)
+    return out
 
 
 def hash_bucket_join(left: rd.Dataset, right: rd.Dataset,
@@ -220,36 +267,12 @@ def hash_bucket_join(left: rd.Dataset, right: rd.Dataset,
                      "right": "right outer", "outer": "full outer"}
 
     if mode == "local":
-        lf = _collect_arrow(left)
-        rf = _collect_arrow(right)
-        if left_agg is not None:
-            lf = left_agg(lf)
-        out = lf.join(rf, keys=keys, join_type=join_type_map[how],
-                      left_suffix=suffixes[0], right_suffix=suffixes[1])
-        if post_merge is not None:
-            out = post_merge(out)
-        return rd.from_arrow(out)
+        return rd.from_arrow(local_join_table(
+            left, right, on, how=how, suffixes=suffixes,
+            left_agg=left_agg, post_merge=post_merge))
 
     # pad both sides to a shared schema (nulls for the other side's
     # columns) so the union's blocks concatenate cleanly in the shuffle
-    def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
-        s = ds.schema()
-        base = getattr(s, "base_schema", None)
-        if isinstance(base, pa.Schema):
-            return base
-        # pandas-block datasets report numpy/python types — map them
-        # (object dtype means strings in this engine's frames)
-        fields = []
-        for name, t in zip(s.names, s.types):
-            if isinstance(t, pa.DataType):
-                fields.append((name, t))
-                continue
-            try:
-                fields.append((name, pa.from_numpy_dtype(t)))
-            except (pa.ArrowNotImplementedError, TypeError):
-                fields.append((name, pa.string()))
-        return pa.schema(fields)
-
     lschema = _arrow_schema(left)
     rschema = _arrow_schema(right)
     union_fields = list(lschema)

@@ -220,16 +220,18 @@ def fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 # Cleaning operators (PII scrub + normalization) — training-data
 # preprocessing staples. Patterns use ASCII classes shared verbatim with
-# the DuckDB RE2 oracles ("\s"/"\b" semantics differ between Python re
-# and RE2 on non-ASCII input, so whitespace is an explicit class and the
-# \b usage is ASCII-context only — pinned by the SQL oracle).
+# the DuckDB RE2 oracles, and compile with re.ASCII: Python's \d and \b
+# are Unicode-aware by default where RE2's are ASCII, so without the
+# flag 'café192.168.0.1' would leave the IP UNSCRUBBED (é counts as a
+# word char, killing the \b) and Arabic-Indic digits would match \d —
+# both diverging from the oracle and the first one leaking PII.
 # ---------------------------------------------------------------------------
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE = r"\+?\d[\d() -]{7,}\d"
-_PII = [(re.compile(PII_EMAIL), "[EMAIL]", "n_emails"),
-        (re.compile(PII_IP), "[IP]", "n_ips"),
-        (re.compile(PII_PHONE), "[PHONE]", "n_phones")]
+_PII = [(re.compile(PII_EMAIL, re.ASCII), "[EMAIL]", "n_emails"),
+        (re.compile(PII_IP, re.ASCII), "[IP]", "n_ips"),
+        (re.compile(PII_PHONE, re.ASCII), "[PHONE]", "n_phones")]
 
 WS_CLASS = r"[ \t\n\r\f\v]+"
 CTRL_CLASS = "[\x00-\x08\x0e-\x1f\x7f]"

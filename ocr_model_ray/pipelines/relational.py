@@ -201,16 +201,19 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
                 .rename_columns(["l_orderkey", "rev_c"]))
 
     mode = _join_mode(sf_dir, "lineitem", "orders")
-    joined = hash_bucket_join(revs, orders, on="l_orderkey", num_buckets=64,
-                              left_agg=finish_rev, mode=mode)
     if mode == "local":
-        # the joined table is already in-process — same ordering rule
-        # as topk's final merge, without another dataset execution
-        top = (joined.to_pandas()
+        # join stays an in-process arrow table — same ordering rule as
+        # topk's final merge, without another dataset execution
+        from ..functions.joins import local_join_table
+        jt = local_join_table(revs, orders, on="l_orderkey",
+                              left_agg=finish_rev)
+        top = (jt.to_pandas()
                .sort_values(["rev_c", "l_orderkey"],
                             ascending=[False, True], kind="mergesort")
                .head(10).reset_index(drop=True))
     else:
+        joined = hash_bucket_join(revs, orders, on="l_orderkey",
+                                  num_buckets=64, left_agg=finish_rev)
         from ..functions.topk import topk
         top = topk(joined, ["rev_c", "l_orderkey"], k=10,
                    descending=[True, False])
@@ -367,22 +370,26 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
                 .rename_columns(["o_custkey", "rev_c"]))
 
     mode = _join_mode(sf_dir, "lineitem", "orders")
-    joined = hash_bucket_join(revs, orders, on="l_orderkey", num_buckets=64,
-                              left_agg=finish_rev, post_merge=partial_cust,
-                              mode=mode)
     import pyarrow.parquet as pq
     cust = pq.read_table(_pq(sf_dir, "customer"),
                          columns=["c_custkey", "c_name"]).to_pandas()
     if mode == "local":
-        # post_merge ran on the single global merge, so the per-custkey
-        # aggregation is already COMPLETE — merge names and rank here
-        per_cust_pd = (joined.to_pandas()
+        # post_merge runs on the single global merge, so the per-custkey
+        # aggregation is already COMPLETE — merge names and rank on the
+        # in-process table (no extra dataset execution)
+        from ..functions.joins import local_join_table
+        jt = local_join_table(revs, orders, on="l_orderkey",
+                              left_agg=finish_rev, post_merge=partial_cust)
+        per_cust_pd = (jt.to_pandas()
                        .rename(columns={"o_custkey": "c_custkey"}))
         top = (per_cust_pd.merge(cust, on="c_custkey")
                .sort_values(["rev_c", "c_custkey"],
                             ascending=[False, True], kind="mergesort")
                .head(k).reset_index(drop=True))
     else:
+        joined = hash_bucket_join(revs, orders, on="l_orderkey",
+                                  num_buckets=64, left_agg=finish_rev,
+                                  post_merge=partial_cust)
         per_cust = joined.groupby("o_custkey").aggregate(
             Sum("rev_c", alias_name="rev_c"))
         named = broadcast_join(

@@ -71,7 +71,7 @@ def _featurize(payload: bytes) -> np.ndarray:
         1.0 if head[:1] == b"<" else 0.0,
         1.0 if b'"spans": [[' in payload or b'"spans":[[' in payload
         else 0.0,
-        1.0 if b'"image":' in payload or b'"image": ' in payload else 0.0,
+        1.0 if b'"image":' in payload else 0.0,
         float(np.log10(max(len(payload), 1))),
     ], dtype=np.float64)
 
@@ -91,21 +91,25 @@ class RendererClassifierWorker:
             try:
                 import torch
                 state = torch.load(checkpoint, map_location="cpu")
-                self.w = state["weight"].numpy().astype(np.float64)
-                self.b = state["bias"].numpy().astype(np.float64)
+                w = state["weight"].numpy().astype(np.float64)
+                b = state["bias"].numpy().astype(np.float64)
+                self.w, self.b = w, b
             except ImportError:
                 log.warning("torch not available; renderer classifier "
                             "using pretrained weights")
-            except (OSError, KeyError) as exc:
+            except Exception as exc:  # corrupt/missing/wrong-keyed .pth:
+                # the contract is warn-and-fallback, never a dead actor
                 log.warning("renderer checkpoint %s not loadable (%s); "
                             "using pretrained weights", checkpoint, exc)
         else:
             try:
                 with np.load(checkpoint) as z:
-                    self.w = z["weight"].astype(np.float64)
-                    self.b = z["bias"].astype(np.float64)
-            except OSError as exc:
-                log.warning("renderer checkpoint %s not found (%s); "
+                    w = z["weight"].astype(np.float64)
+                    b = z["bias"].astype(np.float64)
+                self.w, self.b = w, b
+            except Exception as exc:  # missing file is OSError, corrupt
+                # npz is ValueError, wrong keys KeyError — all fall back
+                log.warning("renderer checkpoint %s not loadable (%s); "
                             "using pretrained weights", checkpoint, exc)
         if self.w.shape != (len(CLASSES), len(FEATURES)) or \
                 self.b.shape != (len(CLASSES),):

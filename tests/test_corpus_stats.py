@@ -87,9 +87,10 @@ def test_numeric_histogram_modes_clamp_and_zero_bins():
     rng = np.random.RandomState(2)
     # values beyond both edges must clamp into the edge bins; bin 3 of
     # [0,100)x10 is deliberately empty
+    # NaN clamps into the top bin like the oracle's least/greatest rule
     vals = np.concatenate([rng.uniform(0, 30, 200),
                            rng.uniform(40, 100, 300),
-                           [-5.0, -0.001, 100.0, 250.0]])
+                           [-5.0, -0.001, 100.0, 250.0, np.nan]])
     df = pd.DataFrame({"x": vals})
     ds = rd.from_pandas(df).repartition(4)
     dist = numeric_histogram(ds, "x", lo=0.0, hi=100.0, nbins=10,
@@ -99,7 +100,8 @@ def test_numeric_histogram_modes_clamp_and_zero_bins():
     pd.testing.assert_frame_equal(dist, loc)
     assert dist["n"].sum() == len(vals)          # every row counted once
     assert len(dist) == 10                       # zero bins present
-    b = np.clip(np.floor(vals / 10.0), 0, 9).astype(int)
+    b = np.clip(np.floor(vals / 10.0), 0, 9)
+    b = np.where(np.isnan(b), 9, b).astype(int)
     want = np.bincount(b, minlength=10)
     assert dist["n"].tolist() == want.tolist()
     assert dist["bin_lo"].tolist()[:3] == [0.0, 10.0, 20.0]

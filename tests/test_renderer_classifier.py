@@ -94,6 +94,17 @@ def test_checkpoint_npz_roundtrip_and_fallbacks(tmp_path):
     np.savez(bad, weight=np.ones((2, 2)), bias=np.ones(2))
     w4 = RendererClassifierWorker(checkpoint=bad)
     assert np.array_equal(w4.w, w2.w)
+    # corrupt npz (not a zip) and wrong-keyed npz -> warn + fallback,
+    # never a dead actor, never half-loaded weights
+    corrupt = str(tmp_path / "corrupt.npz")
+    with open(corrupt, "wb") as f:
+        f.write(b"not an npz at all")
+    w5 = RendererClassifierWorker(checkpoint=corrupt)
+    assert np.array_equal(w5.w, w2.w) and np.array_equal(w5.b, w2.b)
+    wrongkeys = str(tmp_path / "wrongkeys.npz")
+    np.savez(wrongkeys, W=w, bias=b)  # "weight" key missing
+    w6 = RendererClassifierWorker(checkpoint=wrongkeys)
+    assert np.array_equal(w6.w, w2.w) and np.array_equal(w6.b, w2.b)
 
 
 @pytest.mark.usefixtures("ray_session")
