@@ -48,14 +48,21 @@ def _join_mode(sf_dir: str, *tables: str) -> str:
 
 
 def _read(sf_dir: str, table: str, columns=None,
-          num_blocks: int | None = None) -> rd.Dataset:
-    """Column-pruned parquet read. ``num_blocks`` caps the block split:
-    Ray's default splits small files into ~2x-CPU tiny blocks, and every
-    downstream all-to-all (the bucket-join sort especially) pays per
-    map-task overhead — measured 7x on q10's join (5.6s -> 0.8s at 8
-    blocks). At real scale block count follows target_max_block_size;
-    this only stops tiny inputs from being over-split."""
+          num_blocks: int | None = None, filter=None) -> rd.Dataset:
+    """Column- and row-pruned parquet read. ``num_blocks`` caps the
+    block split: Ray's default splits small files into ~2x-CPU tiny
+    blocks, and every downstream all-to-all (the bucket-join sort
+    especially) pays per map-task overhead — measured 7x on q10's join
+    (5.6s -> 0.8s at 8 blocks). At real scale block count follows
+    target_max_block_size; this only stops tiny inputs from being
+    over-split. ``filter`` is a pyarrow.dataset expression pushed into
+    the scan: row groups whose statistics exclude the predicate never
+    leave storage, and the surviving rows are filtered row-exactly
+    (verified == the equivalent SQL WHERE), so callers drop their
+    post-read mask entirely."""
     kwargs = {} if num_blocks is None else {"override_num_blocks": num_blocks}
+    if filter is not None:
+        kwargs["filter"] = filter
     return rd.read_parquet(_pq(sf_dir, table), columns=columns, **kwargs)
 
 
@@ -97,11 +104,11 @@ def _disc_rev_cents(t: pa.Table) -> pa.ChunkedArray:
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
             "l_discount", "l_tax", "l_shipdate"]
-    ds = _read(sf_dir, "lineitem", cols, num_blocks=16)
-    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+    import pyarrow.dataset as pads
+    ds = _read(sf_dir, "lineitem", cols, num_blocks=16,
+               filter=pads.field("l_shipdate") <= pd.Timestamp("1998-09-02"))
 
     def partial(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
         if batch.num_rows == 0:
             return _Q1_PARTIAL_SCHEMA.empty_table()
         price_c = _cents(batch["l_extendedprice"])
@@ -172,20 +179,16 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     cust_keys = cust.filter(
         pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].combine_chunks()
 
+    import pyarrow.dataset as pads
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
-                   num_blocks=8)
-    orders = orders.map_batches(
-        lambda t: t.filter(pc.less(t["o_orderdate"],
-                                   pa.scalar(date, pa.timestamp("us")))),
-        batch_format="pyarrow")
+                   num_blocks=8, filter=pads.field("o_orderdate") < date)
     orders = broadcast_semi_filter(orders, cust_keys, on="o_custkey")
 
     line = _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-                 num_blocks=8)
+                 num_blocks=8, filter=pads.field("l_shipdate") > date)
 
     def line_prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(date, pa.timestamp("us"))))
         g = (pa.table({"l_orderkey": t["l_orderkey"],
                        "rev_c": _disc_rev_cents(t)})
              .group_by("l_orderkey").aggregate([("rev_c", "sum")]))
@@ -296,13 +299,11 @@ def mktsegment_stats(sf_dir: str) -> pd.DataFrame:
 
 def order_priority_counts(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count
-    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
-    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
-    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
-                                   pc.less(t["o_orderdate"], hi))),
-        batch_format="pyarrow")
+    import pyarrow.dataset as pads
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"],
+               filter=(pads.field("o_orderdate")
+                       >= pd.Timestamp("1996-01-01"))
+               & (pads.field("o_orderdate") < pd.Timestamp("1997-01-01")))
     return ds.groupby("o_orderpriority").aggregate(
         Count(alias_name="order_count")).to_pandas()
 
@@ -310,20 +311,19 @@ def order_priority_counts(sf_dir: str) -> pd.DataFrame:
 def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q6 shape: single-row filtered aggregate, fully fused with the
     read (predicate + projection prune; partial sums per batch)."""
+    import pyarrow.dataset as pads
+    # the ENTIRE predicate pushes into the scan: row groups outside the
+    # date/discount/quantity ranges never leave storage
+    expr = ((pads.field("l_shipdate") >= pd.Timestamp("1996-01-01"))
+            & (pads.field("l_shipdate") < pd.Timestamp("1997-01-01"))
+            & (pads.field("l_discount") >= 0.05)
+            & (pads.field("l_discount") <= 0.07)
+            & (pads.field("l_quantity") < 24.0))
     ds = _read(sf_dir, "lineitem",
                ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
-               num_blocks=16)
-    lo = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
-    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+               num_blocks=16, filter=expr)
 
     def partial(t: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
-                    pc.less(t["l_shipdate"], hi)),
-            pc.and_(pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
-                            pc.less_equal(t["l_discount"], pa.scalar(0.07))),
-                    pc.less(t["l_quantity"], pa.scalar(24.0))))
-        t = t.filter(mask)
         rev_c = pc.sum(pc.multiply(_cents(t["l_extendedprice"]),
                                    _cents(t["l_discount"]))).as_py() or 0
         return pa.table({"rev_c": pa.array([rev_c], pa.int64())})
@@ -338,12 +338,12 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer, top-k.
     lineitem('R') pre-aggregated per orderkey -> bucket join with orders
     -> re-aggregate per custkey -> broadcast-join customer names -> topk."""
+    import pyarrow.dataset as pads
     line = _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
-                 num_blocks=8)
+                 num_blocks=8, filter=pads.field("l_returnflag") == "R")
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["l_returnflag"], "R"))
         g = (pa.table({"l_orderkey": t["l_orderkey"], "rev_c": _disc_rev_cents(t)})
              .group_by("l_orderkey").aggregate([("rev_c", "sum")]))
         return g.rename_columns(["l_orderkey", "rev_c"])
@@ -442,18 +442,17 @@ def promo_revenue_share(sf_dir: str, promo_type: str = "ECONOMY",
     promo_keys = part.filter(
         pc.equal(part["p_type"], promo_type))["p_partkey"].combine_chunks()
     promo_ref = ray.put(promo_keys)
-    lo = pa.scalar(pd.Timestamp(month), pa.timestamp("us"))
-    hi = pa.scalar(pd.Timestamp(month) + pd.offsets.MonthBegin(1),
-                   pa.timestamp("us"))
 
+    import pyarrow.dataset as pads
     line = _read(sf_dir, "lineitem",
                  ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
-                 num_blocks=16)
+                 num_blocks=16,
+                 filter=(pads.field("l_shipdate") >= pd.Timestamp(month))
+                 & (pads.field("l_shipdate")
+                    < pd.Timestamp(month) + pd.offsets.MonthBegin(1)))
 
     def partial(t: pa.Table) -> pa.Table:
         import ray as _ray
-        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
-                             pc.less(t["l_shipdate"], hi)))
         rev_c = _disc_rev_cents(t)
         mask = pc.is_in(t["l_partkey"], value_set=_ray.get(promo_ref))
         promo = pc.sum(pc.if_else(mask, rev_c, pa.scalar(0, pa.int64())))
@@ -817,12 +816,12 @@ def q4_priority_returned(sf_dir: str) -> pd.DataFrame:
     key set outgrows the driver, swap the broadcast for
     joins.bloom_semi_filter + an exact bucket-join rescreen (bloom
     false positives must be re-checked for exact counts)."""
+    import pyarrow.dataset as pads
     line = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"],
-                 num_blocks=16)
+                 num_blocks=16, filter=pads.field("l_returnflag") == "R")
 
     def distinct_keys(t: pa.Table) -> pa.Table:
-        keys = t.filter(pc.equal(t["l_returnflag"], "R"))["l_orderkey"]
-        return pa.table({"l_orderkey": keys.unique()})
+        return pa.table({"l_orderkey": t["l_orderkey"].unique()})
 
     rkeys = (line.map_batches(distinct_keys, batch_format="pyarrow")
              .to_pandas()["l_orderkey"].unique())
@@ -859,15 +858,15 @@ def q19_bracket_revenue(sf_dir: str, brand: str = "Brand#12",
         pc.less_equal(part["p_size"], size_max)))["p_partkey"].combine_chunks()
     keys_ref = ray.put(keys)
 
+    import pyarrow.dataset as pads
     line = _read(sf_dir, "lineitem",
                  ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
-                 num_blocks=16)
+                 num_blocks=16,
+                 filter=(pads.field("l_quantity") >= float(qty_lo))
+                 & (pads.field("l_quantity") <= float(qty_hi)))
 
     def partial(t: pa.Table) -> pa.Table:
         import ray as _ray
-        t = t.filter(pc.and_(
-            pc.greater_equal(t["l_quantity"], pa.scalar(float(qty_lo))),
-            pc.less_equal(t["l_quantity"], pa.scalar(float(qty_hi)))))
         t = t.filter(pc.is_in(t["l_partkey"], value_set=_ray.get(keys_ref)))
         rev = pc.sum(_disc_rev_cents(t))
         return pa.table({"rev_c": pa.array([rev.as_py() or 0], pa.int64())})
