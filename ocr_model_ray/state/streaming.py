@@ -129,3 +129,84 @@ class ShardedSessionizer:
                 .sort_values(key_col).reset_index(drop=True)
                 if rows else pd.DataFrame(columns=[key_col, "n_sessions",
                                                    "n_events"]))
+
+
+@ray.remote
+class _WatermarkShard:
+    """State actor for one key bucket with OUT-OF-ORDER arrivals:
+    events buffer per key until the shard watermark (max event time
+    seen minus allowed lateness) passes them, then apply to the gap
+    logic in event-time order. Events older than their key's already-
+    finalized frontier count as ``late_dropped`` instead of silently
+    corrupting session state — the Flink/Beam watermark contract."""
+
+    def __init__(self, gap_seconds: float, lateness_seconds: float) -> None:
+        self.gap = gap_seconds
+        self.lateness = lateness_seconds
+        self.max_ts = float("-inf")          # shard watermark source
+        self.pending: dict = defaultdict(list)   # key -> unsorted ts buffer
+        self.frontier: dict = {}             # key -> last FINALIZED ts
+        self.closed: dict = defaultdict(int)
+        self.events: dict = defaultdict(int)
+        self.late_dropped: dict = defaultdict(int)
+
+    def _advance(self, key, upto: float) -> None:
+        """Finalize this key's buffered events with ts <= upto."""
+        buf = self.pending.get(key)
+        if not buf:
+            return
+        buf.sort()
+        i = 0
+        for t in buf:
+            if t > upto:
+                break
+            last = self.frontier.get(key)
+            if last is not None and (t - last) > self.gap:
+                self.closed[key] += 1
+            self.frontier[key] = t
+            self.events[key] += 1
+            i += 1
+        del buf[:i]
+
+    def ingest(self, keys: list, ts_seconds: list) -> int:
+        for k, t in zip(keys, ts_seconds):
+            fr = self.frontier.get(k)
+            if fr is not None and t < fr:
+                # beyond allowed lateness: its position in the session
+                # sequence was already finalized
+                self.late_dropped[k] += 1
+                continue
+            self.pending[k].append(t)
+            if t > self.max_ts:
+                self.max_ts = t
+        watermark = self.max_ts - self.lateness
+        for k in list(self.pending):
+            self._advance(k, watermark)
+        return len(keys)
+
+    def flush(self) -> dict:
+        for k in list(self.pending):
+            self._advance(k, float("inf"))
+        out = {}
+        for k in set(self.events) | set(self.late_dropped):
+            n_open = 1 if k in self.frontier else 0
+            out[k] = {"n_sessions": self.closed[k] + n_open,
+                      "n_events": self.events[k],
+                      "late_dropped": self.late_dropped[k]}
+        return out
+
+
+class WatermarkSessionizer(ShardedSessionizer):
+    """Sessionization over an out-of-order stream: same sharded
+    routing as ShardedSessionizer, but each shard buffers events and
+    finalizes only up to ``max_event_time - allowed_lateness``. With
+    lateness >= the stream's maximum disorder the result is EXACTLY the
+    in-order/batch sessionizer's (pinned by test); later events are
+    counted per key in ``late_dropped`` rather than corrupting state."""
+
+    def __init__(self, num_shards: int = 4, gap_minutes: float = 30.0,
+                 lateness_minutes: float = 10.0) -> None:
+        self.num_shards = num_shards
+        self.shards = [_WatermarkShard.remote(gap_minutes * 60.0,
+                                              lateness_minutes * 60.0)
+                       for _ in range(num_shards)]

@@ -102,3 +102,65 @@ def test_shard_routing_is_dtype_independent():
     weird = pd.DataFrame({"user_id": [float("inf"), float("nan"), "x"],
                           "ts": pd.to_datetime(["2024-01-01"] * 3)})
     ShardedSessionizer(num_shards=2).ingest_batch(weird)  # no crash
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_watermark_sessionizer_handles_bounded_disorder():
+    """Out-of-order feed with disorder bounded by the allowed lateness
+    must produce EXACTLY the in-order/batch result with zero drops; an
+    event later than the lateness bound is counted per key in
+    late_dropped, not applied out of order."""
+    from ocr_model_ray.pipelines.relational import events_sessions
+    from ocr_model_ray.state.streaming import WatermarkSessionizer
+    sf = "/root/testdata/sf0.001"
+    batch_result = events_sessions(sf).sort_values("user_id") \
+        .reset_index(drop=True)
+
+    import pyarrow.parquet as pq
+    events = pq.read_table(f"{sf}/events.parquet",
+                           columns=["user_id", "ts"]).to_pandas()
+    events = events.sort_values(["ts"]).reset_index(drop=True)
+    # bounded disorder: shuffle within consecutive windows of 50 events
+    rng = np.random.RandomState(6)
+    parts = [chunk.iloc[rng.permutation(len(chunk))]
+             for chunk in np.array_split(events, len(events) // 50)]
+    disordered = pd.concat(parts).reset_index(drop=True)
+    max_disorder_s = (events["ts"].diff().dt.total_seconds().fillna(0)
+                      .rolling(100).sum().max())
+
+    wz = WatermarkSessionizer(num_shards=3, gap_minutes=30,
+                              lateness_minutes=max_disorder_s / 60 + 1)
+    for chunk in np.array_split(disordered, 5):
+        wz.ingest_batch(chunk)
+    inc = wz.finalize().sort_values("user_id").reset_index(drop=True)
+    assert (inc["late_dropped"] == 0).all()
+    assert (inc["user_id"] == batch_result["user_id"]).all()
+    assert (inc["n_events"].astype(int)
+            == batch_result["n_events"].astype(int)).all()
+    assert (inc["n_sessions"].astype(int)
+            == batch_result["n_sessions"].astype(int)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_watermark_sessionizer_drops_too_late_events():
+    from ocr_model_ray.state.streaming import WatermarkSessionizer
+    wz = WatermarkSessionizer(num_shards=2, gap_minutes=30,
+                              lateness_minutes=1)
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    # the trailing 2h+5m event pushes the watermark past 2h, so the
+    # 2h event FINALIZES (frontier = 2h) before the late event arrives
+    feed1 = pd.DataFrame({
+        "user_id": [1, 1, 1, 1],
+        "ts": [base, base + pd.Timedelta(minutes=5),
+               base + pd.Timedelta(hours=2),
+               base + pd.Timedelta(hours=2, minutes=5)]})
+    wz.ingest_batch(feed1)
+    # its position in the session sequence is already finalized -> drop
+    late = pd.DataFrame({"user_id": [1],
+                         "ts": [base + pd.Timedelta(minutes=6)]})
+    wz.ingest_batch(late)
+    out = wz.finalize()
+    row = out[out["user_id"] == 1].iloc[0]
+    assert int(row["late_dropped"]) == 1
+    assert int(row["n_events"]) == 4          # the late event is excluded
+    assert int(row["n_sessions"]) == 2        # 2h gap closed one session
