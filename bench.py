@@ -191,7 +191,7 @@ def scaling() -> None:
                    # at 2x on the same quiet window)
                    BENCH_REPEAT_INPUT=os.environ.get(
                        "BENCH_REPEAT_INPUT", "2"))
-        bw = _mem_bw_probe()
+        bw_pre = _mem_bw_probe()
         s0, t0 = _cpu_stat()
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
@@ -199,7 +199,9 @@ def scaling() -> None:
         s1, t1 = _cpu_stat()
         parsed = json.loads(out.strip().splitlines()[-1])
         parsed["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
-        parsed["mem_bw_gbps"] = bw
+        # probe BRACKETS the run (contention starting mid-run would be
+        # invisible to a single pre-run probe); report the worse reading
+        parsed["mem_bw_gbps"] = min(bw_pre, _mem_bw_probe())
         return parsed
 
     lo, hi = 8, 32

@@ -188,13 +188,19 @@ def numeric_histogram(ds: rd.Dataset, col: str, lo: float, hi: float,
     w = (hi - lo) / nbins
 
     def partial(t: pa.Table) -> pa.Table:
-        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        arr = t[col]
+        # nulls and NaNs diverge in the SQL rule and must here too
+        # (verified live): least(greatest(floor(NULL),0),19) -> 0
+        # (greatest/least IGNORE NULL args), while NaN orders greatest
+        # -> top bin. numpy conversion collapses both to NaN, so take
+        # the null mask from arrow first. Without the explicit mapping
+        # the float->int64 cast of NaN is UB and rows silently vanish.
+        nulls = pc.is_null(arr, nan_is_null=False).to_numpy(
+            zero_copy_only=False)
+        x = arr.to_numpy(zero_copy_only=False).astype(np.float64)
         b = np.clip(np.floor((x - lo) / w), 0, nbins - 1)
-        # NaN/null -> top bin, matching the oracle: DuckDB's
-        # least(greatest(NaN, 0), nbins-1) orders NaN greatest, so the
-        # SQL rule clamps it high — without this the float->int64 cast
-        # of NaN is UB and the row silently vanishes from the counts
-        b = np.where(np.isnan(b), nbins - 1, b).astype(np.int64)
+        b = np.where(np.isnan(b), nbins - 1, b)
+        b = np.where(nulls, 0, b).astype(np.int64)
         idx, n = np.unique(b, return_counts=True)
         return pa.table({"bin": pa.array(idx, pa.int64()),
                          "n": pa.array(n, pa.int64())})

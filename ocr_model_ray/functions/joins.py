@@ -206,6 +206,12 @@ def _collect_arrow(ds: rd.Dataset) -> pa.Table:
     return pa.concat_tables(use, promote_options="default")
 
 
+#: how= -> pa.Table.join join_type (shared by both join plans so a
+#: new mode can't silently diverge between them)
+_JOIN_TYPE = {"inner": "inner", "left": "left outer",
+              "right": "right outer", "outer": "full outer"}
+
+
 def local_join_table(left: rd.Dataset, right: rd.Dataset,
                      on: str | Sequence[str], how: str = "inner",
                      suffixes: tuple[str, str] = ("", "_r"),
@@ -217,8 +223,7 @@ def local_join_table(left: rd.Dataset, right: rd.Dataset,
     result in-process anyway — wrapping and re-collecting costs an
     extra object-store round trip for nothing."""
     keys = _key_cols(on)
-    join_type = {"inner": "inner", "left": "left outer",
-                 "right": "right outer", "outer": "full outer"}[how]
+    join_type = _JOIN_TYPE[how]
     lf = _collect_arrow(left)
     rf = _collect_arrow(right)
     if left_agg is not None:
@@ -263,8 +268,6 @@ def hash_bucket_join(left: rd.Dataset, right: rd.Dataset,
     re-aggregation by a different key before the next small shuffle).
     """
     keys = _key_cols(on)
-    join_type_map = {"inner": "inner", "left": "left outer",
-                     "right": "right outer", "outer": "full outer"}
 
     if mode == "local":
         return rd.from_arrow(local_join_table(
@@ -301,7 +304,7 @@ def hash_bucket_join(left: rd.Dataset, right: rd.Dataset,
 
     lnames = list(lschema.names)
     rnames = list(rschema.names)
-    join_type = join_type_map[how]
+    join_type = _JOIN_TYPE[how]
 
     # the whole merge stays in ARROW: splitting sides by filter keeps
     # each side's own columns null-free (so no int64->float64 dtype

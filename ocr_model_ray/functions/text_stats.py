@@ -34,7 +34,10 @@ _STOPWORDS = {
 
 
 def md5_hex(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+    """md5 hex per value; null-preserving like SQL's md5(NULL)=NULL
+    (non-strings — None/NaN — map to None instead of raising)."""
+    return texts.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
+                     if isinstance(t, str) else None)
 
 
 def deterministic_sample_batch(df: pd.DataFrame, hex_digits: int = 1,
@@ -46,7 +49,10 @@ def deterministic_sample_batch(df: pd.DataFrame, hex_digits: int = 1,
     independent (the SQL oracle computes the identical predicate), and
     stable across reruns/partitionings — the property a training-data
     downsampler needs."""
-    h = md5_hex(df[text_col]).str[:hex_digits].apply(int, base=16)
+    hx = md5_hex(df[text_col]).str[:hex_digits]
+    # null text -> null hash -> excluded, matching SQL (WHERE NULL < k
+    # is not true)
+    h = hx.map(lambda v: int(v, 16) if isinstance(v, str) else keep_below)
     return df[h < keep_below]
 
 

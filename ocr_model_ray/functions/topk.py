@@ -51,12 +51,14 @@ def grouped_topk(ds: rd.Dataset, group_cols: Sequence[str],
     ascending = [not d for d in descending]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: a null group is its own partition, like SQL's
+        # PARTITION BY (pandas would silently discard those rows)
         return (df.sort_values(by, ascending=ascending, kind="mergesort")
-                .groupby(group_cols, sort=False).head(k))
+                .groupby(group_cols, sort=False, dropna=False).head(k))
 
     small = ds.map_batches(partial, batch_format="pandas").to_pandas()
     return (small.sort_values(by, ascending=ascending, kind="mergesort")
-            .groupby(group_cols, sort=False).head(k)
+            .groupby(group_cols, sort=False, dropna=False).head(k)
             .sort_values(group_cols + by, ascending=[True] * len(group_cols)
                          + ascending, kind="mergesort")
             .reset_index(drop=True))

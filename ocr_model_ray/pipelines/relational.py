@@ -102,8 +102,10 @@ def _disc_rev_cents(t: pa.Table) -> pa.ChunkedArray:
 # q1: pricing summary (TPC-H Q1 shape) — partial agg per batch, tiny shuffle
 # ---------------------------------------------------------------------------
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    # l_shipdate appears ONLY in the pushed predicate — filters may
+    # reference non-projected columns, so it need not be read at all
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-            "l_discount", "l_tax", "l_shipdate"]
+            "l_discount", "l_tax"]
     import pyarrow.dataset as pads
     ds = _read(sf_dir, "lineitem", cols, num_blocks=16,
                filter=pads.field("l_shipdate") <= pd.Timestamp("1998-09-02"))
@@ -185,7 +187,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     orders = broadcast_semi_filter(orders, cust_keys, on="o_custkey")
 
     line = _read(sf_dir, "lineitem",
-                 ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+                 ["l_orderkey", "l_extendedprice", "l_discount"],
                  num_blocks=8, filter=pads.field("l_shipdate") > date)
 
     def line_prep(t: pa.Table) -> pa.Table:
@@ -300,7 +302,7 @@ def mktsegment_stats(sf_dir: str) -> pd.DataFrame:
 def order_priority_counts(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count
     import pyarrow.dataset as pads
-    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"],
+    ds = _read(sf_dir, "orders", ["o_orderpriority"],
                filter=(pads.field("o_orderdate")
                        >= pd.Timestamp("1996-01-01"))
                & (pads.field("o_orderdate") < pd.Timestamp("1997-01-01")))
@@ -319,8 +321,7 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
             & (pads.field("l_discount") >= 0.05)
             & (pads.field("l_discount") <= 0.07)
             & (pads.field("l_quantity") < 24.0))
-    ds = _read(sf_dir, "lineitem",
-               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    ds = _read(sf_dir, "lineitem", ["l_discount", "l_extendedprice"],
                num_blocks=16, filter=expr)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -340,7 +341,7 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     -> re-aggregate per custkey -> broadcast-join customer names -> topk."""
     import pyarrow.dataset as pads
     line = _read(sf_dir, "lineitem",
-                 ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+                 ["l_orderkey", "l_extendedprice", "l_discount"],
                  num_blocks=8, filter=pads.field("l_returnflag") == "R")
 
     def prep(t: pa.Table) -> pa.Table:
@@ -445,7 +446,7 @@ def promo_revenue_share(sf_dir: str, promo_type: str = "ECONOMY",
 
     import pyarrow.dataset as pads
     line = _read(sf_dir, "lineitem",
-                 ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+                 ["l_partkey", "l_extendedprice", "l_discount"],
                  num_blocks=16,
                  filter=(pads.field("l_shipdate") >= pd.Timestamp(month))
                  & (pads.field("l_shipdate")
@@ -817,7 +818,7 @@ def q4_priority_returned(sf_dir: str) -> pd.DataFrame:
     joins.bloom_semi_filter + an exact bucket-join rescreen (bloom
     false positives must be re-checked for exact counts)."""
     import pyarrow.dataset as pads
-    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"],
+    line = _read(sf_dir, "lineitem", ["l_orderkey"],
                  num_blocks=16, filter=pads.field("l_returnflag") == "R")
 
     def distinct_keys(t: pa.Table) -> pa.Table:
@@ -860,7 +861,7 @@ def q19_bracket_revenue(sf_dir: str, brand: str = "Brand#12",
 
     import pyarrow.dataset as pads
     line = _read(sf_dir, "lineitem",
-                 ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+                 ["l_partkey", "l_extendedprice", "l_discount"],
                  num_blocks=16,
                  filter=(pads.field("l_quantity") >= float(qty_lo))
                  & (pads.field("l_quantity") <= float(qty_hi)))

@@ -151,9 +151,12 @@ class _WatermarkShard:
         self.late_dropped: dict = defaultdict(int)
 
     def _advance(self, key, upto: float) -> None:
-        """Finalize this key's buffered events with ts <= upto."""
+        """Finalize this key's buffered events with ts <= upto; drained
+        buffers leave the pending dict (so advance cost tracks ACTIVE
+        keys, not every key ever seen)."""
         buf = self.pending.get(key)
         if not buf:
+            self.pending.pop(key, None)
             return
         buf.sort()
         i = 0
@@ -166,9 +169,14 @@ class _WatermarkShard:
             self.frontier[key] = t
             self.events[key] += 1
             i += 1
-        del buf[:i]
+        if i == len(buf):
+            del self.pending[key]
+        else:
+            del buf[:i]
 
     def ingest(self, keys: list, ts_seconds: list) -> int:
+        touched = set()
+        prev_wm = self.max_ts - self.lateness
         for k, t in zip(keys, ts_seconds):
             fr = self.frontier.get(k)
             if fr is not None and t < fr:
@@ -177,10 +185,14 @@ class _WatermarkShard:
                 self.late_dropped[k] += 1
                 continue
             self.pending[k].append(t)
+            touched.add(k)
             if t > self.max_ts:
                 self.max_ts = t
         watermark = self.max_ts - self.lateness
-        for k in list(self.pending):
+        # keys not in this batch only need re-examination when the
+        # watermark MOVED; otherwise their buffers can't have ripened
+        scan = list(self.pending) if watermark > prev_wm else touched
+        for k in scan:
             self._advance(k, watermark)
         return len(keys)
 
@@ -210,3 +222,10 @@ class WatermarkSessionizer(ShardedSessionizer):
         self.shards = [_WatermarkShard.remote(gap_minutes * 60.0,
                                               lateness_minutes * 60.0)
                        for _ in range(num_shards)]
+
+    def finalize(self, key_col: str = "user_id") -> pd.DataFrame:
+        out = super().finalize(key_col)
+        if "late_dropped" not in out.columns:  # empty stream: the
+            # parent's typed-empty fallback lacks this class's column
+            out["late_dropped"] = pd.Series([], dtype="int64")
+        return out

@@ -84,24 +84,30 @@ def test_approx_vocab_size_near_exact_on_dataset():
 def test_numeric_histogram_modes_clamp_and_zero_bins():
     import ray.data as rd
     from ocr_model_ray.functions.corpus_stats import numeric_histogram
+    import pyarrow as pa
     rng = np.random.RandomState(2)
     # values beyond both edges must clamp into the edge bins; bin 3 of
-    # [0,100)x10 is deliberately empty
-    # NaN clamps into the top bin like the oracle's least/greatest rule
+    # [0,100)x10 is deliberately empty. NaN clamps into the top bin
+    # (DuckDB least/greatest orders NaN greatest); NULL lands in bin 0
+    # (least/greatest IGNORE null args). Build from arrow directly —
+    # pandas->arrow would silently turn the NaN into a null and
+    # collapse the two cases.
     vals = np.concatenate([rng.uniform(0, 30, 200),
                            rng.uniform(40, 100, 300),
                            [-5.0, -0.001, 100.0, 250.0, np.nan]])
-    df = pd.DataFrame({"x": vals})
-    ds = rd.from_pandas(df).repartition(4)
+    arr = pa.concat_arrays([pa.array(vals, pa.float64(), from_pandas=False),
+                            pa.array([None], pa.float64())])
+    ds = rd.from_arrow(pa.table({"x": arr})).repartition(4)
     dist = numeric_histogram(ds, "x", lo=0.0, hi=100.0, nbins=10,
                              mode="distributed")
     loc = numeric_histogram(ds, "x", lo=0.0, hi=100.0, nbins=10,
                             mode="local")
     pd.testing.assert_frame_equal(dist, loc)
-    assert dist["n"].sum() == len(vals)          # every row counted once
+    assert dist["n"].sum() == len(vals) + 1      # every row counted once
     assert len(dist) == 10                       # zero bins present
     b = np.clip(np.floor(vals / 10.0), 0, 9)
-    b = np.where(np.isnan(b), 9, b).astype(int)
+    b = np.where(np.isnan(b), 9, b).astype(int)  # NaN -> top bin
     want = np.bincount(b, minlength=10)
+    want[0] += 1                                 # the NULL -> bin 0
     assert dist["n"].tolist() == want.tolist()
     assert dist["bin_lo"].tolist()[:3] == [0.0, 10.0, 20.0]
