@@ -137,6 +137,34 @@ def _extract_dedup(sf_dir: str):
                          ExtractConfig(dedup=True)))
 
 
+def _extract_captures_panel(sf_dir: str):
+    """Crawl-recency panel over the Common-Crawl-shaped pages corpus:
+    captures per minute from ``warc_ts`` (the input_hint column nothing
+    else exercises; the fixture corpus spans ~an hour, so minutes give
+    a real multi-row panel). Per-batch (minute, n) partials — the
+    combiner — then one tiny grouped sum."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ocr_model_ray.sources.pages import read_pages
+
+    pages = read_pages(_fixture_dir(_tier_for(sf_dir)),
+                       columns=["url", "warc_ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        minute = pc.floor_temporal(t["warc_ts"], unit="minute")
+        g = (pa.table({"minute": minute}).group_by("minute")
+             .aggregate([([], "count_all")]))
+        return (g.select(["minute", "count_all"])
+                .rename_columns(["minute", "n"]))
+
+    out = (pages.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby("minute", as_index=False)["n"].sum()
+           .sort_values("minute").reset_index(drop=True))
+    out["n_captures"] = out["n"].astype("int64")
+    return out[["minute", "n_captures"]]
+
+
 def _extract_lang_id(sf_dir: str):
     """Composition: extraction pipeline -> language-ID actor pool over the
     extracted main-content text (pipeline chaining; rows-only check)."""
@@ -376,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_dedup": _extract_dedup,
         "extract_lang_id": _extract_lang_id,
         "extract_needs_review": _extract_needs_review,
+        "extract_captures_panel": _extract_captures_panel,
     }
 
 
@@ -842,6 +871,24 @@ def oracle_sql() -> dict[str, str]:
             "rows.parquet") + ") WHERE needs_review",
         "extract_lang_id": _tiered_golden_sql(
             "doc_id, pred_lang, stopword_hit_ratio", "extract_lang_id.parquet"),
+        # a TRUE SQL oracle over the same fixture parquet the query
+        # reads (not a golden): date_trunc matches pc.floor_temporal
+        "extract_captures_panel": f"""
+            SELECT CAST(date_trunc('minute', warc_ts) AS TIMESTAMP)
+                       AS minute,
+                   CAST(count(*) AS BIGINT) AS n_captures
+            FROM read_parquet('{_fixture_dir("t1")}/pages-*.parquet')
+            WHERE (SELECT count(*) FROM lineitem) < 20000
+            GROUP BY 1
+            UNION ALL
+            SELECT CAST(date_trunc('minute', warc_ts) AS TIMESTAMP)
+                       AS minute,
+                   CAST(count(*) AS BIGINT) AS n_captures
+            FROM read_parquet('{_fixture_dir("t2")}/pages-*.parquet')
+            WHERE (SELECT count(*) FROM lineitem) >= 20000
+            GROUP BY 1
+            ORDER BY minute
+        """,
         "emb_knn_bruteforce": """
             -- cosine computed in DOUBLE via lambda dot products:
             -- list_cosine_similarity is single-precision in DuckDB 1.0,
