@@ -228,7 +228,9 @@ def test_export_on_the_fly(t1_pages_dir, tmp_path):
                os.path.join(canon_only, "parquet"))
     for fmt in ("json", "txt", "xml", "xlsx"):
         content, _, _ = export_on_the_fly(canon_only, url, fmt)
-        assert content == served[fmt]
+        assert content == served[fmt], (
+            f"synthesized {fmt} differs from pre-rendered for {url}: "
+            f"synth[:200]={content[:200]!r} served[:200]={served[fmt][:200]!r}")
 
     with pytest.raises(ValueError, match="Unsupported format"):
         export_on_the_fly(full, url, "docx")
