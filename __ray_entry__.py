@@ -343,6 +343,11 @@ def _emb_label_stats(sf_dir: str):
     return label_stats(_emb(sf_dir))
 
 
+def _emb_kmeans(sf_dir: str):
+    from ocr_model_ray.functions.clustering import kmeans_cluster
+    return kmeans_cluster(_emb(sf_dir), k=8, iters=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_model_ray.pipelines import relational as rel
     return {
@@ -398,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": _emb_knn_ivf,
         "emb_label_stats": _emb_label_stats,
         "emb_near_dup": _emb_near_dup,
+        "emb_kmeans": _emb_kmeans,
         # extraction flagship (pages fixture corpus; non-SQL -> rows-only)
         "extract_flagship": _extract_flagship,
         "extract_rows": _extract_rows,
@@ -921,6 +927,12 @@ def oracle_sql() -> dict[str, str]:
             "query_id, neighbor_id, sim", "emb_knn_lsh"),
         "emb_knn_ivf": _sf_branch_golden_sql(
             "query_id, neighbor_id, sim", "emb_knn_ivf"),
+        # k-means: centroids are a pure seeded function of the corpus
+        # and the int64-grid partial sums make training order-independent
+        # (bit-identical across num_cpus — pinned by test); recorded
+        # per-sf like the ANN queries above
+        "emb_kmeans": _sf_branch_golden_sql(
+            "vec_id, cluster, sim", "emb_kmeans"),
         "emb_near_dup": """
             -- double-precision lambda cosine (list_cosine_similarity is
             -- float32 in DuckDB 1.0); threshold margins in the testdata

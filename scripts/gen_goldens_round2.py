@@ -123,6 +123,9 @@ def emb_ann_goldens() -> dict[str, pa.Table]:
                 .reset_index(drop=True)
             out[f"{q}_{tag}.parquet"] = pa.Table.from_pandas(
                 res, preserve_index=False)
+        km = em.queries()["emb_kmeans"](sf)
+        out[f"emb_kmeans_{tag}.parquet"] = pa.Table.from_pandas(
+            km, preserve_index=False)
     return out
 
 
