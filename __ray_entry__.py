@@ -213,6 +213,38 @@ def _docs_exact_dedup(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
 
+def _docs_hash_split(sf_dir: str):
+    from ocr_model_ray.functions.text_stats import hash_split_batch
+    return _docs(sf_dir).map_batches(hash_split_batch, batch_format="pandas")
+
+
+def _docs_decontaminate(sf_dir: str):
+    """Decontaminate the corpus against a stand-in eval set (every
+    50th doc id): stream eval texts once to build the broadcast
+    8-gram set, then flag the rest shuffle-free. The eval/corpus cut
+    is a vectorized batch filter (pyarrow expressions lack ``%``)."""
+    import pyarrow as pa
+    from ocr_model_ray.functions.decontam import contamination, ngram_set
+
+    def _cut(want_eval: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            mask = (ids % 50 == 0) if want_eval else (ids % 50 != 0)
+            return batch.filter(pa.array(mask))
+        return f
+
+    evals = (_docs(sf_dir)
+             .map_batches(_cut(True), batch_format="pyarrow").to_pandas())
+    grams = ngram_set(evals["text"], n=8)
+    corpus = _docs(sf_dir).map_batches(_cut(False), batch_format="pyarrow")
+    return contamination(corpus, grams, n=8)
+
+
+def _docs_sequence_pack(sf_dir: str):
+    from ocr_model_ray.functions.packing import sequence_pack
+    return sequence_pack(_docs(sf_dir), seq_len=256)
+
+
 def _docs_token_count(sf_dir: str):
     from ocr_model_ray.functions.text_stats import token_count_batch
     return _docs(sf_dir).map_batches(token_count_batch, batch_format="pandas")
@@ -397,6 +429,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _docs_fingerprint,
         "docs_near_dup": _docs_near_dup,
         "docs_near_dup_clusters": _docs_near_dup_clusters,
+        "docs_hash_split": _docs_hash_split,
+        "docs_decontaminate": _docs_decontaminate,
+        "docs_sequence_pack": _docs_sequence_pack,
         # embeddings: similarity search
         "emb_knn_bruteforce": _emb_knn,
         "emb_knn_lsh": _emb_knn_lsh,
@@ -705,6 +740,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "docs_hash_split": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER)
+                             % 100 < 80 THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER)
+                             % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "docs_sequence_pack": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(coalesce(len(regexp_extract_all(text, '\\S+')), 0)
+                            AS BIGINT) AS n_tokens
+                FROM documents)
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS cum_before,
+                   CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        // 256 AS BIGINT) AS seq_id
+            FROM t
+        """,
+        "docs_decontaminate": """
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents WHERE text IS NOT NULL),
+            pos AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - 6)) AS i
+                FROM tok),
+            eg AS (
+                SELECT DISTINCT
+                       array_to_string(toks[CAST(i AS BIGINT):
+                                            CAST(i + 7 AS BIGINT)], ' ') AS gram
+                FROM pos WHERE doc_id % 50 = 0),
+            cg AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(toks[CAST(i AS BIGINT):
+                                            CAST(i + 7 AS BIGINT)], ' ') AS gram
+                FROM pos WHERE doc_id % 50 <> 0),
+            hits AS (
+                SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+                FROM cg JOIN eg USING (gram) GROUP BY cg.doc_id)
+            SELECT d.doc_id,
+                   coalesce(h.n_contaminated, 0) AS n_contaminated,
+                   coalesce(h.n_contaminated, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 50 <> 0
         """,
         "docs_bpe_token_count": """
             SELECT doc_id,

@@ -1,0 +1,110 @@
+"""Fixed-length sequence packing via a distributed prefix sum.
+
+Engine extension (no reference counterpart): the step between a cleaned
+corpus and an LLM training run — concatenate documents in a canonical
+order and cut the token stream into fixed-length training sequences.
+The hard part at scale is the global running offset (token prefix sum),
+which this module computes with the classic two-pass scheme:
+
+1. **Pass 1 (partial sums)**: one streaming ``map_batches`` over the
+   narrow (id, n_tokens) projection emits per-*range-bucket* partial
+   token sums — ≤ num_buckets rows per batch, so the driver reduce sees
+   a tiny table regardless of corpus size. int64 sums are
+   order-independent, so the result is bit-stable across parallelism.
+2. **Driver scan**: cumulative sum over the ≤ num_buckets bucket totals
+   → each bucket's global starting offset (broadcast once).
+3. **Pass 2 (local scan)**: ONE shuffle — ``groupby(bucket)`` over the
+   same narrow rows; each group sorts by id locally and adds its
+   bucket's offset to a local cumsum. Every row moves once; groups are
+   contiguous id ranges so the sort is group-local, never global.
+
+Buckets are id *ranges* (``id // span``), not hashes — the prefix sum
+needs bucket order to agree with id order. The id column is assumed
+non-negative (true for doc ids here; at 100 TB a monotone ingest id
+plays this role). Token counting runs in both passes; it is a regex
+scan, far cheaper than materializing the counts between passes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _token_counts(batch: pa.Table, id_col: str, text_col: str,
+                  span: int) -> pd.DataFrame:
+    df = batch.select([id_col, text_col]).to_pandas()
+    # str.split() counts \S+ runs — identical to the SQL oracle's
+    # len(regexp_extract_all(text,'\S+')) and to token_count_batch
+    n = df[text_col].str.strip().str.split().str.len() \
+        .fillna(0).astype("int64")
+    ids = df[id_col].astype("int64")
+    return pd.DataFrame({id_col: ids, "n_tokens": n,
+                         "bucket": ids // span})
+
+
+def sequence_pack(ds: rd.Dataset, seq_len: int = 256,
+                  num_buckets: int = 64, id_col: str = "doc_id",
+                  text_col: str = "text") -> pd.DataFrame:
+    """Assign each document its global token offset and the training
+    sequence it starts in (documents concatenated in id order, stream
+    cut every ``seq_len`` tokens).
+
+    Returns (id_col, n_tokens, cum_before, seq_id) where ``cum_before``
+    is the exact number of tokens in all smaller-id documents and
+    ``seq_id = cum_before // seq_len``.
+    """
+    hi = ds.select_columns([id_col]).max(id_col)
+    if hi is None:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "n_tokens": pd.Series([], dtype="int64"),
+                             "cum_before": pd.Series([], dtype="int64"),
+                             "seq_id": pd.Series([], dtype="int64")})
+    span = max(1, (int(hi) + num_buckets) // num_buckets)
+
+    counts = ds.map_batches(
+        _token_counts, batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "text_col": text_col, "span": span})
+
+    # pass 1: per-batch per-bucket partials -> tiny driver reduce
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket")["n_tokens"].sum()
+        return pd.DataFrame({"bucket": g.index.astype("int64"),
+                             "tok": g.to_numpy()})
+
+    parts = counts.map_batches(partial, batch_format="pandas").to_pandas()
+    totals = parts.groupby("bucket")["tok"].sum().sort_index()
+    offsets = totals.cumsum().shift(fill_value=0).to_dict()
+    ref = ray.put(offsets)
+
+    # pass 2: one shuffle; each bucket is a contiguous id range so the
+    # local sort + cumsum completes the global prefix sum
+    def scan(group: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(ref)[int(group["bucket"].iloc[0])]
+        g = group.sort_values(id_col, kind="mergesort")
+        cum = g["n_tokens"].cumsum().shift(fill_value=0) + off
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "n_tokens": g["n_tokens"].to_numpy(),
+            "cum_before": cum.to_numpy().astype(np.int64),
+            "seq_id": (cum.to_numpy() // seq_len).astype(np.int64)})
+
+    out = counts.groupby("bucket").map_groups(
+        scan, batch_format="pandas").to_pandas()
+    return (out.sort_values(id_col).reset_index(drop=True)
+            .astype({id_col: "int64"}))
+
+
+def pack_summary(packed: pd.DataFrame, seq_len: int) -> pd.DataFrame:
+    """Per-sequence (seq_id, n_docs_starting, fill estimate) over a
+    sequence_pack output — a driver-side convenience for the tiny
+    per-sequence panel."""
+    g = packed.groupby("seq_id").agg(
+        n_docs=("seq_id", "size"), first_doc=("doc_id", "min"),
+        tokens_started=("n_tokens", "sum"))
+    out = g.reset_index()
+    out["seq_id"] = out["seq_id"].astype("int64")
+    return out

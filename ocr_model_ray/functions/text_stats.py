@@ -56,6 +56,27 @@ def deterministic_sample_batch(df: pd.DataFrame, hex_digits: int = 1,
     return df[h < keep_below]
 
 
+def hash_split_batch(df: pd.DataFrame, train_pct: int = 80,
+                     val_pct: int = 10, id_col: str = "doc_id",
+                     text_col: str = "text") -> pd.DataFrame:
+    """Deterministic train/val/test split by content hash: bucket =
+    int(md5(text)[:4], 16) % 100; < train_pct -> train, < train+val ->
+    val, else test. Content-keyed (not id-keyed) so exact duplicates
+    land in the SAME split — the property that prevents train/eval
+    leakage through dup documents. Shuffle-free, stable across reruns
+    and partitionings; the SQL oracle computes the identical predicate.
+    Null text -> null split (matches SQL CASE over NULL)."""
+    hx = md5_hex(df[text_col]).str[:4]
+    # keep object dtype: a plain .map would coerce the None bucket to
+    # float NaN, and NaN<80 comparisons silently fall through to 'test'
+    b = hx.map(lambda v: int(v, 16) % 100 if isinstance(v, str) else None)
+    split = b.map(lambda v: None if pd.isna(v) else
+                  ("train" if v < train_pct else
+                   "val" if v < train_pct + val_pct else "test"))
+    return pd.DataFrame({id_col: df[id_col].astype("int64"),
+                         "split": split.astype(object)})
+
+
 def token_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Whitespace token count — matches SQL
     ``len(regexp_split_to_array(trim(text),'\\s+'))`` with empty guard."""

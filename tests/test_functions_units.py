@@ -520,3 +520,69 @@ def test_grouped_topk_matches_pandas_window():
             .sort_values(["g", "v", "id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got[["g", "v", "id"]],
                                   want[["g", "v", "id"]])
+
+
+def test_hash_split_dup_consistency_and_ratios():
+    """Content-keyed split: exact duplicate texts always land in the
+    same split (no train/eval leakage through dups), null text gets a
+    null split, and the bucket arithmetic matches md5-prefix % 100."""
+    import hashlib
+    from ocr_model_ray.functions.text_stats import hash_split_batch
+    texts = [f"document number {i} with some words" for i in range(200)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(403),
+        "text": texts + texts + ["shared dup", "shared dup", None]})
+    out = hash_split_batch(df)
+    by_text = df.assign(split=out["split"].to_numpy())
+    groups = by_text.dropna(subset=["text"]).groupby("text")["split"].nunique()
+    assert (groups == 1).all()
+    assert out["split"].iloc[-1] is None
+    b = int(hashlib.md5("shared dup".encode()).hexdigest()[:4], 16) % 100
+    want = "train" if b < 80 else "val" if b < 90 else "test"
+    assert out["split"].iloc[-2] == want
+    assert set(out["split"].dropna()) <= {"train", "val", "test"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sequence_pack_prefix_sum_invariants():
+    """Global token prefix sum is exact and partitioning-independent:
+    cum_before[i] == sum of n_tokens over all smaller ids, regardless
+    of block layout, and seq_id cuts every seq_len tokens."""
+    import ray.data as rd
+    from ocr_model_ray.functions.packing import sequence_pack
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(300),
+        "text": [" ".join(["w"] * int(n)) for n in rng.randint(0, 40, 300)]})
+    for parts in (1, 9):
+        out = sequence_pack(rd.from_pandas(df).repartition(parts),
+                            seq_len=16, num_buckets=8)
+        ordered = df.sort_values("doc_id").reset_index(drop=True)
+        want_counts = ordered["text"].str.split().str.len().fillna(0)
+        want_cum = want_counts.cumsum().shift(fill_value=0).astype("int64")
+        assert out["doc_id"].tolist() == ordered["doc_id"].tolist()
+        assert out["cum_before"].tolist() == want_cum.tolist()
+        assert (out["seq_id"] == out["cum_before"] // 16).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontamination_planted_overlap():
+    """A doc sharing an 8-gram with the eval set is flagged with the
+    exact distinct-collision count; clean docs are not flagged."""
+    import ray.data as rd
+    from ocr_model_ray.functions.decontam import contamination, ngram_set
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    evals = [f"benchmark question: {leak} answer choice A"]
+    grams = ngram_set(evals, n=8)
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"web page copying {leak} verbatim here",
+                 "a completely unrelated page about gardening tools and "
+                 "soil preparation for spring vegetables in raised beds",
+                 None]})
+    out = (contamination(rd.from_pandas(corpus), grams, n=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["contaminated"].tolist() == [True, False, False]
+    toks = leak.split()
+    n_grams_in_leak = len(toks) - 8 + 1
+    assert out["n_contaminated"].iloc[0] == n_grams_in_leak
