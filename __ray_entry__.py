@@ -245,6 +245,11 @@ def _docs_sequence_pack(sf_dir: str):
     return sequence_pack(_docs(sf_dir), seq_len=256)
 
 
+def _docs_repetition(sf_dir: str):
+    from ocr_model_ray.functions.text_stats import repetition_batch
+    return _docs(sf_dir).map_batches(repetition_batch, batch_format="pandas")
+
+
 def _docs_token_count(sf_dir: str):
     from ocr_model_ray.functions.text_stats import token_count_batch
     return _docs(sf_dir).map_batches(token_count_batch, batch_format="pandas")
@@ -429,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _docs_fingerprint,
         "docs_near_dup": _docs_near_dup,
         "docs_near_dup_clusters": _docs_near_dup_clusters,
+        "docs_repetition": _docs_repetition,
         "docs_hash_split": _docs_hash_split,
         "docs_decontaminate": _docs_decontaminate,
         "docs_sequence_pack": _docs_sequence_pack,
@@ -740,6 +746,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "docs_repetition": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                            END AS toks,
+                       CASE WHEN text IS NULL THEN NULL
+                            ELSE regexp_split_to_array(text, '\\n')
+                            END AS lines
+                FROM documents),
+            w AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+            wc AS (SELECT doc_id, tok, count(*) AS n
+                   FROM w GROUP BY doc_id, tok),
+            wt AS (SELECT doc_id, max(n) AS top_n, sum(n) AS n_tok
+                   FROM wc GROUP BY doc_id),
+            pos AS (SELECT doc_id, toks,
+                           unnest(range(1, len(toks))) AS i
+                    FROM base),
+            bg AS (SELECT doc_id,
+                          toks[CAST(i AS BIGINT)] || ' ' ||
+                          toks[CAST(i + 1 AS BIGINT)] AS gram
+                   FROM pos),
+            bc AS (SELECT doc_id, gram, count(*) AS n
+                   FROM bg GROUP BY doc_id, gram),
+            bt AS (SELECT doc_id, max(n) AS top_bi FROM bc GROUP BY doc_id),
+            ln AS (SELECT doc_id, len(lines) AS n_lines,
+                          len(list_distinct(lines)) AS n_distinct
+                   FROM base WHERE lines IS NOT NULL)
+            SELECT b.doc_id,
+                   CAST(coalesce(wt.n_tok, 0) AS BIGINT) AS n_words,
+                   wt.top_n / CAST(wt.n_tok AS DOUBLE) AS top_word_frac,
+                   bt.top_bi / CAST(wt.n_tok - 1 AS DOUBLE)
+                       AS top_bigram_frac,
+                   1.0 - ln.n_distinct / CAST(ln.n_lines AS DOUBLE)
+                       AS dup_line_frac
+            FROM base b
+            LEFT JOIN wt USING (doc_id)
+            LEFT JOIN bt USING (doc_id)
+            LEFT JOIN ln USING (doc_id)
         """,
         "docs_hash_split": """
             SELECT doc_id,

@@ -128,6 +128,60 @@ def quality_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     })
 
 
+def repetition_batch(df: pd.DataFrame,
+                     text_col: str = "text") -> pd.DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    fraction of tokens taken by the single most frequent word and by
+    the most frequent word bigram, plus the duplicate-line fraction
+    (1 - distinct/total lines split on newline). Highly repetitive
+    machine-generated pages score near 1 and get filtered upstream of
+    training. Vectorized: explode + groupby, no per-row Counter loop.
+    Empty/null texts yield null fractions (matches the SQL oracle's
+    join semantics); fractions are exact int/int divisions so the
+    DuckDB double division is bit-identical."""
+    text = df[text_col]
+    idx = pd.RangeIndex(len(df))
+    toks = text.str.strip().str.split()
+    toks.index = idx
+    n_words = toks.str.len().fillna(0).astype("int64")
+
+    e = toks.explode().dropna()
+    if len(e):
+        wc = e.groupby([e.index, e]).size()
+        top_word = wc.groupby(level=0).max()
+    else:
+        top_word = pd.Series(dtype="int64")
+    top_word_frac = (top_word.reindex(idx) /
+                     n_words.where(n_words > 0))
+
+    # bigrams via a group-wise shift over the exploded tokens
+    nxt = e.groupby(level=0).shift(-1)
+    bi = (e + " " + nxt).dropna()
+    n_bi = (n_words - 1).clip(lower=0)
+    if len(bi):
+        bc = bi.groupby([bi.index, bi]).size()
+        top_bi = bc.groupby(level=0).max()
+    else:
+        top_bi = pd.Series(dtype="int64")
+    top_bigram_frac = (top_bi.reindex(idx) /
+                       n_bi.where(n_bi > 0))
+
+    lines = text.str.split("\n")
+    lines.index = idx
+    n_lines = lines.str.len()
+    n_distinct = lines.map(lambda ls: len(set(ls))
+                           if isinstance(ls, list) else None)
+    dup_line_frac = 1.0 - n_distinct / n_lines
+
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy(),
+        "n_words": n_words.to_numpy(),
+        "top_word_frac": top_word_frac.to_numpy(),
+        "top_bigram_frac": top_bigram_frac.to_numpy(),
+        "dup_line_frac": dup_line_frac.to_numpy(),
+    })
+
+
 class LangIdWorker:
     """Actor-pool language-ID (stopword-hit heuristic). State (compiled
     token pattern, stopword tables) built once per actor."""

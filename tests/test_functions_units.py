@@ -586,3 +586,30 @@ def test_decontamination_planted_overlap():
     toks = leak.split()
     n_grams_in_leak = len(toks) - 8 + 1
     assert out["n_contaminated"].iloc[0] == n_grams_in_leak
+
+
+def test_repetition_filters_flag_repetitive_text():
+    """Gopher repetition metrics: a degenerate repeated-token page
+    scores ~1, varied prose scores low, duplicate lines are counted,
+    and empty/null texts yield null fractions."""
+    from ocr_model_ray.functions.text_stats import repetition_batch
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["spam spam spam spam spam spam",
+                 "each word here appears exactly once today",
+                 "line one\nline two\nline one\nline one",
+                 "",
+                 None]})
+    out = repetition_batch(df)
+    assert out["n_words"].tolist() == [6, 7, 8, 0, 0]
+    assert out["top_word_frac"].iloc[0] == 1.0
+    assert out["top_bigram_frac"].iloc[0] == 1.0
+    assert out["top_word_frac"].iloc[1] == 1 / 7
+    # doc 3: 4 lines, 2 distinct -> dup_line_frac = 0.5; top word
+    # "line" appears 4/8, top bigram "line one" 3/7
+    assert out["dup_line_frac"].iloc[2] == 0.5
+    assert out["top_word_frac"].iloc[2] == 4 / 8
+    assert out["top_bigram_frac"].iloc[2] == 3 / 7
+    assert np.isnan(out["top_word_frac"].iloc[3])
+    assert np.isnan(out["top_word_frac"].iloc[4])
+    assert np.isnan(out["dup_line_frac"].iloc[4])
