@@ -297,6 +297,18 @@ def _docs_sample_per_lang(sf_dir: str):
     return out[["lang", "doc_id", "h"]]
 
 
+def _lineitem_price_quantiles(sf_dir: str):
+    """Mergeable histogram-sketch quantiles over l_extendedprice
+    (value range ~[900, 105000]; out-of-range clamps are part of the
+    shared bin rule). One streaming pass; no sort, no map_groups."""
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import approx_quantiles
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_extendedprice"])
+    return approx_quantiles(li, "l_extendedprice", lo=0.0, hi=102400.0,
+                            nbins=256)
+
+
 def _orders_price_histogram(sf_dir: str):
     import ray.data as rd
     from ocr_model_ray.functions.corpus_stats import numeric_histogram
@@ -402,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue": rel.brand_revenue,
         "q4_priority_returned": rel.q4_priority_returned,
         "orders_price_histogram": _orders_price_histogram,
+        "lineitem_price_quantiles": _lineitem_price_quantiles,
         "docs_sample_per_lang": _docs_sample_per_lang,
         "q19_bracket_revenue": rel.q19_bracket_revenue,
         "nation_customer_counts": rel.nation_customer_counts,
@@ -594,6 +607,38 @@ def oracle_sql() -> dict[str, str]:
             FROM generate_series(0, 19) AS g(bin)
             LEFT JOIN c USING (bin)
             ORDER BY g.bin
+        """,
+        # histogram-sketch quantiles — bin rule and interpolation
+        # arithmetic (operation order included) shared verbatim with
+        # approx_quantiles, so the doubles are bit-identical
+        "lineitem_price_quantiles": """
+            WITH b AS (
+                SELECT CAST(least(greatest(
+                           floor((l_extendedprice - 0.0) / 400.0),
+                           0), 255) AS BIGINT) AS bin
+                FROM lineitem),
+            c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n
+                  FROM b GROUP BY bin),
+            h AS (SELECT g.bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+                  FROM generate_series(0, 255) AS g(bin)
+                  LEFT JOIN c USING (bin)),
+            cu AS (SELECT bin, n,
+                          CAST(coalesce(sum(n) OVER (ORDER BY bin
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+                          CAST(sum(n) OVER () AS BIGINT) AS total
+                   FROM h),
+            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+            pick AS (SELECT qs.q, min(cu.bin) AS bin
+                     FROM qs JOIN cu
+                       ON cu.n > 0
+                      AND cu.cum_before + cu.n >= qs.q * cu.total
+                     GROUP BY qs.q)
+            SELECT p.q,
+                   0.0 + p.bin * 400.0 + 400.0 *
+                       ((p.q * cu.total - cu.cum_before) / cu.n)
+                       AS value_est
+            FROM pick p JOIN cu ON cu.bin = p.bin
         """,
         "q19_bracket_revenue": f"""
             SELECT CAST(sum({_REV_C}) AS BIGINT) / 10000.0 AS revenue

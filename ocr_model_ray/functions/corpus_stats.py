@@ -218,3 +218,41 @@ def numeric_histogram(ds: rd.Dataset, col: str, lo: float, hi: float,
     out["bin_lo"] = lo + out["bin"] * w
     out["bin_hi"] = lo + (out["bin"] + 1) * w
     return out[["bin", "bin_lo", "bin_hi", "n"]]
+
+
+def approx_quantiles(ds: rd.Dataset, col: str, lo: float, hi: float,
+                     qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+                     nbins: int = 256, mode: str = "auto") -> pd.DataFrame:
+    """Mergeable approximate quantiles: ONE streaming histogram pass
+    (order-independent int64 bin counts — the merge is a plain sum, so
+    the sketch combines across any number of workers/nodes) plus a
+    driver-side interpolation over the <=nbins-row result. This is the
+    100-TB path for percentiles: exact quantiles need a global sort or
+    a holistic map_groups; the histogram sketch needs neither and its
+    error is bounded by one bin width.
+
+    Estimate for quantile q: pick the first occupied bin whose
+    cumulative count reaches q*N, then interpolate linearly inside it.
+    The arithmetic (operation order included) is shared verbatim with
+    the SQL oracle, so results are bit-identical doubles:
+    ``lo + bin*w + w*((q*N - cum_before)/n_bin)``.
+
+    Output: (q, value_est) per requested quantile."""
+    hist = numeric_histogram(ds, col, lo, hi, nbins, mode)
+    w = (hi - lo) / nbins
+    n = hist["n"].to_numpy()
+    total = int(n.sum())
+    cum_before = np.concatenate([[0], np.cumsum(n)[:-1]])
+    rows = []
+    for q in qs:
+        target = q * float(total)
+        occupied = n > 0
+        reach = occupied & (cum_before + n >= target)
+        if total == 0 or not reach.any():
+            rows.append((q, None))
+            continue
+        b = int(np.argmax(reach))
+        est = lo + b * w + w * ((q * float(total) - float(cum_before[b]))
+                                / float(n[b]))
+        rows.append((q, est))
+    return pd.DataFrame(rows, columns=["q", "value_est"])

@@ -613,3 +613,25 @@ def test_repetition_filters_flag_repetitive_text():
     assert np.isnan(out["top_word_frac"].iloc[3])
     assert np.isnan(out["top_word_frac"].iloc[4])
     assert np.isnan(out["dup_line_frac"].iloc[4])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantiles_error_bound_and_partition_independence():
+    """Histogram-sketch quantiles are within one bin width of the exact
+    quantile and identical across block layouts (int64 bin counts are
+    order-independent, so the merge commutes)."""
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import approx_quantiles
+    rng = np.random.RandomState(3)
+    vals = rng.gamma(4.0, 250.0, 20000)
+    df = pd.DataFrame({"v": vals})
+    lo, hi, nbins = 0.0, 4000.0, 200
+    w = (hi - lo) / nbins
+    outs = [approx_quantiles(rd.from_pandas(df).repartition(p),
+                             "v", lo, hi, nbins=nbins)
+            for p in (1, 13)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    for _, row in outs[0].iterrows():
+        exact = np.quantile(vals, row["q"])
+        assert abs(row["value_est"] - exact) <= w + 1e-9, \
+            f"q={row['q']}: {row['value_est']} vs exact {exact}"
