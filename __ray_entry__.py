@@ -309,6 +309,17 @@ def _lineitem_price_quantiles(sf_dir: str):
                             nbins=256)
 
 
+def _lineitem_quantiles_by_flag(sf_dir: str):
+    """Per-l_returnflag quantile sketch — group skew is free: each
+    group contributes nbins int64 counters regardless of its size."""
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import grouped_approx_quantiles
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_extendedprice"])
+    return grouped_approx_quantiles(li, "l_returnflag", "l_extendedprice",
+                                    lo=0.0, hi=102400.0, nbins=256)
+
+
 def _orders_price_histogram(sf_dir: str):
     import ray.data as rd
     from ocr_model_ray.functions.corpus_stats import numeric_histogram
@@ -415,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_priority_returned": rel.q4_priority_returned,
         "orders_price_histogram": _orders_price_histogram,
         "lineitem_price_quantiles": _lineitem_price_quantiles,
+        "lineitem_quantiles_by_flag": _lineitem_quantiles_by_flag,
         "docs_sample_per_lang": _docs_sample_per_lang,
         "q19_bracket_revenue": rel.q19_bracket_revenue,
         "nation_customer_counts": rel.nation_customer_counts,
@@ -628,7 +640,8 @@ def oracle_sql() -> dict[str, str]:
                                AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
                           CAST(sum(n) OVER () AS BIGINT) AS total
                    FROM h),
-            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+            qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99])
+                               AS DOUBLE) AS q),
             pick AS (SELECT qs.q, min(cu.bin) AS bin
                      FROM qs JOIN cu
                        ON cu.n > 0
@@ -639,6 +652,39 @@ def oracle_sql() -> dict[str, str]:
                        ((p.q * cu.total - cu.cum_before) / cu.n)
                        AS value_est
             FROM pick p JOIN cu ON cu.bin = p.bin
+        """,
+        "lineitem_quantiles_by_flag": """
+            WITH b AS (
+                SELECT l_returnflag AS grp, CAST(least(greatest(
+                           floor((l_extendedprice - 0.0) / 400.0),
+                           0), 255) AS BIGINT) AS bin
+                FROM lineitem),
+            c AS (SELECT grp, bin, CAST(count(*) AS BIGINT) AS n
+                  FROM b GROUP BY grp, bin),
+            grps AS (SELECT DISTINCT grp FROM c),
+            h AS (SELECT grps.grp, g.bin,
+                         CAST(coalesce(c.n, 0) AS BIGINT) AS n
+                  FROM grps CROSS JOIN generate_series(0, 255) AS g(bin)
+                  LEFT JOIN c ON c.grp = grps.grp AND c.bin = g.bin),
+            cu AS (SELECT grp, bin, n,
+                          CAST(coalesce(sum(n) OVER (PARTITION BY grp
+                               ORDER BY bin ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                              AS cum_before,
+                          CAST(sum(n) OVER (PARTITION BY grp) AS BIGINT)
+                              AS total
+                   FROM h),
+            qs AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q),
+            pick AS (SELECT cu.grp, qs.q, min(cu.bin) AS bin
+                     FROM qs JOIN cu
+                       ON cu.n > 0
+                      AND cu.cum_before + cu.n >= qs.q * cu.total
+                     GROUP BY cu.grp, qs.q)
+            SELECT p.grp AS l_returnflag, p.q,
+                   0.0 + p.bin * 400.0 + 400.0 *
+                       ((p.q * cu.total - cu.cum_before) / cu.n)
+                       AS value_est
+            FROM pick p JOIN cu ON cu.grp = p.grp AND cu.bin = p.bin
         """,
         "q19_bracket_revenue": f"""
             SELECT CAST(sum({_REV_C}) AS BIGINT) / 10000.0 AS revenue

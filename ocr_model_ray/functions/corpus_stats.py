@@ -240,14 +240,20 @@ def approx_quantiles(ds: rd.Dataset, col: str, lo: float, hi: float,
     Output: (q, value_est) per requested quantile."""
     hist = numeric_histogram(ds, col, lo, hi, nbins, mode)
     w = (hi - lo) / nbins
-    n = hist["n"].to_numpy()
+    rows = _interp_quantiles(hist["n"].to_numpy(), lo, w, qs)
+    return pd.DataFrame(rows, columns=["q", "value_est"])
+
+
+def _interp_quantiles(n: np.ndarray, lo: float, w: float,
+                      qs: tuple) -> list:
+    """Linear interpolation over full (zeros included) bin counts —
+    the arithmetic the SQL oracles replicate verbatim."""
     total = int(n.sum())
     cum_before = np.concatenate([[0], np.cumsum(n)[:-1]])
     rows = []
     for q in qs:
         target = q * float(total)
-        occupied = n > 0
-        reach = occupied & (cum_before + n >= target)
+        reach = (n > 0) & (cum_before + n >= target)
         if total == 0 or not reach.any():
             rows.append((q, None))
             continue
@@ -255,4 +261,52 @@ def approx_quantiles(ds: rd.Dataset, col: str, lo: float, hi: float,
         est = lo + b * w + w * ((q * float(total) - float(cum_before[b]))
                                 / float(n[b]))
         rows.append((q, est))
-    return pd.DataFrame(rows, columns=["q", "value_est"])
+    return rows
+
+
+def grouped_approx_quantiles(ds: rd.Dataset, group_col: str, col: str,
+                             lo: float, hi: float,
+                             qs: tuple = (0.25, 0.5, 0.9),
+                             nbins: int = 256,
+                             mode: str = "auto") -> pd.DataFrame:
+    """Per-group histogram-sketch quantiles: one streaming pass emits
+    (group, bin, n) partials — at most groups x occupied-bins tiny rows
+    per batch — merged by an int64 sum (order-independent), then the
+    same bit-stable interpolation as ``approx_quantiles`` runs per
+    group on the driver over a groups x nbins panel. No sort and no
+    per-group materialization of raw values, so group skew costs
+    nothing: a group with 10^10 rows still contributes nbins counters.
+
+    Output: (group_col, q, value_est) per group per quantile."""
+    w = (hi - lo) / nbins
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        nulls = pc.is_null(arr, nan_is_null=False).to_numpy(
+            zero_copy_only=False)
+        x = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(np.floor((x - lo) / w), 0, nbins - 1)
+        b = np.where(np.isnan(b), nbins - 1, b)
+        b = np.where(nulls, 0, b).astype(np.int64)
+        df = pd.DataFrame({group_col: t[group_col].to_numpy(
+            zero_copy_only=False), "bin": b})
+        g = df.groupby([group_col, "bin"], sort=False).size() \
+              .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if _resolve_mode(ds, mode) == "local":
+        merged = (partials.to_pandas()
+                  .groupby([group_col, "bin"], as_index=False)["n"].sum())
+    else:
+        from ray.data.aggregate import Sum
+        merged = (partials.groupby([group_col, "bin"])
+                  .aggregate(Sum("n", alias_name="n")).to_pandas())
+    rows = []
+    for grp, gdf in merged.groupby(group_col, sort=True):
+        full = np.zeros(nbins, dtype=np.int64)
+        full[gdf["bin"].to_numpy()] = gdf["n"].to_numpy()
+        rows.extend((grp, q, est)
+                    for q, est in _interp_quantiles(full, lo, w, qs))
+    return (pd.DataFrame(rows, columns=[group_col, "q", "value_est"])
+            .sort_values([group_col, "q"]).reset_index(drop=True))

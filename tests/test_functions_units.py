@@ -635,3 +635,25 @@ def test_approx_quantiles_error_bound_and_partition_independence():
         exact = np.quantile(vals, row["q"])
         assert abs(row["value_est"] - exact) <= w + 1e-9, \
             f"q={row['q']}: {row['value_est']} vs exact {exact}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_quantiles_match_per_group_single():
+    """Per-group sketch equals running the single-column sketch on each
+    group's rows alone — grouping only partitions the counters."""
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import (
+        approx_quantiles, grouped_approx_quantiles)
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"g": rng.choice(["a", "b"], 5000),
+                       "v": rng.uniform(0, 1000, 5000)})
+    got = grouped_approx_quantiles(rd.from_pandas(df).repartition(7),
+                                   "g", "v", 0.0, 1000.0, nbins=100)
+    for grp in ("a", "b"):
+        sub = df[df["g"] == grp][["v"]]
+        want = approx_quantiles(rd.from_pandas(sub), "v",
+                                0.0, 1000.0, nbins=100,
+                                qs=(0.25, 0.5, 0.9))
+        g = got[got["g"] == grp].reset_index(drop=True)
+        assert g["q"].tolist() == want["q"].tolist()
+        assert g["value_est"].tolist() == want["value_est"].tolist()
