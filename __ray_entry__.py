@@ -250,6 +250,36 @@ def _docs_repetition(sf_dir: str):
     return _docs(sf_dir).map_batches(repetition_batch, batch_format="pandas")
 
 
+def _docs_source_stats(sf_dir: str):
+    """Per-source corpus panel (the one documents column nothing else
+    reads): doc count, total whitespace tokens, mean char length.
+    Per-batch per-source partials (the combiner) -> one tiny grouped
+    sum -> exact int/int double division for the mean."""
+    import pandas as pd
+    import ray.data as rd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        stripped = df["text"].str.strip()
+        toks = stripped.str.split().str.len().fillna(0).astype("int64")
+        toks[stripped == ""] = 0
+        g = pd.DataFrame({"source": df["source"], "tok": toks,
+                          "chars": df["n_chars"].astype("int64")})
+        return g.groupby("source", as_index=False).agg(
+            n=("tok", "size"), tok_sum=("tok", "sum"),
+            char_sum=("chars", "sum"))
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "text", "n_chars"])
+    p = (docs.map_batches(partial, batch_format="pandas").to_pandas()
+         .groupby("source", as_index=False).sum())
+    out = pd.DataFrame({
+        "source": p["source"],
+        "n_docs": p["n"].astype("int64"),
+        "total_tokens": p["tok_sum"].astype("int64"),
+        "avg_chars": p["char_sum"].to_numpy() / p["n"].to_numpy()})
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def _docs_token_count(sf_dir: str):
     from ocr_model_ray.functions.text_stats import token_count_batch
     return _docs(sf_dir).map_batches(token_count_batch, batch_format="pandas")
@@ -460,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_near_dup": _docs_near_dup,
         "docs_near_dup_clusters": _docs_near_dup_clusters,
         "docs_repetition": _docs_repetition,
+        "docs_source_stats": _docs_source_stats,
         "docs_hash_split": _docs_hash_split,
         "docs_decontaminate": _docs_decontaminate,
         "docs_sequence_pack": _docs_sequence_pack,
@@ -837,6 +868,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "docs_source_stats": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN text IS NULL OR trim(text) = ''
+                            THEN 0
+                            ELSE len(regexp_extract_all(text, '\\S+'))
+                            END) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_chars) AS BIGINT)
+                       / CAST(count(*) AS DOUBLE) AS avg_chars
+            FROM documents GROUP BY source
         """,
         "docs_repetition": """
             WITH base AS (
