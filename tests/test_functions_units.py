@@ -344,6 +344,41 @@ def test_min_label_propagation_converges_on_long_chain():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_min_label_propagation_ray_large_no_driver_collect(monkeypatch):
+    """Round-2 verdict fix #1: the ray engine on >50k edges must (a)
+    match the pandas engine exactly and (b) never collect the full
+    label table to the driver during the rounds — labels stay a
+    Dataset; the ONLY to_pandas is the final result conversion."""
+    import ray.data as rd
+    from ocr_model_ray.functions import dedup_algos
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    a = rng.randint(0, n, 60_000).astype("int64")
+    b = rng.randint(0, n, 60_000).astype("int64")
+    m = a != b
+    pairs = pd.DataFrame({"doc_a": a[m], "doc_b": b[m]})
+    assert len(pairs) * 2 >= 50_000  # auto would pick 'ray' here
+
+    calls = {"n": 0}
+    orig = rd.Dataset.to_pandas
+
+    def counting_to_pandas(self, *args, **kw):
+        calls["n"] += 1
+        return orig(self, *args, **kw)
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", counting_to_pandas)
+    got = dedup_algos.min_label_propagation(pairs, engine="ray")
+    assert calls["n"] == 1, (
+        f"ray engine collected a Dataset to the driver {calls['n']} times "
+        "during label propagation; only the final result conversion is "
+        "allowed")
+    monkeypatch.undo()
+    want = dedup_algos.min_label_propagation(pairs, engine="pandas")
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_near_dup_local_plan_equals_distributed():
     """mode='local' (small-input single-task plan) and
     mode='distributed' (sort-shuffle plan) must produce identical pairs
