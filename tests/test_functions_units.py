@@ -590,14 +590,52 @@ def test_sequence_pack_prefix_sum_invariants():
         "doc_id": rng.permutation(300),
         "text": [" ".join(["w"] * int(n)) for n in rng.randint(0, 40, 300)]})
     for parts in (1, 9):
+        # to_pandas WITHOUT a sort: the returned Dataset's block order
+        # (bucket ranges, each internally id-sorted) IS global id order
         out = sequence_pack(rd.from_pandas(df).repartition(parts),
-                            seq_len=16, num_buckets=8)
+                            seq_len=16, num_buckets=8).to_pandas()
         ordered = df.sort_values("doc_id").reset_index(drop=True)
         want_counts = ordered["text"].str.split().str.len().fillna(0)
         want_cum = want_counts.cumsum().shift(fill_value=0).astype("int64")
         assert out["doc_id"].tolist() == ordered["doc_id"].tolist()
         assert out["cum_before"].tolist() == want_cum.tolist()
         assert (out["seq_id"] == out["cum_before"] // 16).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sequence_pack_streams_to_parquet(tmp_path, monkeypatch):
+    """Round-2 verdict fix #2: the packed output is a Dataset that can
+    be written straight to parquet with NO driver pandas collect."""
+    import ray.data as rd
+    from ocr_model_ray.functions.packing import sequence_pack
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(200, dtype="int64"),
+        "text": ["alpha beta gamma"] * 200})
+
+    calls = {"n": 0}
+    orig = rd.Dataset.to_pandas
+
+    def counting(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", counting)
+    packed = sequence_pack(rd.from_pandas(df).repartition(4),
+                           seq_len=32, num_buckets=8)
+    assert isinstance(packed, rd.Dataset)
+    packed.write_parquet(str(tmp_path / "packed"))
+    # exactly ONE driver collect is allowed: the pass-1 bucket partials
+    # (<= num_buckets rows per input block), never the per-doc output
+    assert calls["n"] <= 1, "sequence_pack collected per-doc output"
+    monkeypatch.undo()
+
+    back = pd.read_parquet(tmp_path / "packed").sort_values(
+        "doc_id").reset_index(drop=True)
+    assert len(back) == 200
+    # 3 tokens/doc, seq_len=32: doc i starts at offset 3i
+    assert (back["cum_before"] == back["doc_id"] * 3).all()
+    assert (back["seq_id"] == (back["doc_id"] * 3) // 32).all()
 
 
 @pytest.mark.usefixtures("ray_session")
