@@ -239,39 +239,154 @@ def ivf_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
     return _finalize_topk(partials, k, exclude_self, round_to)
 
 
+def _lsh_num_tables(threshold: float, num_planes: int,
+                    target_recall: float) -> int:
+    """Tables needed so a pair AT the threshold shares >=1 bucket with
+    probability >= target_recall: per-plane agreement p = 1 - angle/pi,
+    per-table p^b, miss-all-tables (1-p^b)^T <= 1-target_recall."""
+    t = min(max(threshold, -1.0), 1.0)
+    p = 1.0 - float(np.arccos(t)) / np.pi
+    per_table = max(p ** num_planes, 1e-9)
+    if per_table >= 1.0:
+        return 1
+    import math
+    return min(64, max(1, math.ceil(
+        math.log(max(1.0 - target_recall, 1e-9))
+        / math.log(1.0 - per_table))))
+
+
 def cosine_near_dup(ds: rd.Dataset, threshold: float = 0.4,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    round_to: int = 5) -> pd.DataFrame:
+                    round_to: int = 5, mode: str = "auto",
+                    num_planes: int = 4, target_recall: float = 0.98,
+                    max_bucket: int = 1024, seed: int = 17) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a < vec_b, sim) for
     every pair with cosine >= threshold.
 
-    Shape: the normalized matrix broadcasts once (ray.put); each batch
-    computes its (batch x all) block of the similarity matrix and emits
-    only its upper-triangle hits, so the stream side never holds more
-    than one block. At corpus scale the broadcast side outgrows the
-    object store — swap in the LSH banding from lsh_knn (bucket by
-    hyperplane signature, all-pairs within bucket) for the same output
-    minus sub-threshold recall loss."""
-    full = ds.to_pandas()
-    ids = full[id_col].to_numpy(dtype=np.int64)
-    mat = _normalize(_to_matrix(full[vec_col]))
-    ref = ray.put((ids, mat))
+    Two plans (round-2 verdict fix #3 — the all-pairs sweep is no
+    longer the above-size-cut default):
 
-    def partial(batch: pa.Table) -> pa.Table:
-        all_ids, all_m = ray.get(ref)
-        bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        bm = _normalize(_to_matrix(batch[vec_col]))
-        sims = bm @ all_m.T                       # (batch, N)
-        hit = (sims >= threshold) & (all_ids[None, :] > bids[:, None])
-        bi, ai = np.nonzero(hit)
-        return pa.table({"vec_a": pa.array(bids[bi], pa.int64()),
-                         "vec_b": pa.array(all_ids[ai], pa.int64()),
-                         "sim": pa.array(sims[bi, ai], pa.float64())})
+    * ``mode='allpairs'`` — EXACT: the normalized matrix broadcasts
+      once (ray.put); each batch computes its (batch x all) block of
+      the similarity matrix and emits only its upper-triangle hits.
+      O(N^2) compute with the full matrix resident per task — right
+      answer, wrong plan once the corpus outgrows one worker's heap.
+    * ``mode='bucketed'`` — the scale plan: random-hyperplane LSH
+      (same signatures as lsh_knn) with enough tables for
+      ``target_recall`` at the threshold (_lsh_num_tables); vectors
+      shuffle ONCE per table keyed by (table, signature), each bucket
+      verifies all-pairs cosine exactly within itself, and the
+      cross-table duplicate hits collapse in a final tiny groupby over
+      the PAIR rows. Oversized buckets (skewed corpora) are sampled to
+      ``max_bucket`` + logged, never exploded. Shuffle volume is
+      T x corpus (T from _lsh_num_tables — e.g. 23 at threshold 0.4,
+      8 at 0.8); recall is ~target_recall for pairs at the threshold
+      and higher above it. Exact for pairs that share any bucket.
+    * ``mode='auto'`` — allpairs when the input is provably small
+      (parquet-metadata size under the same cut dedup uses), else
+      bucketed."""
+    from .dedup_algos import SMALL_INPUT_BYTES, _input_size_hint
 
-    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if mode == "auto":
+        size = _input_size_hint(ds)
+        mode = ("allpairs" if size is not None
+                and size < SMALL_INPUT_BYTES else "bucketed")
+    if mode == "allpairs":
+        full = ds.to_pandas()
+        ids = full[id_col].to_numpy(dtype=np.int64)
+        mat = _normalize(_to_matrix(full[vec_col]))
+        ref = ray.put((ids, mat))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            all_ids, all_m = ray.get(ref)
+            bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            bm = _normalize(_to_matrix(batch[vec_col]))
+            sims = bm @ all_m.T                   # (batch, N)
+            hit = (sims >= threshold) & (all_ids[None, :] > bids[:, None])
+            bi, ai = np.nonzero(hit)
+            return pa.table({"vec_a": pa.array(bids[bi], pa.int64()),
+                             "vec_b": pa.array(all_ids[ai], pa.int64()),
+                             "sim": pa.array(sims[bi, ai], pa.float64())})
+
+        out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    else:
+        out = _cosine_near_dup_bucketed(
+            ds, threshold, id_col, vec_col, num_planes,
+            target_recall, max_bucket, seed)
     out["sim"] = out["sim"].round(round_to)
     return (out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
             .astype({"vec_a": "int64", "vec_b": "int64"}))
+
+
+def _cosine_near_dup_bucketed(ds: rd.Dataset, threshold: float,
+                              id_col: str, vec_col: str, num_planes: int,
+                              target_recall: float, max_bucket: int,
+                              seed: int) -> pd.DataFrame:
+    """LSH-bucketed near-dup plan: signature rows carry the vector
+    through ONE groupby((table,sig)) shuffle; buckets verify exactly;
+    pair hits dedup across tables in a second (tiny) shuffle."""
+    import logging
+    log = logging.getLogger(__name__)
+    peek = ds.take_batch(1, batch_format="pandas")
+    if len(peek) == 0:
+        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                             "vec_b": pd.Series([], dtype="int64"),
+                             "sim": pd.Series([], dtype="float64")})
+    dim = len(peek[vec_col].iloc[0])
+    num_tables = _lsh_num_tables(threshold, num_planes, target_recall)
+    rng = np.random.RandomState(seed)
+    plane_sets = [rng.normal(size=(num_planes, dim))
+                  for _ in range(num_tables)]
+    ref = ray.put(plane_sets)
+
+    def band(batch: pa.Table) -> pa.Table:
+        psets = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        vecs = batch[vec_col]
+        keys, out_ids, take = [], [], []
+        for t, planes in enumerate(psets):
+            sigs = _signatures(m, planes)
+            # bucket key packs (table, signature) into one int64
+            keys.append((np.int64(t) << np.int64(32)) | sigs)
+            out_ids.append(ids)
+            take.append(np.arange(len(ids)))
+        idx = np.concatenate(take)
+        return pa.table({
+            "bkey": pa.array(np.concatenate(keys), pa.int64()),
+            id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+            vec_col: pc_take(vecs, idx)})
+
+    def verify(group: pd.DataFrame) -> pa.Table:
+        g = group
+        if len(g) > max_bucket:
+            log.warning(
+                "cosine_near_dup bucket %s has %d members; sampling %d "
+                "(raise max_bucket or num_planes for skewed corpora)",
+                int(g["bkey"].iloc[0]), len(g), max_bucket)
+            g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        m = _normalize(_to_matrix(g[vec_col]))
+        sims = m @ m.T
+        hit = (sims >= threshold) & (ids[None, :] > ids[:, None])
+        ai, bi = np.nonzero(hit)
+        return pa.table({"vec_a": pa.array(ids[ai], pa.int64()),
+                         "vec_b": pa.array(ids[bi], pa.int64()),
+                         "sim": pa.array(sims[ai, bi], pa.float64())})
+
+    from ray.data.aggregate import Min
+    pairs = (ds.map_batches(band, batch_format="pyarrow")
+             .groupby("bkey").map_groups(verify, batch_format="pandas"))
+    # cross-table dedup: same pair found in k tables -> one row (sims
+    # identical: same vectors, same float64 kernel)
+    return (pairs.groupby(["vec_a", "vec_b"])
+            .aggregate(Min("sim", alias_name="sim")).to_pandas())
+
+
+def pc_take(col, idx: np.ndarray):
+    """take() that tolerates ChunkedArray columns."""
+    import pyarrow.compute as pc
+    return pc.take(col, pa.array(idx, pa.int64()))
 
 
 def label_stats(ds: rd.Dataset) -> pd.DataFrame:

@@ -730,3 +730,53 @@ def test_grouped_quantiles_match_per_group_single():
         g = got[got["g"] == grp].reset_index(drop=True)
         assert g["q"].tolist() == want["q"].tolist()
         assert g["value_est"].tolist() == want["value_est"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cosine_near_dup_bucketed_equals_allpairs():
+    """Round-2 verdict fix #3: the LSH-bucketed plan must match the
+    exact all-pairs sweep on a clustered corpus (table count from
+    _lsh_num_tables at the given threshold; deterministic seed)."""
+    import ray.data as rd
+    from ocr_model_ray.functions.similarity import cosine_near_dup
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(30, 16))
+    ids, vecs = [], []
+    vid = 0
+    for c in range(30):
+        for _ in range(10):
+            ids.append(vid)
+            vecs.append((base[c] + rng.normal(scale=0.02, size=16)).tolist())
+            vid += 1
+    for _ in range(200):
+        ids.append(vid)
+        vecs.append(rng.normal(size=16).tolist())
+        vid += 1
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": ids, "embedding": vecs})) \
+        .repartition(4)
+    ap = cosine_near_dup(ds, threshold=0.8, mode="allpairs")
+    bk = cosine_near_dup(ds, threshold=0.8, mode="bucketed")
+    pd.testing.assert_frame_equal(ap, bk)
+    assert len(ap) > 1000  # the fixture actually has near-dups
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cosine_near_dup_bucketed_caps_skewed_bucket():
+    """10k near-identical vectors all land in the same LSH buckets: the
+    bucketed plan samples to max_bucket (bounded pair count, completes)
+    instead of the O(N^2) sweep."""
+    import ray.data as rd
+    from ocr_model_ray.functions.similarity import cosine_near_dup
+    rng = np.random.RandomState(9)
+    center = rng.normal(size=8)
+    vecs = (center[None, :]
+            + rng.normal(scale=1e-4, size=(10_000, 8))).tolist()
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(10_000, dtype="int64"),
+         "embedding": vecs})).repartition(4)
+    out = cosine_near_dup(ds, threshold=0.9, mode="bucketed",
+                          max_bucket=64)
+    # every surviving pair is real, and the cap bounded the blow-up:
+    # <= C(64,2) pairs per (table, bucket), deduped across tables
+    assert (out["sim"] >= 0.9 - 1e-6).all()
+    assert 0 < len(out) <= 64 * 63 // 2
