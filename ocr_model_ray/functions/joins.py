@@ -115,11 +115,16 @@ def bloom_semi_filter(large: rd.Dataset, keys, on: str) -> rd.Dataset:
     """Approximate semi-join: keep rows whose integer ``on`` value might
     be in ``keys`` (no false negatives; a small false-positive tail that
     a downstream exact join removes). The filter broadcasts as a bit
-    array — ~1.5 bytes/key instead of 8+."""
+    array — ~1.5 bytes/key instead of 8+. ``keys`` may be a prebuilt
+    BloomFilter (e.g. streamed from a Dataset via bloom_from_dataset)
+    or any int sequence."""
     import numpy as np
-    arr = np.asarray(list(keys), dtype=np.int64)
-    bf = BloomFilter(capacity=len(arr))
-    bf.add(arr)
+    if isinstance(keys, BloomFilter):
+        bf = keys
+    else:
+        arr = np.asarray(list(keys), dtype=np.int64)
+        bf = BloomFilter(capacity=len(arr))
+        bf.add(arr)
     ref = ray.put(bf)
 
     def _filter(batch: pa.Table) -> pa.Table:
@@ -128,6 +133,22 @@ def bloom_semi_filter(large: rd.Dataset, keys, on: str) -> rd.Dataset:
         return batch.filter(pa.array(f.might_contain(vals)))
 
     return large.map_batches(_filter, batch_format="pyarrow")
+
+
+def bloom_from_dataset(keys: rd.Dataset, on: str, capacity: int,
+                       bits_per_key: int = 12) -> BloomFilter:
+    """Build a BloomFilter from a key Dataset by STREAMING its batches
+    through the driver — memory is O(filter bits), never O(keys); the
+    key set itself is never materialized. At 10^12-key scale, swap the
+    driver stream for per-block partial filters OR-merged in a tree
+    (bloom bit arrays are mergeable); the driver stream is the right
+    plan while the key COLUMN (8B/key) outstreams faster than the
+    filter would ship."""
+    import numpy as np
+    bf = BloomFilter(capacity=capacity, bits_per_key=bits_per_key)
+    for batch in keys.iter_batches(batch_format="pyarrow"):
+        bf.add(batch[on].to_numpy(zero_copy_only=False).astype(np.int64))
+    return bf
 
 
 def salted_group_count(ds: rd.Dataset, key: str, num_salts: int = 8) -> "pd.DataFrame":

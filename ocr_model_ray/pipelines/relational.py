@@ -808,27 +808,33 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         per_user, batch_format="pandas").to_pandas()
 
 
-def q4_priority_returned(sf_dir: str) -> pd.DataFrame:
+def q4_priority_returned(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     """TPC-H Q4 shape (EXISTS semi-join): count orders by priority that
-    have at least one returned ('R') lineitem. The semi side reduces to
-    per-batch DISTINCT orderkeys (one int row per key per batch) before
-    the key set ships as a broadcast filter; the counted side then
-    needs only (priority, count) partials — no wide shuffle. When the
-    key set outgrows the driver, swap the broadcast for
-    joins.bloom_semi_filter + an exact bucket-join rescreen (bloom
-    false positives must be re-checked for exact counts)."""
+    have at least one returned ('R') lineitem.
+
+    ``mode='broadcast'`` (small inputs): the semi side reduces to
+    per-batch DISTINCT orderkeys, the key set ships as one broadcast
+    filter, and the counted side needs only (priority, count) partials
+    — no wide shuffle. The R-key set is ~25% of all orders, far larger
+    than a dim table, so above the standard size cut ``mode='bloom'``
+    takes over (round-2 verdict fix #4): a Bloom filter streamed from
+    the distinct-key Dataset (O(filter bits) driver memory, never the
+    key set) prunes orders approximately, then an exact
+    hash_bucket_join rescreen — distinct keys deduped INSIDE each
+    bucket via left_agg — removes the false-positive tail, so counts
+    stay exact. ``mode='auto'`` picks by lineitem parquet size."""
     import pyarrow.dataset as pads
     line = _read(sf_dir, "lineitem", ["l_orderkey"],
                  num_blocks=16, filter=pads.field("l_returnflag") == "R")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    if mode == "auto":
+        mode = ("broadcast" if _join_mode(sf_dir, "lineitem") == "local"
+                else "bloom")
 
     def distinct_keys(t: pa.Table) -> pa.Table:
-        return pa.table({"l_orderkey": t["l_orderkey"].unique()})
+        return pa.table({"o_orderkey": t["l_orderkey"].unique()})
 
-    rkeys = (line.map_batches(distinct_keys, batch_format="pyarrow")
-             .to_pandas()["l_orderkey"].unique())
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    kept = broadcast_semi_filter(
-        orders, pa.array(sorted(rkeys), pa.int64()), on="o_orderkey")
+    rkeys_ds = line.map_batches(distinct_keys, batch_format="pyarrow")
 
     def partial(t: pa.Table) -> pa.Table:
         g = (pa.table({"o_orderpriority": t["o_orderpriority"]})
@@ -836,7 +842,30 @@ def q4_priority_returned(sf_dir: str) -> pd.DataFrame:
         return g.select(["o_orderpriority", "count_all"]) \
                 .rename_columns(["o_orderpriority", "n"])
 
-    out = (kept.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if mode == "broadcast":
+        rkeys = rkeys_ds.to_pandas()["o_orderkey"].unique()
+        kept = broadcast_semi_filter(
+            orders, pa.array(sorted(rkeys), pa.int64()), on="o_orderkey")
+        counted = kept.map_batches(partial, batch_format="pyarrow")
+    else:
+        from ..functions.joins import bloom_from_dataset, bloom_semi_filter
+        import pyarrow.parquet as pq
+        # capacity: per-batch distinct rows upper-bound the true
+        # distinct count; parquet metadata gives it without a scan
+        cap = max(64, pq.ParquetFile(_pq(sf_dir, "lineitem"))
+                  .metadata.num_rows // 2)
+        rkeys_ds = rkeys_ds.materialize()
+        bf = bloom_from_dataset(rkeys_ds, "o_orderkey", capacity=cap)
+        pruned = bloom_semi_filter(orders, bf, on="o_orderkey")
+
+        def dedup_keys(t: pa.Table) -> pa.Table:
+            return pa.table({"o_orderkey": t["o_orderkey"].unique()})
+
+        counted = hash_bucket_join(
+            rkeys_ds, pruned, on="o_orderkey", num_buckets=16,
+            left_agg=dedup_keys, post_merge=partial)
+
+    out = (counted.to_pandas()
            .groupby("o_orderpriority", as_index=False)["n"].sum()
            .sort_values("o_orderpriority").reset_index(drop=True))
     out["n"] = out["n"].astype("int64")
