@@ -55,6 +55,11 @@ class ExtractConfig:
     #: OCR engine: "stub" (deterministic, golden-reproducible default)
     #: or "auto" (Tesseract/Paddle when installed — stages.engines).
     engine: str = "stub"
+    #: M10 fast mode: cap scanned-image longest side at 1600 px (area
+    #: averaging) before OCR — reference
+    #: worker/document_processor.py:406-424. Opt-in; goldens use the
+    #: default (off).
+    fast: bool = False
     #: override_num_blocks for the read: set to ~4x cluster CPUs so the
     #: read FUSES with derive+extract into one task (payload blocks never
     #: round-trip the object store). None = Ray's default splitting.
@@ -88,7 +93,7 @@ def extract_pipeline(paths: str | Sequence[str],
     kwargs = dict(batch_format="pyarrow", batch_size=cfg.batch_size,
                   num_cpus=cfg.num_cpus)
     ctor = {"max_pages": cfg.max_pages, "emit": cfg.emit,
-            "engine": cfg.engine}
+            "engine": cfg.engine, "fast": cfg.fast}
     if cfg.concurrency is not None:
         # actor pool: class + concurrency
         return ds.map_batches(ExtractWorker, concurrency=cfg.concurrency,

@@ -27,8 +27,8 @@ PROFILES: dict[str, ExtractConfig] = {
     "performance": ExtractConfig(emit="summary"),
     # reference `quality`: everything on, dedup shuffle included
     "quality": ExtractConfig(emit="full", dedup=True),
-    # reference BASIC mode: fast + max_pages=3
-    "basic": ExtractConfig(emit="summary", max_pages=3),
+    # reference BASIC mode: fast (M10 1600px OCR downscale) + max_pages=3
+    "basic": ExtractConfig(emit="summary", max_pages=3, fast=True),
 }
 
 

@@ -228,6 +228,76 @@ class TableTransformerAdapter:
 # ---------------------------------------------------------------------------
 # TrOCR long-form recognizer (A8, reference models/ocr_models.py:186-204)
 # ---------------------------------------------------------------------------
+class OnnxTableDetectorAdapter:
+    """A5: the reference's default table-detection path — an ONNX
+    Runtime session over an 800x800 CHW float input (reference
+    worker/pipeline/processors/table_detector.py:103-158: graph
+    optimization ORT_ENABLE_ALL, CPU/CUDA providers, input normalized
+    /255, output rows [x1, y1, x2, y2, confidence, ...] with
+    normalized coords denormalized against the ORIGINAL page size,
+    confidence > threshold). Import-guarded like the other adapters:
+    onnxruntime is absent in this container, so the session branch
+    raises a clear error, while the output-mapping logic is a pure
+    static method unit-tested on recorded-shape arrays."""
+
+    CONFIDENCE_THRESHOLD = 0.5
+    INPUT_SHAPE = (800, 800)
+
+    @staticmethod
+    def available() -> bool:
+        return _try_import("onnxruntime") is not None
+
+    def __init__(self, model_path: str, use_gpu: bool = False) -> None:
+        if not self.available():
+            raise RuntimeError(
+                "onnxruntime not available; use TableTransformerAdapter "
+                "or detect_table_regions_lines, or install onnxruntime "
+                "to use OnnxTableDetectorAdapter")
+        import onnxruntime as ort
+        opts = ort.SessionOptions()
+        opts.graph_optimization_level = \
+            ort.GraphOptimizationLevel.ORT_ENABLE_ALL
+        providers = (["CUDAExecutionProvider", "CPUExecutionProvider"]
+                     if use_gpu else ["CPUExecutionProvider"])
+        self.session = ort.InferenceSession(model_path, opts,
+                                            providers=providers)
+
+    @classmethod
+    def preprocess(cls, image: np.ndarray) -> np.ndarray:
+        """HxWx3 uint8 -> (1, 3, 800, 800) float32 in [0, 1] (the
+        reference's cv2.resize + transpose(2,0,1) + /255)."""
+        from .image_preproc import area_resize
+        h, w = cls.INPUT_SHAPE
+        chans = [area_resize(image[:, :, c], h, w) for c in range(3)]
+        chw = np.stack(chans, axis=0).astype(np.float32) / 255.0
+        return chw[None, ...]
+
+    @classmethod
+    def tables_from_output(cls, detections: np.ndarray, width: int,
+                           height: int,
+                           threshold: float | None = None) -> list[dict]:
+        """Map one output batch's detection rows ([x1, y1, x2, y2,
+        conf, ...], coords normalized) to the engine's
+        {'bbox', 'confidence'} records against the original page size
+        — the exact loop at table_detector.py:146-158."""
+        thr = cls.CONFIDENCE_THRESHOLD if threshold is None else threshold
+        out = []
+        for det in np.asarray(detections, dtype=np.float64):
+            conf = float(det[4])
+            if conf <= thr:
+                continue
+            x1, y1, x2, y2 = det[:4]
+            out.append({"bbox": [int(x1 * width), int(y1 * height),
+                                 int(x2 * width), int(y2 * height)],
+                        "confidence": conf})
+        return sorted(out, key=lambda t: tuple(t["bbox"]))
+
+    def __call__(self, image: np.ndarray) -> list[dict]:
+        height, width = image.shape[:2]
+        outputs = self.session.run(None, {"input": self.preprocess(image)})
+        return self.tables_from_output(outputs[0], width, height)
+
+
 class TrOCRAdapter:
     """VisionEncoderDecoder TrOCR: whole-image generated text, emitted
     as one page-level token (the reference returns (text, []) with no
@@ -317,6 +387,38 @@ def ocr_engine():
     if PaddleAdapter.available():
         return PaddleAdapter()
     return ocr_stub
+
+
+def fast_downscale_ocr(ocr, target: int = 1600):
+    """M10 fast-mode wrapper (reference
+    worker/document_processor.py:406-424): cap the longest image side
+    at ``target`` px with area averaging before OCR. Decode/encode
+    needs PIL; when it's absent (this container) the payload passes
+    through untouched — same fallback as the reference's
+    ``except Exception: ocr_input_path = image_path``. The resize
+    kernel itself is pure numpy (image_preproc.downscale_max_dim) and
+    unit-tested without PIL."""
+    base = ocr or ocr_stub
+
+    def wrapped(image_bytes: bytes):
+        try:
+            import io
+
+            from PIL import Image
+
+            from .image_preproc import downscale_max_dim
+            img = Image.open(io.BytesIO(image_bytes))
+            arr = np.asarray(img.convert("L"))
+            small = downscale_max_dim(arr, target=target)
+            if small.shape == arr.shape:
+                return base(image_bytes)
+            buf = io.BytesIO()
+            Image.fromarray(small).save(buf, format="PNG")
+            return base(buf.getvalue())
+        except Exception:
+            return base(image_bytes)
+
+    return wrapped
 
 
 # ---------------------------------------------------------------------------

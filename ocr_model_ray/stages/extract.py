@@ -116,7 +116,7 @@ class ExtractWorker:
     """
 
     def __init__(self, max_pages: int = 0, emit: str = "full",
-                 engine: str = "stub") -> None:
+                 engine: str = "stub", fast: bool = False) -> None:
         assert emit in ("full", "summary")
         assert engine in ("stub", "auto")
         self.max_pages = max_pages
@@ -130,6 +130,11 @@ class ExtractWorker:
             self.ocr = ocr_engine()
         else:
             self.ocr = None  # spec default (ocr_stub)
+        if fast:
+            # M10: 1600px cap before OCR (engines.fast_downscale_ocr);
+            # wrap resolves once per actor, like the engine itself
+            from .engines import fast_downscale_ocr
+            self.ocr = fast_downscale_ocr(self.ocr)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         names = set(batch.schema.names)

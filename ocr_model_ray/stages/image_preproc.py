@@ -218,6 +218,50 @@ def deskew(img: np.ndarray) -> np.ndarray:
     return rotate(img, -estimate_skew_angle(img))
 
 
+def _area_reduce_axis(img: np.ndarray, out_n: int, axis: int) -> np.ndarray:
+    """Exact pixel-area-weighted average along one axis (the
+    cv2.INTER_AREA downscale semantics): treat pixels as unit-width
+    constant segments, integrate over each output cell via the
+    piecewise-linear cumulative integral (np.interp — fully
+    vectorized), divide by cell width."""
+    a = np.moveaxis(np.asarray(img, dtype=np.float64), axis, 0)
+    n = a.shape[0]
+    flat = a.reshape(n, -1)
+    cs = np.concatenate([np.zeros((1, flat.shape[1])),
+                         np.cumsum(flat, axis=0)])
+    edges = np.linspace(0.0, float(n), out_n + 1)
+    # F at fractional edges: same index/weight vector for every column
+    idx = np.clip(np.floor(edges).astype(np.int64), 0, n - 1)
+    frac = edges - idx
+    f = cs[idx] + frac[:, None] * (cs[idx + 1] - cs[idx])
+    cell = (n / out_n)
+    out = (f[1:] - f[:-1]) / cell
+    return np.moveaxis(out.reshape((out_n,) + a.shape[1:]), 0, axis)
+
+
+def area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Downscale a 2-D (or 2-D + channel) uint8 image by exact area
+    averaging — cv2.INTER_AREA semantics, pure numpy. Intended for
+    downscaling; upscaling degenerates to box interpolation."""
+    out = _area_reduce_axis(img, out_h, 0)
+    out = _area_reduce_axis(out, out_w, 1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def downscale_max_dim(img: np.ndarray, target: int = 1600) -> np.ndarray:
+    """M10 fast-mode downscale (reference
+    worker/document_processor.py:406-424): when the longest side
+    exceeds ``target`` px, scale so it equals ``target`` (aspect
+    preserved, INTER_AREA averaging); smaller images pass through
+    untouched. Same rounding as the reference: int(dim * scale)."""
+    h, w = img.shape[:2]
+    max_dim = max(h, w)
+    if max_dim <= target:
+        return img
+    scale = target / float(max_dim)
+    return area_resize(img, int(h * scale), int(w * scale))
+
+
 def preprocess_image(img: np.ndarray) -> np.ndarray:
     """The full reference chain (image_preproc.py:17-26): denoise ->
     CLAHE contrast -> adaptive binarize -> small-noise removal ->

@@ -178,3 +178,38 @@ def test_ppstructure_adapter_normalization_and_guard():
     got = PPStructureAdapter.tables_from_regions(regions)
     assert got == [{"bbox": [1, 1, 5, 5], "confidence": 1.0},
                    {"bbox": [11, 2, 99, 50], "confidence": 0.75}]
+
+
+def test_onnx_table_detector_guard_and_output_mapping():
+    """A5: onnxruntime absent in this container -> clean RuntimeError;
+    the output mapper applies threshold > 0.5 and denormalizes against
+    the ORIGINAL page size with int() truncation
+    (table_detector.py:146-158)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ocr_model_ray.stages.engines import OnnxTableDetectorAdapter
+    assert OnnxTableDetectorAdapter.available() is False
+    with _pytest.raises(RuntimeError, match="onnxruntime not available"):
+        OnnxTableDetectorAdapter("/tmp/none.onnx")
+    dets = np.array([
+        [0.10, 0.20, 0.55, 0.80, 0.90],   # kept
+        [0.00, 0.00, 1.00, 1.00, 0.40],   # below threshold
+        [0.50, 0.10, 0.90, 0.30, 0.51],   # kept
+    ])
+    got = OnnxTableDetectorAdapter.tables_from_output(dets, width=1000,
+                                                      height=500)
+    assert got == [
+        {"bbox": [100, 100, 550, 400], "confidence": 0.9},
+        {"bbox": [500, 50, 900, 150], "confidence": 0.51}]
+
+
+def test_onnx_preprocess_shape_and_range():
+    import numpy as np
+
+    from ocr_model_ray.stages.engines import OnnxTableDetectorAdapter
+    img = np.random.RandomState(1).randint(
+        0, 255, (1200, 900, 3), dtype=np.uint8)
+    x = OnnxTableDetectorAdapter.preprocess(img)
+    assert x.shape == (1, 3, 800, 800) and x.dtype == np.float32
+    assert 0.0 <= float(x.min()) and float(x.max()) <= 1.0

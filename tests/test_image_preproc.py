@@ -87,3 +87,50 @@ def test_preproc_worker_dead_letters_without_pil():
         assert err is None or err
     else:
         assert "pillow" in err
+
+
+def test_area_resize_integer_block_mean():
+    """Exact 2x downscale must equal the 2x2 block mean (INTER_AREA
+    semantics)."""
+    from ocr_model_ray.stages.image_preproc import area_resize
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = area_resize(img, 2, 2)
+    want = np.rint(img.reshape(2, 2, 2, 2).mean(axis=(1, 3)))
+    assert (out == want).all()
+
+
+def test_area_resize_constant_and_mean_preserving():
+    from ocr_model_ray.stages.image_preproc import area_resize
+    c = np.full((37, 53), 77, dtype=np.uint8)
+    assert set(np.unique(area_resize(c, 10, 17))) == {77}
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (320, 240), dtype=np.uint8)
+    # area averaging conserves the integral up to rounding
+    assert abs(float(img.mean())
+               - float(area_resize(img, 32, 24).astype(float).mean())) < 1.0
+
+
+def test_downscale_max_dim_reference_semantics():
+    """M10 (document_processor.py:406-424): cap longest side at target
+    with int(dim*scale) rounding; smaller images pass through
+    UNTOUCHED (same object)."""
+    from ocr_model_ray.stages.image_preproc import downscale_max_dim
+    big = np.zeros((3200, 2400), dtype=np.uint8)
+    out = downscale_max_dim(big, target=1600)
+    assert out.shape == (1600, 1200)
+    wide = np.zeros((100, 4000), dtype=np.uint8)
+    out = downscale_max_dim(wide, target=1600)
+    assert out.shape == (int(100 * 1600 / 4000), 1600)
+    small = np.zeros((100, 80), dtype=np.uint8)
+    assert downscale_max_dim(small, target=1600) is small
+
+
+def test_fast_downscale_ocr_passthrough_without_pil():
+    """fast-mode OCR wrapper: without PIL the payload reaches the base
+    engine unchanged (the reference's except-fallback), and the wrapped
+    engine output equals the unwrapped one."""
+    from ocr_model_ray.stages.engines import fast_downscale_ocr
+    from ocr_model_ray.spec import ocr_stub
+    payload = b"\x89PNG\r\n\x1a\nnot really an image"
+    wrapped = fast_downscale_ocr(ocr_stub)
+    assert wrapped(payload) == ocr_stub(payload)
