@@ -435,7 +435,11 @@ def _emb_label_stats(sf_dir: str):
 
 def _emb_kmeans(sf_dir: str):
     from ocr_model_ray.functions.clustering import kmeans_cluster
-    return kmeans_cluster(_emb(sf_dir), k=8, iters=10)
+    # train_size bounds training to a driver-local sample (one corpus
+    # pass total — the assignment); >= the corpus here, so centroids
+    # are bit-identical to full distributed training (same int64-grid
+    # arithmetic) and the recorded goldens remain valid
+    return kmeans_cluster(_emb(sf_dir), k=8, iters=10, train_size=4096)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -57,15 +57,46 @@ def _init_centroids(ds: rd.Dataset, k: int, seed: int, sample_size: int,
     return train[pick].astype(np.float64)
 
 
+def _lloyd_update(cent: np.ndarray, agg_n: np.ndarray,
+                  agg_s: np.ndarray) -> None:
+    """Shared centroid update: int64-grid sums -> normalized float64
+    means; empty clusters keep their previous centroid."""
+    for c in range(len(cent)):
+        if agg_n[c] == 0:
+            continue
+        v = agg_s[c].astype(np.float64) / (_GRID * agg_n[c])
+        norm = np.linalg.norm(v)
+        if norm > 0:
+            cent[c] = v / norm
+
+
 def kmeans_fit(ds: rd.Dataset, k: int = 8, iters: int = 10, seed: int = 23,
                sample_size: int = 2048, vec_col: str = "embedding",
-               ) -> np.ndarray:
+               train_size: int | None = None) -> np.ndarray:
     """Train spherical k-means centroids; returns (k, d) float64.
 
-    One streaming partial-sum pass per iteration (see module header);
-    empty clusters keep their previous centroid.
+    ``train_size=None``: one streaming partial-sum pass per iteration
+    over the FULL corpus (see module header). ``train_size=N``: train
+    on a bounded deterministic ``limit(N)`` sample ON THE DRIVER — the
+    iterations cost O(N·d·k) matmuls instead of ``iters`` full corpus
+    passes; the single corpus-wide pass left is the assignment
+    (round-2 verdict fix #6). Both paths use the identical int64-grid
+    update arithmetic, so a ``train_size`` >= the corpus row count
+    reproduces the distributed training bit-exactly (pinned by test).
     """
     cent = _init_centroids(ds, k, seed, sample_size, vec_col)
+
+    if train_size is not None:
+        sample = ds.limit(train_size).to_pandas()
+        train = _normalize(_to_matrix(sample[vec_col]))
+        q = _quantize(train)
+        for _ in range(iters):
+            assign = (train @ cent.T).argmax(axis=1)
+            agg_s = np.zeros_like(cent, dtype=np.int64)
+            np.add.at(agg_s, assign, q)
+            agg_n = np.bincount(assign, minlength=len(cent)).astype(np.int64)
+            _lloyd_update(cent, agg_n, agg_s)
+        return cent
 
     for _ in range(iters):
         ref = ray.put(cent)
@@ -92,13 +123,7 @@ def kmeans_fit(ds: rd.Dataset, k: int = 8, iters: int = 10, seed: int = 23,
         for cl, n, s in zip(parts["cluster"], parts["n"], parts["sums"]):
             agg_n[cl] += int(n)
             agg_s[cl] += np.asarray(s, dtype=np.int64)
-        for c in range(len(cent)):
-            if agg_n[c] == 0:
-                continue
-            v = agg_s[c].astype(np.float64) / (_GRID * agg_n[c])
-            norm = np.linalg.norm(v)
-            if norm > 0:
-                cent[c] = v / norm
+        _lloyd_update(cent, agg_n, agg_s)
     return cent
 
 
@@ -130,10 +155,12 @@ def kmeans_assign(ds: rd.Dataset, cent: np.ndarray, id_col: str = "vec_id",
 def kmeans_cluster(ds: rd.Dataset, k: int = 8, iters: int = 10,
                    seed: int = 23, sample_size: int = 2048,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   round_to: int = 5) -> pd.DataFrame:
+                   round_to: int = 5,
+                   train_size: int | None = None) -> pd.DataFrame:
     """Fit + assign; returns the per-vector table sorted by id."""
     cent = kmeans_fit(ds, k=k, iters=iters, seed=seed,
-                      sample_size=sample_size, vec_col=vec_col)
+                      sample_size=sample_size, vec_col=vec_col,
+                      train_size=train_size)
     out = kmeans_assign(ds, cent, id_col=id_col, vec_col=vec_col,
                         round_to=round_to).to_pandas()
     return (out.sort_values(id_col).reset_index(drop=True)

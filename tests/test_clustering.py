@@ -83,3 +83,43 @@ def test_kmeans_empty_cluster_keeps_centroid():
     assert g[0] == g[1] == g[4]
     assert g[2] == g[3] == g[5]
     assert g[0] != g[2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_sample_training_covers_corpus_bit_exact():
+    """train_size >= corpus rows: the driver-local trainer must
+    reproduce the distributed partial-sum training BIT-exactly (same
+    int64-grid update arithmetic) — this is what keeps the recorded
+    emb_kmeans goldens valid after the round-3 train_size switch."""
+    import ray.data as rd
+    from ocr_model_ray.functions.clustering import kmeans_cluster
+
+    ds = rd.read_parquet(EMB, override_num_blocks=8)
+    full = kmeans_cluster(ds, k=8, iters=10)
+    sampled = kmeans_cluster(ds, k=8, iters=10, train_size=100_000)
+    pd.testing.assert_frame_equal(full, sampled)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_bounded_sample_quality():
+    """Training on a bounded sample of a clustered corpus keeps
+    assignment quality (mean cosine to centroid) within a small delta
+    of full-corpus training — the documented trade of the one-pass
+    plan."""
+    import ray.data as rd
+    from ocr_model_ray.functions.clustering import kmeans_cluster
+
+    rng = np.random.RandomState(5)
+    centers = rng.normal(size=(6, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for i in range(3000):
+        c = centers[i % 6]
+        v = c + rng.normal(scale=0.15, size=16)
+        vecs.append((v / np.linalg.norm(v)).tolist())
+    df = pd.DataFrame({"vec_id": np.arange(3000, dtype="int64"),
+                       "embedding": vecs})
+    ds = rd.from_pandas(df).repartition(6)
+    full = kmeans_cluster(ds, k=6, iters=8)
+    sampled = kmeans_cluster(ds, k=6, iters=8, train_size=600)
+    assert sampled["sim"].mean() >= full["sim"].mean() - 0.02
