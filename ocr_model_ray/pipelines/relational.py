@@ -708,6 +708,33 @@ def events_sliding_week(sf_dir: str) -> pd.DataFrame:
                          "n_week": pd.Series(out_n, dtype="int64")})
 
 
+def _bucketed_user_windows(ds: rd.Dataset, kernel,
+                           num_buckets: int = 32) -> rd.Dataset:
+    """Per-user window plumbing, vectorized (round-2 verdict fix #7):
+    ONE shuffle co-locates each user's events by hashing user_id into
+    ``num_buckets`` buckets, then ``kernel`` runs once per BUCKET — a
+    few dozen Python calls total instead of one per user — on a frame
+    sorted by (user_id, ts, event_id). The kernel computes its window
+    with user-boundary masks (shift/cumsum/groupby-ffill), so results
+    are identical to per-user groups; a skewed hot user costs one
+    bucket, never a reducer blow-up (the window itself is linear)."""
+    import numpy as np
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = (uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        b = pa.array((mixed % np.uint64(num_buckets)).astype(np.int32))
+        return t.append_column("__bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return kernel(g)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas"))
+
+
 def events_session_ids(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Per-event session assignment: session_idx = running count of
     >30-min gaps before this event within the user (1-based). The
@@ -716,14 +743,16 @@ def events_session_ids(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        new_session = (g["ts"].diff() > gap).astype("int64")
-        g = g.assign(session_idx=1 + new_session.cumsum())
-        return g[["event_id", "user_id", "session_idx"]]
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        brk = ((g["ts"].diff() > gap) & ~new_user).astype("int64")
+        s = brk.cumsum()
+        base = s.where(new_user).ffill()   # cumsum at the user's 1st row
+        return pd.DataFrame({
+            "event_id": g["event_id"], "user_id": g["user_id"],
+            "session_idx": (1 + s - base).astype("int64")})
 
-    out = ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas").to_pandas()
+    out = _bucketed_user_windows(ds, kernel).to_pandas()
     out["session_idx"] = out["session_idx"].astype("int64")
     return out.sort_values("event_id").reset_index(drop=True)
 
@@ -735,16 +764,16 @@ def events_value_delta(sf_dir: str) -> pd.DataFrame:
     emits NULL like LAG does."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        value_c = (g["value"] * 100).round().astype("int64")
-        delta_c = value_c.diff()
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        cents = (g["value"] * 100).round().astype("int64")
+        delta_c = cents.diff()
+        delta_c[new_user] = float("nan")   # LAG's NULL at user starts
         return pd.DataFrame({"event_id": g["event_id"],
                              "user_id": g["user_id"],
                              "value_delta": delta_c / 100.0})
 
-    out = ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas").to_pandas()
+    out = _bucketed_user_windows(ds, kernel).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -770,24 +799,21 @@ def order_price_median(sf_dir: str) -> pd.DataFrame:
 def events_asof_last_click(sf_dir: str, click_type: str = "click") -> pd.DataFrame:
     """As-of join (ray_guide pattern): for every event, the ts of the
     same user's most recent ``click_type`` event at-or-before it —
-    ``pd.merge_asof`` over sorted per-user groups inside map_groups.
-    Only events with a prior click are emitted (inner as-of)."""
+    a user-boundary-aware forward fill over the sorted bucket frame
+    (identical to per-user pd.merge_asof backward, which carries only
+    the ts). Only events with a prior click are emitted (inner
+    as-of)."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        clicks = g[g["event_type"] == click_type][["ts"]].rename(
-            columns={"ts": "last_click_ts"})
-        if clicks.empty:
-            return pd.DataFrame(columns=["event_id", "user_id", "ts",
-                                         "last_click_ts"])
-        joined = pd.merge_asof(g, clicks, left_on="ts",
-                               right_on="last_click_ts", direction="backward")
-        joined = joined[joined["last_click_ts"].notna()]
-        return joined[["event_id", "user_id", "ts", "last_click_ts"]]
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        lc = g["ts"].where(g["event_type"] == click_type)
+        filled = lc.groupby(g["user_id"], sort=False).ffill()
+        out = pd.DataFrame({"event_id": g["event_id"],
+                            "user_id": g["user_id"], "ts": g["ts"],
+                            "last_click_ts": filled})
+        return out[out["last_click_ts"].notna()]
 
-    out = ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas").to_pandas()
+    out = _bucketed_user_windows(ds, kernel).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 
