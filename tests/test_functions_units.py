@@ -793,3 +793,46 @@ def test_q4_bloom_path_equals_broadcast():
     bl = q4_priority_returned(sf, mode="bloom")
     pd.testing.assert_frame_equal(bc, bl)
     assert bc["order_count"].sum() > 0
+
+
+def test_simhash64_matches_independent_scalar_implementation():
+    """Round-2 verdict note #8: the committed simhash goldens are
+    engine-generated, so cross-check simhash64 against a second,
+    independently written SCALAR implementation of the same spec
+    (rolling polynomial over utf-8 byte k-grams mod 2^64, xor-shift
+    mix, majority bit vote). Catches vectorization bugs the golden pin
+    cannot."""
+    from ocr_model_ray.functions.text_stats import simhash64
+
+    def scalar_simhash(text: str, k: int = 3) -> int:
+        mask = (1 << 64) - 1
+        data = text.encode("utf-8")
+        if not data:
+            return 0
+        grams = ([data] if len(data) < k else
+                 [data[i:i + k] for i in range(len(data) - k + 1)])
+        votes = [0] * 64
+        for g in grams:
+            # polynomial sum_j byte[j] * base^(k-1-j), written directly
+            h = 0
+            for j, byte in enumerate(g):
+                h = (h + byte * pow(1099511628211, len(g) - 1 - j, 1 << 64)) & mask
+            h = ((h ^ (h >> 33)) * 0x9E3779B97F4A7C15) & mask
+            h ^= h >> 29
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        out = 0
+        for b in range(64):
+            if votes[b] > 0:
+                out |= 1 << b
+        return out
+
+    samples = [
+        "", "a", "ab", "abc",
+        "the quick brown fox jumps over the lazy dog",
+        "pangrams are useful for hashing tests " * 3,
+        "café naïve résumé — unicode bytes too",
+        "aaaaaaaaaaaaaaaaaaaaaaaa",
+    ]
+    for s in samples:
+        assert simhash64(s) == scalar_simhash(s), repr(s)
