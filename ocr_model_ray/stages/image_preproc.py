@@ -218,6 +218,86 @@ def deskew(img: np.ndarray) -> np.ndarray:
     return rotate(img, -estimate_skew_angle(img))
 
 
+def otsu_threshold(img: np.ndarray) -> int:
+    """Otsu's between-class-variance-maximizing global threshold
+    (cv2.THRESH_OTSU stand-in, straight from the histogram)."""
+    hist = np.bincount(img.ravel(), minlength=256).astype(np.float64)
+    w = hist.cumsum()
+    total = w[-1]
+    if total == 0:
+        return 127
+    mu = (hist * np.arange(256)).cumsum()
+    mu_t = mu[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # sigma_B^2(t) proportional to (mu_T w(t) - mu(t) N)^2 / (w (N-w))
+        between = (mu_t * w - mu * total) ** 2 / (w * (total - w))
+    between[~np.isfinite(between)] = -1.0
+    return int(np.argmax(between[:-1]))
+
+
+def estimate_skew_angle_projection(img: np.ndarray,
+                                   max_angle: float = 10.0,
+                                   steps: int = 100) -> float:
+    """Radon-projection skew estimate (M8 extra; reference
+    image_enhancer.py:139-156): Otsu-binarize inverse, dilate text
+    lines with a 5x1 vertical kernel, then over ``steps`` angles in
+    [-max_angle, max_angle) find the rotation maximizing the sum of
+    squared horizontal-projection bins — text lines aligned with the
+    projection axis concentrate mass into few bins, peaking the
+    sum-of-squares exactly like the reference's
+    ``sum(sinogram[:, i]**2)``. Projection computed directly from
+    dark-pixel coordinates (y' = y·cos θ − x·sin θ histogram), no
+    image resampling per angle — more robust than the covariance
+    method on sparse text."""
+    thr = otsu_threshold(img)
+    binary = (img <= thr)
+    # 5x1 vertical dilation (reference's np.ones((5,1)) kernel):
+    # OR of shifts -2..+2 along rows
+    d = binary.copy()
+    for s in (-2, -1, 1, 2):
+        shifted = np.zeros_like(binary)
+        if s > 0:
+            shifted[s:] = binary[:-s]
+        else:
+            shifted[:s] = binary[-s:]
+        d |= shifted
+    binary = d
+    ys, xs = np.nonzero(binary)
+    if len(ys) < 16:
+        return 0.0
+    y = ys.astype(np.float64)
+    x = xs.astype(np.float64)
+    thetas = np.linspace(-max_angle, max_angle, steps, endpoint=False)
+    best_theta, best_score = 0.0, -1.0
+    diag = int(np.ceil(np.hypot(img.shape[0], img.shape[1]))) + 2
+    for t in thetas:
+        rad = np.radians(t)
+        proj = y * np.cos(rad) - x * np.sin(rad)
+        hist = np.bincount(
+            np.clip(np.rint(proj).astype(np.int64) + diag, 0, 2 * diag),
+            minlength=2 * diag + 1)
+        score = float((hist.astype(np.float64) ** 2).sum())
+        if score > best_score:
+            best_score, best_theta = score, float(t)
+    return best_theta
+
+
+def deskew_projection(img: np.ndarray, min_angle: float = 0.5,
+                      max_correct: float = 20.0) -> np.ndarray:
+    """Projection-based deskew with the reference's gating
+    (image_enhancer.py:150-161): rotations under ``min_angle`` pass
+    through (likely not skewed); corrections are applied only when the
+    magnitude is in (min_angle, max_correct). Rotation keeps the input
+    canvas (replicated borders) — documented deviation from the
+    reference's canvas expansion, same convention as ``deskew``."""
+    rotation = estimate_skew_angle_projection(img)
+    if abs(rotation) < min_angle or abs(rotation) >= max_correct:
+        return img
+    # undo the measured rotation (an image skewed by rotate(img, +d)
+    # measures +d and must be rotated by -d — calibrated by test)
+    return rotate(img, -rotation)
+
+
 def _area_reduce_axis(img: np.ndarray, out_n: int, axis: int) -> np.ndarray:
     """Exact pixel-area-weighted average along one axis (the
     cv2.INTER_AREA downscale semantics): treat pixels as unit-width

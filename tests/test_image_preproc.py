@@ -134,3 +134,42 @@ def test_fast_downscale_ocr_passthrough_without_pil():
     payload = b"\x89PNG\r\n\x1a\nnot really an image"
     wrapped = fast_downscale_ocr(ocr_stub)
     assert wrapped(payload) == ocr_stub(payload)
+
+
+def test_otsu_threshold_separates_bimodal():
+    from ocr_model_ray.stages.image_preproc import otsu_threshold
+    rng = np.random.RandomState(4)
+    img = np.concatenate([rng.randint(10, 40, 5000),
+                          rng.randint(200, 240, 5000)]) \
+        .astype(np.uint8).reshape(100, 100)
+    t = otsu_threshold(img)
+    # threshold is inclusive for class 0 ([0..t]): anything from the
+    # low cluster's top (39) to below the high cluster separates
+    assert 39 <= t < 200
+
+
+def test_projection_deskew_recovers_known_rotation():
+    """M8 extra (image_enhancer.py:139-161): the Radon-projection
+    estimator must recover a known synthetic rotation of a lined page
+    to the search grid's resolution, and deskew_projection must undo
+    it; near-straight pages pass through UNTOUCHED (same object)."""
+    from ocr_model_ray.stages.image_preproc import (
+        deskew_projection, estimate_skew_angle_projection, rotate)
+    img = np.full((400, 600), 255, dtype=np.uint8)
+    for y in range(40, 360, 30):
+        img[y:y + 4, 40:560] = 0
+    for true_angle in (3.0, -4.2):
+        skewed = rotate(img, true_angle)
+        est = estimate_skew_angle_projection(skewed)
+        assert abs(est - true_angle) <= 0.25
+        fixed = deskew_projection(skewed)
+        assert abs(estimate_skew_angle_projection(fixed)) < 0.5
+    assert deskew_projection(img) is img
+
+
+def test_projection_deskew_gates_extreme_angles():
+    """Corrections outside (0.5, 20) degrees pass through — the
+    reference's significant-but-not-extreme gate."""
+    from ocr_model_ray.stages.image_preproc import deskew_projection
+    blank = np.full((50, 50), 255, dtype=np.uint8)
+    assert deskew_projection(blank) is blank
