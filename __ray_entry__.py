@@ -364,6 +364,11 @@ def _docs_top_tokens(sf_dir: str):
     return top_tokens(_docs(sf_dir), k=50)
 
 
+def _docs_heavy_hitters(sf_dir: str):
+    from ocr_model_ray.functions.corpus_stats import heavy_hitters
+    return heavy_hitters(_docs(sf_dir), phi=0.004)
+
+
 def _docs_vocab_size(sf_dir: str):
     from ocr_model_ray.functions.corpus_stats import vocab_size
     return vocab_size(_docs(sf_dir))
@@ -487,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": _docs_pii_scrub,
         "docs_normalize": _docs_normalize,
         "docs_top_tokens": _docs_top_tokens,
+        "docs_heavy_hitters": _docs_heavy_hitters,
         "docs_vocab_size": _docs_vocab_size,
         "docs_lang_id": _docs_lang_id,
         "docs_simhash": _docs_simhash,
@@ -1006,6 +1012,25 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY token)
             ORDER BY n DESC, token ASC
             LIMIT 50
+        """,
+        "docs_heavy_hitters": """
+            -- exact phi-heavy hitters (phi = 0.004): Misra-Gries is
+            -- only the candidate sketch; the engine's second pass
+            -- makes counts exact, so the oracle is a plain HAVING
+            WITH toks AS (SELECT unnest(regexp_split_to_array(text,
+                              '[ \\t\\n\\r\\f\\v]+')) AS token
+                          FROM documents),
+                 t2 AS (SELECT token FROM toks WHERE token <> ''),
+                 tot AS (SELECT count(*) AS n_total FROM t2)
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM t2, tot
+            GROUP BY token, n_total
+            -- CAST AS DOUBLE: a bare 0.004 is DECIMAL in DuckDB and
+            -- its exact product can ceil differently from the
+            -- engine's float64 math.ceil(phi * total)
+            HAVING count(*) >=
+                   CAST(ceil(CAST(0.004 AS DOUBLE) * n_total) AS BIGINT)
+            ORDER BY n DESC, token ASC
         """,
         "docs_vocab_size": """
             SELECT CAST(count(DISTINCT token) AS BIGINT)

@@ -310,3 +310,96 @@ def grouped_approx_quantiles(ds: rd.Dataset, group_col: str, col: str,
                     for q, est in _interp_quantiles(full, lo, w, qs))
     return (pd.DataFrame(rows, columns=[group_col, "q", "value_est"])
             .sort_values([group_col, "q"]).reset_index(drop=True))
+
+
+#: marker row carrying a batch's TOTAL token count through the heavy-
+#: hitter partials (the empty string can never be a real token: the
+#: counts block filters token <> '')
+_HH_TOTAL_KEY = ""
+
+
+def _mg_block(t: pa.Table, k: int, text_col: str) -> pa.Table:
+    """Per-batch Misra-Gries summary with k counters: exact batch
+    counts, minus the (k+1)-th largest count, positives kept (the
+    mergeable-summaries formulation — Agarwal et al., PODS'12: merged
+    pruned summaries undercount any token by at most total/(k+1), so
+    every token with true count >= total/(k+1) SURVIVES). One extra
+    row ('', batch_total) carries the denominator."""
+    g = _token_counts_block(t, text_col)
+    tok = g["token"].to_pandas()
+    n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(n.sum())
+    if len(n) > k:
+        sub = np.partition(n, len(n) - k - 1)[len(n) - k - 1]
+        keep = n - sub > 0
+        tok, n = tok[keep], n[keep] - sub
+    return pa.table({
+        "token": pa.array(list(tok) + [_HH_TOTAL_KEY], pa.string()),
+        "n": pa.array(list(n) + [total], pa.int64())})
+
+
+def heavy_hitters(ds: rd.Dataset, phi: float = 0.001,
+                  text_col: str = "text", mode: str = "auto"
+                  ) -> pd.DataFrame:
+    """EXACT phi-heavy hitters: every token whose count >=
+    ceil(phi * total_tokens), with exact counts — SQL-oracle-checkable
+    (HAVING count >= threshold), unlike a bare sketch.
+
+    Two passes, both streaming:
+
+    1. **Candidate sketch**: per-batch Misra-Gries summaries with
+       k = ceil(1/phi) counters (<= k+1 rows leave each block no
+       matter its vocabulary), summed via groupby (or in-process for
+       small reads), then pruned once more to k counters. The
+       mergeable-MG guarantee makes the surviving set a SUPERSET of
+       all true phi-heavy tokens; at most k candidates remain, so the
+       broadcast side is bounded by the parameter, never the corpus.
+    2. **Exact rescreen**: candidates broadcast into a second pass
+       that counts ONLY candidate tokens per batch (is_in filter
+       before the group_by), one tiny (token, n) reduce, then the
+       exact threshold filter — false positives drop, counts exact.
+
+    Returns (token, n) sorted n desc, token asc."""
+    import math
+
+    import ray
+
+    k = max(1, math.ceil(1.0 / phi))
+    partials = ds.map_batches(
+        lambda t: _mg_block(t, k, text_col), batch_format="pyarrow")
+    if _resolve_mode(ds, mode) == "local":
+        merged = (partials.to_pandas()
+                  .groupby("token", as_index=False)["n"].sum())
+    else:
+        from ray.data.aggregate import Sum
+        merged = (partials.groupby("token")
+                  .aggregate(Sum("n", alias_name="n")).to_pandas())
+    total = int(merged.loc[merged["token"] == _HH_TOTAL_KEY, "n"].sum())
+    cand = merged[merged["token"] != _HH_TOTAL_KEY]
+    if len(cand) > k:   # merged-summary prune back to k counters
+        sub = int(np.partition(cand["n"].to_numpy(),
+                               len(cand) - k - 1)[len(cand) - k - 1])
+        cand = cand[cand["n"] - sub > 0]
+    thr = max(1, math.ceil(phi * total))
+    if cand.empty or total == 0:
+        return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    cand_ref = ray.put(pa.array(sorted(cand["token"]), pa.string()))
+
+    def exact_block(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(t[text_col], WS_SPLIT))
+        tbl = pa.table({"token": flat})
+        tbl = tbl.filter(pc.is_in(tbl["token"],
+                                  value_set=ray.get(cand_ref)))
+        g = tbl.group_by("token").aggregate([([], "count_all")])
+        return g.select(["token", "count_all"]) \
+                .rename_columns(["token", "n"])
+
+    exact = (ds.map_batches(exact_block, batch_format="pyarrow")
+             .to_pandas().groupby("token", as_index=False)["n"].sum())
+    out = exact[exact["n"] >= thr]
+    out = out.sort_values(["n", "token"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out[["token", "n"]]

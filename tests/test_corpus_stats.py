@@ -111,3 +111,50 @@ def test_numeric_histogram_modes_clamp_and_zero_bins():
     want[0] += 1                                 # the NULL -> bin 0
     assert dist["n"].tolist() == want.tolist()
     assert dist["bin_lo"].tolist()[:3] == [0.0, 10.0, 20.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_exact_vs_bruteforce_and_guarantee():
+    """Misra-Gries candidates + exact rescreen must equal the
+    brute-force phi-heavy set with exact counts — including when the
+    per-batch counter budget is badly undersized relative to the
+    batch vocabulary (the sketch may only LOSE false positives, never
+    true heavy hitters)."""
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import heavy_hitters
+
+    rng = np.random.RandomState(13)
+    # heavy tokens with planted frequencies + a long rare tail
+    words = []
+    for i, reps in enumerate([400, 300, 200, 120, 80]):
+        words += [f"hot{i}"] * reps
+    words += [f"rare{i}" for i in range(3000)]
+    rng.shuffle(words)
+    docs = [" ".join(words[i::40]) for i in range(40)]
+    df = pd.DataFrame({"doc_id": np.arange(40), "text": docs})
+    ds = rd.from_pandas(df).repartition(8)
+
+    phi = 0.02   # total ~4100 -> threshold ~82
+    got = heavy_hitters(ds, phi=phi, mode="distributed")
+    # brute force
+    from collections import Counter
+    c = Counter(w for d in docs for w in d.split())
+    total = sum(c.values())
+    import math
+    thr = max(1, math.ceil(phi * total))
+    want = sorted(((t, n) for t, n in c.items() if n >= thr),
+                  key=lambda x: (-x[1], x[0]))
+    assert list(zip(got["token"], got["n"])) == want
+    assert len(want) >= 3   # fixture actually has heavy hitters
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_local_equals_distributed():
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import heavy_hitters
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["text"])
+    a = heavy_hitters(ds, phi=0.004, mode="local")
+    b = heavy_hitters(ds, phi=0.004, mode="distributed")
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
