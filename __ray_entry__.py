@@ -245,6 +245,14 @@ def _docs_sequence_pack(sf_dir: str):
     return sequence_pack(_docs(sf_dir), seq_len=256)
 
 
+def _docs_sequence_pack_by_source(sf_dir: str):
+    import ray.data as rd
+    from ocr_model_ray.functions.packing import grouped_sequence_pack
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"])
+    return grouped_sequence_pack(ds, group_col="source", seq_len=256)
+
+
 def _docs_repetition(sf_dir: str):
     from ocr_model_ray.functions.text_stats import repetition_batch
     return _docs(sf_dir).map_batches(repetition_batch, batch_format="pandas")
@@ -504,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_split": _docs_hash_split,
         "docs_decontaminate": _docs_decontaminate,
         "docs_sequence_pack": _docs_sequence_pack,
+        "docs_sequence_pack_by_source": _docs_sequence_pack_by_source,
         # embeddings: similarity search
         "emb_knn_bruteforce": _emb_knn,
         "emb_knn_lsh": _emb_knn_lsh,
@@ -951,6 +960,23 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                         AS BIGINT) AS cum_before,
                    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        // 256 AS BIGINT) AS seq_id
+            FROM t
+        """,
+        "docs_sequence_pack_by_source": """
+            WITH t AS (
+                SELECT source, doc_id,
+                       CAST(coalesce(len(regexp_extract_all(text, '\\S+')), 0)
+                            AS BIGINT) AS n_tokens
+                FROM documents)
+            SELECT source, doc_id, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS cum_before,
+                   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                         // 256 AS BIGINT) AS seq_id
             FROM t

@@ -122,3 +122,69 @@ def pack_summary(packed: pd.DataFrame, seq_len: int) -> pd.DataFrame:
     out = g.reset_index()
     out["seq_id"] = out["seq_id"].astype("int64")
     return out
+
+
+def grouped_sequence_pack(ds: rd.Dataset, group_col: str = "source",
+                          seq_len: int = 256, num_buckets: int = 64,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          ) -> rd.Dataset:
+    """Per-GROUP sequence packing (one independent token stream per
+    ``group_col`` value — e.g. pack each source/domain separately so a
+    training mixture can weight them): same two-pass prefix-sum shape
+    as ``sequence_pack``, with buckets keyed (group, id-range) and the
+    driver reduce holding one row per (group, bucket) — still
+    corpus-size-independent as long as group count x num_buckets fits
+    the driver (true for source/domain-grained groups; a high-card
+    group column belongs in sequence_pack after a partition-by-group
+    write). Output Dataset: (group_col, id, n_tokens, cum_before,
+    seq_id), cum_before/seq_id counted WITHIN the group."""
+    hi = ds.select_columns([id_col]).max(id_col)
+    if hi is None:
+        return rd.from_arrow(pa.table({
+            group_col: pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "cum_before": pa.array([], pa.int64()),
+            "seq_id": pa.array([], pa.int64())}))
+    span = max(1, (int(hi) + num_buckets) // num_buckets)
+
+    def counts_block(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select([group_col, id_col, text_col]).to_pandas()
+        n = df[text_col].str.strip().str.split().str.len() \
+            .fillna(0).astype("int64")
+        ids = df[id_col].astype("int64")
+        return pd.DataFrame({group_col: df[group_col], id_col: ids,
+                             "n_tokens": n, "bucket": ids // span})
+
+    counts = ds.map_batches(counts_block,
+                            batch_format="pyarrow").materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([group_col, "bucket"])["n_tokens"].sum()
+        out = g.reset_index()
+        out.columns = [group_col, "bucket", "tok"]
+        return out
+
+    parts = counts.map_batches(partial, batch_format="pandas").to_pandas()
+    totals = parts.groupby([group_col, "bucket"])["tok"].sum()
+    offsets = {}
+    for grp, sub in totals.groupby(level=0):
+        s = sub.droplevel(0).sort_index()
+        offsets[grp] = s.cumsum().shift(fill_value=0).to_dict()
+    ref = ray.put(offsets)
+
+    def scan(group: pd.DataFrame) -> pa.Table:
+        grp = group[group_col].iloc[0]
+        off = ray.get(ref)[grp][int(group["bucket"].iloc[0])]
+        g = group.sort_values(id_col, kind="mergesort")
+        cum = g["n_tokens"].cumsum().shift(fill_value=0) + off
+        return pa.table({
+            group_col: pa.array(g[group_col].astype(str)),
+            id_col: pa.array(g[id_col].to_numpy(dtype=np.int64)),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(dtype=np.int64)),
+            "cum_before": pa.array(cum.to_numpy().astype(np.int64)),
+            "seq_id": pa.array((cum.to_numpy() // seq_len)
+                               .astype(np.int64))})
+
+    return counts.groupby([group_col, "bucket"]).map_groups(
+        scan, batch_format="pandas")

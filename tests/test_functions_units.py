@@ -836,3 +836,30 @@ def test_simhash64_matches_independent_scalar_implementation():
     ]
     for s in samples:
         assert simhash64(s) == scalar_simhash(s), repr(s)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_sequence_pack_independent_streams():
+    """Per-group packing: each group's prefix sum restarts at 0 and
+    matches running sequence_pack on that group's rows alone,
+    regardless of block layout."""
+    import ray.data as rd
+    from ocr_model_ray.functions.packing import (grouped_sequence_pack,
+                                                 sequence_pack)
+    rng = np.random.RandomState(21)
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(400),
+        "source": [f"s{i % 3}" for i in range(400)],
+        "text": [" ".join(["w"] * int(n))
+                 for n in rng.randint(0, 30, 400)]})
+    out = grouped_sequence_pack(
+        rd.from_pandas(df).repartition(7), group_col="source",
+        seq_len=16, num_buckets=8).to_pandas()
+    for src in ("s0", "s1", "s2"):
+        sub = df[df["source"] == src][["doc_id", "text"]]
+        want = sequence_pack(rd.from_pandas(sub), seq_len=16,
+                             num_buckets=8).to_pandas()
+        got = (out[out["source"] == src]
+               .drop(columns="source").sort_values("doc_id")
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
