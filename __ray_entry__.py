@@ -476,6 +476,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantiles_by_flag": _lineitem_quantiles_by_flag,
         "docs_sample_per_lang": _docs_sample_per_lang,
         "q19_bracket_revenue": rel.q19_bracket_revenue,
+        "q18_large_orders": rel.q18_large_orders,
+        "q22_idle_rich_customers": rel.q22_idle_rich_customers,
+        "q15_top_supplier": rel.q15_top_supplier,
         "nation_customer_counts": rel.nation_customer_counts,
         "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
         "region_nation_union_count": rel.region_nation_union_count,
@@ -741,6 +744,54 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE p_brand = 'Brand#12' AND p_size <= 15
               AND l_quantity BETWEEN 5 AND 30
+        """,
+        "q18_large_orders": """
+            -- quantities sum on the 1e-2 int grid, same as the engine
+            WITH heavy AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
+                            AS BIGINT) AS qty_c
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(round(l_quantity*100) AS BIGINT)) > 30000)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, qty_c / 100.0 AS sum_qty
+            FROM heavy
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+            LIMIT 100
+        """,
+        "q22_idle_rich_customers": """
+            -- integer cross-multiply (bal_c * n > sum_c) instead of a
+            -- float AVG compare: bit-identical to the engine's grid
+            WITH stats AS (
+                SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT))
+                            AS BIGINT) AS s,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM customer WHERE c_acctbal > 0),
+            cand AS (
+                SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                       CAST(round(c_acctbal*100) AS BIGINT) AS bal_c
+                FROM customer, stats
+                WHERE CAST(round(c_acctbal*100) AS BIGINT) * n > s
+                  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                        WHERE o_orderstatus = 'O'))
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+                   CAST(sum(bal_c) AS BIGINT) / 100.0 AS total_acctbal
+            FROM cand GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "q15_top_supplier": f"""
+            WITH r AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(sum({_REV_C}) AS BIGINT) AS rev_c
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, rev_c / 10000.0 AS total_rev
+            FROM r JOIN supplier USING (s_suppkey)
+            WHERE rev_c = (SELECT max(rev_c) FROM r)
+            ORDER BY s_suppkey
         """,
         "nation_customer_counts": """
             SELECT n_name, count(*) AS n_customers

@@ -931,3 +931,160 @@ def q19_bracket_revenue(sf_dir: str, brand: str = "Brand#12",
     agg = (line.map_batches(partial, batch_format="pyarrow")
            .aggregate(Sum("rev_c", alias_name="rev_c")))
     return pd.DataFrame({"revenue": [int(agg["rev_c"]) / 10000.0]})
+
+
+def q18_large_orders(sf_dir: str, qty_threshold: int = 300,
+                     k: int = 100) -> pd.DataFrame:
+    """TPC-H Q18 shape (HAVING over a fact aggregate + two joins):
+    orders whose total lineitem quantity exceeds the threshold, with
+    customer names, top-k by totalprice. The per-order quantity sums
+    complete in ONE distributed groupby (per-batch partials first);
+    the HAVING filter runs inside Ray so only the few heavy orders —
+    a result-sized set, not the order table — reach the driver and
+    broadcast into the orders scan. Quantities sum on the 1e-2 int
+    grid (exact; testdata quantities are integral doubles)."""
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"],
+                 num_blocks=16)
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = (pa.table({"l_orderkey": t["l_orderkey"],
+                       "qty_c": _cents(t["l_quantity"])})
+             .group_by("l_orderkey").aggregate([("qty_c", "sum")]))
+        return g.rename_columns(["l_orderkey", "qty_c"])
+
+    from ray.data.aggregate import Sum
+    thr_c = qty_threshold * 100
+    heavy = (line.map_batches(prep, batch_format="pyarrow")
+             .groupby("l_orderkey")
+             .aggregate(Sum("qty_c", alias_name="qty_c"))
+             .map_batches(lambda t: t.filter(pc.greater(t["qty_c"], thr_c)),
+                          batch_format="pyarrow")
+             .to_pandas())
+    if heavy.empty:
+        return pd.DataFrame({
+            "c_name": pd.Series([], dtype="object"),
+            "c_custkey": pd.Series([], dtype="int64"),
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_totalprice": pd.Series([], dtype="float64"),
+            "sum_qty": pd.Series([], dtype="float64")})
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+                   num_blocks=8)
+    joined = broadcast_join(
+        orders, heavy.rename(columns={"l_orderkey": "o_orderkey"}),
+        on="o_orderkey").to_pandas()
+    import pyarrow.parquet as pq
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"]).to_pandas()
+    out = joined.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["sum_qty"] = out["qty_c"].astype("int64") / 100.0
+    out = (out.sort_values(["o_totalprice", "o_orderdate", "o_orderkey"],
+                           ascending=[False, True, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]]
+
+
+def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape (scalar subquery + anti-join): per nation, count
+    and total balance of customers whose balance beats the global
+    positive-balance AVERAGE and who have NO OPEN ('O') orders. The
+    average compare is integer-exact: bal_c * n > sum_c
+    cross-multiplies on the cents grid, so engine and SQL agree
+    bitwise with no float division. The open-order custkey set
+    broadcasts (dim-sized; swap joins.bloom_from_dataset + exact
+    rescreen above the size cut, as q4 does, when it outgrows the
+    driver)."""
+    import ray
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"], num_blocks=8)
+
+    def stat(t: pa.Table) -> pa.Table:
+        bal_c = _cents(t["c_acctbal"])
+        pos = pc.filter(bal_c, pc.greater(t["c_acctbal"], 0.0))
+        return pa.table({"s": pa.array([pc.sum(pos).as_py() or 0], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    stats = (cust.map_batches(stat, batch_format="pyarrow")
+             .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    s, n = int(stats["s"]), int(stats["n"])
+
+    import pyarrow.dataset as pads
+    orders = _read(sf_dir, "orders", ["o_custkey"], num_blocks=8,
+                   filter=pads.field("o_orderstatus") == "O")
+
+    def distinct_cust(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["o_custkey"].unique()})
+
+    okeys = (orders.map_batches(distinct_cust, batch_format="pyarrow")
+             .to_pandas()["o_custkey"].unique())
+    ref = ray.put(pa.array(sorted(okeys), pa.int64()))
+
+    def pick(t: pa.Table) -> pa.Table:
+        bal_c = _cents(t["c_acctbal"])
+        rich = pc.greater(pc.multiply(bal_c, pa.scalar(n, pa.int64())),
+                          pa.scalar(s, pa.int64()))
+        idle = pc.invert(pc.is_in(t["c_custkey"], value_set=ray.get(ref)))
+        keep = pc.and_(rich, idle)
+        kept = pa.table({"c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                         "bal_c": bal_c}).filter(keep)
+        g = kept.group_by("c_nationkey").aggregate(
+            [("bal_c", "sum"), ("bal_c", "count")])
+        # select by NAME: pyarrow's key/aggregate column order varies
+        # between releases (same trap as joins.salted_group_count)
+        return g.select(["c_nationkey", "bal_c_sum", "bal_c_count"]) \
+                .rename_columns(["c_nationkey", "bal_c", "n_custs"])
+
+    collected = cust.map_batches(pick, batch_format="pyarrow").to_pandas()
+    if collected.empty:
+        # all-empty blocks can collapse to a column-less frame
+        return pd.DataFrame({
+            "c_nationkey": pd.Series([], dtype="int64"),
+            "n_custs": pd.Series([], dtype="int64"),
+            "total_acctbal": pd.Series([], dtype="float64")})
+    merged = (collected.groupby("c_nationkey", as_index=False)
+              .agg(n_custs=("n_custs", "sum"), bal_c=("bal_c", "sum")))
+    merged["n_custs"] = merged["n_custs"].astype("int64")
+    merged["total_acctbal"] = merged["bal_c"].astype("int64") / 100.0
+    return (merged[["c_nationkey", "n_custs", "total_acctbal"]]
+            .sort_values("c_nationkey").reset_index(drop=True))
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape (aggregate joined against its own max): revenue
+    per supplier over one quarter, keep the supplier(s) equal to the
+    max. Per-batch partials by suppkey, one small groupby (supplier
+    cardinality), max + filter on the driver over the dim-sized
+    aggregate, name lookup broadcast."""
+    import pyarrow.dataset as pads
+    expr = ((pads.field("l_shipdate") >= pd.Timestamp("1996-01-01"))
+            & (pads.field("l_shipdate") < pd.Timestamp("1996-04-01")))
+    line = _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount"],
+                 num_blocks=16, filter=expr)
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = (pa.table({"s_suppkey": t["l_suppkey"],
+                       "rev_c": _disc_rev_cents(t)})
+             .group_by("s_suppkey").aggregate([("rev_c", "sum")]))
+        return g.rename_columns(["s_suppkey", "rev_c"])
+
+    from ray.data.aggregate import Sum
+    per_supp = (line.map_batches(prep, batch_format="pyarrow")
+                .groupby("s_suppkey")
+                .aggregate(Sum("rev_c", alias_name="rev_c")).to_pandas())
+    if per_supp.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="object"),
+                             "total_rev": pd.Series([], dtype="float64")})
+    best = per_supp[per_supp["rev_c"] == per_supp["rev_c"].max()]
+    import pyarrow.parquet as pq
+    sup = pq.read_table(_pq(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(sup, on="s_suppkey")
+    out["total_rev"] = out["rev_c"].astype("int64") / 10000.0
+    return (out[["s_suppkey", "s_name", "total_rev"]]
+            .sort_values("s_suppkey").reset_index(drop=True)
+            .astype({"s_suppkey": "int64"}))
