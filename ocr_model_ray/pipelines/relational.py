@@ -660,21 +660,44 @@ def events_daily(sf_dir: str) -> pd.DataFrame:
 
 
 def events_user_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-user panel: one bucket shuffle co-locates users, then a
+    single vectorized pandas groupby per BUCKET (round-2 verdict note
+    #5 — the old per-user map_groups paid one Python call per user).
+    Exact-cents sum: associative int addition, /100.0 matches the
+    oracle's identical integer expression bit-for-bit."""
     ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        # exact-cents sum: associative int addition, /100.0 matches the
-        # oracle's identical integer expression bit-for-bit
-        value_c = int((g["value"] * 100).round().astype("int64").sum())
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_events": [len(g)],
-            "n_types": [g["event_type"].nunique()],
-            "sum_value": [value_c / 100.0],
-        })
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(value_c=(g["value"] * 100).round().astype("int64"))
+        out = g.groupby("user_id", sort=False).agg(
+            n_events=("value_c", "size"),
+            n_types=("event_type", "nunique"),
+            value_c=("value_c", "sum")).reset_index()
+        out["sum_value"] = out["value_c"].astype("int64") / 100.0
+        return out[["user_id", "n_events", "n_types", "sum_value"]]
 
-    return ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas").to_pandas()
+    return _bucketed_user_stats(ds, kernel).to_pandas()
+
+
+def _bucketed_user_stats(ds: rd.Dataset, kernel,
+                         num_buckets: int = 32) -> rd.Dataset:
+    """Like _bucketed_user_windows but without the (ts, event_id) sort
+    — for per-user AGGREGATES where row order inside the user doesn't
+    matter."""
+    import numpy as np
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mixed = (uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        b = pa.array((mixed % np.uint64(num_buckets)).astype(np.int32))
+        return t.append_column("__bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return kernel(g.drop(columns="__bucket"))
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas"))
 
 
 def events_sliding_week(sf_dir: str) -> pd.DataFrame:
@@ -727,7 +750,8 @@ def _bucketed_user_windows(ds: rd.Dataset, kernel,
         return t.append_column("__bucket", b)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        keys = [c for c in ("user_id", "ts", "event_id") if c in g.columns]
+        g = g.sort_values(keys, kind="mergesort")
         return kernel(g)
 
     return (ds.map_batches(tag, batch_format="pyarrow")
@@ -823,15 +847,18 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        n_sessions = int(1 + (ts.diff() > gap).sum()) if len(ts) else 0
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [n_sessions],
-                             "n_events": [len(g)]})
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket frame arrives (user_id, ts)-sorted; gap breaks at user
+        # boundaries are masked out, then one vectorized groupby-agg
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        brk = ((g["ts"].diff() > gap) & ~new_user).astype("int64")
+        g = g.assign(brk=brk)
+        out = g.groupby("user_id", sort=False).agg(
+            n_breaks=("brk", "sum"), n_events=("brk", "size")).reset_index()
+        out["n_sessions"] = (out["n_breaks"] + 1).astype("int64")
+        return out[["user_id", "n_sessions", "n_events"]]
 
-    return ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas").to_pandas()
+    return _bucketed_user_windows(ds, kernel).to_pandas()
 
 
 def q4_priority_returned(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
@@ -954,12 +981,21 @@ def q18_large_orders(sf_dir: str, qty_threshold: int = 300,
 
     from ray.data.aggregate import Sum
     thr_c = qty_threshold * 100
-    heavy = (line.map_batches(prep, batch_format="pyarrow")
-             .groupby("l_orderkey")
-             .aggregate(Sum("qty_c", alias_name="qty_c"))
-             .map_batches(lambda t: t.filter(pc.greater(t["qty_c"], thr_c)),
-                          batch_format="pyarrow")
-             .to_pandas())
+    partials = line.map_batches(prep, batch_format="pyarrow")
+    if _join_mode(sf_dir, "lineitem") == "local":
+        # small input: finish the per-order sums in-process (partials
+        # are already per-batch combined) — skips the sort-shuffle's
+        # fixed seconds, identical int64 sums
+        agg = (partials.to_pandas()
+               .groupby("l_orderkey", as_index=False)["qty_c"].sum())
+        heavy = agg[agg["qty_c"] > thr_c]
+    else:
+        heavy = (partials.groupby("l_orderkey")
+                 .aggregate(Sum("qty_c", alias_name="qty_c"))
+                 .map_batches(
+                     lambda t: t.filter(pc.greater(t["qty_c"], thr_c)),
+                     batch_format="pyarrow")
+                 .to_pandas())
     if heavy.empty:
         return pd.DataFrame({
             "c_name": pd.Series([], dtype="object"),

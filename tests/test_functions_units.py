@@ -863,3 +863,14 @@ def test_grouped_sequence_pack_independent_streams():
                .drop(columns="source").sort_values("doc_id")
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q18_local_plan_equals_distributed(monkeypatch):
+    from ocr_model_ray.pipelines import relational as rel
+    sf = "/root/testdata/sf0.001"
+    local = rel.q18_large_orders(sf)
+    monkeypatch.setattr(rel, "_join_mode", lambda *a: "distributed")
+    dist = rel.q18_large_orders(sf)
+    pd.testing.assert_frame_equal(local, dist)
+    assert len(local) > 0
