@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_per_lang": _docs_sample_per_lang,
         "q19_bracket_revenue": rel.q19_bracket_revenue,
         "q18_large_orders": rel.q18_large_orders,
+        "events_type_pivot": rel.events_type_pivot,
         "q22_idle_rich_customers": rel.q22_idle_rich_customers,
         "q15_top_supplier": rel.q15_top_supplier,
         "nation_customer_counts": rel.nation_customer_counts,
@@ -744,6 +745,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE p_brand = 'Brand#12' AND p_size <= 15
               AND l_quantity BETWEEN 5 AND 30
+        """,
+        "events_type_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "q18_large_orders": """
             -- quantities sum on the 1e-2 int grid, same as the engine

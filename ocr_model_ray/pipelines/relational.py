@@ -1124,3 +1124,38 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
     return (out[["s_suppkey", "s_name", "total_rev"]]
             .sort_values("s_suppkey").reset_index(drop=True)
             .astype({"s_suppkey": "int64"}))
+
+
+#: fixed event-type domain of the testdata events table
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot (long -> wide) via conditional aggregation: one count
+    column per event type, per user. The pivot happens INSIDE the
+    per-batch partial (5 boolean-sum columns), so the shuffle carries
+    one row per (user, batch) with 5 ints — never the long table —
+    and the final groupby is a plain distributive Sum per column.
+    The column domain is declared (EVENT_TYPES), as any scale pivot
+    must be: discovering columns from data would need an extra pass."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"], num_blocks=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for et in EVENT_TYPES:
+            cols[f"n_{et}"] = pc.cast(
+                pc.equal(t["event_type"], et), pa.int64())
+        g = pa.table(cols).group_by("user_id").aggregate(
+            [(f"n_{et}", "sum") for et in EVENT_TYPES])
+        return g.select(["user_id"] + [f"n_{et}_sum" for et in EVENT_TYPES]) \
+                .rename_columns(["user_id"] + [f"n_{et}" for et in EVENT_TYPES])
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(*[Sum(f"n_{et}", alias_name=f"n_{et}")
+                        for et in EVENT_TYPES])
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    for et in EVENT_TYPES:
+        out[f"n_{et}"] = out[f"n_{et}"].astype("int64")
+    return out
