@@ -455,6 +455,11 @@ def _emb_kmeans(sf_dir: str):
     return kmeans_cluster(_emb(sf_dir), k=8, iters=10, train_size=4096)
 
 
+def _emb_kmeans_summary(sf_dir: str):
+    from ocr_model_ray.functions.clustering import kmeans_summary
+    return kmeans_summary(_emb_kmeans(sf_dir), k=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_model_ray.pipelines import relational as rel
     return {
@@ -524,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_stats": _emb_label_stats,
         "emb_near_dup": _emb_near_dup,
         "emb_kmeans": _emb_kmeans,
+        "emb_kmeans_summary": _emb_kmeans_summary,
         # extraction flagship (pages fixture corpus; non-SQL -> rows-only)
         "extract_flagship": _extract_flagship,
         "extract_rows": _extract_rows,
@@ -1316,6 +1322,23 @@ def oracle_sql() -> dict[str, str]:
         # per-sf like the ANN queries above
         "emb_kmeans": _sf_branch_golden_sql(
             "vec_id, cluster, sim", "emb_kmeans"),
+        # per-cluster rollup over the same recorded assignment; sims
+        # are 5-dp so they sum exactly on the 1e-5 int grid (same
+        # expression as clustering.kmeans_summary, bit-identical)
+        "emb_kmeans_summary": f"""
+            WITH a AS ({_sf_branch_golden_sql(
+                "vec_id, cluster, sim", "emb_kmeans")}),
+            g AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors,
+                         round(sum(CAST(round(sim*100000) AS BIGINT))
+                               / 100000.0 / count(*), 5) AS avg_sim
+                  FROM a GROUP BY cluster)
+            SELECT c.cluster, CAST(coalesce(g.n_vectors, 0) AS BIGINT)
+                       AS n_vectors,
+                   coalesce(g.avg_sim, 0.0) AS avg_sim
+            FROM (SELECT unnest(range(0, 8)) AS cluster) c
+            LEFT JOIN g USING (cluster)
+            ORDER BY c.cluster
+        """,
         "emb_near_dup": """
             -- double-precision lambda cosine (list_cosine_similarity is
             -- float32 in DuckDB 1.0); threshold margins in the testdata

@@ -170,15 +170,20 @@ def kmeans_cluster(ds: rd.Dataset, k: int = 8, iters: int = 10,
 def kmeans_summary(assigned: pd.DataFrame, k: int) -> pd.DataFrame:
     """Per-cluster (cluster, n_vectors, avg_sim) over an assignment
     table — avg_sim (mean cosine-to-centroid) is the spherical
-    analogue of inertia: higher = tighter cluster."""
-    g = assigned.groupby("cluster").agg(
-        n_vectors=("sim", "size"), sum_sim=("sim", "sum"))
+    analogue of inertia: higher = tighter cluster. Sims are 5-dp by
+    construction, so they sum EXACTLY on the 1e-5 int grid — the mean
+    is order-independent and bit-identical to the SQL twin's identical
+    integer expression."""
+    sim_c = (assigned["sim"] * 100000).round().astype("int64")
+    g = assigned.assign(sim_c=sim_c).groupby("cluster").agg(
+        n_vectors=("sim_c", "size"), sum_c=("sim_c", "sum"))
     g = g.reindex(range(k), fill_value=0)
     out = g.reset_index()
     with np.errstate(invalid="ignore"):
         out["avg_sim"] = np.where(
             out["n_vectors"] > 0,
-            (out["sum_sim"] / out["n_vectors"]).round(5), 0.0)
+            ((out["sum_c"].astype("int64") / 100000.0)
+             / out["n_vectors"]).round(5), 0.0)
     out["cluster"] = out["cluster"].astype("int64")
     out["n_vectors"] = out["n_vectors"].astype("int64")
     return out[["cluster", "n_vectors", "avg_sim"]]
