@@ -258,6 +258,45 @@ def _docs_repetition(sf_dir: str):
     return _docs(sf_dir).map_batches(repetition_batch, batch_format="pandas")
 
 
+def _extract_source_panel(sf_dir: str):
+    """Per-source extraction panel over the Common-Crawl-shaped corpus:
+    group the extracted summary by the url's first path segment (the
+    fixture's source kind — docx/dup-content/html/...), int-exact
+    aggregates only (counts and int sums — no float averaging to
+    diverge from SQL). Per-batch partials, one tiny grouped sum."""
+    import pandas as pd
+    import pyarrow as pa
+    from ocr_model_ray.pipelines.extract_pipeline import (
+        ExtractConfig, extract_pipeline)
+
+    ds = extract_pipeline(_fixture_dir(_tier_for(sf_dir)),
+                          ExtractConfig(emit="summary"))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["url", "word_count", "char_count", "error"]) \
+              .to_pandas()
+        seg = df["url"].str.extract(r"^https?://[^/]+/([^/]+)",
+                                    expand=False).fillna("")
+        df = df.assign(source_kind=seg,
+                       is_err=df["error"].notna().astype("int64"))
+        g = df.groupby("source_kind", as_index=False).agg(
+            n_docs=("source_kind", "size"),
+            total_words=("word_count", "sum"),
+            total_chars=("char_count", "sum"),
+            n_errors=("is_err", "sum"))
+        return g
+
+    out = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby("source_kind", as_index=False)
+           .agg(n_docs=("n_docs", "sum"), total_words=("total_words", "sum"),
+                total_chars=("total_chars", "sum"),
+                n_errors=("n_errors", "sum"))
+           .sort_values("source_kind").reset_index(drop=True))
+    for c in ("n_docs", "total_words", "total_chars", "n_errors"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _docs_source_stats(sf_dir: str):
     """Per-source corpus panel (the one documents column nothing else
     reads): doc count, total whitespace tokens, mean char length.
@@ -537,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_lang_id": _extract_lang_id,
         "extract_needs_review": _extract_needs_review,
         "extract_captures_panel": _extract_captures_panel,
+        "extract_source_panel": _extract_source_panel,
     }
 
 
@@ -1248,6 +1288,19 @@ def oracle_sql() -> dict[str, str]:
         # extraction flagship: committed per-tier goldens (parity with
         # the reference pinned by the golden suite; the oracle makes the
         # driver's rows+schema+hash gate real for these pipelines)
+        "extract_source_panel": f"""
+            WITH x AS ({_tiered_golden_sql(
+                "url, word_count, char_count, error",
+                "extracted.parquet")})
+            SELECT regexp_extract(url, '^https?://[^/]+/([^/]+)', 1)
+                       AS source_kind,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(word_count) AS BIGINT) AS total_words,
+                   CAST(sum(char_count) AS BIGINT) AS total_chars,
+                   CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_errors
+            FROM x GROUP BY source_kind ORDER BY source_kind
+        """,
         "extract_flagship": _tiered_golden_sql(
             "url, content_hash, mime, doc_kind, extracted_text, n_pages, "
             "confidence, word_count, char_count, table_count, region_count, "
