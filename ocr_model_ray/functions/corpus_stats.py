@@ -403,3 +403,101 @@ def heavy_hitters(ds: rd.Dataset, phi: float = 0.001,
                           kind="mergesort").reset_index(drop=True)
     out["n"] = out["n"].astype("int64")
     return out[["token", "n"]]
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — point frequency
+# estimates: the sketch family's fourth member (HLL = distinct count,
+# Misra-Gries = heavy-hitter candidates, histogram = quantiles, CMS =
+# per-item frequency upper bounds). depth x width int64 counters per
+# block, elementwise-SUM combine (associative + commutative, so Ray's
+# tree combine is exact); estimate(token) = min over rows — always an
+# UPPER bound on the true count, over by at most total/width per row
+# w.p. >= 1 - 2^-depth.
+# ---------------------------------------------------------------------------
+CMS_WIDTH = 2048
+CMS_DEPTH = 4
+#: odd multipliers for the d row-hash mixes (splitmix-style)
+_CMS_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                     0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5],
+                    dtype=np.uint64)
+
+
+def cms_fold(hashes: np.ndarray, rows: np.ndarray | None = None,
+             width: int = CMS_WIDTH, depth: int = CMS_DEPTH) -> np.ndarray:
+    """Fold uint64 item hashes into a (depth, width) counter matrix."""
+    if rows is None:
+        rows = np.zeros((depth, width), dtype=np.int64)
+    if hashes.size == 0:
+        return rows
+    with np.errstate(over="ignore"):
+        for d in range(depth):
+            mixed = hashes * _CMS_MIX[d]
+            mixed ^= mixed >> np.uint64(29)
+            idx = (mixed % np.uint64(width)).astype(np.int64)
+            np.add.at(rows[d], idx, 1)
+    return rows
+
+
+def cms_estimate(rows: np.ndarray, token_hashes: np.ndarray,
+                 width: int = CMS_WIDTH) -> np.ndarray:
+    """Point estimates (min over depth rows) for each queried hash."""
+    depth = rows.shape[0]
+    est = np.full(len(token_hashes), np.iinfo(np.int64).max, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for d in range(depth):
+            mixed = token_hashes * _CMS_MIX[d]
+            mixed ^= mixed >> np.uint64(29)
+            idx = (mixed % np.uint64(width)).astype(np.int64)
+            est = np.minimum(est, rows[d][idx])
+    return est
+
+
+def token_hashes(tokens) -> np.ndarray:
+    """Deterministic cross-process token hashes (same keyed hash the
+    HLL sketch uses, so one tokenize pass can feed both sketches)."""
+    arr = np.asarray(list(tokens), dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(arr)
+
+
+if HllVocab is not None:
+    from ray.data.aggregate import AggregateFnV2
+
+    class CmsTokenCounts(AggregateFnV2):
+        """Distributed CMS over a text column's tokens: 64 KB
+        accumulator per block, elementwise-sum combine, raw counter
+        matrix on finalize (query it with cms_estimate)."""
+
+        def __init__(self, text_col: str = "text",
+                     name: str = "cms") -> None:
+            self._text_col = text_col
+            super().__init__(
+                name,
+                zero_factory=lambda: np.zeros((CMS_DEPTH, CMS_WIDTH),
+                                              np.int64),
+                on=None, ignore_nulls=True)
+
+        def aggregate_block(self, block):
+            if isinstance(block, pd.DataFrame):
+                block = pa.Table.from_pandas(block)
+            return cms_fold(_token_hashes_block(block, self._text_col))
+
+        def combine(self, current_accumulator, new):
+            return current_accumulator + new
+
+        def finalize(self, accumulator):
+            return accumulator
+else:
+    CmsTokenCounts = None
+
+
+def cms_token_counts(ds: rd.Dataset, text_col: str = "text") -> np.ndarray:
+    """One-pass distributed CMS build: the whole corpus reduces to a
+    64 KB counter matrix regardless of vocabulary size."""
+    if CmsTokenCounts is None:
+        raise NotImplementedError(
+            "ray.data.aggregate.AggregateFnV2 required")
+    out = ds.aggregate(CmsTokenCounts(text_col=text_col))
+    return out["cms"]

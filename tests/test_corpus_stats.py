@@ -158,3 +158,45 @@ def test_heavy_hitters_local_equals_distributed():
     b = heavy_hitters(ds, phi=0.004, mode="distributed")
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_cms_upper_bound_and_error():
+    """CMS estimates are ALWAYS >= the true count, and within the
+    total/width bound for a corpus far below saturation."""
+    from ocr_model_ray.functions.corpus_stats import (
+        CMS_WIDTH, cms_estimate, cms_fold, token_hashes)
+    rng = np.random.RandomState(3)
+    toks = (["hot"] * 500 + ["warm"] * 120
+            + [f"t{i}" for i in rng.randint(0, 4000, 6000)])
+    h = token_hashes(toks)
+    rows = cms_fold(h)
+    q = token_hashes(["hot", "warm", "absent-token"])
+    est = cms_estimate(rows, q)
+    true = np.array([500, 120, 0])
+    assert (est >= true).all()
+    assert (est - true <= len(toks) / CMS_WIDTH * 4 + 1).all()
+
+
+def test_cms_merge_associative():
+    """Summed partial sketches equal the single-pass sketch exactly —
+    Ray's tree combine order can never change the counters."""
+    from ocr_model_ray.functions.corpus_stats import cms_fold, token_hashes
+    rng = np.random.RandomState(4)
+    toks = [f"w{i}" for i in rng.randint(0, 300, 2000)]
+    h = token_hashes(toks)
+    whole = cms_fold(h)
+    parts = cms_fold(h[:700]) + cms_fold(h[700:1500]) + cms_fold(h[1500:])
+    assert (whole == parts).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cms_distributed_equals_local():
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import (
+        _token_hashes_block, cms_fold, cms_token_counts)
+    import pyarrow as pa
+    df = pd.DataFrame({"text": [f"a b c w{i % 7}" for i in range(400)]})
+    rows = cms_token_counts(rd.from_pandas(df).repartition(8))
+    local = cms_fold(_token_hashes_block(
+        pa.Table.from_pandas(df), "text"))
+    assert (rows == local).all()
