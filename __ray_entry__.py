@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": rel.events_type_pivot,
         "q22_idle_rich_customers": rel.q22_idle_rich_customers,
         "q15_top_supplier": rel.q15_top_supplier,
+        "q7_nation_volume": rel.q7_nation_volume,
         "nation_customer_counts": rel.nation_customer_counts,
         "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
         "region_nation_union_count": rel.region_nation_union_count,
@@ -835,6 +836,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
                    CAST(sum(bal_c) AS BIGINT) / 100.0 AS total_acctbal
             FROM cand GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "q7_nation_volume": f"""
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(sum(rev_c) AS BIGINT) / 10000.0 AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                       {_REV_C} AS rev_c
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
         """,
         "q15_top_supplier": f"""
             WITH r AS (

@@ -1159,3 +1159,107 @@ def events_type_pivot(sf_dir: str) -> pd.DataFrame:
     for et in EVENT_TYPES:
         out[f"n_{et}"] = out[f"n_{et}"].astype("int64")
     return out
+
+
+def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_1",
+                     nation_b: str = "NATION_2") -> pd.DataFrame:
+    """TPC-H Q7 shape (two-fact join + two dimension lookups): shipping
+    volume between a nation pair by year. Both dim chains
+    (supplier->nation, customer->nation) broadcast as int->name maps
+    and FILTER at the map stage, so only rows touching the pair enter
+    the one fact⋈fact exchange; lineitem partials complete per
+    (orderkey, supp_nation, year) inside each bucket (left_agg) and
+    the merged rows re-aggregate per bucket (post_merge) — the driver
+    reduce sees (2 x 2 x years x buckets) tiny rows."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    nation = pq.read_table(_pq(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    pair = {nation_a, nation_b}
+    sup = pq.read_table(_pq(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup["n"] = sup["s_nationkey"].astype(int).map(names)
+    smap = dict(zip(sup.loc[sup["n"].isin(pair), "s_suppkey"].astype(int),
+                    sup.loc[sup["n"].isin(pair), "n"]))
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust["n"] = cust["c_nationkey"].astype(int).map(names)
+    cmap = dict(zip(cust.loc[cust["n"].isin(pair), "c_custkey"].astype(int),
+                    cust.loc[cust["n"].isin(pair), "n"]))
+    sref, cref = ray.put(smap), ray.put(cmap)
+
+    expr = ((pads.field("l_shipdate") >= pd.Timestamp("1995-01-01"))
+            & (pads.field("l_shipdate") < pd.Timestamp("1997-01-01")))
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount", "l_shipdate"],
+                 num_blocks=16, filter=expr)
+
+    def lprep(t: pa.Table) -> pa.Table:
+        df = pa.table({"o_orderkey": t["l_orderkey"],
+                       "l_suppkey": t["l_suppkey"],
+                       "rev_c": _disc_rev_cents(t),
+                       "l_year": pc.cast(pc.year(t["l_shipdate"]),
+                                         pa.int64())}).to_pandas()
+        df["supp_nation"] = df["l_suppkey"].map(ray.get(sref))
+        df = df.dropna(subset=["supp_nation"])
+        g = (df.groupby(["o_orderkey", "supp_nation", "l_year"],
+                        as_index=False)["rev_c"].sum())
+        # explicit schema: a batch with NO pair suppliers leaves the
+        # mapped column all-NaN float64 — empty blocks must still be
+        # string-typed or the union pads the other side as double
+        return pa.Table.from_pandas(g, preserve_index=False, schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("supp_nation", pa.string()),
+             ("l_year", pa.int64()), ("rev_c", pa.int64())]))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   num_blocks=8)
+
+    def oprep(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cust_nation"] = df["o_custkey"].map(ray.get(cref))
+        df = df.dropna(subset=["cust_nation"])
+        return pa.Table.from_pandas(
+            df[["o_orderkey", "cust_nation"]], preserve_index=False,
+            schema=pa.schema([("o_orderkey", pa.int64()),
+                              ("cust_nation", pa.string())]))
+
+    def complete_left(lf: pa.Table) -> pa.Table:
+        g = (lf.group_by(["o_orderkey", "supp_nation", "l_year"])
+             .aggregate([("rev_c", "sum")]))
+        return g.select(["o_orderkey", "supp_nation", "l_year",
+                         "rev_c_sum"]) \
+                .rename_columns(["o_orderkey", "supp_nation", "l_year",
+                                 "rev_c"])
+
+    def post(m: pa.Table) -> pa.Table:
+        m = m.filter(pc.not_equal(m["supp_nation"], m["cust_nation"]))
+        g = (m.group_by(["supp_nation", "cust_nation", "l_year"])
+             .aggregate([("rev_c", "sum")]))
+        return g.select(["supp_nation", "cust_nation", "l_year",
+                         "rev_c_sum"]) \
+                .rename_columns(["supp_nation", "cust_nation", "l_year",
+                                 "rev_c"])
+
+    joined = hash_bucket_join(
+        line.map_batches(lprep, batch_format="pyarrow"),
+        orders.map_batches(oprep, batch_format="pyarrow"),
+        on="o_orderkey", num_buckets=16, left_agg=complete_left,
+        post_merge=post, mode=_join_mode(sf_dir, "lineitem", "orders"))
+    collected = joined.to_pandas()
+    if collected.empty:   # no pair traffic: typed empty (column-less
+        return pd.DataFrame({   # frames come back from all-empty blocks)
+            "supp_nation": pd.Series([], dtype="object"),
+            "cust_nation": pd.Series([], dtype="object"),
+            "l_year": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64")})
+    out = (collected
+           .groupby(["supp_nation", "cust_nation", "l_year"],
+                    as_index=False)["rev_c"].sum())
+    out["revenue"] = out["rev_c"].astype("int64") / 10000.0
+    return (out[["supp_nation", "cust_nation", "l_year", "revenue"]]
+            .sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True).astype({"l_year": "int64"}))
