@@ -522,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_bracket_revenue": rel.q19_bracket_revenue,
         "q18_large_orders": rel.q18_large_orders,
         "events_type_pivot": rel.events_type_pivot,
+        "events_props_stats": rel.events_props_stats,
         "q22_idle_rich_customers": rel.q22_idle_rich_customers,
         "q15_top_supplier": rel.q15_top_supplier,
         "q7_nation_volume": rel.q7_nation_volume,
@@ -792,6 +793,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE p_brand = 'Brand#12' AND p_size <= 15
               AND l_quantity BETWEEN 5 AND 30
+        """,
+        "events_props_stats": """
+            -- same regex extraction the engine runs (identical RE2
+            -- semantics), no JSON-parser divergence
+            WITH x AS (
+                SELECT event_type,
+                       CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                            AS BIGINT) AS k
+                FROM events
+                WHERE regexp_extract(props, '"k":\\s*(-?\\d+)', 1) <> '')
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM x GROUP BY event_type ORDER BY event_type
         """,
         "events_type_pivot": """
             SELECT user_id,

@@ -1263,3 +1263,32 @@ def q7_nation_volume(sf_dir: str, nation_a: str = "NATION_1",
     return (out[["supp_nation", "cust_nation", "l_year", "revenue"]]
             .sort_values(["supp_nation", "cust_nation", "l_year"])
             .reset_index(drop=True).astype({"l_year": "int64"}))
+
+
+def events_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction (web-scale staple: pull a typed field
+    out of a JSON-ish props column): k = the integer under the "k" key,
+    extracted with ONE vectorized regex (no per-row json.loads in the
+    hot path — at this shape the regex IS the exact parse; a full JSON
+    engine belongs in an actor-pool stage only when the schema is
+    open-ended). Per-type panel: n, sum/min/max of k, all int-exact."""
+    ds = _read(sf_dir, "events", ["event_type", "props"], num_blocks=8)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        k = df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+        df = df.assign(k=pd.to_numeric(k, errors="coerce"))
+        df = df.dropna(subset=["k"])
+        df["k"] = df["k"].astype("int64")
+        return df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby("event_type", as_index=False)
+           .agg(n=("n", "sum"), sum_k=("sum_k", "sum"),
+                min_k=("min_k", "min"), max_k=("max_k", "max"))
+           .sort_values("event_type").reset_index(drop=True))
+    for c in ("n", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    return out
