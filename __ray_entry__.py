@@ -245,6 +245,30 @@ def _docs_sequence_pack(sf_dir: str):
     return sequence_pack(_docs(sf_dir), seq_len=256)
 
 
+def _docs_pack_summary(sf_dir: str):
+    """Per-sequence rollup of the packed stream: the per-doc Dataset
+    never collects — each block emits (seq_id, n_docs, first_doc,
+    tokens_started) partials and only the sequence-count-sized panel
+    (total_tokens/seq_len rows) reaches the driver."""
+    import pandas as pd
+    from ocr_model_ray.functions.packing import sequence_pack
+    packed = sequence_pack(_docs(sf_dir), seq_len=256)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("seq_id", as_index=False).agg(
+            n_docs=("doc_id", "size"), first_doc=("doc_id", "min"),
+            tokens_started=("n_tokens", "sum"))
+
+    out = (packed.map_batches(partial, batch_format="pandas").to_pandas()
+           .groupby("seq_id", as_index=False)
+           .agg(n_docs=("n_docs", "sum"), first_doc=("first_doc", "min"),
+                tokens_started=("tokens_started", "sum"))
+           .sort_values("seq_id").reset_index(drop=True))
+    for c in ("seq_id", "n_docs", "first_doc", "tokens_started"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _docs_sequence_pack_by_source(sf_dir: str):
     import ray.data as rd
     from ocr_model_ray.functions.packing import grouped_sequence_pack
@@ -563,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": _docs_decontaminate,
         "docs_sequence_pack": _docs_sequence_pack,
         "docs_sequence_pack_by_source": _docs_sequence_pack_by_source,
+        "docs_pack_summary": _docs_pack_summary,
         # embeddings: similarity search
         "emb_knn_bruteforce": _emb_knn,
         "emb_knn_lsh": _emb_knn_lsh,
@@ -1107,6 +1132,23 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                         // 256 AS BIGINT) AS seq_id
             FROM t
+        """,
+        "docs_pack_summary": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(coalesce(len(regexp_extract_all(text, '\\S+')), 0)
+                            AS BIGINT) AS n_tokens
+                FROM documents),
+            p AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) // 256 AS BIGINT) AS seq_id
+                FROM t)
+            SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens_started
+            FROM p GROUP BY seq_id ORDER BY seq_id
         """,
         "docs_sequence_pack_by_source": """
             WITH t AS (
