@@ -184,13 +184,14 @@ def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
                    BENCH_SINK=os.environ.get("BENCH_SINK", "count"),
-                   # sustained stream (830k docs): the ~2s fixed
+                   # sustained stream (1.66M docs): the ~2s fixed
                    # executor/plan cost dominates short runs and
                    # understates the streaming ratio the N-vs-4N
-                   # criterion is about (measured: 0.68 at 1x vs 0.86
-                   # at 2x on the same quiet window)
+                   # criterion is about (round-3 measured, same quiet
+                   # window: raw 0.67-0.70 at 2x [14s @32cpu] vs
+                   # 0.841 at 4x [23s @32cpu]; steal ~0 in all)
                    BENCH_REPEAT_INPUT=os.environ.get(
-                       "BENCH_REPEAT_INPUT", "2"))
+                       "BENCH_REPEAT_INPUT", "4"))
         bw_pre = _mem_bw_probe()
         s0, t0 = _cpu_stat()
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
