@@ -370,16 +370,33 @@ def heavy_hitters(ds: rd.Dataset, phi: float = 0.001,
     if _resolve_mode(ds, mode) == "local":
         merged = (partials.to_pandas()
                   .groupby("token", as_index=False)["n"].sum())
+        total = int(merged.loc[merged["token"] == _HH_TOTAL_KEY, "n"].sum())
+        cand = merged[merged["token"] != _HH_TOTAL_KEY]
+        if len(cand) > k:   # merged-summary prune back to k counters
+            sub = int(np.partition(cand["n"].to_numpy(),
+                                   len(cand) - k - 1)[len(cand) - k - 1])
+            cand = cand[cand["n"] - sub > 0]
     else:
+        # distributed merge: groupby-sum stays in Ray; the driver sees
+        # only the top k+1 merged counters (per-block prune via topk)
+        # plus the one total row — O(k) rows, never the summary union
         from ray.data.aggregate import Sum
-        merged = (partials.groupby("token")
-                  .aggregate(Sum("n", alias_name="n")).to_pandas())
-    total = int(merged.loc[merged["token"] == _HH_TOTAL_KEY, "n"].sum())
-    cand = merged[merged["token"] != _HH_TOTAL_KEY]
-    if len(cand) > k:   # merged-summary prune back to k counters
-        sub = int(np.partition(cand["n"].to_numpy(),
-                               len(cand) - k - 1)[len(cand) - k - 1])
-        cand = cand[cand["n"] - sub > 0]
+
+        from .topk import topk
+        partials = partials.materialize()
+        merged_ds = (partials.groupby("token")
+                     .aggregate(Sum("n", alias_name="n")))
+        total = int(merged_ds.map_batches(
+            lambda t: t.filter(pc.equal(t["token"], _HH_TOTAL_KEY)),
+            batch_format="pyarrow").sum("n") or 0)
+        top = topk(merged_ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t["token"], _HH_TOTAL_KEY)),
+            batch_format="pyarrow"), ["n", "token"], k=k + 1,
+            descending=[True, False])
+        # prune rule: subtract the (k+1)-th largest merged counter;
+        # every strictly-positive residual is within the returned top
+        sub = 0 if len(top) <= k else int(top["n"].iloc[-1])
+        cand = top[top["n"] - sub > 0]
     thr = max(1, math.ceil(phi * total))
     if cand.empty or total == 0:
         return pd.DataFrame({"token": pd.Series([], dtype="object"),
