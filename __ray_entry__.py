@@ -523,6 +523,18 @@ def _emb_kmeans_summary(sf_dir: str):
     return kmeans_summary(_emb_kmeans(sf_dir), k=8)
 
 
+def _emb_near_dup_clusters(sf_dir: str):
+    """Embedding-cosine near-dup CLUSTERS: exact pairs -> connected
+    components via the distributed min-label propagation (same engine
+    the text near-dup clusters use)."""
+    from ocr_model_ray.functions.dedup_algos import min_label_propagation
+    from ocr_model_ray.functions.similarity import cosine_near_dup
+    pairs = cosine_near_dup(_emb(sf_dir), threshold=0.4).rename(
+        columns={"vec_a": "doc_a", "vec_b": "doc_b"})
+    out = min_label_propagation(pairs[["doc_a", "doc_b"]])
+    return out.rename(columns={"doc_id": "vec_id"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_model_ray.pipelines import relational as rel
     return {
@@ -596,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": _emb_near_dup,
         "emb_kmeans": _emb_kmeans,
         "emb_kmeans_summary": _emb_kmeans_summary,
+        "emb_near_dup_clusters": _emb_near_dup_clusters,
         # extraction flagship (pages fixture corpus; non-SQL -> rows-only)
         "extract_flagship": _extract_flagship,
         "extract_rows": _extract_rows,
@@ -1487,6 +1500,30 @@ def oracle_sql() -> dict[str, str]:
                        FROM n a JOIN n b ON b.vec_id > a.vec_id)
             SELECT vec_a, vec_b, round(sim, 5) AS sim
             FROM s WHERE sim >= 0.4
+        """,
+        "emb_near_dup_clusters": """
+            -- fully independent: exact SQL cosine pairs + recursive
+            -- reachability (no engine-generated golden involved)
+            WITH RECURSIVE
+            n AS (SELECT vec_id, embedding,
+                         sqrt(list_sum(list_transform(embedding,
+                              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+                  FROM embeddings),
+            p AS (SELECT a.vec_id AS a, b.vec_id AS b
+                  FROM n a JOIN n b ON b.vec_id > a.vec_id
+                  WHERE list_sum(list_transform(
+                            list_zip(a.embedding, b.embedding),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                        / (a.nrm * b.nrm) >= 0.4),
+            e AS (SELECT a AS src, b AS dst FROM p
+                  UNION SELECT b, a FROM p),
+            reach(node, label) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.dst, r.label FROM reach r
+                JOIN e ON e.src = r.node)
+            SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "emb_label_stats": """
             WITH comp AS (SELECT vec_id, label, unnest(embedding) AS x
