@@ -559,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": rel.q18_large_orders,
         "events_type_pivot": rel.events_type_pivot,
         "events_props_stats": rel.events_props_stats,
+        "events_rank_in_user": rel.events_rank_in_user,
         "q22_idle_rich_customers": rel.q22_idle_rich_customers,
         "q15_top_supplier": rel.q15_top_supplier,
         "q7_nation_volume": rel.q7_nation_volume,
@@ -831,6 +832,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE p_brand = 'Brand#12' AND p_size <= 15
               AND l_quantity BETWEEN 5 AND 30
+        """,
+        "events_rank_in_user": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS BIGINT) AS rank_in_user
+            FROM events ORDER BY event_id
         """,
         "events_props_stats": """
             -- same regex extraction the engine runs (identical RE2

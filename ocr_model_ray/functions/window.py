@@ -1,0 +1,109 @@
+"""Partitioned window operator (PARTITION BY ... ORDER BY ... frames).
+
+Engine extension (no reference counterpart): the general shape behind
+LAG/LEAD, running totals, session ids, and row ranks at 10^12 rows —
+Ray Data has no window API, so this module provides the canonical
+composition:
+
+1. ONE shuffle co-locates each partition key by hashing it into
+   ``num_buckets`` buckets (``groupby(bucket)``), so the wide exchange
+   moves every row exactly once and Python overhead is per BUCKET
+   (dozens of calls), never per key (millions).
+2. Each bucket frame is sorted once by (key, *order_cols) — partitions
+   are contiguous runs, so ANY per-partition window reduces to a
+   vectorized kernel over the whole frame with key-boundary masks
+   (shift/cumsum/groupby-ffill), exactly like a sort-based window
+   operator in a columnar engine.
+
+Skew note: a hot key costs one bucket, and every kernel here is linear
+in the bucket's rows — there is no per-key quadratic step to blow up.
+
+Built-in kernels cover the common frames; pass any custom
+``kernel(sorted_frame, new_key_mask) -> DataFrame`` for the rest. The
+relational window queries (session ids, LAG deltas, as-of fill,
+per-user stats) are thin wrappers over this module.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+#: multiplicative mix for the bucket hash (same constant the joins use)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash_partitioned_window(ds: rd.Dataset, partition_col: str,
+                            order_cols: Sequence[str],
+                            kernel: Callable[[pd.DataFrame, pd.Series],
+                                             pd.DataFrame],
+                            num_buckets: int = 32) -> rd.Dataset:
+    """Run ``kernel`` over every partition, vectorized per bucket.
+
+    ``kernel(g, new_key)`` receives the bucket frame ``g`` sorted by
+    (partition_col, *order_cols) and a boolean Series ``new_key``
+    marking each partition's first row; it must return a DataFrame of
+    output rows (any shape — per-row windows or per-key aggregates).
+    The partition column must be integer-typed (hash bucketing);
+    string keys can pre-hash into an int column."""
+    order_cols = list(order_cols)
+
+    def tag(t: pa.Table) -> pa.Table:
+        key = t[partition_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        mixed = (key * _MIX) >> np.uint64(32)
+        b = pa.array((mixed % np.uint64(num_buckets)).astype(np.int32))
+        return t.append_column("__bucket", b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values(
+            [partition_col] + order_cols, kind="mergesort")
+        new_key = g[partition_col].ne(g[partition_col].shift())
+        return kernel(g, new_key)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas"))
+
+
+# --- built-in kernels --------------------------------------------------------
+def row_number_kernel(out_cols: Sequence[str], name: str = "row_number"):
+    """1-based rank within the partition in order-column order."""
+    def kernel(g: pd.DataFrame, new_key: pd.Series) -> pd.DataFrame:
+        seq = np.arange(len(g), dtype=np.int64)
+        base = pd.Series(seq, index=g.index).where(new_key).ffill()
+        out = g[list(out_cols)].copy()
+        out[name] = (seq - base.to_numpy() + 1).astype("int64")
+        return out
+    return kernel
+
+
+def lag_kernel(col: str, out_cols: Sequence[str], name: str | None = None):
+    """Previous row's ``col`` within the partition (NULL at starts)."""
+    name = name or f"{col}_lag"
+
+    def kernel(g: pd.DataFrame, new_key: pd.Series) -> pd.DataFrame:
+        lagged = g[col].shift()
+        lagged[new_key] = None
+        out = g[list(out_cols)].copy()
+        out[name] = lagged
+        return out
+    return kernel
+
+
+def cumsum_kernel(col: str, out_cols: Sequence[str],
+                  name: str | None = None):
+    """Running total of ``col`` within the partition (inclusive)."""
+    name = name or f"{col}_running"
+
+    def kernel(g: pd.DataFrame, new_key: pd.Series) -> pd.DataFrame:
+        s = g[col].cumsum()
+        base = s.where(new_key).ffill() - g[col].where(new_key).ffill()
+        out = g[list(out_cols)].copy()
+        out[name] = s - base
+        return out
+    return kernel

@@ -681,23 +681,13 @@ def events_user_stats(sf_dir: str) -> pd.DataFrame:
 
 def _bucketed_user_stats(ds: rd.Dataset, kernel,
                          num_buckets: int = 32) -> rd.Dataset:
-    """Like _bucketed_user_windows but without the (ts, event_id) sort
-    — for per-user AGGREGATES where row order inside the user doesn't
-    matter."""
-    import numpy as np
-
-    def tag(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        mixed = (uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
-        b = pa.array((mixed % np.uint64(num_buckets)).astype(np.int32))
-        return t.append_column("__bucket", b)
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return kernel(g.drop(columns="__bucket"))
-
-    return (ds.map_batches(tag, batch_format="pyarrow")
-            .groupby("__bucket").map_groups(per_bucket,
-                                            batch_format="pandas"))
+    """Like _bucketed_user_windows but for per-user AGGREGATES where
+    row order inside the user doesn't matter (the kernel runs its own
+    groupby over the co-located bucket frame)."""
+    from ..functions.window import hash_partitioned_window
+    return hash_partitioned_window(
+        ds, "user_id", [], lambda g, new_key: kernel(g),
+        num_buckets=num_buckets)
 
 
 def events_sliding_week(sf_dir: str) -> pd.DataFrame:
@@ -734,29 +724,17 @@ def events_sliding_week(sf_dir: str) -> pd.DataFrame:
 def _bucketed_user_windows(ds: rd.Dataset, kernel,
                            num_buckets: int = 32) -> rd.Dataset:
     """Per-user window plumbing, vectorized (round-2 verdict fix #7):
-    ONE shuffle co-locates each user's events by hashing user_id into
-    ``num_buckets`` buckets, then ``kernel`` runs once per BUCKET — a
-    few dozen Python calls total instead of one per user — on a frame
-    sorted by (user_id, ts, event_id). The kernel computes its window
-    with user-boundary masks (shift/cumsum/groupby-ffill), so results
-    are identical to per-user groups; a skewed hot user costs one
-    bucket, never a reducer blow-up (the window itself is linear)."""
-    import numpy as np
-
-    def tag(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        mixed = (uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
-        b = pa.array((mixed % np.uint64(num_buckets)).astype(np.int32))
-        return t.append_column("__bucket", b)
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        keys = [c for c in ("user_id", "ts", "event_id") if c in g.columns]
-        g = g.sort_values(keys, kind="mergesort")
-        return kernel(g)
-
-    return (ds.map_batches(tag, batch_format="pyarrow")
-            .groupby("__bucket").map_groups(per_bucket,
-                                            batch_format="pandas"))
+    thin adapter over the generic ``functions.window``
+    ``hash_partitioned_window`` operator — ONE shuffle co-locates each
+    user, ``kernel`` runs once per BUCKET on a frame sorted by
+    (user_id, ts[, event_id]); kernels compute their window with
+    user-boundary masks, identical to per-user groups. A skewed hot
+    user costs one bucket, never a reducer blow-up."""
+    from ..functions.window import hash_partitioned_window
+    order = [c for c in ("ts", "event_id") if c in ds.schema().names]
+    return hash_partitioned_window(
+        ds, "user_id", order, lambda g, new_key: kernel(g),
+        num_buckets=num_buckets)
 
 
 def events_session_ids(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
@@ -1292,3 +1270,17 @@ def events_props_stats(sf_dir: str) -> pd.DataFrame:
     for c in ("n", "sum_k", "min_k", "max_k"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def events_rank_in_user(sf_dir: str) -> pd.DataFrame:
+    """ROW_NUMBER window shape: each event's 1-based rank within its
+    user by (ts, event_id) — the generic window operator's built-in
+    rank kernel over one hash-bucket shuffle."""
+    from ..functions.window import hash_partitioned_window, row_number_kernel
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = hash_partitioned_window(
+        ds, "user_id", ["ts", "event_id"],
+        row_number_kernel(["event_id", "user_id"], name="rank_in_user"),
+    ).to_pandas()
+    out["rank_in_user"] = out["rank_in_user"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -874,3 +874,41 @@ def test_q18_local_plan_equals_distributed(monkeypatch):
     dist = rel.q18_large_orders(sf)
     pd.testing.assert_frame_equal(local, dist)
     assert len(local) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_window_operator_kernels():
+    """functions.window: row_number / lag / cumsum kernels over the
+    hash-partitioned shuffle must match pandas per-partition windows
+    regardless of block layout."""
+    import ray.data as rd
+    from ocr_model_ray.functions.window import (
+        cumsum_kernel, hash_partitioned_window, lag_kernel,
+        row_number_kernel)
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 9, 300).astype("int64"),
+        "o": rng.permutation(300).astype("int64"),
+        "v": rng.randint(0, 100, 300).astype("int64")})
+    ds = rd.from_pandas(df).repartition(5)
+    srt = df.sort_values(["k", "o"])
+
+    rn = hash_partitioned_window(
+        ds, "k", ["o"], row_number_kernel(["k", "o"], name="rn")
+    ).to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    want_rn = srt.groupby("k").cumcount().to_numpy() + 1
+    assert (rn["rn"].to_numpy() == want_rn).all()
+
+    lg = hash_partitioned_window(
+        ds, "k", ["o"], lag_kernel("v", ["k", "o"], name="prev_v")
+    ).to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    want_lag = srt.groupby("k")["v"].shift().to_numpy()
+    got_lag = lg["prev_v"].astype(float).to_numpy()
+    assert ((got_lag == want_lag) | (np.isnan(got_lag)
+                                     & np.isnan(want_lag))).all()
+
+    cs = hash_partitioned_window(
+        ds, "k", ["o"], cumsum_kernel("v", ["k", "o"], name="run_v")
+    ).to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    want_cs = srt.groupby("k")["v"].cumsum().to_numpy()
+    assert (cs["run_v"].to_numpy() == want_cs).all()
