@@ -359,44 +359,54 @@ def heavy_hitters(ds: rd.Dataset, phi: float = 0.001,
        before the group_by), one tiny (token, n) reduce, then the
        exact threshold filter — false positives drop, counts exact.
 
+    Small pure-read inputs skip the sketch entirely: exact one-pass
+    counts + threshold give the identical rows (pinned by test).
+
     Returns (token, n) sorted n desc, token asc."""
     import math
 
     import ray
 
     k = max(1, math.ceil(1.0 / phi))
+    if _resolve_mode(ds, mode) == "local":
+        # small-input plan: the full (token, n) partials fit in memory,
+        # so exact counts in ONE pass subsume both the MG candidate
+        # sketch and the rescreen — same rows, same counts, half the
+        # pipeline launches. The sketch is a bound on what leaves each
+        # block; with a provably small input there is nothing to bound.
+        merged = (ds.map_batches(
+            lambda t: _token_counts_block(t, text_col),
+            batch_format="pyarrow")
+            .to_pandas().groupby("token", as_index=False)["n"].sum())
+        total = int(merged["n"].sum())
+        thr = max(1, math.ceil(phi * total))
+        out = merged[merged["n"] >= thr]
+        out = out.sort_values(["n", "token"], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+        out["n"] = out["n"].astype("int64")
+        return out[["token", "n"]]
     partials = ds.map_batches(
         lambda t: _mg_block(t, k, text_col), batch_format="pyarrow")
-    if _resolve_mode(ds, mode) == "local":
-        merged = (partials.to_pandas()
-                  .groupby("token", as_index=False)["n"].sum())
-        total = int(merged.loc[merged["token"] == _HH_TOTAL_KEY, "n"].sum())
-        cand = merged[merged["token"] != _HH_TOTAL_KEY]
-        if len(cand) > k:   # merged-summary prune back to k counters
-            sub = int(np.partition(cand["n"].to_numpy(),
-                                   len(cand) - k - 1)[len(cand) - k - 1])
-            cand = cand[cand["n"] - sub > 0]
-    else:
-        # distributed merge: groupby-sum stays in Ray; the driver sees
-        # only the top k+1 merged counters (per-block prune via topk)
-        # plus the one total row — O(k) rows, never the summary union
-        from ray.data.aggregate import Sum
+    # distributed merge: groupby-sum stays in Ray; the driver sees
+    # only the top k+1 merged counters (per-block prune via topk)
+    # plus the one total row — O(k) rows, never the summary union
+    from ray.data.aggregate import Sum
 
-        from .topk import topk
-        partials = partials.materialize()
-        merged_ds = (partials.groupby("token")
-                     .aggregate(Sum("n", alias_name="n")))
-        total = int(merged_ds.map_batches(
-            lambda t: t.filter(pc.equal(t["token"], _HH_TOTAL_KEY)),
-            batch_format="pyarrow").sum("n") or 0)
-        top = topk(merged_ds.map_batches(
-            lambda t: t.filter(pc.not_equal(t["token"], _HH_TOTAL_KEY)),
-            batch_format="pyarrow"), ["n", "token"], k=k + 1,
-            descending=[True, False])
-        # prune rule: subtract the (k+1)-th largest merged counter;
-        # every strictly-positive residual is within the returned top
-        sub = 0 if len(top) <= k else int(top["n"].iloc[-1])
-        cand = top[top["n"] - sub > 0]
+    from .topk import topk
+    partials = partials.materialize()
+    merged_ds = (partials.groupby("token")
+                 .aggregate(Sum("n", alias_name="n")))
+    total = int(merged_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["token"], _HH_TOTAL_KEY)),
+        batch_format="pyarrow").sum("n") or 0)
+    top = topk(merged_ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["token"], _HH_TOTAL_KEY)),
+        batch_format="pyarrow"), ["n", "token"], k=k + 1,
+        descending=[True, False])
+    # prune rule: subtract the (k+1)-th largest merged counter;
+    # every strictly-positive residual is within the returned top
+    sub = 0 if len(top) <= k else int(top["n"].iloc[-1])
+    cand = top[top["n"] - sub > 0]
     thr = max(1, math.ceil(phi * total))
     if cand.empty or total == 0:
         return pd.DataFrame({"token": pd.Series([], dtype="object"),
