@@ -563,6 +563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_rich_customers": rel.q22_idle_rich_customers,
         "q15_top_supplier": rel.q15_top_supplier,
         "q7_nation_volume": rel.q7_nation_volume,
+        "q12_priority_lines": rel.q12_priority_lines,
+        "q13_customer_distribution": rel.q13_customer_distribution,
         "nation_customer_counts": rel.nation_customer_counts,
         "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
         "region_nation_union_count": rel.region_nation_union_count,
@@ -930,6 +932,33 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN supplier USING (s_suppkey)
             WHERE rev_c = (SELECT max(rev_c) FROM r)
             ORDER BY s_suppkey
+        """,
+        "q12_priority_lines": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "q13_customer_distribution": """
+            WITH c_orders AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM c_orders GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
         """,
         "nation_customer_counts": """
             SELECT n_name, count(*) AS n_customers

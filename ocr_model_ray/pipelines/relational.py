@@ -1284,3 +1284,115 @@ def events_rank_in_user(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["rank_in_user"] = out["rank_in_user"].astype("int64")
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q12_priority_lines(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape (fact⋈fact join + CASE-WHEN conditional
+    counts), adapted to this corpus: the testdata has no
+    l_shipmode/l_commitdate, so the classification column is
+    l_linestatus and the window is one shipdate year. Lineitem reduces
+    to (orderkey, linestatus, n) partial counts at the scan; orders
+    contribute one is-high-priority bit per key; the bucket join
+    completes the counts per key (left_agg) and collapses each bucket
+    to at most 2x2 conditional-sum rows (post_merge), so the driver
+    reduce sees O(buckets) rows."""
+    import pyarrow.dataset as pads
+
+    from ..functions.joins import hash_bucket_join
+
+    expr = ((pads.field("l_shipdate") >= pd.Timestamp("1996-01-01"))
+            & (pads.field("l_shipdate") < pd.Timestamp("1997-01-01")))
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus",
+                                      "l_shipdate"],
+                 num_blocks=16, filter=expr)
+
+    def lprep(t: pa.Table) -> pa.Table:
+        g = (pa.table({"o_orderkey": t["l_orderkey"],
+                       "l_linestatus": t["l_linestatus"]})
+             .group_by(["o_orderkey", "l_linestatus"])
+             .aggregate([([], "count_all")]))
+        return g.select(["o_orderkey", "l_linestatus", "count_all"]) \
+                .rename_columns(["o_orderkey", "l_linestatus", "n"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"],
+                   num_blocks=8)
+
+    def oprep(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(t["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "is_high": pc.cast(hi, pa.int64())})
+
+    def complete_left(lf: pa.Table) -> pa.Table:
+        g = (lf.group_by(["o_orderkey", "l_linestatus"])
+             .aggregate([("n", "sum")]))
+        return g.select(["o_orderkey", "l_linestatus", "n_sum"]) \
+                .rename_columns(["o_orderkey", "l_linestatus", "n"])
+
+    def post(m: pa.Table) -> pa.Table:
+        hi = pc.multiply(m["n"], m["is_high"])
+        lo = pc.subtract(m["n"], hi)
+        g = (pa.table({"l_linestatus": m["l_linestatus"],
+                       "high_line_count": hi, "low_line_count": lo})
+             .group_by("l_linestatus")
+             .aggregate([("high_line_count", "sum"),
+                         ("low_line_count", "sum")]))
+        return g.select(["l_linestatus", "high_line_count_sum",
+                         "low_line_count_sum"]) \
+                .rename_columns(["l_linestatus", "high_line_count",
+                                 "low_line_count"])
+
+    joined = hash_bucket_join(
+        line.map_batches(lprep, batch_format="pyarrow"),
+        orders.map_batches(oprep, batch_format="pyarrow"),
+        on="o_orderkey", num_buckets=16, left_agg=complete_left,
+        post_merge=post, mode=_join_mode(sf_dir, "lineitem", "orders"))
+    out = (joined.to_pandas()
+           .groupby("l_linestatus", as_index=False)[
+               ["high_line_count", "low_line_count"]].sum()
+           .sort_values("l_linestatus").reset_index(drop=True))
+    return out.astype({"high_line_count": "int64",
+                       "low_line_count": "int64"})
+
+
+def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution) WITHOUT the
+    outer join: orders (minus one excluded priority class) reduce to
+    per-customer counts with in-batch partials before the one key
+    shuffle, the distribution over counts is a second tiny groupby,
+    and the k=0 bucket is total customers minus customers seen — a
+    metadata-only count, so no customer⋈orders exchange ever runs."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+                   num_blocks=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = t.filter(pc.not_equal(t["o_orderpriority"], "1-URGENT"))
+        g = (pa.table({"o_custkey": tb["o_custkey"]})
+             .group_by("o_custkey").aggregate([([], "count_all")]))
+        return g.rename_columns(["o_custkey", "n"])
+
+    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("n", alias_name="c_count")))
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"c_count": t["c_count"]})
+             .group_by("c_count").aggregate([([], "count_all")]))
+        return g.rename_columns(["c_count", "custdist"])
+
+    dist = (per_cust.map_batches(dist_partial, batch_format="pyarrow")
+            .groupby("c_count")
+            .aggregate(Sum("custdist", alias_name="custdist"))
+            .to_pandas())
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    n_zero = int(n_cust) - int(dist["custdist"].sum())
+    if n_zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "custdist": [n_zero]})],
+            ignore_index=True)
+    dist = dist.astype({"c_count": "int64", "custdist": "int64"})
+    return (dist.sort_values(["custdist", "c_count"],
+                             ascending=[False, False], kind="mergesort")
+            .reset_index(drop=True))
