@@ -565,6 +565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_volume": rel.q7_nation_volume,
         "q12_priority_lines": rel.q12_priority_lines,
         "q13_customer_distribution": rel.q13_customer_distribution,
+        "q16_supplier_part_counts": rel.q16_supplier_part_counts,
+        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
         "nation_customer_counts": rel.nation_customer_counts,
         "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
         "region_nation_union_count": rel.region_nation_union_count,
@@ -959,6 +961,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS custdist
             FROM c_orders GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC
+        """,
+        "q16_supplier_part_counts": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+              AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q17_small_qty_revenue": """
+            SELECT CAST(COALESCE(sum(CAST(round(l_extendedprice * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                   / 100.0 / 7.0 AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#23'
+              AND l_quantity < (
+                  SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = p_partkey)
         """,
         "nation_customer_counts": """
             SELECT n_name, count(*) AS n_customers

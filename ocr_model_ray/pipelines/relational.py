@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1396,3 +1397,139 @@ def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
     return (dist.sort_values(["custdist", "c_count"],
                              ascending=[False, False], kind="mergesort")
             .reset_index(drop=True))
+
+
+def q16_supplier_part_counts(sf_dir: str,
+                             excl_brand: str = "Brand#45",
+                             excl_type: str = "MEDIUM",
+                             sizes: tuple = (1, 9, 14, 19, 23, 36, 45, 49)
+                             ) -> pd.DataFrame:
+    """TPC-H Q16 shape (distinct-count after a dim join), adapted: the
+    corpus has no partsupp, so the part⋈supplier relation IS lineitem.
+    The filtered part side broadcasts as a partkey -> (brand, type,
+    size) map; lineitem batches attach attrs, drop non-matching rows,
+    and DEDUP the (brand, type, size, suppkey) quad in-batch, so the
+    one shuffle moves at most |quads| rows; a second tiny groupby
+    collapses quads to per-(brand, type, size) supplier counts."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"]).to_pandas()
+    part = part[(part["p_brand"] != excl_brand)
+                & (part["p_type"] != excl_type)
+                & (part["p_size"].isin(sizes))]
+    pmap = {int(k): (b, t, int(s)) for k, b, t, s in zip(
+        part["p_partkey"], part["p_brand"], part["p_type"],
+        part["p_size"])}
+    pref = ray.put(pmap)
+
+    line = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"],
+                 num_blocks=16)
+
+    def attach(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        m = ray.get(pref)
+        attrs = df["l_partkey"].map(m)
+        keep = attrs.notna()
+        df = df[keep]
+        a = attrs[keep]
+        out = pd.DataFrame({
+            "p_brand": [x[0] for x in a],
+            "p_type": [x[1] for x in a],
+            "p_size": np.fromiter((x[2] for x in a), dtype=np.int64,
+                                  count=len(a)),
+            "l_suppkey": df["l_suppkey"].to_numpy(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False,
+                                    schema=pa.schema(
+            [("p_brand", pa.string()), ("p_type", pa.string()),
+             ("p_size", pa.int64()), ("l_suppkey", pa.int64())]))
+
+    quads = (line.map_batches(attach, batch_format="pyarrow")
+             .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+             .aggregate(Count(alias_name="c")))
+
+    def per_attr(t: pa.Table) -> pa.Table:
+        g = (t.select(["p_brand", "p_type", "p_size"])
+             .group_by(["p_brand", "p_type", "p_size"])
+             .aggregate([([], "count_all")]))
+        return g.select(["p_brand", "p_type", "p_size", "count_all"]) \
+                .rename_columns(["p_brand", "p_type", "p_size",
+                                 "supplier_cnt"])
+
+    out = (quads.map_batches(per_attr, batch_format="pyarrow")
+           .groupby(["p_brand", "p_type", "p_size"])
+           .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+           .to_pandas())
+    out = out.astype({"p_size": "int64", "supplier_cnt": "int64"})
+    return (out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True], kind="mergesort")
+        .reset_index(drop=True)
+        [["p_brand", "p_type", "p_size", "supplier_cnt"]])
+
+
+def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#23"
+                          ) -> pd.DataFrame:
+    """TPC-H Q17 shape (per-group avg, then a self-join back against
+    that avg): yearly revenue lost if small-quantity orders of one
+    brand's parts stopped. The brand's partkeys broadcast as a set;
+    pass 1 computes per-part (qty_cents, n) over the semi-filtered
+    lineitem with in-batch partials (rows moved bounded by the brand's
+    part count x blocks); the per-part 0.2*avg thresholds broadcast
+    back into pass 2, which sums the surviving price cents — both
+    passes stream, nothing joins through a shuffle. The qty average is
+    bit-identical to the SQL oracle's double avg because 2-dp sums are
+    exactly representable in double at any realistic group size."""
+    import pyarrow.parquet as pq
+    import ray
+
+    pk = pq.read_table(_pq(sf_dir, "part"),
+                       columns=["p_partkey", "p_brand"])
+    keys = pk.filter(pc.equal(pk["p_brand"], brand))["p_partkey"]
+    kref = ray.put(pa.array(keys.to_numpy(zero_copy_only=False),
+                            pa.int64()))
+
+    line1 = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"],
+                  num_blocks=16)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(kref)))
+        g = (pa.table({"l_partkey": t["l_partkey"],
+                       "qty_c": _cents(t["l_quantity"]),
+                       "n": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by("l_partkey")
+             .aggregate([("qty_c", "sum"), ("n", "sum")]))
+        return g.select(["l_partkey", "qty_c_sum", "n_sum"]) \
+                .rename_columns(["l_partkey", "qty_c", "n"])
+
+    stats = (line1.map_batches(qty_partial, batch_format="pyarrow")
+             .to_pandas().groupby("l_partkey", as_index=False).sum())
+    thr = dict(zip(
+        stats["l_partkey"].astype(int),
+        0.2 * ((stats["qty_c"].astype("int64") / 100.0)
+               / stats["n"].astype("int64"))))
+    tref = ray.put(thr)
+
+    line2 = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice"],
+                  num_blocks=16)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        df = pa.table({"l_partkey": t["l_partkey"],
+                       "l_quantity": t["l_quantity"],
+                       "price_c": _cents(t["l_extendedprice"])
+                       }).to_pandas()
+        th = df["l_partkey"].map(ray.get(tref))
+        keep = th.notna() & (df["l_quantity"] < th)
+        return pa.table({"rev_c": pa.array(
+            [int(df.loc[keep, "price_c"].sum())], pa.int64())})
+
+    total_c = (line2.map_batches(rev_partial, batch_format="pyarrow")
+               .sum("rev_c") or 0)
+    return pd.DataFrame({"avg_yearly":
+                         pd.Series([int(total_c) / 100.0 / 7.0],
+                                   dtype="float64")})
