@@ -567,6 +567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": rel.q13_customer_distribution,
         "q16_supplier_part_counts": rel.q16_supplier_part_counts,
         "q17_small_qty_revenue": rel.q17_small_qty_revenue,
+        "q21_waiting_supplier": rel.q21_waiting_supplier,
+        "q9_product_profit": rel.q9_product_profit,
         "nation_customer_counts": rel.nation_customer_counts,
         "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
         "region_nation_union_count": rel.region_nation_union_count,
@@ -981,6 +983,40 @@ def oracle_sql() -> dict[str, str]:
               AND l_quantity < (
                   SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
                   WHERE l2.l_partkey = p_partkey)
+        """,
+        "q21_waiting_supplier": """
+            WITH per AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS has_r,
+                       sum(CASE WHEN l_returnflag = 'R'
+                           THEN 1 ELSE 0 END) AS n_r
+                FROM lineitem GROUP BY l_orderkey, l_suppkey),
+            qual AS (
+                SELECT l_orderkey FROM per GROUP BY l_orderkey
+                HAVING count(*) > 1 AND sum(has_r) = 1)
+            SELECT s_name, CAST(sum(n_r) AS BIGINT) AS numwait
+            FROM per JOIN qual USING (l_orderkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE has_r = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "q9_product_profit": f"""
+            SELECT nation, o_year,
+                   CAST(sum(rev_c) AS BIGINT) / 10000.0 AS profit
+            FROM (
+                SELECT n_name AS nation,
+                       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       {_REV_C} AS rev_c
+                FROM lineitem
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE '%red%')
+            GROUP BY nation, o_year
+            ORDER BY nation, o_year DESC
         """,
         "nation_customer_counts": """
             SELECT n_name, count(*) AS n_customers

@@ -1533,3 +1533,135 @@ def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#23"
     return pd.DataFrame({"avg_yearly":
                          pd.Series([int(total_c) / 100.0 / 7.0],
                                    dtype="float64")})
+
+
+def q21_waiting_supplier(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q21 shape (exists/not-exists over the same fact), adapted
+    to this corpus's columns: suppliers who were the SOLE supplier with
+    returned lines (l_returnflag = 'R') in a multi-supplier order —
+    the reference Q21's commit/receipt-date lateness predicate has no
+    source column here, so returnflag plays the 'failed the order'
+    role. One orderkey shuffle via the window operator: batches reduce
+    to (orderkey, suppkey, has_r, n_r) partials at the scan, each
+    bucket completes them and evaluates the per-order HAVING
+    vectorized, emitting per-supplier partial waits; the driver
+    reduce sees O(suppliers x buckets) rows, then broadcast names +
+    deterministic top-k."""
+    import pyarrow.parquet as pq
+
+    from ..functions.window import hash_partitioned_window
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_returnflag"],
+                 num_blocks=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        g = (pa.table({"l_orderkey": t["l_orderkey"],
+                       "l_suppkey": t["l_suppkey"], "r": r})
+             .group_by(["l_orderkey", "l_suppkey"])
+             .aggregate([("r", "max"), ("r", "sum")]))
+        return g.select(["l_orderkey", "l_suppkey", "r_max", "r_sum"]) \
+                .rename_columns(["l_orderkey", "l_suppkey",
+                                 "has_r", "n_r"])
+
+    def kernel(g: pd.DataFrame, new_key: pd.Series) -> pd.DataFrame:
+        per = (g.groupby(["l_orderkey", "l_suppkey"], as_index=False)
+               .agg(has_r=("has_r", "max"), n_r=("n_r", "sum")))
+        order = per.groupby("l_orderkey").agg(
+            nsupp=("l_suppkey", "size"), nret=("has_r", "sum"))
+        qual = order[(order["nsupp"] > 1) & (order["nret"] == 1)].index
+        hit = per[per["l_orderkey"].isin(qual) & (per["has_r"] == 1)]
+        out = (hit.groupby("l_suppkey", as_index=False)["n_r"].sum()
+               .rename(columns={"n_r": "numwait"}))
+        return out
+
+    waits = (hash_partitioned_window(
+        line.map_batches(partial, batch_format="pyarrow"),
+        "l_orderkey", [], kernel)
+        .to_pandas().groupby("l_suppkey", as_index=False)["numwait"]
+        .sum())
+    sup = pq.read_table(_pq(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    names = dict(zip(sup["s_suppkey"].astype(int), sup["s_name"]))
+    waits["s_name"] = waits["l_suppkey"].astype(int).map(names)
+    out = (waits.groupby("s_name", as_index=False)["numwait"].sum()
+           .sort_values(["numwait", "s_name"], ascending=[False, True],
+                        kind="mergesort").head(k).reset_index(drop=True))
+    out["numwait"] = out["numwait"].astype("int64")
+    return out[["s_name", "numwait"]]
+
+
+def q9_product_profit(sf_dir: str, pattern: str = "red") -> pd.DataFrame:
+    """TPC-H Q9 shape (5-table star through one fact⋈fact exchange),
+    adapted: profit is discounted revenue (the corpus has no partsupp
+    supplycost to subtract). Part keys matching the name pattern and
+    the supplier->nation chain broadcast as lookups that FILTER and
+    annotate lineitem at the scan; partials complete per (orderkey,
+    nation) inside each join bucket; orders contribute the year; the
+    driver reduce sees (nations x years x buckets) rows."""
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_name"])
+    green = part.filter(pc.match_substring(part["p_name"], pattern))
+    kref = ray.put(pa.array(
+        green["p_partkey"].to_numpy(zero_copy_only=False), pa.int64()))
+    nation = pq.read_table(_pq(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    sup = pq.read_table(_pq(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    smap = dict(zip(sup["s_suppkey"].astype(int),
+                    sup["s_nationkey"].astype(int).map(names)))
+    sref = ray.put(smap)
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount"], num_blocks=16)
+
+    def lprep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(kref)))
+        df = pa.table({"o_orderkey": t["l_orderkey"],
+                       "l_suppkey": t["l_suppkey"],
+                       "rev_c": _disc_rev_cents(t)}).to_pandas()
+        df["nation"] = df["l_suppkey"].map(ray.get(sref))
+        g = (df.groupby(["o_orderkey", "nation"], as_index=False)
+             ["rev_c"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("nation", pa.string()),
+             ("rev_c", pa.int64())]))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"],
+                   num_blocks=8)
+
+    def oprep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                           pa.int64())})
+
+    def complete_left(lf: pa.Table) -> pa.Table:
+        g = (lf.group_by(["o_orderkey", "nation"])
+             .aggregate([("rev_c", "sum")]))
+        return g.select(["o_orderkey", "nation", "rev_c_sum"]) \
+                .rename_columns(["o_orderkey", "nation", "rev_c"])
+
+    def post(m: pa.Table) -> pa.Table:
+        g = (m.group_by(["nation", "o_year"])
+             .aggregate([("rev_c", "sum")]))
+        return g.select(["nation", "o_year", "rev_c_sum"]) \
+                .rename_columns(["nation", "o_year", "rev_c"])
+
+    joined = hash_bucket_join(
+        line.map_batches(lprep, batch_format="pyarrow"),
+        orders.map_batches(oprep, batch_format="pyarrow"),
+        on="o_orderkey", num_buckets=16, left_agg=complete_left,
+        post_merge=post, mode=_join_mode(sf_dir, "lineitem", "orders"))
+    out = (joined.to_pandas()
+           .groupby(["nation", "o_year"], as_index=False)["rev_c"].sum())
+    out["profit"] = out["rev_c"].astype("int64") / 10000.0
+    return (out[["nation", "o_year", "profit"]]
+            .sort_values(["nation", "o_year"], ascending=[True, False])
+            .reset_index(drop=True).astype({"o_year": "int64"}))
