@@ -569,6 +569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": rel.q17_small_qty_revenue,
         "q21_waiting_supplier": rel.q21_waiting_supplier,
         "q9_product_profit": rel.q9_product_profit,
+        "q8_market_share": rel.q8_market_share,
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
         "nation_customer_counts": rel.nation_customer_counts,
         "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
         "region_nation_union_count": rel.region_nation_union_count,
@@ -1017,6 +1019,46 @@ def oracle_sql() -> dict[str, str]:
                 WHERE p_name LIKE '%red%')
             GROUP BY nation, o_year
             ORDER BY nation, o_year DESC
+        """,
+        "q8_market_share": f"""
+            SELECT o_year,
+                   CAST(sum(CASE WHEN nation = 'NATION_3'
+                            THEN rev_c ELSE 0 END) AS BIGINT)
+                   / CAST(sum(rev_c) AS BIGINT) AS mkt_share
+            FROM (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       n2.n_name AS nation, {_REV_C} AS rev_c
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                  AND o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01')
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "q2_min_cost_supplier": """
+            WITH minp AS (
+                SELECT l_partkey,
+                       min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS min_pc
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_size = 15)
+                GROUP BY l_partkey)
+            SELECT DISTINCT p_partkey, p_name, s_name, s_acctbal,
+                   min_pc / 100.0 AS min_price
+            FROM lineitem
+            JOIN minp ON lineitem.l_partkey = minp.l_partkey
+                AND CAST(round(l_extendedprice * 100) AS BIGINT)
+                    = min_pc
+            JOIN part ON p_partkey = lineitem.l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 50
         """,
         "nation_customer_counts": """
             SELECT n_name, count(*) AS n_customers

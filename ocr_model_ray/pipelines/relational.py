@@ -1665,3 +1665,170 @@ def q9_product_profit(sf_dir: str, pattern: str = "red") -> pd.DataFrame:
     return (out[["nation", "o_year", "profit"]]
             .sort_values(["nation", "o_year"], ascending=[True, False])
             .reset_index(drop=True).astype({"o_year": "int64"}))
+
+
+def q8_market_share(sf_dir: str, nation: str = "NATION_3",
+                    region: str = "ASIA", ptype: str = "PROMO"
+                    ) -> pd.DataFrame:
+    """TPC-H Q8 shape (market share: conditional sum / total sum per
+    year through an 8-table star). All dimension chains collapse to
+    broadcast lookups that filter at the scans — part-type keys and
+    the supplier->nation names into lineitem, the region's customer
+    keys into orders — so only in-region, in-type, in-window rows
+    reach the one fact⋈fact exchange. Numerator and denominator ride
+    the same bucket rows as two cent columns; the driver's final
+    division is one IEEE op per year, bit-identical to the oracle's
+    integer-sum division."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_type"])
+    kref = ray.put(pa.array(
+        part.filter(pc.equal(part["p_type"], ptype))["p_partkey"]
+        .to_numpy(zero_copy_only=False), pa.int64()))
+    nat = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
+    reg = pq.read_table(_pq(sf_dir, "region")).to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"].astype(int))
+    region_nations = set(nat.loc[nat["n_regionkey"].astype(int)
+                                 .isin(rkeys), "n_nationkey"].astype(int))
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    sup = pq.read_table(_pq(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    smap = dict(zip(sup["s_suppkey"].astype(int),
+                    sup["s_nationkey"].astype(int).map(names)))
+    sref = ray.put(smap)
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ckeys = cust.loc[cust["c_nationkey"].astype(int)
+                     .isin(region_nations), "c_custkey"]
+    cref = ray.put(pa.array(ckeys.to_numpy(), pa.int64()))
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount"], num_blocks=16)
+
+    def lprep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(kref)))
+        df = pa.table({"o_orderkey": t["l_orderkey"],
+                       "l_suppkey": t["l_suppkey"],
+                       "rev_c": _disc_rev_cents(t)}).to_pandas()
+        is_n = (df["l_suppkey"].map(ray.get(sref)) == nation)
+        df["rev_n_c"] = df["rev_c"].where(is_n, 0)
+        g = (df.groupby("o_orderkey", as_index=False)
+             [["rev_c", "rev_n_c"]].sum())
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("rev_c", pa.int64()),
+             ("rev_n_c", pa.int64())]))
+
+    expr = ((pads.field("o_orderdate") >= pd.Timestamp("1995-01-01"))
+            & (pads.field("o_orderdate") < pd.Timestamp("1997-01-01")))
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   num_blocks=8, filter=expr)
+
+    def oprep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["o_custkey"], value_set=ray.get(cref)))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                           pa.int64())})
+
+    def complete_left(lf: pa.Table) -> pa.Table:
+        g = (lf.group_by("o_orderkey")
+             .aggregate([("rev_c", "sum"), ("rev_n_c", "sum")]))
+        return g.select(["o_orderkey", "rev_c_sum", "rev_n_c_sum"]) \
+                .rename_columns(["o_orderkey", "rev_c", "rev_n_c"])
+
+    def post(m: pa.Table) -> pa.Table:
+        g = (m.group_by("o_year")
+             .aggregate([("rev_c", "sum"), ("rev_n_c", "sum")]))
+        return g.select(["o_year", "rev_c_sum", "rev_n_c_sum"]) \
+                .rename_columns(["o_year", "rev_c", "rev_n_c"])
+
+    joined = hash_bucket_join(
+        line.map_batches(lprep, batch_format="pyarrow"),
+        orders.map_batches(oprep, batch_format="pyarrow"),
+        on="o_orderkey", num_buckets=16, left_agg=complete_left,
+        post_merge=post, mode=_join_mode(sf_dir, "lineitem", "orders"))
+    out = (joined.to_pandas()
+           .groupby("o_year", as_index=False)[["rev_c", "rev_n_c"]]
+           .sum())
+    out = out[out["rev_c"] > 0]
+    out["mkt_share"] = (out["rev_n_c"].astype("int64")
+                        / out["rev_c"].astype("int64"))
+    return (out[["o_year", "mkt_share"]].astype({"o_year": "int64"})
+            .sort_values("o_year").reset_index(drop=True))
+
+
+def q2_min_cost_supplier(sf_dir: str, size: int = 15, k: int = 50
+                         ) -> pd.DataFrame:
+    """TPC-H Q2 shape (per-group argmin + equality join back),
+    adapted: lineitem stands in for partsupp, min extendedprice for
+    min supplycost. Pass 1 computes each size-matched part's minimum
+    price in cents (in-batch min partials, one tiny groupby); the min
+    map broadcasts into pass 2, which keeps exactly the argmin rows
+    and dedups (part, supplier) winners in-batch — ties at the min
+    all survive, like Q2's correlated subquery. Winner rows are
+    bounded by the filtered part count, so the driver-side name/
+    acctbal attach and deterministic top-k stay O(parts/50)."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Min
+
+    part = pq.read_table(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_name", "p_size"])
+    part = part.filter(pc.equal(pc.cast(part["p_size"], pa.int64()),
+                                size))
+    pmap = dict(zip(part["p_partkey"].to_numpy(zero_copy_only=False)
+                    .astype(int),
+                    part["p_name"].to_pylist()))
+    kref = ray.put(pa.array(list(pmap), pa.int64()))
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_extendedprice"],
+                 num_blocks=16)
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(kref)))
+        g = (pa.table({"l_partkey": t["l_partkey"],
+                       "price_c": _cents(t["l_extendedprice"])})
+             .group_by("l_partkey").aggregate([("price_c", "min")]))
+        return g.rename_columns(["l_partkey", "price_c"])
+
+    mins = (line.map_batches(min_partial, batch_format="pyarrow")
+            .groupby("l_partkey")
+            .aggregate(Min("price_c", alias_name="min_pc")).to_pandas())
+    mmap = dict(zip(mins["l_partkey"].astype(int),
+                    mins["min_pc"].astype("int64")))
+    mref = ray.put(mmap)
+
+    def winners(t: pa.Table) -> pa.Table:
+        df = pa.table({"l_partkey": t["l_partkey"],
+                       "l_suppkey": t["l_suppkey"],
+                       "price_c": _cents(t["l_extendedprice"])
+                       }).to_pandas()
+        m = df["l_partkey"].map(ray.get(mref))
+        df = df[m.notna() & (df["price_c"] == m)]
+        df = df[["l_partkey", "l_suppkey", "price_c"]].drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False,
+                                    schema=pa.schema(
+            [("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+             ("price_c", pa.int64())]))
+
+    win = (line.map_batches(winners, batch_format="pyarrow")
+           .to_pandas().drop_duplicates())
+    sup = pq.read_table(_pq(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_name", "s_acctbal"]
+                        ).to_pandas()
+    win = win.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    win["p_name"] = win["l_partkey"].astype(int).map(pmap)
+    win["min_price"] = win["price_c"].astype("int64") / 100.0
+    win = win.rename(columns={"l_partkey": "p_partkey"})
+    out = (win[["p_partkey", "p_name", "s_name", "s_acctbal",
+                "min_price"]]
+           .sort_values(["s_acctbal", "p_partkey", "s_name"],
+                        ascending=[False, True, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    return out.astype({"p_partkey": "int64"})
