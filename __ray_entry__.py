@@ -571,6 +571,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_product_profit": rel.q9_product_profit,
         "q8_market_share": rel.q8_market_share,
         "q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        "q11_important_parts": rel.q11_important_parts,
+        "q20_promo_shippers": rel.q20_promo_shippers,
         "nation_customer_counts": rel.nation_customer_counts,
         "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
         "region_nation_union_count": rel.region_nation_union_count,
@@ -1059,6 +1061,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN part ON p_partkey = lineitem.l_partkey
             JOIN supplier ON s_suppkey = l_suppkey
             ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 50
+        """,
+        "q11_important_parts": f"""
+            WITH pv AS (
+                SELECT l_partkey,
+                       CAST(sum({_REV_C}) AS BIGINT) AS value_c
+                FROM lineitem GROUP BY l_partkey)
+            SELECT l_partkey, value_c / 10000.0 AS value
+            FROM pv
+            WHERE CAST(value_c AS DOUBLE) >
+                  (SELECT CAST(sum(value_c) AS BIGINT) * 0.0005 FROM pv)
+            ORDER BY value DESC, l_partkey
+        """,
+        "q20_promo_shippers": """
+            WITH sq AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                            AS BIGINT) AS qty_c
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE '%red%')
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY l_partkey, l_suppkey),
+            tot AS (
+                SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS part_qty_c
+                FROM sq GROUP BY l_partkey)
+            SELECT DISTINCT s_name
+            FROM sq JOIN tot USING (l_partkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE CAST(qty_c AS DOUBLE) > 0.3 * part_qty_c
+            ORDER BY s_name
         """,
         "nation_customer_counts": """
             SELECT n_name, count(*) AS n_customers

@@ -1832,3 +1832,103 @@ def q2_min_cost_supplier(sf_dir: str, size: int = 15, k: int = 50
                         ascending=[False, True, True], kind="mergesort")
            .head(k).reset_index(drop=True))
     return out.astype({"p_partkey": "int64"})
+
+
+def q11_important_parts(sf_dir: str, fraction: float = 0.0005
+                        ) -> pd.DataFrame:
+    """TPC-H Q11 shape (groups filtered against a scalar over ALL
+    groups), adapted: per-part revenue value where it exceeds
+    fraction x the corpus total (lineitem revenue stands in for
+    partsupp stock value). One key shuffle builds the per-part
+    aggregate; it materializes ONCE (|parts| rows, not |lineitem|)
+    and feeds both the scalar total and the distributed threshold
+    filter, so the driver sees only the qualifying top fraction."""
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_discount"],
+                 num_blocks=16)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"l_partkey": t["l_partkey"],
+                       "value_c": _disc_rev_cents(t)})
+             .group_by("l_partkey").aggregate([("value_c", "sum")]))
+        return g.rename_columns(["l_partkey", "value_c"])
+
+    from ray.data.aggregate import Sum
+    per_part = (line.map_batches(partial, batch_format="pyarrow")
+                .groupby("l_partkey")
+                .aggregate(Sum("value_c", alias_name="value_c"))
+                .materialize())
+    total = int(per_part.sum("value_c") or 0)
+    thr = total * fraction
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(
+            pc.cast(t["value_c"], pa.float64()), thr))
+
+    out = (per_part.map_batches(keep, batch_format="pyarrow")
+           .to_pandas())
+    if out.empty:   # all-empty blocks come back column-less
+        return pd.DataFrame({"l_partkey": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    out["value"] = out["value_c"].astype("int64") / 10000.0
+    return (out[["l_partkey", "value"]]
+            .sort_values(["value", "l_partkey"],
+                         ascending=[False, True], kind="mergesort")
+            .reset_index(drop=True).astype({"l_partkey": "int64"}))
+
+
+def q20_promo_shippers(sf_dir: str, pattern: str = "red",
+                       share: float = 0.3) -> pd.DataFrame:
+    """TPC-H Q20 shape (nested semi-joins: suppliers of pattern parts
+    with an outsized quantity share), adapted to lineitem-as-partsupp:
+    suppliers who shipped more than ``share`` of any red part's 1996
+    volume. The pattern partkeys broadcast into the scan; per
+    (supplier, part) quantities complete inside one partkey-bucketed
+    window pass that also evaluates the per-part share threshold, so
+    only winning supplier keys leave the shuffle; names attach via a
+    broadcast dim lookup."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.window import hash_partitioned_window
+
+    part = pq.read_table(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_name"])
+    keys = part.filter(pc.match_substring(part["p_name"], pattern))
+    kref = ray.put(pa.array(
+        keys["p_partkey"].to_numpy(zero_copy_only=False), pa.int64()))
+
+    expr = ((pads.field("l_shipdate") >= pd.Timestamp("1996-01-01"))
+            & (pads.field("l_shipdate") < pd.Timestamp("1997-01-01")))
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+                 num_blocks=16, filter=expr)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(kref)))
+        g = (pa.table({"l_partkey": t["l_partkey"],
+                       "l_suppkey": t["l_suppkey"],
+                       "qty_c": _cents(t["l_quantity"])})
+             .group_by(["l_partkey", "l_suppkey"])
+             .aggregate([("qty_c", "sum")]))
+        return g.select(["l_partkey", "l_suppkey", "qty_c_sum"]) \
+                .rename_columns(["l_partkey", "l_suppkey", "qty_c"])
+
+    def kernel(g: pd.DataFrame, new_key: pd.Series) -> pd.DataFrame:
+        per = (g.groupby(["l_partkey", "l_suppkey"], as_index=False)
+               ["qty_c"].sum())
+        tot = per.groupby("l_partkey")["qty_c"].transform("sum")
+        win = per[per["qty_c"] > share * tot]
+        return win[["l_suppkey"]].drop_duplicates()
+
+    supps = (hash_partitioned_window(
+        line.map_batches(partial, batch_format="pyarrow"),
+        "l_partkey", [], kernel)
+        .to_pandas().drop_duplicates())
+    sup = pq.read_table(_pq(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    names = dict(zip(sup["s_suppkey"].astype(int), sup["s_name"]))
+    out = pd.DataFrame({"s_name": sorted(
+        supps["l_suppkey"].astype(int).map(names).dropna().unique())})
+    return out
