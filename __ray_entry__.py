@@ -465,6 +465,11 @@ def _docs_near_dup(sf_dir: str):
     return near_dup_pairs(_docs(sf_dir), threshold=0.8)
 
 
+def _docs_jaccard_pairs(sf_dir: str):
+    from ocr_model_ray.functions.dedup_algos import jaccard_similarity_join
+    return jaccard_similarity_join(_docs(sf_dir), threshold=0.8)
+
+
 def _docs_near_dup_clusters(sf_dir: str):
     from ocr_model_ray.functions.dedup_algos import near_dup_clusters
     return near_dup_clusters(_docs(sf_dir), threshold=0.8)
@@ -603,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": _docs_simhash,
         "docs_fingerprint": _docs_fingerprint,
         "docs_near_dup": _docs_near_dup,
+        "docs_jaccard_pairs": _docs_jaccard_pairs,
         "docs_near_dup_clusters": _docs_near_dup_clusters,
         "docs_repetition": _docs_repetition,
         "docs_source_stats": _docs_source_stats,
@@ -1500,6 +1506,37 @@ def oracle_sql() -> dict[str, str]:
         # of the two texts), so a hash-keyed pair golden recovers this
         # corpus's pairs by joining documents twice; components derive
         # from those pairs with a recursive min-label CTE
+        # fully independent n-gram Jaccard oracle: DuckDB builds the
+        # same distinct word-3-gram sets and the same posting-list
+        # intersection counts in pure SQL — no goldens involved
+        "docs_jaccard_pairs": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           text, '[ \t\n\r\f\v]+'), x -> x <> '') AS w
+                FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                FROM words, LATERAL unnest(
+                    generate_series(1, greatest(len(w) - 2, 0))) AS t(i)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams
+                      GROUP BY doc_id),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS inter
+                FROM grams a JOIN grams b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   CAST(inter AS DOUBLE) / (na.n + nb.n - inter)
+                       AS jaccard
+            FROM pairs
+            JOIN sizes na ON na.doc_id = doc_a
+            JOIN sizes nb ON nb.doc_id = doc_b
+            WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
         # near pairs (distinct texts) come from the hash-keyed golden;
         # exact-dup (rep, member, 1.0) edges derive in pure SQL from
         # the corpus itself, so corpora WITH identical texts (sf0.1)

@@ -912,3 +912,44 @@ def test_window_operator_kernels():
     ).to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
     want_cs = srt.groupby("k")["v"].cumsum().to_numpy()
     assert (cs["run_v"].to_numpy() == want_cs).all()
+
+
+def test_jaccard_similarity_join_exact_and_modes():
+    """Exact n-gram Jaccard join: planted near-dup found with the
+    exactly-computable similarity, unrelated docs absent, and the
+    local plan == the gram-bucketed distributed plan."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import (
+        _strict_shingles, jaccard_similarity_join)
+
+    base_words = [f"tok{i}" for i in range(50)]
+    near = base_words[:48] + ["changed", "words"]
+    rows = [{"doc_id": 0, "text": " ".join(base_words)},
+            {"doc_id": 1, "text": " ".join(near)},
+            {"doc_id": 2, "text": " ".join(f"other{i}" for i in range(50))},
+            {"doc_id": 3, "text": "too short"}]   # <3 words at n=3? 2 words
+    # exact expected jaccard for (0, 1): distinct 3-gram sets
+    a = set(_strict_shingles(rows[0]["text"]).tolist())
+    b = set(_strict_shingles(rows[1]["text"]).tolist())
+    want_j = len(a & b) / len(a | b)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "docs.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), path)
+        ds = rd.read_parquet(path)
+        outs = {}
+        for mode in ("local", "distributed"):
+            out = jaccard_similarity_join(ds, threshold=0.5, mode=mode)
+            outs[mode] = out.reset_index(drop=True)
+        assert outs["local"].equals(outs["distributed"])
+        out = outs["local"]
+        assert list(out.columns) == ["doc_a", "doc_b", "jaccard"]
+        assert len(out) == 1 and (out["doc_a"][0], out["doc_b"][0]) == (0, 1)
+        assert np.isclose(out["jaccard"][0], want_j, rtol=0, atol=0)
+        # short doc yields no grams at all
+        assert _strict_shingles("too short").size == 0
