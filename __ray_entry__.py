@@ -578,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q2_min_cost_supplier": rel.q2_min_cost_supplier,
         "q11_important_parts": rel.q11_important_parts,
         "q20_promo_shippers": rel.q20_promo_shippers,
+        "events_prior_clicks": rel.events_prior_clicks,
         "nation_customer_counts": rel.nation_customer_counts,
         "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
         "region_nation_union_count": rel.region_nation_union_count,
@@ -1098,6 +1099,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON s_suppkey = l_suppkey
             WHERE CAST(qty_c AS DOUBLE) > 0.3 * part_qty_c
             ORDER BY s_name
+        """,
+        "events_prior_clicks": """
+            SELECT p.event_id, CAST(count(c.ts) AS BIGINT) AS n_clicks
+            FROM events p LEFT JOIN
+                 (SELECT ts FROM events WHERE event_type = 'click') c
+              ON c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id ORDER BY p.event_id
         """,
         "nation_customer_counts": """
             SELECT n_name, count(*) AS n_customers

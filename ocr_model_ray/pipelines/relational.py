@@ -1932,3 +1932,37 @@ def q20_promo_shippers(sf_dir: str, pattern: str = "red",
     out = pd.DataFrame({"s_name": sorted(
         supps["l_suppkey"].astype(int).map(names).dropna().unique())})
     return out
+
+
+def events_prior_clicks(sf_dir: str, minutes: int = 60) -> pd.DataFrame:
+    """Temporal RANGE join (no equality key): per purchase event, how
+    many click events — from ANY user — happened in the preceding
+    ``minutes``. The epoch-bucket interval operator replicates each
+    purchase's band to at most two epochs, shuffles both sides once on
+    the epoch id, and resolves every band with two vectorized
+    searchsorteds per bucket — never a cross product, never a
+    broadcast of either fact side."""
+    from ..functions.interval import interval_count_join
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "ts"],
+               num_blocks=8)
+    window_us = minutes * 60_000_000
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        lo = pc.subtract(pc.cast(t["ts"], pa.int64()),
+                         pa.scalar(window_us, pa.int64()))
+        return pa.table({"event_id": t["event_id"], "ts_lo": lo})
+
+    def clicks(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"ts": t.filter(pc.equal(t["event_type"], "click"))["ts"]})
+
+    out = interval_count_join(
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        ev.map_batches(clicks, batch_format="pyarrow"),
+        left_key="event_id", left_time="ts_lo", right_time="ts",
+        window_us=window_us, out_name="n_clicks").to_pandas()
+    out["n_clicks"] = out["n_clicks"].astype("int64")
+    return (out.sort_values("event_id").reset_index(drop=True)
+            .astype({"event_id": "int64"}))

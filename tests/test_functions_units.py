@@ -953,3 +953,38 @@ def test_jaccard_similarity_join_exact_and_modes():
         assert np.isclose(out["jaccard"][0], want_j, rtol=0, atol=0)
         # short doc yields no grams at all
         assert _strict_shingles("too short").size == 0
+
+
+def test_interval_count_join_boundaries_and_replication():
+    """Epoch-bucketed range join: [lo, lo+window) boundary semantics
+    (lo inclusive, hi exclusive), zero-match left rows survive with 0,
+    and a band spanning two epochs counts right rows from both."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from ocr_model_ray.functions.interval import interval_count_join
+
+    H = 3_600_000_000  # 1h in us
+    # epoch will be 1 day; craft a band that crosses midnight
+    day = 86_400_000_000
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        # band 1: plain; band 2: crosses the epoch edge; band 3: empty
+        "t0": pa.array([10 * H, day - H // 2, 5 * day], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "ts": pa.array([
+            10 * H,            # == lo of band 1 -> counted (inclusive)
+            11 * H,            # == hi of band 1 -> NOT counted
+            10 * H + 1,        # inside band 1
+            day - 1,           # band 2, before midnight
+            day + H // 4,      # band 2, after midnight (second epoch)
+            day + H,           # past band 2's hi
+        ], pa.int64()),
+    }))
+    out = (interval_count_join(left, right, left_key="k",
+                               left_time="t0", right_time="ts",
+                               window_us=H, out_name="n")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = pd.DataFrame({"k": [1, 2, 3], "n": [2, 2, 0]})
+    assert out.astype("int64").equals(want.astype("int64")), out
