@@ -1962,7 +1962,8 @@ def events_prior_clicks(sf_dir: str, minutes: int = 60) -> pd.DataFrame:
         ev.map_batches(purchases, batch_format="pyarrow"),
         ev.map_batches(clicks, batch_format="pyarrow"),
         left_key="event_id", left_time="ts_lo", right_time="ts",
-        window_us=window_us, out_name="n_clicks").to_pandas()
+        window_us=window_us, out_name="n_clicks",
+        mode=_join_mode(sf_dir, "events")).to_pandas()
     out["n_clicks"] = out["n_clicks"].astype("int64")
     return (out.sort_values("event_id").reset_index(drop=True)
             .astype({"event_id": "int64"}))

@@ -982,9 +982,10 @@ def test_interval_count_join_boundaries_and_replication():
             day + H,           # past band 2's hi
         ], pa.int64()),
     }))
-    out = (interval_count_join(left, right, left_key="k",
-                               left_time="t0", right_time="ts",
-                               window_us=H, out_name="n")
-           .to_pandas().sort_values("k").reset_index(drop=True))
     want = pd.DataFrame({"k": [1, 2, 3], "n": [2, 2, 0]})
-    assert out.astype("int64").equals(want.astype("int64")), out
+    for mode in ("local", "distributed"):
+        out = (interval_count_join(left, right, left_key="k",
+                                   left_time="t0", right_time="ts",
+                                   window_us=H, out_name="n", mode=mode)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert out.astype("int64").equals(want.astype("int64")), (mode, out)
