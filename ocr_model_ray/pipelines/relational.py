@@ -1374,19 +1374,28 @@ def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
              .group_by("o_custkey").aggregate([([], "count_all")]))
         return g.rename_columns(["o_custkey", "n"])
 
-    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
-                .groupby("o_custkey")
-                .aggregate(Sum("n", alias_name="c_count")))
+    partials = orders.map_batches(partial, batch_format="pyarrow")
+    if _join_mode(sf_dir, "orders") == "local":
+        # small-input plan: the per-batch partial counts collect once
+        # and both groupbys finish in pandas (no shuffle fixed cost)
+        pc_ = (partials.to_pandas()
+               .groupby("o_custkey", as_index=False)["n"].sum())
+        dist = (pc_.groupby("n", as_index=False).size()
+                .rename(columns={"n": "c_count", "size": "custdist"}))
+    else:
+        per_cust = (partials.groupby("o_custkey")
+                    .aggregate(Sum("n", alias_name="c_count")))
 
-    def dist_partial(t: pa.Table) -> pa.Table:
-        g = (pa.table({"c_count": t["c_count"]})
-             .group_by("c_count").aggregate([([], "count_all")]))
-        return g.rename_columns(["c_count", "custdist"])
+        def dist_partial(t: pa.Table) -> pa.Table:
+            g = (pa.table({"c_count": t["c_count"]})
+                 .group_by("c_count").aggregate([([], "count_all")]))
+            return g.rename_columns(["c_count", "custdist"])
 
-    dist = (per_cust.map_batches(dist_partial, batch_format="pyarrow")
-            .groupby("c_count")
-            .aggregate(Sum("custdist", alias_name="custdist"))
-            .to_pandas())
+        dist = (per_cust.map_batches(dist_partial,
+                                     batch_format="pyarrow")
+                .groupby("c_count")
+                .aggregate(Sum("custdist", alias_name="custdist"))
+                .to_pandas())
     n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
     n_zero = int(n_cust) - int(dist["custdist"].sum())
     if n_zero > 0:
@@ -1448,22 +1457,31 @@ def q16_supplier_part_counts(sf_dir: str,
             [("p_brand", pa.string()), ("p_type", pa.string()),
              ("p_size", pa.int64()), ("l_suppkey", pa.int64())]))
 
-    quads = (line.map_batches(attach, batch_format="pyarrow")
-             .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
-             .aggregate(Count(alias_name="c")))
+    deduped = line.map_batches(attach, batch_format="pyarrow")
+    if _join_mode(sf_dir, "lineitem") == "local":
+        # small-input plan: in-batch-deduped quads collect once; the
+        # global dedup + count finish in pandas (no shuffle fixed cost)
+        out = (deduped.to_pandas().drop_duplicates()
+               .groupby(["p_brand", "p_type", "p_size"], as_index=False)
+               .agg(supplier_cnt=("l_suppkey", "size")))
+    else:
+        quads = (deduped
+                 .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+                 .aggregate(Count(alias_name="c")))
 
-    def per_attr(t: pa.Table) -> pa.Table:
-        g = (t.select(["p_brand", "p_type", "p_size"])
-             .group_by(["p_brand", "p_type", "p_size"])
-             .aggregate([([], "count_all")]))
-        return g.select(["p_brand", "p_type", "p_size", "count_all"]) \
-                .rename_columns(["p_brand", "p_type", "p_size",
-                                 "supplier_cnt"])
+        def per_attr(t: pa.Table) -> pa.Table:
+            g = (t.select(["p_brand", "p_type", "p_size"])
+                 .group_by(["p_brand", "p_type", "p_size"])
+                 .aggregate([([], "count_all")]))
+            return g.select(["p_brand", "p_type", "p_size",
+                             "count_all"]) \
+                    .rename_columns(["p_brand", "p_type", "p_size",
+                                     "supplier_cnt"])
 
-    out = (quads.map_batches(per_attr, batch_format="pyarrow")
-           .groupby(["p_brand", "p_type", "p_size"])
-           .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
-           .to_pandas())
+        out = (quads.map_batches(per_attr, batch_format="pyarrow")
+               .groupby(["p_brand", "p_type", "p_size"])
+               .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+               .to_pandas())
     out = out.astype({"p_size": "int64", "supplier_cnt": "int64"})
     return (out.sort_values(
         ["supplier_cnt", "p_brand", "p_type", "p_size"],
@@ -1853,20 +1871,28 @@ def q11_important_parts(sf_dir: str, fraction: float = 0.0005
              .group_by("l_partkey").aggregate([("value_c", "sum")]))
         return g.rename_columns(["l_partkey", "value_c"])
 
-    from ray.data.aggregate import Sum
-    per_part = (line.map_batches(partial, batch_format="pyarrow")
-                .groupby("l_partkey")
-                .aggregate(Sum("value_c", alias_name="value_c"))
-                .materialize())
-    total = int(per_part.sum("value_c") or 0)
-    thr = total * fraction
+    partials = line.map_batches(partial, batch_format="pyarrow")
+    if _join_mode(sf_dir, "lineitem") == "local":
+        # small-input plan: per-batch partials collect once; sum,
+        # scalar threshold and filter finish in pandas
+        pp = (partials.to_pandas()
+              .groupby("l_partkey", as_index=False)["value_c"].sum())
+        thr = int(pp["value_c"].sum()) * fraction
+        out = pp[pp["value_c"].astype(float) > thr].copy()
+    else:
+        from ray.data.aggregate import Sum
+        per_part = (partials.groupby("l_partkey")
+                    .aggregate(Sum("value_c", alias_name="value_c"))
+                    .materialize())
+        total = int(per_part.sum("value_c") or 0)
+        thr = total * fraction
 
-    def keep(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(
-            pc.cast(t["value_c"], pa.float64()), thr))
+        def keep(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater(
+                pc.cast(t["value_c"], pa.float64()), thr))
 
-    out = (per_part.map_batches(keep, batch_format="pyarrow")
-           .to_pandas())
+        out = (per_part.map_batches(keep, batch_format="pyarrow")
+               .to_pandas())
     if out.empty:   # all-empty blocks come back column-less
         return pd.DataFrame({"l_partkey": pd.Series([], dtype="int64"),
                              "value": pd.Series([], dtype="float64")})

@@ -989,3 +989,28 @@ def test_interval_count_join_boundaries_and_replication():
                                    window_us=H, out_name="n", mode=mode)
                .to_pandas().sort_values("k").reset_index(drop=True))
         assert out.astype("int64").equals(want.astype("int64")), (mode, out)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q11_q13_q16_local_plan_equals_distributed(monkeypatch):
+    """The round-3 local fast paths (q11/q13/q16) must match the
+    distributed shuffle plans row-for-row (SMALL_JOIN_BYTES=0 forces
+    the distributed branch on the same sf0.001 input)."""
+    from ocr_model_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    local = {
+        "q11": relational.q11_important_parts(sf),
+        "q13": relational.q13_customer_distribution(sf),
+        "q16": relational.q16_supplier_part_counts(sf),
+    }
+    monkeypatch.setattr(relational, "SMALL_JOIN_BYTES", 0)
+    assert relational._join_mode(sf, "orders") == "distributed"
+    dist = {
+        "q11": relational.q11_important_parts(sf),
+        "q13": relational.q13_customer_distribution(sf),
+        "q16": relational.q16_supplier_part_counts(sf),
+    }
+    for k in local:
+        pd.testing.assert_frame_equal(local[k], dist[k],
+                                      check_dtype=False)
