@@ -814,37 +814,43 @@ def _jaccard_pairs_frame(g: pd.DataFrame) -> pd.DataFrame:
     new = np.empty(len(gr), dtype=bool)
     new[0] = True
     np.not_equal(gr[1:], gr[:-1], out=new[1:])
-    starts = np.flatnonzero(new)
-    ends = np.append(starts[1:], len(gr))
-    pa_, pb_, sa_, sb_ = [], [], [], []
-    for st, en in zip(starts, ends):
-        n = en - st
-        if n < 2:
-            continue
-        ii, jj = np.triu_indices(n, k=1)
-        da, db = d[st + ii], d[st + jj]
-        za, zb = s[st + ii], s[st + jj]
-        swap = da > db
-        pa_.append(np.where(swap, db, da))
-        pb_.append(np.where(swap, da, db))
-        sa_.append(np.where(swap, zb, za))
-        sb_.append(np.where(swap, za, zb))
-    if not pa_:
+    # vectorized all-pairs-within-runs: row idx (position p in a run of
+    # length L) pairs with the L-1-p rows after it — generate every
+    # (a, b) index pair with one repeat + one arange, no per-run loop
+    run_id = np.cumsum(new) - 1
+    run_start = np.flatnonzero(new)
+    run_len = np.append(run_start[1:], len(gr)) - run_start
+    after = (run_start[run_id] + run_len[run_id]
+             - np.arange(len(gr)) - 1).astype(np.int64)
+    total = int(after.sum())
+    if total == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
                              "inter": pd.Series([], dtype="int64"),
                              "sz_a": pd.Series([], dtype="int64"),
                              "sz_b": pd.Series([], dtype="int64")})
-    df = pd.DataFrame({"doc_a": np.concatenate(pa_),
-                       "doc_b": np.concatenate(pb_),
-                       "sz_a": np.concatenate(sa_),
-                       "sz_b": np.concatenate(sb_)})
-    out = (df.groupby(["doc_a", "doc_b"], as_index=False)
-           .agg(inter=("sz_a", "size"), sz_a=("sz_a", "max"),
-                sz_b=("sz_b", "max")))
-    return out.astype({"doc_a": "int64", "doc_b": "int64",
-                       "inter": "int64", "sz_a": "int64",
-                       "sz_b": "int64"})
+    a_idx = np.repeat(np.arange(len(gr)), after)
+    prefix = np.cumsum(after) - after
+    b_idx = np.arange(total) - prefix[a_idx] + a_idx + 1
+    da, db = d[a_idx], d[b_idx]
+    za, zb = s[a_idx], s[b_idx]
+    swap = da > db
+    da, db, za, zb = (np.where(swap, db, da), np.where(swap, da, db),
+                      np.where(swap, zb, za), np.where(swap, za, zb))
+    # intersection counts via lexsort + run lengths — no hash groupby
+    o = np.lexsort((db, da))
+    da, db, za, zb = da[o], db[o], za[o], zb[o]
+    first = np.empty(len(da), dtype=bool)
+    first[0] = True
+    first[1:] = (da[1:] != da[:-1]) | (db[1:] != db[:-1])
+    starts = np.flatnonzero(first)
+    inter = np.diff(np.append(starts, len(da)))
+    return pd.DataFrame({
+        "doc_a": da[starts].astype("int64"),
+        "doc_b": db[starts].astype("int64"),
+        "inter": inter.astype("int64"),
+        "sz_a": za[starts].astype("int64"),
+        "sz_b": zb[starts].astype("int64")})
 
 
 def jaccard_similarity_join(ds: rd.Dataset, threshold: float = 0.8,
