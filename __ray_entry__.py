@@ -465,6 +465,11 @@ def _docs_near_dup(sf_dir: str):
     return near_dup_pairs(_docs(sf_dir), threshold=0.8)
 
 
+def _docs_freq_score(sf_dir: str):
+    from ocr_model_ray.functions.corpus_stats import unigram_freq_score
+    return unigram_freq_score(_docs(sf_dir))
+
+
 def _docs_jaccard_pairs(sf_dir: str):
     from ocr_model_ray.functions.dedup_algos import jaccard_similarity_join
     return jaccard_similarity_join(_docs(sf_dir), threshold=0.8)
@@ -610,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _docs_fingerprint,
         "docs_near_dup": _docs_near_dup,
         "docs_jaccard_pairs": _docs_jaccard_pairs,
+        "docs_freq_score": _docs_freq_score,
         "docs_near_dup_clusters": _docs_near_dup_clusters,
         "docs_repetition": _docs_repetition,
         "docs_source_stats": _docs_source_stats,
@@ -1515,6 +1521,26 @@ def oracle_sql() -> dict[str, str]:
         # of the two texts), so a hash-keyed pair golden recovers this
         # corpus's pairs by joining documents twice; components derive
         # from those pairs with a recursive min-label CTE
+        # unigram corpus-frequency quality score: integer sums + ONE
+        # float division per doc, so the hash compare is bit-exact
+        "docs_freq_score": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(
+                           text, '[ \t\n\r\f\v]+'),
+                           x -> x <> '')) AS token
+                FROM documents),
+            cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+            tot AS (SELECT count(*) AS T FROM tok)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS sum_freq,
+                   CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(sum(c) AS BIGINT)
+                       / (CAST(count(*) AS BIGINT) * 1.0
+                          * (SELECT T FROM tot)) AS avg_freq
+            FROM tok JOIN cnt USING (token)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
         # fully independent n-gram Jaccard oracle: DuckDB builds the
         # same distinct word-3-gram sets and the same posting-list
         # intersection counts in pure SQL — no goldens involved

@@ -528,3 +528,92 @@ def cms_token_counts(ds: rd.Dataset, text_col: str = "text") -> np.ndarray:
             "ray.data.aggregate.AggregateFnV2 required")
     out = ds.aggregate(CmsTokenCounts(text_col=text_col))
     return out["cms"]
+
+
+def unigram_freq_score(ds: rd.Dataset, text_col: str = "text",
+                       doc_col: str = "doc_id",
+                       mode: str = "auto") -> pd.DataFrame:
+    """Unigram corpus-frequency score per document — the
+    division-exact cousin of LM-perplexity quality filtering (CCNet
+    style): score(d) = (Σ_{token instances t in d} count(t)) /
+    (n_tokens(d) · total_tokens). Rare-word-heavy documents score low,
+    boilerplate scores high. All numerators/denominators are int64
+    sums, so the one float division per doc is bit-identical to the
+    SQL oracle's identical integer expression.
+
+    Two streaming passes: (1) corpus token counts (the same combiner
+    pattern as ``top_tokens``); (2) per-(doc, token) multiplicity
+    partials join the counts — broadcast when the vocabulary is small,
+    token-bucketed ``hash_bucket_join`` at scale — and reduce per doc.
+    """
+    import ray
+
+    from .dedup_algos import _resolve_mode as _rm
+
+    counts_partials = ds.map_batches(
+        lambda t: _token_counts_block(t, text_col),
+        batch_format="pyarrow")
+
+    def doc_tok_partial(t: pa.Table) -> pa.Table:
+        """(token, doc_id, m) multiplicities + n_tok rides as m sums"""
+        toks = pc.split_pattern_regex(t[text_col], WS_SPLIT)
+        flat = pc.list_flatten(toks)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        docs = np.repeat(
+            t[doc_col].to_numpy(zero_copy_only=False), reps)
+        tb = pa.table({"token": flat,
+                       "doc_id": pa.array(docs, pa.int64())})
+        tb = tb.filter(pc.not_equal(tb["token"], ""))
+        g = (tb.group_by(["token", "doc_id"])
+             .aggregate([([], "count_all")]))
+        return g.select(["token", "doc_id", "count_all"]) \
+                .rename_columns(["token", "doc_id", "m"])
+
+    doc_toks = ds.map_batches(doc_tok_partial, batch_format="pyarrow")
+
+    if _rm(ds, mode) == "local":
+        cnt = (counts_partials.to_pandas()
+               .groupby("token", as_index=False)["n"].sum())
+        total = int(cnt["n"].sum())
+        dt = (doc_toks.to_pandas()
+              .groupby(["token", "doc_id"], as_index=False)["m"].sum())
+        merged = dt.merge(cnt, on="token")
+        per_doc = (merged.assign(wf=merged["m"] * merged["n"])
+                   .groupby("doc_id", as_index=False)
+                   .agg(sum_freq=("wf", "sum"), n_tok=("m", "sum")))
+    else:
+        from ray.data.aggregate import Sum
+
+        from .joins import hash_bucket_join
+        counts = (counts_partials.groupby("token")
+                  .aggregate(Sum("n", alias_name="n")).materialize())
+        total = int(counts.sum("n") or 0)
+
+        def complete_left(lf: pa.Table) -> pa.Table:
+            g = (lf.group_by(["token", "doc_id"])
+                 .aggregate([("m", "sum")]))
+            return g.select(["token", "doc_id", "m_sum"]) \
+                    .rename_columns(["token", "doc_id", "m"])
+
+        def post(mg: pa.Table) -> pa.Table:
+            wf = pc.multiply(mg["m"], mg["n"])
+            g = (pa.table({"doc_id": mg["doc_id"], "sum_freq": wf,
+                           "n_tok": mg["m"]})
+                 .group_by("doc_id")
+                 .aggregate([("sum_freq", "sum"), ("n_tok", "sum")]))
+            return g.select(["doc_id", "sum_freq_sum", "n_tok_sum"]) \
+                    .rename_columns(["doc_id", "sum_freq", "n_tok"])
+
+        per_doc = (hash_bucket_join(
+            doc_toks, counts, on="token", num_buckets=32,
+            left_agg=complete_left, post_merge=post)
+            .to_pandas()
+            .groupby("doc_id", as_index=False)
+            [["sum_freq", "n_tok"]].sum())
+    per_doc["sum_freq"] = per_doc["sum_freq"].astype("int64")
+    per_doc["n_tok"] = per_doc["n_tok"].astype("int64")
+    per_doc["avg_freq"] = (per_doc["sum_freq"]
+                           / (per_doc["n_tok"] * 1.0 * total))
+    return (per_doc[["doc_id", "sum_freq", "n_tok", "avg_freq"]]
+            .astype({"doc_id": "int64"})
+            .sort_values("doc_id").reset_index(drop=True))

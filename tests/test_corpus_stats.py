@@ -200,3 +200,19 @@ def test_cms_distributed_equals_local():
     local = cms_fold(_token_hashes_block(
         pa.Table.from_pandas(df), "text"))
     assert (rows == local).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unigram_freq_score_local_equals_distributed():
+    """The broadcast-merge local plan and the token-bucket join plan
+    must agree bit-for-bit (int sums + one division)."""
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import unigram_freq_score
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    a = unigram_freq_score(ds, mode="local")
+    b = unigram_freq_score(ds, mode="distributed")
+    pd.testing.assert_frame_equal(a, b)
+    # sanity: scores are valid probabilities-ish (0 < avg_freq <= 1)
+    assert (a["avg_freq"] > 0).all() and (a["avg_freq"] <= 1).all()
