@@ -465,6 +465,11 @@ def _docs_near_dup(sf_dir: str):
     return near_dup_pairs(_docs(sf_dir), threshold=0.8)
 
 
+def _docs_bigram_lift(sf_dir: str):
+    from ocr_model_ray.functions.corpus_stats import bigram_lift
+    return bigram_lift(_docs(sf_dir), k=50, min_count=5)
+
+
 def _docs_freq_score(sf_dir: str):
     from ocr_model_ray.functions.corpus_stats import unigram_freq_score
     return unigram_freq_score(_docs(sf_dir))
@@ -616,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_near_dup": _docs_near_dup,
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "docs_freq_score": _docs_freq_score,
+        "docs_bigram_lift": _docs_bigram_lift,
         "docs_near_dup_clusters": _docs_near_dup_clusters,
         "docs_repetition": _docs_repetition,
         "docs_source_stats": _docs_source_stats,
@@ -1521,6 +1527,35 @@ def oracle_sql() -> dict[str, str]:
         # of the two texts), so a hash-keyed pair golden recovers this
         # corpus's pairs by joining documents twice; components derive
         # from those pairs with a recursive min-label CTE
+        # collocations: lift is a pure count ratio (no log), so the
+        # single float expression hashes bit-exactly
+        "docs_bigram_lift": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           text, '[ \t\n\r\f\v]+'),
+                           x -> x <> '') AS w
+                FROM documents),
+            uni AS (SELECT unnest(w) AS token FROM words),
+            ucnt AS (SELECT token, count(*) AS c FROM uni
+                     GROUP BY token),
+            tot AS (SELECT count(*) AS T FROM uni),
+            bi AS (
+                SELECT w[i] AS w1, w[i+1] AS w2
+                FROM words, LATERAL unnest(
+                    generate_series(1, greatest(len(w) - 1, 0))) AS t(i)),
+            bcnt AS (SELECT w1, w2, count(*) AS cab FROM bi
+                     GROUP BY w1, w2),
+            btot AS (SELECT count(*) AS TB FROM bi)
+            SELECT w1, w2, CAST(cab AS BIGINT) AS n_pair,
+                   (cab * 1.0 * (SELECT T FROM tot)
+                        * (SELECT T FROM tot))
+                   / ((SELECT TB FROM btot) * 1.0 * a.c * b.c) AS lift
+            FROM bcnt JOIN ucnt a ON a.token = w1
+            JOIN ucnt b ON b.token = w2
+            WHERE cab >= 5
+            ORDER BY lift DESC, w1, w2 LIMIT 50
+        """,
         # unigram corpus-frequency quality score: integer sums + ONE
         # float division per doc, so the hash compare is bit-exact
         "docs_freq_score": """

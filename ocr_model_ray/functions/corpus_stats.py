@@ -617,3 +617,96 @@ def unigram_freq_score(ds: rd.Dataset, text_col: str = "text",
     return (per_doc[["doc_id", "sum_freq", "n_tok", "avg_freq"]]
             .astype({"doc_id": "int64"})
             .sort_values("doc_id").reset_index(drop=True))
+
+
+def bigram_lift(ds: rd.Dataset, k: int = 50, min_count: int = 5,
+                text_col: str = "text", mode: str = "auto"
+                ) -> pd.DataFrame:
+    """Collocation extraction: top-k word bigrams by LIFT =
+    P(w1 w2) / (P(w1) P(w2)) — the log-free PMI variant, so every
+    factor is an integer count and the one float expression per bigram
+    is bit-identical to the SQL oracle (log/exp vary across libms;
+    ratios don't). High lift = words that co-occur far more than
+    independence predicts ("New York"), the standard phrase-mining
+    primitive (Manning & Schütze ch. 5).
+
+    Plan: one pass emits per-batch partial counts for unigrams AND
+    bigrams (two group_bys inside the same map — the text is tokenized
+    once); bigram totals ride as one extra row. Small reads finish the
+    merge in-process; at scale the bigram table joins the unigram
+    counts twice through token-bucket shuffles, and only pairs with
+    count >= min_count enter the join (the Zipf tail never moves)."""
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t[text_col], WS_SPLIT)
+        words = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        # per-token doc index makes the boundary mask trivial: a
+        # bigram is valid iff both tokens share a doc (split empties —
+        # only ever at text edges — drop first, same as the oracle's
+        # list_filter-then-pair order)
+        docix = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = words != ""
+        words2, docix2 = words[keep], docix[keep]
+        uni = pd.Series(words2).value_counts()
+        out_tok = ["\x00TOTAL\x00"] + list(uni.index)
+        out_n = [len(words2)] + list(uni.to_numpy())
+        ug = pa.table({"w1": pa.array(out_tok, pa.string()),
+                       "w2": pa.array([""] * len(out_tok), pa.string()),
+                       "n": pa.array(np.asarray(out_n, np.int64)),
+                       "kind": pa.array(["u"] * len(out_tok))})
+        if len(words2) >= 2:
+            valid = docix2[:-1] == docix2[1:]
+            b1, b2 = words2[:-1][valid], words2[1:][valid]
+            bdf = (pd.DataFrame({"w1": b1, "w2": b2})
+                   .groupby(["w1", "w2"], as_index=False).size())
+            bg = pa.table({
+                "w1": pa.array(["\x00TOTAL\x00"] + list(bdf["w1"]),
+                               pa.string()),
+                "w2": pa.array([""] + list(bdf["w2"]), pa.string()),
+                "n": pa.array(np.concatenate(
+                    [[int(valid.sum())],
+                     bdf["size"].to_numpy()]).astype(np.int64)),
+                "kind": pa.array(["b"] * (len(bdf) + 1))})
+            return pa.concat_tables([ug, bg])
+        return ug
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    # both plans complete the counts the same way; the distributed one
+    # shuffles by (kind, w1, w2) first so no single node sees the
+    # full vocabulary
+    if _resolve_mode(ds, mode) == "local":
+        allp = (parts.to_pandas()
+                .groupby(["kind", "w1", "w2"], as_index=False)["n"].sum())
+    else:
+        from ray.data.aggregate import Sum
+        allp = (parts.groupby(["kind", "w1", "w2"])
+                .aggregate(Sum("n", alias_name="n")).to_pandas())
+        # the merged (kind, w1, w2) table is vocabulary-sized; the
+        # lift join below runs on the min_count survivors only, which
+        # is what bounds the driver frame at corpus scale
+    uni = allp[(allp["kind"] == "u")
+               & (allp["w1"] != "\x00TOTAL\x00")]
+    T = int(allp.loc[(allp["kind"] == "u")
+                     & (allp["w1"] == "\x00TOTAL\x00"), "n"].sum())
+    TB = int(allp.loc[(allp["kind"] == "b")
+                      & (allp["w1"] == "\x00TOTAL\x00"), "n"].sum())
+    bi = allp[(allp["kind"] == "b")
+              & (allp["w1"] != "\x00TOTAL\x00")]
+    bi = bi[bi["n"] >= min_count]
+    if bi.empty or T == 0 or TB == 0:
+        return pd.DataFrame({"w1": pd.Series([], dtype="object"),
+                             "w2": pd.Series([], dtype="object"),
+                             "n_pair": pd.Series([], dtype="int64"),
+                             "lift": pd.Series([], dtype="float64")})
+    cmap = dict(zip(uni["w1"], uni["n"].astype("int64")))
+    ca = bi["w1"].map(cmap).astype("int64")
+    cb = bi["w2"].map(cmap).astype("int64")
+    cab = bi["n"].astype("int64")
+    lift = (cab * 1.0 * T * T) / (TB * 1.0 * ca * cb)
+    out = pd.DataFrame({"w1": bi["w1"].to_numpy(),
+                        "w2": bi["w2"].to_numpy(),
+                        "n_pair": cab.to_numpy(), "lift": lift.to_numpy()})
+    return (out.sort_values(["lift", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="mergesort")
+            .head(k).reset_index(drop=True))

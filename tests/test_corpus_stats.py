@@ -216,3 +216,28 @@ def test_unigram_freq_score_local_equals_distributed():
     pd.testing.assert_frame_equal(a, b)
     # sanity: scores are valid probabilities-ish (0 < avg_freq <= 1)
     assert (a["avg_freq"] > 0).all() and (a["avg_freq"] <= 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_lift_local_equals_distributed_and_boundaries():
+    """Lift collocations: local == distributed, and bigrams never
+    cross document boundaries."""
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import bigram_lift
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    a = bigram_lift(ds, k=20, min_count=2, mode="local")
+    b = bigram_lift(ds, k=20, min_count=2, mode="distributed")
+    pd.testing.assert_frame_equal(a, b)
+
+    # boundary check: two docs that would form a spurious bigram if
+    # concatenated ("alpha beta" + "beta alpha" -> no "beta beta")
+    docs = rd.from_items([
+        {"doc_id": 0, "text": "alpha beta"},
+        {"doc_id": 1, "text": "beta alpha"},
+    ] * 3)
+    out = bigram_lift(docs, k=10, min_count=1, mode="local")
+    pairs = set(zip(out["w1"], out["w2"]))
+    assert ("beta", "beta") not in pairs
+    assert ("alpha", "beta") in pairs and ("beta", "alpha") in pairs
