@@ -589,6 +589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": rel.q11_important_parts,
         "q20_promo_shippers": rel.q20_promo_shippers,
         "events_prior_clicks": rel.events_prior_clicks,
+        "q1_rollup": rel.q1_rollup,
+        "lineitem_qty_variance": rel.lineitem_qty_variance,
         "nation_customer_counts": rel.nation_customer_counts,
         "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
         "region_nation_union_count": rel.region_nation_union_count,
@@ -1111,6 +1113,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON s_suppkey = l_suppkey
             WHERE CAST(qty_c AS DOUBLE) > 0.3 * part_qty_c
             ORDER BY s_name
+        """,
+        "lineitem_qty_variance": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       CAST(sum(CAST(round(l_quantity*100) AS BIGINT))
+                            AS BIGINT) AS s1,
+                       CAST(sum(CAST(round(l_quantity*100) AS BIGINT)
+                                * CAST(round(l_quantity*100) AS BIGINT))
+                            AS BIGINT) AS s2,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   (s2 * 1.0 / n
+                    - (s1 * 1.0 / n) * (s1 * 1.0 / n)) / 10000.0
+                       AS var_qty,
+                   n AS n_rows
+            FROM m ORDER BY l_returnflag
+        """,
+        "q1_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) / 100.0 AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
         """,
         "events_prior_clicks": """
             SELECT p.event_id, CAST(count(c.ts) AS BIGINT) AS n_clicks

@@ -1993,3 +1993,78 @@ def events_prior_clicks(sf_dir: str, minutes: int = 60) -> pd.DataFrame:
     out["n_clicks"] = out["n_clicks"].astype("int64")
     return (out.sort_values("event_id").reset_index(drop=True)
             .astype({"event_id": "int64"}))
+
+
+def q1_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP shape: (returnflag, linestatus) totals plus the
+    per-flag and grand-total levels in one result. The right 100-TB
+    plan: ONE pass computes the finest level (its output is
+    |flags|x|statuses| rows — tiny), and the coarser levels derive
+    from it by re-summing exact integer cents on the driver; rolling
+    up never touches the fact table again."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"],
+               num_blocks=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"l_returnflag": t["l_returnflag"],
+                       "l_linestatus": t["l_linestatus"],
+                       "qty_c": _cents(t["l_quantity"]),
+                       "one": pa.array(
+                           np.ones(t.num_rows, np.int64))})
+             .group_by(["l_returnflag", "l_linestatus"])
+             .aggregate([("qty_c", "sum"), ("one", "sum")]))
+        return g.select(["l_returnflag", "l_linestatus", "qty_c_sum",
+                         "one_sum"]) \
+                .rename_columns(["l_returnflag", "l_linestatus",
+                                 "qty_c", "n_rows"])
+
+    base = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+            .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            [["qty_c", "n_rows"]].sum())
+    lvl1 = (base.groupby("l_returnflag", as_index=False)
+            [["qty_c", "n_rows"]].sum().assign(l_linestatus="ALL"))
+    lvl0 = pd.DataFrame({"l_returnflag": ["ALL"],
+                         "l_linestatus": ["ALL"],
+                         "qty_c": [base["qty_c"].sum()],
+                         "n_rows": [base["n_rows"].sum()]})
+    out = pd.concat([base, lvl1, lvl0], ignore_index=True)
+    out["sum_qty"] = out["qty_c"].astype("int64") / 100.0
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return (out[["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]]
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+
+
+def lineitem_qty_variance(sf_dir: str) -> pd.DataFrame:
+    """Population variance per group via exact integer moments:
+    per-batch (Σqc, Σqc², n) partials in int64 (quantity cents are
+    <= 5000, so the squared sums stay exact far past 10^11 rows per
+    group), one tiny grouped sum, and the variance expression runs
+    the SAME IEEE ops in the same order as the SQL oracle — unlike
+    var_pop(), whose accumulation strategy is engine-private."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"],
+               num_blocks=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        qc = _cents(t["l_quantity"])
+        g = (pa.table({"l_returnflag": t["l_returnflag"],
+                       "s1": qc, "s2": pc.multiply(qc, qc),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by("l_returnflag")
+             .aggregate([("s1", "sum"), ("s2", "sum"), ("one", "sum")]))
+        return g.select(["l_returnflag", "s1_sum", "s2_sum",
+                         "one_sum"]) \
+                .rename_columns(["l_returnflag", "s1", "s2", "n"])
+
+    m = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+         .groupby("l_returnflag", as_index=False)[["s1", "s2", "n"]]
+         .sum())
+    s1 = m["s1"].astype("int64")
+    s2 = m["s2"].astype("int64")
+    n = m["n"].astype("int64")
+    mean = s1 * 1.0 / n
+    m["var_qty"] = (s2 * 1.0 / n - mean * mean) / 10000.0
+    m["n_rows"] = n
+    return (m[["l_returnflag", "var_qty", "n_rows"]]
+            .sort_values("l_returnflag").reset_index(drop=True))
