@@ -590,6 +590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q20_promo_shippers": rel.q20_promo_shippers,
         "events_prior_clicks": rel.events_prior_clicks,
         "q1_rollup": rel.q1_rollup,
+        "events_percent_rank": rel.events_percent_rank,
+        "events_type_counts_salted": rel.events_type_counts_salted,
         "lineitem_qty_variance": rel.lineitem_qty_variance,
         "nation_customer_counts": rel.nation_customer_counts,
         "distinct_suppliers_per_flag": rel.distinct_suppliers_per_flag,
@@ -1130,6 +1132,17 @@ def oracle_sql() -> dict[str, str]:
                        AS var_qty,
                    n AS n_rows
             FROM m ORDER BY l_returnflag
+        """,
+        "events_percent_rank": """
+            SELECT event_id, user_id,
+                   PERCENT_RANK() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                       AS percent_rank
+            FROM events ORDER BY event_id
+        """,
+        "events_type_counts_salted": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q1_rollup": """
             SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,

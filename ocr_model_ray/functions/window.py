@@ -107,3 +107,26 @@ def cumsum_kernel(col: str, out_cols: Sequence[str],
         out[name] = s - base
         return out
     return kernel
+
+
+def percent_rank_kernel(out_cols: Sequence[str],
+                        name: str = "percent_rank"):
+    """SQL PERCENT_RANK(): (rank - 1) / (partition_rows - 1), 0.0 for
+    single-row partitions — one IEEE division per row, bit-identical
+    to the oracle's."""
+    def kernel(g: pd.DataFrame, new_key: pd.Series) -> pd.DataFrame:
+        seq = np.arange(len(g), dtype=np.int64)
+        nk = new_key.to_numpy()
+        base = pd.Series(seq, index=g.index).where(nk).ffill().to_numpy()
+        rank = seq - base  # 0-based
+        # partition sizes: distance between consecutive starts
+        starts = np.flatnonzero(nk)
+        sizes = np.diff(np.append(starts, len(g)))
+        n = np.repeat(sizes, sizes).astype(np.int64)
+        out = g[list(out_cols)].copy()
+        pr = np.zeros(len(g), dtype=np.float64)
+        multi = n > 1
+        pr[multi] = rank[multi] * 1.0 / (n[multi] - 1)
+        out[name] = pr
+        return out
+    return kernel

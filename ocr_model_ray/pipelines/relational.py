@@ -2068,3 +2068,29 @@ def lineitem_qty_variance(sf_dir: str) -> pd.DataFrame:
     m["n_rows"] = n
     return (m[["l_returnflag", "var_qty", "n_rows"]]
             .sort_values("l_returnflag").reset_index(drop=True))
+
+
+def events_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK window per user by (ts, event_id) — the window
+    operator's rank kernel with one division per row; single-event
+    users get 0.0 per the SQL definition."""
+    from ..functions.window import (hash_partitioned_window,
+                                    percent_rank_kernel)
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = hash_partitioned_window(
+        ds, "user_id", ["ts", "event_id"],
+        percent_rank_kernel(["event_id", "user_id"]),
+    ).to_pandas()
+    return (out.sort_values("event_id").reset_index(drop=True)
+            .astype({"event_id": "int64", "user_id": "int64"}))
+
+
+def events_type_counts_salted(sf_dir: str) -> pd.DataFrame:
+    """Skew-safe grouped count over a 5-hot-key column: each hot key
+    salts into sub-groups for the wide shuffle so no reducer sees a
+    full hot key (`joins.salted_group_count`)."""
+    from ..functions.joins import salted_group_count
+    ds = _read(sf_dir, "events", ["event_type"])
+    out = salted_group_count(ds, "event_type")
+    return (out.rename(columns={"count": "n_events"})
+            .sort_values("event_type").reset_index(drop=True))
