@@ -237,16 +237,41 @@ class MinHashWorker:
         return out
 
 
-def exact_dedup(ds: rd.Dataset) -> rd.Dataset:
+def exact_dedup(ds: rd.Dataset, num_buckets: int = 64,
+                mode: str = "auto") -> rd.Dataset:
     """Exact text dedup: md5 groupby; keeps min doc_id + dup count.
-    Output: h (md5), keep_id, n_dupes."""
-    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"h": md5_hex(df["text"]), "doc_id": df["doc_id"]})
+    Output: h (md5), keep_id, n_dupes.
 
-    from ray.data.aggregate import Count, Min
+    Plan: Ray's sort-based ``groupby("h")`` pays interpreter-level
+    per-GROUP combine cost, and exact-dedup keys are ~1 distinct hash
+    per document — measured 190 s for 1.25M docs (DuckDB: 1.4 s).
+    So the wide exchange moves each row once into ``num_buckets`` int
+    buckets derived from the digest (same doctrine as
+    window.hash_partitioned_window: Python cost per BUCKET, never per
+    key), and the per-hash aggregation inside each bucket is ONE
+    vectorized pandas groupby. Hot keys are harmless here: duplicates
+    of one text share a digest, land in one bucket, and collapse to a
+    single output row by a linear groupby. Small inputs skip the
+    shuffle's fixed cost entirely (single-frame plan, same arithmetic).
+    """
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_hex(df["text"])
+        b = np.fromiter(
+            (int(x[:8], 16) % num_buckets if isinstance(x, str) else 0
+             for x in h), count=len(h), dtype=np.int32)
+        return pd.DataFrame({"h": h.to_numpy(),
+                             "doc_id": df["doc_id"].to_numpy(),
+                             "__b": b})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("h", as_index=False, dropna=False).agg(
+            keep_id=("doc_id", "min"), n_dupes=("doc_id", "size"))
+
     hashed = ds.map_batches(hash_batch, batch_format="pandas")
-    return hashed.groupby("h").aggregate(Min("doc_id", alias_name="keep_id"),
-                                         Count(alias_name="n_dupes"))
+    if _resolve_mode(ds, mode) == "local":
+        return rd.from_pandas(per_bucket(hashed.to_pandas()))
+    return hashed.groupby("__b").map_groups(per_bucket,
+                                            batch_format="pandas")
 
 
 _EMPTY_EDGES = {"doc_a": pd.Series([], dtype="int64"),

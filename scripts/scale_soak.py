@@ -1,0 +1,214 @@
+"""Scale soak: run the document operators on a corpus ABOVE the
+128 MB size cut, so every `mode='auto'` resolves to the DISTRIBUTED
+plan on real volume (the pytest suite exercises those plans via
+forced-mode flags on tiny inputs; this script proves they hold on a
+million-document stream), and verify each result against DuckDB on
+the very same generated parquet — a fully independent check at scale.
+
+    python scripts/scale_soak.py [--replicas 250] [--ops all]
+
+Corpus: sf0.1 documents replicated R times with every TOKEN suffixed
+by the replica id (deterministic). Token-salting keeps each replica's
+internal structure (exact-dup groups, near-dup pairs, Zipf shape)
+while making replicas mutually disjoint — so dedup ops scale linearly
+instead of exploding across replicas, exactly how a sharded web crawl
+behaves. Prints one JSON line per op: {op, seconds, rows, match}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SOAK_DIR = "/tmp/ocr_model_ray_soak"
+
+
+def build_corpus(replicas: int) -> str:
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(SOAK_DIR, f"docs_x{replicas}")
+    marker = out + "._DONE"   # outside the dir: Ray reads the whole dir
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    base = pq.read_table("/root/testdata/sf0.1/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    n = len(base)
+    for r in range(replicas):
+        texts = base["text"].str.replace(
+            r"(\S+)", rf"\1x{r}", regex=True)
+        t = pa.table({
+            "doc_id": pa.array(base["doc_id"].to_numpy() + r * n,
+                               pa.int64()),
+            "text": pa.array(texts.tolist(), pa.string()),
+        })
+        pq.write_table(t, os.path.join(out, f"part_{r:04d}.parquet"))
+    open(marker, "w").write("ok")
+    return out
+
+
+WS = "[ \t\n\r\f\v]+"
+
+
+def oracle(dir_: str, sql: str):
+    import duckdb
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{dir_}/part_*.parquet')")
+    return con.sql(sql).df()
+
+
+def compare(got, want) -> bool:
+    import numpy as np
+    import pandas as pd
+    got = got[sorted(got.columns)].sort_values(
+        by=sorted(got.columns), kind="mergesort").reset_index(drop=True)
+    want = want[sorted(want.columns)].sort_values(
+        by=sorted(want.columns), kind="mergesort").reset_index(drop=True)
+    if len(got) != len(want) or sorted(got.columns) != sorted(want.columns):
+        return False
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(got[c]):
+            if not np.array_equal(got[c].astype(float).values.view("int64"),
+                                  want[c].astype(float).values.view("int64")):
+                return False
+        elif not (got[c] == want[c]).all():
+            return False
+    return True
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=250)
+    ap.add_argument("--ops", default="all")
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    corpus = build_corpus(args.replicas)
+    ds = rd.read_parquet(corpus)
+    from ocr_model_ray.functions.dedup_algos import _resolve_mode
+    size = ds.size_bytes()
+    mode = _resolve_mode(ds, "auto")
+    print(json.dumps({"corpus": corpus, "size_bytes": size,
+                      "auto_mode": mode}), flush=True)
+    assert mode == "distributed", "soak corpus must exceed the size cut"
+
+    def run(name, fn, sql):
+        t = time.time()
+        got = fn()
+        sec = round(time.time() - t, 2)
+        t = time.time()
+        want = oracle(corpus, sql)
+        osec = round(time.time() - t, 2)
+        ok = compare(got, want)
+        print(json.dumps({"op": name, "seconds": sec, "rows": len(got),
+                          "match": bool(ok), "oracle_seconds": osec}),
+              flush=True)
+        return ok
+
+    from ocr_model_ray.functions.corpus_stats import (
+        bigram_lift, heavy_hitters, top_tokens, unigram_freq_score,
+        vocab_size)
+    from ocr_model_ray.functions.dedup_algos import exact_dedup
+
+    fresh = lambda: rd.read_parquet(corpus)  # noqa: E731
+    all_ok = True
+    ops = {
+        "top_tokens": (
+            lambda: top_tokens(fresh(), k=50),
+            f"""SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+                    SELECT unnest(list_filter(string_split_regex(
+                        text, '{WS}'), x -> x <> '')) AS token
+                    FROM documents)
+                GROUP BY token ORDER BY n DESC, token LIMIT 50"""),
+        "vocab_size": (
+            lambda: vocab_size(fresh()),
+            f"""SELECT CAST(count(DISTINCT token) AS BIGINT)
+                       AS n_distinct_tokens FROM (
+                    SELECT unnest(list_filter(string_split_regex(
+                        text, '{WS}'), x -> x <> '')) AS token
+                    FROM documents)"""),
+        "heavy_hitters": (
+            lambda: heavy_hitters(fresh(), phi=0.0004),
+            f"""WITH tok AS (
+                    SELECT unnest(list_filter(string_split_regex(
+                        text, '{WS}'), x -> x <> '')) AS token
+                    FROM documents),
+                tot AS (SELECT count(*) AS T FROM tok)
+                SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+                GROUP BY token
+                HAVING count(*) >= ceil(0.0004 * (SELECT T FROM tot))
+                ORDER BY n DESC, token"""),
+        "exact_dedup": (
+            lambda: exact_dedup(fresh()).to_pandas(),
+            """SELECT md5(text) AS h,
+                      CAST(min(doc_id) AS BIGINT) AS keep_id,
+                      CAST(count(*) AS BIGINT) AS n_dupes
+               FROM documents GROUP BY md5(text)"""),
+        "freq_score": (
+            lambda: unigram_freq_score(fresh()),
+            f"""WITH tok AS (
+                    SELECT doc_id, unnest(list_filter(string_split_regex(
+                        text, '{WS}'), x -> x <> '')) AS token
+                    FROM documents),
+                cnt AS (SELECT token, count(*) AS c FROM tok
+                        GROUP BY token),
+                tot AS (SELECT count(*) AS T FROM tok)
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS sum_freq,
+                       CAST(count(*) AS BIGINT) AS n_tok,
+                       CAST(sum(c) AS BIGINT)
+                           / (CAST(count(*) AS BIGINT) * 1.0
+                              * (SELECT T FROM tot)) AS avg_freq
+                FROM tok JOIN cnt USING (token)
+                GROUP BY doc_id ORDER BY doc_id"""),
+        "bigram_lift": (
+            lambda: bigram_lift(fresh(), k=50, min_count=5),
+            f"""WITH words AS (
+                    SELECT doc_id, list_filter(string_split_regex(
+                        text, '{WS}'), x -> x <> '') AS w
+                    FROM documents),
+                uni AS (SELECT unnest(w) AS token FROM words),
+                ucnt AS (SELECT token, count(*) AS c FROM uni
+                         GROUP BY token),
+                tot AS (SELECT count(*) AS T FROM uni),
+                bi AS (SELECT w[i] AS w1, w[i+1] AS w2
+                       FROM words, LATERAL unnest(generate_series(
+                           1, greatest(len(w) - 1, 0))) AS t(i)),
+                bcnt AS (SELECT w1, w2, count(*) AS cab FROM bi
+                         GROUP BY w1, w2),
+                btot AS (SELECT count(*) AS TB FROM bi)
+                SELECT w1, w2, CAST(cab AS BIGINT) AS n_pair,
+                       (cab * 1.0 * (SELECT T FROM tot)
+                            * (SELECT T FROM tot))
+                       / ((SELECT TB FROM btot) * 1.0 * a.c * b.c)
+                           AS lift
+                FROM bcnt JOIN ucnt a ON a.token = w1
+                JOIN ucnt b ON b.token = w2
+                WHERE cab >= 5
+                ORDER BY lift DESC, w1, w2 LIMIT 50"""),
+    }
+    chosen = ops if args.ops == "all" else {
+        k: v for k, v in ops.items() if k in args.ops.split(",")}
+    for name, (fn, sql) in chosen.items():
+        all_ok &= run(name, fn, sql)
+    print(json.dumps({"soak": "PASS" if all_ok else "FAIL"}))
+    ray.shutdown()
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -212,8 +212,11 @@ def test_unigram_freq_score_local_equals_distributed():
     ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
                          columns=["doc_id", "text"])
     a = unigram_freq_score(ds, mode="local")
-    b = unigram_freq_score(ds, mode="distributed")
+    b = unigram_freq_score(ds, mode="distributed")  # broadcast sub-plan
+    c = unigram_freq_score(ds, mode="distributed",
+                           vocab_broadcast_rows=0)  # token-bucket join
     pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
     # sanity: scores are valid probabilities-ish (0 < avg_freq <= 1)
     assert (a["avg_freq"] > 0).all() and (a["avg_freq"] <= 1).all()
 

@@ -1014,3 +1014,29 @@ def test_q11_q13_q16_local_plan_equals_distributed(monkeypatch):
     for k in local:
         pd.testing.assert_frame_equal(local[k], dist[k],
                                       check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_local_plan_equals_bucketed_distributed():
+    """exact_dedup's single-frame local plan and the bucketed
+    groupby(__b).map_groups distributed plan must agree row-for-row
+    (including duplicate groups spanning input blocks)."""
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import exact_dedup
+
+    rows = [{"doc_id": i, "text": f"unique text {i}"} for i in range(200)]
+    rows += [{"doc_id": 1000 + i, "text": "a repeated document"}
+             for i in range(7)]
+    rows += [{"doc_id": 2000 + i, "text": "another dup"} for i in range(3)]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(8)
+
+    def canon(d):
+        return (d.to_pandas().sort_values("h", kind="mergesort")
+                .reset_index(drop=True)[["h", "keep_id", "n_dupes"]]
+                .astype({"keep_id": "int64", "n_dupes": "int64"}))
+
+    local = canon(exact_dedup(ds, mode="local"))
+    dist = canon(exact_dedup(ds, mode="distributed"))
+    pd.testing.assert_frame_equal(local, dist)
+    assert int(local.loc[local["keep_id"] == 1000, "n_dupes"].iloc[0]) == 7
+    assert int(local.loc[local["keep_id"] == 2000, "n_dupes"].iloc[0]) == 3
