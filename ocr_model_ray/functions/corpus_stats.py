@@ -60,10 +60,9 @@ def top_tokens(ds: rd.Dataset, k: int = 50, text_col: str = "text",
                                   ascending=[False, True], kind="mergesort")
                .head(k).reset_index(drop=True))
     else:
-        from ray.data.aggregate import Sum
-
+        from .bucketed import bucketed_agg
         from .topk import topk
-        summed = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+        summed = bucketed_agg(partials, "token", {"n": ("n", "sum")})
         out = topk(summed, ["n", "token"], k=k, descending=[True, False])
     out["n"] = out["n"].astype("int64")
     return out[["token", "n"]]
@@ -80,9 +79,8 @@ def vocab_size(ds: rd.Dataset, text_col: str = "text",
     if _resolve_mode(ds, mode) == "local":
         n = int(partials.to_pandas()["token"].nunique())
     else:
-        from ray.data.aggregate import Count
-        n = (partials.groupby("token")
-             .aggregate(Count(alias_name="c")).count())
+        from .bucketed import bucketed_distinct
+        n = bucketed_distinct(partials, "token").count()
     return pd.DataFrame({"n_distinct_tokens": pd.Series([n], dtype="int64")})
 
 
@@ -387,15 +385,13 @@ def heavy_hitters(ds: rd.Dataset, phi: float = 0.001,
         return out[["token", "n"]]
     partials = ds.map_batches(
         lambda t: _mg_block(t, k, text_col), batch_format="pyarrow")
-    # distributed merge: groupby-sum stays in Ray; the driver sees
-    # only the top k+1 merged counters (per-block prune via topk)
+    # distributed merge: bucketed groupby-sum stays in Ray; the driver
+    # sees only the top k+1 merged counters (per-block prune via topk)
     # plus the one total row — O(k) rows, never the summary union
-    from ray.data.aggregate import Sum
-
+    from .bucketed import bucketed_agg
     from .topk import topk
     partials = partials.materialize()
-    merged_ds = (partials.groupby("token")
-                 .aggregate(Sum("n", alias_name="n")))
+    merged_ds = bucketed_agg(partials, "token", {"n": ("n", "sum")})
     total = int(merged_ds.map_batches(
         lambda t: t.filter(pc.equal(t["token"], _HH_TOTAL_KEY)),
         batch_format="pyarrow").sum("n") or 0)
@@ -597,11 +593,10 @@ def unigram_freq_score(ds: rd.Dataset, text_col: str = "text",
                    .groupby("doc_id", as_index=False)
                    .agg(sum_freq=("wf", "sum"), n_tok=("m", "sum")))
     else:
-        from ray.data.aggregate import Sum
-
+        from .bucketed import bucketed_agg
         from .joins import hash_bucket_join
-        counts = (counts_partials.groupby("token")
-                  .aggregate(Sum("n", alias_name="n")).materialize())
+        counts = bucketed_agg(counts_partials, "token",
+                              {"n": ("n", "sum")}).materialize()
         total = int(counts.sum("n") or 0)
 
         if counts.count() <= vocab_broadcast_rows:
@@ -729,9 +724,9 @@ def bigram_lift(ds: rd.Dataset, k: int = 50, min_count: int = 5,
         allp = (parts.to_pandas()
                 .groupby(["kind", "w1", "w2"], as_index=False)["n"].sum())
     else:
-        from ray.data.aggregate import Sum
-        allp = (parts.groupby(["kind", "w1", "w2"])
-                .aggregate(Sum("n", alias_name="n")).to_pandas())
+        from .bucketed import bucketed_agg
+        allp = bucketed_agg(parts, ["kind", "w1", "w2"],
+                            {"n": ("n", "sum")}).to_pandas()
         # the merged (kind, w1, w2) table is vocabulary-sized; the
         # lift join below runs on the min_count survivors only, which
         # is what bounds the driver frame at corpus scale

@@ -708,8 +708,6 @@ def _label_prop_ray(edges: rd.Dataset, labels: rd.Dataset,
          round's lineage doesn't re-run all prior rounds).
 
     Returns the converged (node, label) Dataset."""
-    from ray.data.aggregate import Min
-
     # everything stays ARROW: pandas blocks send the groupby shuffle
     # through Ray's slow pandas sort path (measured ~10x on the join —
     # see joins._merge_group note)
@@ -742,10 +740,10 @@ def _label_prop_ray(edges: rd.Dataset, labels: rd.Dataset,
             edges, labels.map_batches(_lab_as_src, batch_format="pyarrow"),
             on="src").map_batches(_as_msg, batch_format="pyarrow")
         selfm = labels.map_batches(_as_self, batch_format="pyarrow")
-        agg = (msgs.union(selfm).groupby("node")
-               .aggregate(Min("label", alias_name="label"),
-                          Min("selfl", alias_name="old"))
-               .materialize())
+        from .bucketed import bucketed_agg
+        agg = bucketed_agg(msgs.union(selfm), "node",
+                           {"label": ("label", "min"),
+                            "old": ("selfl", "min")}).materialize()
         changed = int(agg.map_batches(
             _changed, batch_format="pyarrow").sum("n") or 0)
         labels = agg.select_columns(["node", "label"])

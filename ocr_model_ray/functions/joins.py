@@ -157,7 +157,8 @@ def salted_group_count(ds: rd.Dataset, key: str, num_salts: int = 8) -> "pd.Data
     collapse in a second pass — no single reducer ever sees a hot key's
     full row set."""
     import numpy as np
-    from ray.data.aggregate import Sum
+
+    from .bucketed import bucketed_agg
 
     def add_salt(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -171,8 +172,8 @@ def salted_group_count(ds: rd.Dataset, key: str, num_salts: int = 8) -> "pd.Data
         return g.select([key, "__salt", "count_all"]) \
                 .rename_columns([key, "__salt", "n"])
 
-    salted = (ds.map_batches(add_salt, batch_format="pyarrow")
-              .groupby([key, "__salt"]).aggregate(Sum("n", alias_name="n")))
+    salted = bucketed_agg(ds.map_batches(add_salt, batch_format="pyarrow"),
+                          [key, "__salt"], {"n": ("n", "sum")})
     final = salted.to_pandas().groupby(key, as_index=False)["n"].sum()
     final["n"] = final["n"].astype("int64")
     return final.rename(columns={"n": "count"})

@@ -263,9 +263,9 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
         per_supp = (partials.to_pandas()
                     .groupby("s_suppkey", as_index=False)["rev_c"].sum())
     else:
-        from ray.data.aggregate import Sum
-        per_supp = (partials.groupby("s_suppkey")
-                    .aggregate(Sum("rev_c", alias_name="rev_c")).to_pandas())
+        from ocr_model_ray.functions.bucketed import bucketed_agg
+        per_supp = bucketed_agg(partials, "s_suppkey",
+                                {"rev_c": ("rev_c", "sum")}).to_pandas()
     out = (per_supp.merge(dim_pd, on="s_suppkey")
            .groupby("n_name", as_index=False, sort=True)
            .agg(rev_c=("rev_c", "sum")))
@@ -392,8 +392,9 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
         joined = hash_bucket_join(revs, orders, on="l_orderkey",
                                   num_buckets=64, left_agg=finish_rev,
                                   post_merge=partial_cust)
-        per_cust = joined.groupby("o_custkey").aggregate(
-            Sum("rev_c", alias_name="rev_c"))
+        from ocr_model_ray.functions.bucketed import bucketed_agg
+        per_cust = bucketed_agg(joined, "o_custkey",
+                                {"rev_c": ("rev_c", "sum")})
         named = broadcast_join(
             per_cust.map_batches(
                 lambda t: t.rename_columns(["c_custkey", "rev_c"]),
@@ -421,11 +422,10 @@ def supplier_revenue(sf_dir: str) -> pd.DataFrame:
              .aggregate([("rev_c", "sum"), ("rev_c", "count")]))
         return g.rename_columns(["s_suppkey", "rev_c", "n"])
 
-    from ray.data.aggregate import Sum
-    per_supp = (line.map_batches(prep, batch_format="pyarrow")
-                .groupby("s_suppkey")
-                .aggregate(Sum("rev_c", alias_name="rev_c"),
-                           Sum("n", alias_name="n_items")).to_pandas())
+    from ocr_model_ray.functions.bucketed import bucketed_agg
+    per_supp = bucketed_agg(
+        line.map_batches(prep, batch_format="pyarrow"), "s_suppkey",
+        {"rev_c": ("rev_c", "sum"), "n_items": ("n", "sum")}).to_pandas()
     out = per_supp.merge(sup, on="s_suppkey")[["s_name", "n_items", "rev_c"]]
     out["n_items"] = out["n_items"].astype("int64")
     out["revenue"] = out["rev_c"].astype("int64") / 10000.0
@@ -969,8 +969,9 @@ def q18_large_orders(sf_dir: str, qty_threshold: int = 300,
                .groupby("l_orderkey", as_index=False)["qty_c"].sum())
         heavy = agg[agg["qty_c"] > thr_c]
     else:
-        heavy = (partials.groupby("l_orderkey")
-                 .aggregate(Sum("qty_c", alias_name="qty_c"))
+        from ocr_model_ray.functions.bucketed import bucketed_agg
+        heavy = (bucketed_agg(partials, "l_orderkey",
+                              {"qty_c": ("qty_c", "sum")})
                  .map_batches(
                      lambda t: t.filter(pc.greater(t["qty_c"], thr_c)),
                      batch_format="pyarrow")
@@ -1086,10 +1087,10 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
              .group_by("s_suppkey").aggregate([("rev_c", "sum")]))
         return g.rename_columns(["s_suppkey", "rev_c"])
 
-    from ray.data.aggregate import Sum
-    per_supp = (line.map_batches(prep, batch_format="pyarrow")
-                .groupby("s_suppkey")
-                .aggregate(Sum("rev_c", alias_name="rev_c")).to_pandas())
+    from ocr_model_ray.functions.bucketed import bucketed_agg
+    per_supp = bucketed_agg(
+        line.map_batches(prep, batch_format="pyarrow"), "s_suppkey",
+        {"rev_c": ("rev_c", "sum")}).to_pandas()
     if per_supp.empty:
         return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
                              "s_name": pd.Series([], dtype="object"),
@@ -1383,8 +1384,9 @@ def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
         dist = (pc_.groupby("n", as_index=False).size()
                 .rename(columns={"n": "c_count", "size": "custdist"}))
     else:
-        per_cust = (partials.groupby("o_custkey")
-                    .aggregate(Sum("n", alias_name="c_count")))
+        from ocr_model_ray.functions.bucketed import bucketed_agg
+        per_cust = bucketed_agg(partials, "o_custkey",
+                                {"c_count": ("n", "sum")})
 
         def dist_partial(t: pa.Table) -> pa.Table:
             g = (pa.table({"c_count": t["c_count"]})
@@ -1465,9 +1467,9 @@ def q16_supplier_part_counts(sf_dir: str,
                .groupby(["p_brand", "p_type", "p_size"], as_index=False)
                .agg(supplier_cnt=("l_suppkey", "size")))
     else:
-        quads = (deduped
-                 .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
-                 .aggregate(Count(alias_name="c")))
+        from ocr_model_ray.functions.bucketed import bucketed_distinct
+        quads = bucketed_distinct(
+            deduped, ["p_brand", "p_type", "p_size", "l_suppkey"])
 
         def per_attr(t: pa.Table) -> pa.Table:
             g = (t.select(["p_brand", "p_type", "p_size"])
@@ -1478,10 +1480,11 @@ def q16_supplier_part_counts(sf_dir: str,
                     .rename_columns(["p_brand", "p_type", "p_size",
                                      "supplier_cnt"])
 
-        out = (quads.map_batches(per_attr, batch_format="pyarrow")
-               .groupby(["p_brand", "p_type", "p_size"])
-               .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
-               .to_pandas())
+        from ocr_model_ray.functions.bucketed import bucketed_agg
+        out = bucketed_agg(
+            quads.map_batches(per_attr, batch_format="pyarrow"),
+            ["p_brand", "p_type", "p_size"],
+            {"supplier_cnt": ("supplier_cnt", "sum")}).to_pandas()
     out = out.astype({"p_size": "int64", "supplier_cnt": "int64"})
     return (out.sort_values(
         ["supplier_cnt", "p_brand", "p_type", "p_size"],
@@ -1815,9 +1818,10 @@ def q2_min_cost_supplier(sf_dir: str, size: int = 15, k: int = 50
              .group_by("l_partkey").aggregate([("price_c", "min")]))
         return g.rename_columns(["l_partkey", "price_c"])
 
-    mins = (line.map_batches(min_partial, batch_format="pyarrow")
-            .groupby("l_partkey")
-            .aggregate(Min("price_c", alias_name="min_pc")).to_pandas())
+    from ocr_model_ray.functions.bucketed import bucketed_agg
+    mins = bucketed_agg(
+        line.map_batches(min_partial, batch_format="pyarrow"),
+        "l_partkey", {"min_pc": ("price_c", "min")}).to_pandas()
     mmap = dict(zip(mins["l_partkey"].astype(int),
                     mins["min_pc"].astype("int64")))
     mref = ray.put(mmap)
@@ -1880,10 +1884,10 @@ def q11_important_parts(sf_dir: str, fraction: float = 0.0005
         thr = int(pp["value_c"].sum()) * fraction
         out = pp[pp["value_c"].astype(float) > thr].copy()
     else:
-        from ray.data.aggregate import Sum
-        per_part = (partials.groupby("l_partkey")
-                    .aggregate(Sum("value_c", alias_name="value_c"))
-                    .materialize())
+        from ocr_model_ray.functions.bucketed import bucketed_agg
+        per_part = bucketed_agg(partials, "l_partkey",
+                                {"value_c": ("value_c", "sum")}) \
+            .materialize()
         total = int(per_part.sum("value_c") or 0)
         thr = total * fraction
 

@@ -1040,3 +1040,56 @@ def test_exact_dedup_local_plan_equals_bucketed_distributed():
     pd.testing.assert_frame_equal(local, dist)
     assert int(local.loc[local["keep_id"] == 1000, "n_dupes"].iloc[0]) == 7
     assert int(local.loc[local["keep_id"] == 2000, "n_dupes"].iloc[0]) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_agg_matches_pandas_groupby():
+    """bucketed_agg == plain pandas groupby for int keys, string keys,
+    multi-column keys, and a non-distributive agg (nunique — exact
+    because the exchange is by key hash, every row of a key lands in
+    one bucket)."""
+    import numpy as np
+    import ray.data as rd
+    from ocr_model_ray.functions.bucketed import (bucketed_agg,
+                                                  bucketed_distinct)
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 500, 5000).astype("int64"),
+        "s": [f"tok{v}" for v in rng.randint(0, 300, 5000)],
+        "v": rng.randint(0, 100, 5000).astype("int64"),
+    })
+    ds = rd.from_pandas(df).repartition(16)
+
+    def canon(x, keys):
+        return (x.sort_values(keys, kind="mergesort")
+                .reset_index(drop=True))
+
+    # int key, distributive
+    got = canon(bucketed_agg(ds, "k", {"total": ("v", "sum"),
+                                       "lo": ("v", "min"),
+                                       "n": ("v", "size")},
+                             num_buckets=7).to_pandas(), ["k"])
+    want = canon(df.groupby("k", as_index=False).agg(
+        total=("v", "sum"), lo=("v", "min"), n=("v", "size")), ["k"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # string key + non-distributive nunique
+    got = canon(bucketed_agg(ds, "s", {"nk": ("k", "nunique")},
+                             num_buckets=7).to_pandas(), ["s"])
+    want = canon(df.groupby("s", as_index=False).agg(
+        nk=("k", "nunique")), ["s"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # multi-column key
+    got = canon(bucketed_agg(ds, ["k", "s"], {"total": ("v", "sum")},
+                             num_buckets=7).to_pandas(), ["k", "s"])
+    want = canon(df.groupby(["k", "s"], as_index=False).agg(
+        total=("v", "sum")), ["k", "s"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # distinct
+    got = canon(bucketed_distinct(ds, ["k", "s"],
+                                  num_buckets=7).to_pandas(), ["k", "s"])
+    want = canon(df[["k", "s"]].drop_duplicates(), ["k", "s"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
