@@ -37,12 +37,21 @@ def _pq(sf_dir: str, table: str) -> str:
 SMALL_JOIN_BYTES = 128 << 20
 
 
+def _table_bytes(path: str) -> int:
+    """On-disk bytes of a parquet table that is either one file or a
+    directory of part files (the shape real partitioned tables have)."""
+    if os.path.isdir(path):
+        return sum(os.path.getsize(os.path.join(path, f))
+                   for f in os.listdir(path))
+    return os.path.getsize(path)
+
+
 def _join_mode(sf_dir: str, *tables: str) -> str:
     """'local' when every joined fact table is provably small (parquet
     file metadata — the caller reads these same files), else
     'distributed'."""
     try:
-        total = sum(os.path.getsize(_pq(sf_dir, t)) for t in tables)
+        total = sum(_table_bytes(_pq(sf_dir, t)) for t in tables)
     except OSError:
         return "distributed"
     return "local" if total < SMALL_JOIN_BYTES else "distributed"
