@@ -139,9 +139,8 @@ def interval_count_join(left: rd.Dataset, right: rd.Dataset,
 
     partials = hash_partitioned_window(both, "__epoch", [], kernel,
                                        num_buckets=num_buckets)
-    from ray.data.aggregate import Sum
-    done = (partials.groupby("key")
-            .aggregate(Sum("n", alias_name=out_name)))
+    from .bucketed import bucketed_agg
+    done = bucketed_agg(partials, "key", {out_name: ("n", "sum")})
 
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns([left_key, out_name])

@@ -374,13 +374,13 @@ def _cosine_near_dup_bucketed(ds: rd.Dataset, threshold: float,
                          "vec_b": pa.array(ids[bi], pa.int64()),
                          "sim": pa.array(sims[ai, bi], pa.float64())})
 
-    from ray.data.aggregate import Min
     pairs = (ds.map_batches(band, batch_format="pyarrow")
              .groupby("bkey").map_groups(verify, batch_format="pandas"))
     # cross-table dedup: same pair found in k tables -> one row (sims
     # identical: same vectors, same float64 kernel)
-    return (pairs.groupby(["vec_a", "vec_b"])
-            .aggregate(Min("sim", alias_name="sim")).to_pandas())
+    from .bucketed import bucketed_agg
+    return bucketed_agg(pairs, ["vec_a", "vec_b"],
+                        {"sim": ("sim", "min")}).to_pandas()
 
 
 def pc_take(col, idx: np.ndarray):

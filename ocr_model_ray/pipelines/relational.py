@@ -624,10 +624,11 @@ def events_top_users_per_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
                 .aggregate([([], "count_all")])
                 .rename_columns(["event_type", "user_id", "n"]))
 
-    from ray.data.aggregate import Sum
-    counts = (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby(["event_type", "user_id"])
-              .aggregate(Sum("n", alias_name="n_events")).to_pandas())
+    from ocr_model_ray.functions.bucketed import bucketed_agg
+    counts = bucketed_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "user_id"],
+        {"n_events": ("n", "sum")}).to_pandas()
     counts["n_events"] = counts["n_events"].astype("int64")
     top = (counts.sort_values(["event_type", "n_events", "user_id"],
                               ascending=[True, False, True], kind="mergesort")
@@ -1139,11 +1140,11 @@ def events_type_pivot(sf_dir: str) -> pd.DataFrame:
         return g.select(["user_id"] + [f"n_{et}_sum" for et in EVENT_TYPES]) \
                 .rename_columns(["user_id"] + [f"n_{et}" for et in EVENT_TYPES])
 
-    from ray.data.aggregate import Sum
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("user_id")
-           .aggregate(*[Sum(f"n_{et}", alias_name=f"n_{et}")
-                        for et in EVENT_TYPES])
+    from ocr_model_ray.functions.bucketed import bucketed_agg
+    out = (bucketed_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                        "user_id",
+                        {f"n_{et}": (f"n_{et}", "sum")
+                         for et in EVENT_TYPES})
            .to_pandas().sort_values("user_id").reset_index(drop=True))
     for et in EVENT_TYPES:
         out[f"n_{et}"] = out[f"n_{et}"].astype("int64")
