@@ -88,6 +88,8 @@ def main() -> int:
     ap.add_argument("--replicas", type=int, default=250)
     ap.add_argument("--ops", default="all")
     args = ap.parse_args()
+    global REPLICAS
+    REPLICAS = args.replicas
 
     import ray
     if not ray.is_initialized():
@@ -205,6 +207,114 @@ def main() -> int:
         k: v for k, v in ops.items() if k in args.ops.split(",")}
     for name, (fn, sql) in chosen.items():
         all_ok &= run(name, fn, sql)
+
+    # --- near-dup ops: no feasible SQL oracle at this size; verified
+    # structurally instead, each check independent of the engine code --
+    import numpy as np
+    import pandas as pd
+
+    def run_checked(name, fn, check):
+        t = time.time()
+        got = fn()
+        sec = round(time.time() - t, 2)
+        t = time.time()
+        ok, detail = check(got)
+        print(json.dumps({"op": name, "seconds": sec, "rows": len(got),
+                          "match": bool(ok), "check_seconds":
+                          round(time.time() - t, 2), **detail}),
+              flush=True)
+        return ok
+
+    import duckdb
+    import pyarrow.parquet as pq
+    n_base = pq.ParquetFile(
+        "/root/testdata/sf0.1/documents.parquet").metadata.num_rows
+
+    def fetch_texts(ids):
+        con = duckdb.connect()
+        con.register("want", pd.DataFrame({"doc_id": sorted(ids)}))
+        df = con.sql(
+            f"SELECT doc_id, text FROM "
+            f"read_parquet('{corpus}/part_*.parquet') "
+            f"JOIN want USING (doc_id)").df()
+        return dict(zip(df["doc_id"], df["text"]))
+
+    def true_jaccard(a: str, b: str, n: int = 3) -> float:
+        def grams(t):
+            w = t.split()
+            k = min(n, len(w)) if w else 0
+            return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)} \
+                if k else set()
+        ga, gb = grams(a), grams(b)
+        u = len(ga | gb)
+        # frozen spec: round(|A∩B|/|A∪B|, 6); two empty sets are equal
+        return round(len(ga & gb) / u, 6) if u else 1.0
+
+    def check_pairs(p):
+        # (1) token salting makes replicas disjoint: every true pair is
+        # within one replica
+        same = (p["doc_a"] // n_base == p["doc_b"] // n_base)
+        # (2) every emitted jaccard equals an INDEPENDENT string-n-gram
+        # recompute on the pair's texts, bit-exactly
+        ids = set(p["doc_a"]) | set(p["doc_b"])
+        texts = fetch_texts(ids)
+        tj = np.array([true_jaccard(texts[a], texts[b])
+                       for a, b in zip(p["doc_a"], p["doc_b"])])
+        exact = np.array_equal(tj.view("int64"),
+                               p["jaccard"].to_numpy().view("int64"))
+        # (3) volume: pair count per replica tracks the base-run count
+        per_rep = p.groupby(p["doc_a"] // n_base).size()
+        return bool(same.all() and exact and len(per_rep) == REPLICAS), {
+            "cross_replica": int((~same).sum()),
+            "jaccard_exact": bool(exact),
+            "replicas_with_pairs": int(len(per_rep)),
+            "pairs_per_replica_minmax":
+                [int(per_rep.min()), int(per_rep.max())]}
+
+    def check_clusters(c):
+        # independent driver union-find over the emitted pairs: the
+        # engine's distributed min-label propagation must agree exactly
+        p = pairs_holder[0]
+        parent = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(p["doc_a"], p["doc_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        for node in set(p["doc_a"]) | set(p["doc_b"]):
+            want[int(node)] = find(int(node))
+        got_map = dict(zip(c["doc_id"].astype(int),
+                           c["cluster_id"].astype(int)))
+        ok = got_map == want
+        return bool(ok), {"nodes": len(want),
+                          "union_find_equal": bool(ok)}
+
+    if args.ops in ("all", "near_dup", "near_dup_clusters"):
+        from ocr_model_ray.functions.dedup_algos import (
+            min_label_propagation, near_dup_pairs)
+        pairs_holder = []
+
+        def _pairs():
+            p = near_dup_pairs(fresh())
+            pairs_holder.append(p)
+            return p
+
+        def _clusters():
+            out = min_label_propagation(pairs_holder[0])
+            return out if isinstance(out, pd.DataFrame) else out.to_pandas()
+
+        all_ok &= run_checked("near_dup", _pairs, check_pairs)
+        all_ok &= run_checked("near_dup_clusters", _clusters,
+                              check_clusters)
     print(json.dumps({"soak": "PASS" if all_ok else "FAIL"}))
     ray.shutdown()
     return 0 if all_ok else 1
