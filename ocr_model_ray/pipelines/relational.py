@@ -653,19 +653,29 @@ def docs_lang_stats(sf_dir: str) -> pd.DataFrame:
 # events: windowed aggregate + per-user stats + sessionization
 # ---------------------------------------------------------------------------
 def events_daily(sf_dir: str) -> pd.DataFrame:
+    """Daily (type, day) panel. Combiner pattern: each batch collapses
+    to <= types x days rows BEFORE the exchange, so the wide groupby
+    moves per-block partials, never the raw event stream (measured
+    15.5 s -> ~1 s at a 10M-event soak)."""
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
-    def add_day(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         day = pc.floor_temporal(t["ts"], unit="day")
-        return pa.table({"event_type": t["event_type"], "day": day,
-                         "value_c": _cents(t["value"])})
+        g = (pa.table({"event_type": t["event_type"], "day": day,
+                       "value_c": _cents(t["value"])})
+             .group_by(["event_type", "day"])
+             .aggregate([([], "count_all"), ("value_c", "sum")]))
+        return g.select(["event_type", "day", "count_all",
+                         "value_c_sum"]) \
+                .rename_columns(["event_type", "day", "n", "value_c"])
 
-    from ray.data.aggregate import Count, Sum
-    out = (ds.map_batches(add_day, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["event_type", "day"])
-           .aggregate(Count(alias_name="n_events"),
+           .aggregate(Sum("n", alias_name="n_events"),
                       Sum("value_c", alias_name="value_c"))
            .to_pandas())
+    out["n_events"] = out["n_events"].astype("int64")
     out["sum_value"] = out["value_c"].astype("int64") / 100.0
     return out.drop(columns=["value_c"])
 
@@ -678,16 +688,34 @@ def events_user_stats(sf_dir: str) -> pd.DataFrame:
     oracle's identical integer expression bit-for-bit."""
     ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
 
+    # combiner: each batch collapses to one row per (user, type) before
+    # the exchange — n_types is nunique (non-distributive), but it IS
+    # computable from (user, type) partials, which the by-user-hash
+    # exchange co-locates completely
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"user_id": t["user_id"],
+                       "event_type": t["event_type"],
+                       "value_c": _cents(t["value"])})
+             .group_by(["user_id", "event_type"])
+             .aggregate([([], "count_all"), ("value_c", "sum")]))
+        return g.select(["user_id", "event_type", "count_all",
+                         "value_c_sum"]) \
+                .rename_columns(["user_id", "event_type", "n",
+                                 "value_c"])
+
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(value_c=(g["value"] * 100).round().astype("int64"))
-        out = g.groupby("user_id", sort=False).agg(
-            n_events=("value_c", "size"),
-            n_types=("event_type", "nunique"),
+        per_ut = g.groupby(["user_id", "event_type"], sort=False,
+                           as_index=False)[["n", "value_c"]].sum()
+        out = per_ut.groupby("user_id", sort=False).agg(
+            n_events=("n", "sum"),
+            n_types=("event_type", "size"),
             value_c=("value_c", "sum")).reset_index()
         out["sum_value"] = out["value_c"].astype("int64") / 100.0
         return out[["user_id", "n_events", "n_types", "sum_value"]]
 
-    return _bucketed_user_stats(ds, kernel).to_pandas()
+    return _bucketed_user_stats(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        kernel).to_pandas()
 
 
 def _bucketed_user_stats(ds: rd.Dataset, kernel,
@@ -709,14 +737,18 @@ def events_sliding_week(sf_dir: str) -> pd.DataFrame:
     the window never re-scans raw rows."""
     ds = _read(sf_dir, "events", ["event_type", "ts"])
 
-    def add_day(t: pa.Table) -> pa.Table:
-        return pa.table({"event_type": t["event_type"],
-                         "day": pc.floor_temporal(t["ts"], unit="day")})
+    def day_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"event_type": t["event_type"],
+                       "day": pc.floor_temporal(t["ts"], unit="day")})
+             .group_by(["event_type", "day"])
+             .aggregate([([], "count_all")]))
+        return g.select(["event_type", "day", "count_all"]) \
+                .rename_columns(["event_type", "day", "n"])
 
-    from ray.data.aggregate import Count
-    daily = (ds.map_batches(add_day, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    daily = (ds.map_batches(day_partial, batch_format="pyarrow")
              .groupby(["event_type", "day"])
-             .aggregate(Count(alias_name="n")).to_pandas())
+             .aggregate(Sum("n", alias_name="n")).to_pandas())
     all_days = pd.Series(sorted(daily["day"].unique()))
     out_type, out_day, out_n = [], [], []
     for etype, g in daily.groupby("event_type", sort=True):
