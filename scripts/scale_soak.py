@@ -145,7 +145,10 @@ def main() -> int:
                         text, '{WS}'), x -> x <> '')) AS token
                     FROM documents)"""),
         "heavy_hitters": (
-            lambda: heavy_hitters(fresh(), phi=0.0004),
+            # phi sized so the salted vocabulary (each token's share
+            # ~1.3e-4) actually crosses the threshold — a 0-row match
+            # would verify nothing
+            lambda: heavy_hitters(fresh(), phi=0.0001),
             f"""WITH tok AS (
                     SELECT unnest(list_filter(string_split_regex(
                         text, '{WS}'), x -> x <> '')) AS token
@@ -153,7 +156,7 @@ def main() -> int:
                 tot AS (SELECT count(*) AS T FROM tok)
                 SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
                 GROUP BY token
-                HAVING count(*) >= ceil(0.0004 * (SELECT T FROM tot))
+                HAVING count(*) >= ceil(0.0001 * (SELECT T FROM tot))
                 ORDER BY n DESC, token"""),
         "exact_dedup": (
             lambda: exact_dedup(fresh()).to_pandas(),
