@@ -394,3 +394,46 @@ class PreprocWorker:
         return pa.table({"id": pa.array(out_id, pa.string()),
                          "image": pa.array(out_img, pa.binary()),
                          "error": pa.array(out_err, pa.string())})
+
+
+def bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize, pure numpy (cv2.INTER_LINEAR semantics: source
+    coordinates at half-pixel centers, edge clamp). Complements
+    ``area_resize`` (the downscale kernel) for the UPSCALE direction —
+    two gathers per axis and three lerps, fully vectorized."""
+    a = np.asarray(img, dtype=np.float64)
+    h, w = a.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)
+    fx = np.clip(xs - x0, 0.0, 1.0)
+    if a.ndim == 3:
+        fy = fy[:, None, None]
+        fx = fx[None, :, None]
+    else:
+        fy = fy[:, None]
+        fx = fx[None, :]
+    top = a[y0][:, x0] * (1.0 - fx) + a[y0][:, x1] * fx
+    bot = a[y1][:, x0] * (1.0 - fx) + a[y1][:, x1] * fx
+    out = top * (1.0 - fy) + bot * fy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def upscale_small(img: np.ndarray, min_dim: int = 1000,
+                  factor: int = 2) -> np.ndarray:
+    """M8 optional upscale (reference
+    worker/pipeline/processors/image_enhancer.py:474-509): images whose
+    longest side is under ``min_dim`` px are enlarged ``factor``x before
+    OCR so small scans get enough pixels per glyph; larger images pass
+    through untouched. The reference's optional super-resolution model
+    is replaced by deterministic bilinear interpolation — same gate,
+    same shape contract, no model weights (documented stub boundary,
+    same policy as the OCR engine adapters)."""
+    h, w = img.shape[:2]
+    if max(h, w) >= min_dim:
+        return img
+    return bilinear_resize(img, h * factor, w * factor)

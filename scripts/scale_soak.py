@@ -126,6 +126,7 @@ def main() -> int:
         bigram_lift, heavy_hitters, top_tokens, unigram_freq_score,
         vocab_size)
     from ocr_model_ray.functions.dedup_algos import exact_dedup
+    from ocr_model_ray.functions.packing import sequence_pack
 
     fresh = lambda: rd.read_parquet(corpus)  # noqa: E731
     all_ok = True
@@ -180,6 +181,21 @@ def main() -> int:
                               * (SELECT T FROM tot)) AS avg_freq
                 FROM tok JOIN cnt USING (token)
                 GROUP BY doc_id ORDER BY doc_id"""),
+        "sequence_pack": (
+            lambda: sequence_pack(fresh()).to_pandas(),
+            """WITH t AS (
+                   SELECT doc_id,
+                          CAST(coalesce(len(regexp_extract_all(
+                               text, '\\S+')), 0) AS BIGINT) AS n_tokens
+                   FROM documents)
+               SELECT doc_id, n_tokens,
+                      CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND
+                           1 PRECEDING), 0) AS BIGINT) AS cum_before,
+                      CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND
+                           1 PRECEDING), 0) // 256 AS BIGINT) AS seq_id
+               FROM t"""),
         "bigram_lift": (
             lambda: bigram_lift(fresh(), k=50, min_count=5),
             f"""WITH words AS (

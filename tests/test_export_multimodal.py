@@ -236,3 +236,45 @@ def test_export_on_the_fly(t1_pages_dir, tmp_path):
         export_on_the_fly(full, url, "docx")
     with pytest.raises(LookupError, match="No results"):
         export_on_the_fly(full, "https://nope.test/x", "json")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_annotated_pdf_export(t1_pages_dir):
+    """Pure-stdlib annotated-PDF sink (S9 PDF twin of the SVG overlay):
+    well-formed xref (every offset points at its 'N 0 obj' header), one
+    page object per document page, region strokes present, and byte
+    determinism."""
+    import re
+    from ocr_model_ray.pipelines.extract_pipeline import extract_pipeline
+    from ocr_model_ray.stages.pdf_export import (annotated_pdf_export,
+                                                 render_annotated_pdf)
+
+    out = annotated_pdf_export(extract_pipeline(t1_pages_dir)).to_pandas()
+    assert len(out) > 0
+    sample = out.sort_values("url").iloc[0]
+    pdf = bytes(sample["pdf"])
+    assert pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
+
+    # xref integrity: each entry's offset lands exactly on "i 0 obj"
+    xref_at = int(pdf.rsplit(b"startxref", 1)[1].split()[0])
+    lines = pdf[xref_at:].split(b"\n")
+    assert lines[0] == b"xref"
+    n_objs = int(lines[1].split()[1]) - 1
+    for i in range(1, n_objs + 1):
+        off = int(lines[2 + i].split()[0])
+        assert pdf[off:].startswith(b"%d 0 obj" % i), f"bad offset obj {i}"
+
+    # one page object per /Count, region boxes stroked, labels present
+    count = int(re.search(rb"/Count (\d+)", pdf).group(1))
+    assert pdf.count(b"/Type /Page ") == count >= 1
+    assert b" re S" in pdf and b"Tj ET" in pdf
+
+    # /Length of each content stream is exact
+    for m in re.finditer(rb"<< /Length (\d+) >>\nstream\n", pdf):
+        ln = int(m.group(1))
+        assert pdf[m.end() + ln:m.end() + ln + 10] == b"\nendstream"
+
+    # determinism: a pure function of the row
+    row = extract_pipeline(t1_pages_dir).to_pandas().sort_values(
+        "url").iloc[0].to_dict()
+    assert render_annotated_pdf(row) == render_annotated_pdf(row)

@@ -173,3 +173,41 @@ def test_projection_deskew_gates_extreme_angles():
     from ocr_model_ray.stages.image_preproc import deskew_projection
     blank = np.full((50, 50), 255, dtype=np.uint8)
     assert deskew_projection(blank) is blank
+
+
+def test_bilinear_resize_identity_and_interpolation():
+    """Same-size resize is the identity; a 2x upscale of a linear ramp
+    stays monotone with interior values interpolated between the source
+    samples; channel images broadcast."""
+    from ocr_model_ray.stages.image_preproc import bilinear_resize
+
+    ramp = np.tile(np.arange(0, 250, 10, dtype=np.uint8), (4, 1))
+    assert np.array_equal(bilinear_resize(ramp, *ramp.shape), ramp)
+
+    up = bilinear_resize(ramp, 8, 50)
+    assert up.shape == (8, 50)
+    assert (np.diff(up[0].astype(int)) >= 0).all()          # monotone
+    assert up[0, 0] == ramp[0, 0] and up[-1, -1] == ramp[-1, -1]
+    # interior output samples land strictly between source neighbors
+    mid = up[0, 1:-1].astype(int)
+    assert mid.min() >= int(ramp[0, 0]) and mid.max() <= int(ramp[0, -1])
+
+    rgb = np.dstack([ramp, ramp[:, ::-1], ramp])
+    up3 = bilinear_resize(rgb, 8, 50)
+    assert up3.shape == (8, 50, 3)
+    assert np.array_equal(up3[..., 0], up)                  # per-channel
+
+
+def test_upscale_small_gate():
+    """Only images under the min_dim gate are enlarged (reference
+    image_enhancer.py:474-509 semantics: small scans get 2x pixels,
+    big ones pass through)."""
+    from ocr_model_ray.stages.image_preproc import upscale_small
+
+    small = np.full((120, 80), 128, np.uint8)
+    up = upscale_small(small, min_dim=200)
+    assert up.shape == (240, 160)
+    assert int(up.mean()) == 128                            # flat stays flat
+
+    big = np.zeros((300, 100), np.uint8)
+    assert upscale_small(big, min_dim=200) is big
