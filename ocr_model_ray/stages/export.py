@@ -257,6 +257,9 @@ def write_all_formats(extracted: rd.Dataset, out_dir: str) -> dict:
     from .xlsx import xlsx_export
     paths["xlsx"] = f"{out_dir}/xlsx"
     xlsx_export(extracted).write_parquet(paths["xlsx"])
+    from .pdf_export import annotated_pdf_export
+    paths["pdf"] = f"{out_dir}/pdf"
+    annotated_pdf_export(extracted).write_parquet(paths["pdf"])
     return paths
 
 
@@ -267,6 +270,7 @@ EXPORT_MEDIA_TYPES = {
              ".spreadsheetml.sheet"),
     "txt": "text/plain",
     "xml": "application/xml",
+    "pdf": "application/pdf",
 }
 
 
@@ -309,7 +313,8 @@ def export_on_the_fly(out_dir: str, url: str, fmt: str = "json"
 
     # serve directly from the pre-rendered store if present
     pre = {"json": ("json", "json"), "txt": ("txt", "txt"),
-           "xml": ("xml", "xml"), "xlsx": ("xlsx", "xlsx")}.get(fmt)
+           "xml": ("xml", "xml"), "xlsx": ("xlsx", "xlsx"),
+           "pdf": ("pdf", "pdf")}.get(fmt)
     if pre is not None:
         hit = _lookup(*pre)
         if hit is not None:
@@ -334,6 +339,9 @@ def export_on_the_fly(out_dir: str, url: str, fmt: str = "json"
     if fmt == "xlsx":
         from .xlsx import render_xlsx
         return render_xlsx(row), filename, media
+    if fmt == "pdf":
+        from .pdf_export import render_annotated_pdf
+        return render_annotated_pdf(row), filename, media
     # csv: the reference's _results_to_csv_bytes row layout == our
     # regions_csv_batch columns
     import io as _io

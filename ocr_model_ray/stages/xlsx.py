@@ -88,12 +88,21 @@ def workbook_bytes(headers: list[str], rows: list[list],
 
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
-        z.writestr("_rels/.rels", _RELS)
-        z.writestr("xl/workbook.xml",
-                   _WORKBOOK.format(name=escape(sheet_name)))
-        z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
-        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        parts = [("[Content_Types].xml", _CONTENT_TYPES),
+                 ("_rels/.rels", _RELS),
+                 ("xl/workbook.xml",
+                  _WORKBOOK.format(name=escape(sheet_name))),
+                 ("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS),
+                 ("xl/worksheets/sheet1.xml", sheet)]
+        for name, data in parts:
+            # fixed timestamp: zip local headers embed mtime, and a
+            # workbook rendered twice must be byte-identical (the
+            # engine-wide no-wall-clock rule; measured as a one-second
+            # flake in the serve-equals-synthesize test)
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            info.external_attr = 0o600 << 16
+            z.writestr(info, data)
     return buf.getvalue()
 
 

@@ -96,7 +96,7 @@ def test_write_all_formats(t1_pages_dir, tmp_path):
     out = str(tmp_path / "exports")
     paths = write_all_formats(extract_pipeline(t1_pages_dir), out)
     assert set(paths) == {"parquet", "csv", "csv_regions", "txt", "json",
-                          "xml", "xlsx"}
+                          "xml", "xlsx", "pdf"}
     for p in paths.values():
         assert os.path.isdir(p) and os.listdir(p)
     import pyarrow.dataset as pads
@@ -210,7 +210,7 @@ def test_export_on_the_fly(t1_pages_dir, tmp_path):
               if r["extracted_text"] and not r["error"])
 
     served = {}
-    for fmt in ("json", "txt", "xml", "xlsx", "csv"):
+    for fmt in ("json", "txt", "xml", "xlsx", "csv", "pdf"):
         content, filename, media = export_on_the_fly(full, url, fmt)
         assert content and filename.endswith(f"_result.{fmt}")
         assert "/" not in filename
@@ -218,6 +218,7 @@ def test_export_on_the_fly(t1_pages_dir, tmp_path):
     doc = json.loads(served["json"].decode("utf-8"))
     assert doc["url"] == url
     assert served["xlsx"].startswith(b"PK")  # zip container
+    assert served["pdf"].startswith(b"%PDF-1.4")
     assert b"page_num" in served["csv"]
 
     # canonical-parquet-only store (no pre-rendered dirs): synthesis
@@ -226,7 +227,7 @@ def test_export_on_the_fly(t1_pages_dir, tmp_path):
     os.makedirs(canon_only)
     os.symlink(os.path.join(full, "parquet"),
                os.path.join(canon_only, "parquet"))
-    for fmt in ("json", "txt", "xml", "xlsx"):
+    for fmt in ("json", "txt", "xml", "xlsx", "pdf"):
         content, _, _ = export_on_the_fly(canon_only, url, fmt)
         assert content == served[fmt], (
             f"synthesized {fmt} differs from pre-rendered for {url}: "
