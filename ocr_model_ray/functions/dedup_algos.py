@@ -505,26 +505,43 @@ def _verify_pairs_distributed(ds: rd.Dataset, cand: pd.DataFrame,
             "text": pd.Series(texts, dtype="object")})
 
     def verify_block(g: pd.DataFrame) -> pd.DataFrame:
+        # array path: one lexsort puts each pair's a-side row first,
+        # boundaries come from np.diff — pandas' per-group iteration
+        # measured ~0.3 ms/pair, i.e. tens of seconds over 62k pairs;
+        # this loop's per-pair cost is two dict hits + one intersect1d
+        pid = g["pair_id"].to_numpy(dtype=np.int64)
+        isa = g["is_a"].to_numpy(dtype=bool)
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        txt = g["text"].to_numpy()
+        order = np.lexsort((~isa, pid))  # a-side rows first in each pair
+        pid, isa, doc, txt = pid[order], isa[order], doc[order], txt[order]
+        n = len(pid)
+        if n == 0:
+            return pd.DataFrame(_EMPTY_VERIFIED)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = pid[1:] != pid[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+
         cache: dict[int, np.ndarray] = {}
 
-        def sh(doc_id: int, text: str) -> np.ndarray:
-            if doc_id not in cache:
-                cache[doc_id] = shingles(text, ngram)
-            return cache[doc_id]
+        def sh(i: int) -> np.ndarray:
+            d = int(doc[i])
+            if d not in cache:
+                cache[d] = shingles(txt[i], ngram)
+            return cache[d]
 
         out_a, out_b, out_j = [], [], []
-        for _, grp in g.groupby("pair_id", sort=False):
-            mask = grp["is_a"].astype(bool).to_numpy()
-            ga, gb = grp[mask], grp[~mask]
-            if ga.empty or gb.empty:  # endpoint missing from the corpus
+        for s, e in zip(starts, ends):
+            n_a = int(isa[s:e].sum())
+            if n_a == 0 or n_a == e - s:  # endpoint missing from corpus
                 continue
-            a, b = ga.iloc[0], gb.iloc[0]
-            sa = sh(int(a["doc_id"]), a["text"])
-            sb = sh(int(b["doc_id"]), b["text"])
+            sa, sb = sh(s), sh(s + n_a)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
-            out_a.append(int(a["doc_id"]))
-            out_b.append(int(b["doc_id"]))
+            out_a.append(int(doc[s]))
+            out_b.append(int(doc[s + n_a]))
             out_j.append(round(inter / union, 6) if union else 1.0)
         if not out_a:
             return pd.DataFrame(_EMPTY_VERIFIED)
