@@ -33,14 +33,24 @@ from .extract_pipeline import ExtractConfig, extract_pipeline
 def run_resumable(paths: str | Sequence[str], out_dir: str,
                   cfg: Optional[ExtractConfig] = None,
                   num_partitions: int = 16,
-                  drop_nested: bool = True) -> dict:
+                  drop_nested: bool = True,
+                  waves: int = 1) -> dict:
     """Run (or resume) the extraction pipeline into ``out_dir``.
 
     Returns a metrics record: partitions done before/after, rows written,
     wall seconds. ``drop_nested`` writes the summary projection (text +
     stats + flat provenance counts) — the nested layout columns are kept
     when False.
-    """
+
+    ``waves`` sets the COMMIT GRANULARITY within one run: the partition
+    space is processed in ``waves`` sub-runs (partition p belongs to
+    wave ``p % waves``) and each wave's manifests commit before the next
+    wave starts, so a SIGKILL mid-run loses at most one wave of work —
+    not the whole run (with waves=1, manifests only commit after the
+    full write, and a kill forfeits everything since the last completed
+    run). Each wave pays the pipeline's fixed launch cost, so size waves
+    to amortize: hours-long runs want tens of waves; the default 1 keeps
+    small runs single-launch."""
     cfg = cfg or ExtractConfig()
     t0 = time.monotonic()
     done_before = mf.done_partitions(out_dir)
@@ -60,60 +70,82 @@ def run_resumable(paths: str | Sequence[str], out_dir: str,
     # run's (pinned by test_dedup_resume_output_invariant). The only
     # cost is re-extracting shared content whose prior rep was in a
     # completed partition.
-    pages_transform = None
-    if done_before:
-        done_arr = pa.array(sorted(done_before), pa.int32())
-
-        def _drop_done(batch: pa.Table) -> pa.Table:
-            pids = mf.partition_ids(batch["url"], num_partitions)
-            mask = pc.invert(pc.is_in(pids, value_set=done_arr))
-            return batch.filter(mask)
-
-        def pages_transform(pages):  # noqa: F811 — conditional def
-            return pages.map_batches(_drop_done, batch_format="pyarrow")
-
-    ds = extract_pipeline(paths, cfg, pages_transform=pages_transform)
-    ds = ds.map_batches(lambda b: mf.add_partition_column(b, num_partitions),
-                        batch_format="pyarrow")
-    if drop_nested:
-        from .extract_pipeline import SUMMARY_COLUMNS
-        ds = ds.select_columns(SUMMARY_COLUMNS + ["part_id"])
-
-    ds.write_parquet(_data_root(out_dir), partition_cols=["part_id"])
-
     import os
-    written = []
-    ddir = _data_root(out_dir)
-    if os.path.isdir(ddir):
-        for name in os.listdir(ddir):
-            if name.startswith("part_id="):
-                try:
-                    pid = int(name.split("=", 1)[1])
-                except ValueError:  # stray/hive-default dir — skip
-                    continue
-                if pid not in done_before:
-                    written.append(pid)
+
+    waves = max(1, int(waves))
+    all_written: list[int] = []
     rows = 0
     errors = 0
-    for pid in sorted(written):
-        facts = mf.summarize_partition(out_dir, pid)
-        rows += facts["row_count"]
-        errors += facts["error_count"]
-        mf.commit_manifest(out_dir, pid, input_files=None, **facts)
+    stage_stats: list[dict] = []
+    for w in range(waves):
+        wave_pids = (set(range(num_partitions)) if waves == 1 else
+                     {p for p in range(num_partitions) if p % waves == w})
+        todo = sorted(wave_pids - done_before)
+        if not todo:
+            continue
+
+        pages_transform = None
+        if done_before or waves > 1:
+            keep_arr = pa.array(todo, pa.int32())
+
+            def _keep_todo(batch: pa.Table,
+                           keep_arr: pa.Array = keep_arr) -> pa.Table:
+                pids = mf.partition_ids(batch["url"], num_partitions)
+                return batch.filter(pc.is_in(pids, value_set=keep_arr))
+
+            def pages_transform(pages,  # noqa: F811 — conditional def
+                                fn=_keep_todo):
+                return pages.map_batches(fn, batch_format="pyarrow")
+
+        ds = extract_pipeline(paths, cfg, pages_transform=pages_transform)
+        ds = ds.map_batches(
+            lambda b: mf.add_partition_column(b, num_partitions),
+            batch_format="pyarrow")
+        if drop_nested:
+            from .extract_pipeline import SUMMARY_COLUMNS
+            ds = ds.select_columns(SUMMARY_COLUMNS + ["part_id"])
+
+        ds.write_parquet(_data_root(out_dir), partition_cols=["part_id"])
+
+        # commit THIS wave's manifests before the next wave starts
+        written = []
+        ddir = _data_root(out_dir)
+        todo_set = set(todo)
+        if os.path.isdir(ddir):
+            for name in os.listdir(ddir):
+                if name.startswith("part_id="):
+                    try:
+                        pid = int(name.split("=", 1)[1])
+                    except ValueError:  # stray/hive-default dir — skip
+                        continue
+                    if pid in todo_set:
+                        written.append(pid)
+        for pid in sorted(written):
+            facts = mf.summarize_partition(out_dir, pid)
+            rows += facts["row_count"]
+            errors += facts["error_count"]
+            mf.commit_manifest(out_dir, pid, input_files=None, **facts)
+        all_written.extend(written)
+        stage_stats = _stage_stats(ds)
 
     wall = round(time.monotonic() - t0, 3)
+    if not stage_stats:
+        # a resume that found everything done still records as a run —
+        # "nothing left to do" is telemetry, not an absence of it
+        stage_stats = [{"stage": "noop_resume", "wall_s": wall}]
     record = {
         "partitions_total": num_partitions,
+        "waves": waves,
         "partitions_done_before": sorted(done_before),
         "partitions_cleaned": sorted(cleaned),
-        "partitions_written": sorted(written),
+        "partitions_written": sorted(all_written),
         "rows_written": rows,
         "error_rows": errors,
         "docs_per_sec": round(rows / wall, 1) if wall else None,
         "wall_s": wall,
         "config": {"dedup": cfg.dedup, "max_pages": cfg.max_pages,
                    "batch_size": cfg.batch_size, "emit": cfg.emit},
-        "stage_stats": _stage_stats(ds),
+        "stage_stats": stage_stats,
     }
     mf.write_metrics(out_dir, record)
     return record

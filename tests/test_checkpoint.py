@@ -219,3 +219,34 @@ def test_dedup_resume_output_invariant(t1_pages_dir, tmp_path):
 
     run_resumable(t1_pages_dir, out, cfg, num_partitions=P)
     assert read_out(out) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_waved_run_equals_single_run(t1_pages_dir, tmp_path):
+    """waves=N processes the partition space in N committed sub-runs;
+    the final manifests (row counts + order-independent url checksums)
+    must equal a single-launch run's exactly, and a run killed between
+    waves must resume with the committed waves skipped."""
+    out1 = str(tmp_path / "single")
+    out2 = str(tmp_path / "waved")
+    run_resumable(t1_pages_dir, out1, num_partitions=P)
+    rec = run_resumable(t1_pages_dir, out2, num_partitions=P, waves=4)
+    assert rec["waves"] == 4
+    assert mf.done_partitions(out1) == mf.done_partitions(out2)
+    for pid in sorted(mf.done_partitions(out1)):
+        with open(mf.manifest_path(out1, pid)) as f:
+            m1 = json.load(f)
+        with open(mf.manifest_path(out2, pid)) as f:
+            m2 = json.load(f)
+        assert m1["row_count"] == m2["row_count"]
+        assert m1["url_checksum"] == m2["url_checksum"]
+
+    # simulate a kill between waves: drop the manifests of one wave's
+    # partitions (keep the data); resume must redo exactly those
+    victims = sorted(p for p in mf.done_partitions(out2) if p % 4 == 2)
+    for pid in victims:
+        os.remove(mf.manifest_path(out2, pid))
+    rec2 = run_resumable(t1_pages_dir, out2, num_partitions=P, waves=4)
+    assert sorted(rec2["partitions_written"]) == victims
+    assert set(rec2["partitions_done_before"]).isdisjoint(victims)
+    assert mf.done_partitions(out2) == mf.done_partitions(out1)
