@@ -124,6 +124,37 @@ def main() -> int:
                           "rows": len(got), "match": bool(ok),
                           "oracle_seconds": osec}), flush=True)
         all_ok &= ok
+    # incremental streaming sessionizer (actor-per-key-bucket state):
+    # feed the same 10M events in event-time order as a log tailer
+    # would, then pin the per-user session panel EQUAL to the batch
+    # operator (which the SQL oracle just verified above)
+    if args.queries in ("all", "streaming_sessions"):
+        import ray.data as rd
+        from ocr_model_ray.state.streaming import ShardedSessionizer
+
+        t = time.time()
+        ds = rd.read_parquet(os.path.join(corpus, "events.parquet"),
+                             columns=["user_id", "ts"]).sort("ts")
+        sz = ShardedSessionizer(num_shards=8)  # facade over shard actors
+        n_fed = 0
+        for b in ds.iter_batches(batch_size=131072,
+                                 batch_format="pandas"):
+            sz.ingest_batch(b)
+            n_fed += len(b)
+        got = sz.finalize()
+        sec = round(time.time() - t, 2)
+        want = tq._canon(tq._to_pandas(qs["events_sessions"](corpus)))
+        got = tq._canon(got)
+        ok = (len(got) == len(want)
+              and list(got.columns) == list(want.columns)
+              and all((got[c].reset_index(drop=True)
+                       == want[c].reset_index(drop=True)).all()
+                      for c in got.columns))
+        print(json.dumps({"query": "streaming_sessions", "seconds": sec,
+                          "rows": len(got), "fed": n_fed,
+                          "match": bool(ok)}), flush=True)
+        all_ok &= ok
+
     print(json.dumps({"soak": "PASS" if all_ok else "FAIL"}))
     ray.shutdown()
     return 0 if all_ok else 1
