@@ -65,7 +65,10 @@ def bucketed_agg(ds: rd.Dataset, keys: str | Sequence[str],
     ``fn`` is any pandas aggregation name (``sum``/``min``/``max``/
     ``size``/``count``/``nunique``/``mean``/...). Output: one row per
     distinct key combination, columns ``[*keys, *aggs]``, unordered
-    (sort downstream if needed)."""
+    (sort downstream if needed). An EMPTY input yields an empty,
+    schema-less Dataset (Ray's map_groups emits no blocks for zero
+    groups) — check ``.empty`` before touching columns, as the query
+    pipelines do."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
     named = {o: pd.NamedAgg(column=c, aggfunc=f)
              for o, (c, f) in aggs.items()}

@@ -1093,3 +1093,20 @@ def test_bucketed_agg_matches_pandas_groupby():
                                   num_buckets=7).to_pandas(), ["k", "s"])
     want = canon(df[["k", "s"]].drop_duplicates(), ["k", "s"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_agg_empty_input_no_crash():
+    """A fully-filtered corpus must flow through bucketed_agg without
+    raising; the result is an empty frame (schema-less — Ray's
+    map_groups emits no blocks for zero groups, documented contract)."""
+    import ray.data as rd
+    from ocr_model_ray.functions.bucketed import (bucketed_agg,
+                                                  bucketed_distinct)
+    df = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                       "v": pd.Series([], dtype="int64")})
+    out = bucketed_agg(rd.from_pandas(df), "k",
+                       {"s": ("v", "sum")}).to_pandas()
+    assert out.empty
+    out = bucketed_distinct(rd.from_pandas(df), "k").to_pandas()
+    assert out.empty
