@@ -618,7 +618,12 @@ def unigram_freq_score(ds: rd.Dataset, text_col: str = "text",
                     "doc_id": g["doc_id"].to_numpy(zero_copy_only=False),
                     "sum_freq": m * n, "n_tok": m})
                     .groupby("doc_id", as_index=False).sum())
-                return pa.Table.from_pandas(part, preserve_index=False)
+                # strip the pandas schema metadata: blocks with and
+                # without it hash-differ and trip Ray's schema-unify
+                # warning once per block downstream
+                return pa.Table.from_pandas(
+                    part, preserve_index=False) \
+                    .replace_schema_metadata(None)
 
             per_doc = ds.map_batches(fold, batch_format="pyarrow") \
                         .to_pandas()
