@@ -50,14 +50,17 @@ def build_corpus(replicas: int) -> str:
         d = os.path.join(out, f"{t}.parquet")
         os.makedirs(d, exist_ok=True)
         for r in range(replicas):
+            dst = os.path.join(d, f"part_{r:04d}.parquet")
+            if os.path.exists(dst):
+                continue  # resumable build (atomic writes below)
             cols = {}
             for name in base.column_names:
                 col = base[name]
                 if name in keycols:
                     col = pa.compute.add(col, r * span)
                 cols[name] = col
-            pq.write_table(pa.table(cols),
-                           os.path.join(d, f"part_{r:04d}.parquet"))
+            pq.write_table(pa.table(cols), dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
     open(marker, "w").write("ok")
     return out
 
