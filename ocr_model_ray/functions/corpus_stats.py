@@ -52,7 +52,8 @@ def top_tokens(ds: rd.Dataset, k: int = 50, text_col: str = "text",
     One shuffle over (token, partial-count) rows; local plan for small
     pure reads."""
     partials = ds.map_batches(
-        lambda t: _token_counts_block(t, text_col), batch_format="pyarrow")
+        lambda t: _token_counts_block(t, text_col),
+        batch_format="pyarrow", batch_size=None)
     if _resolve_mode(ds, mode) == "local":
         merged = (partials.to_pandas()
                   .groupby("token", as_index=False)["n"].sum())
@@ -75,7 +76,7 @@ def vocab_size(ds: rd.Dataset, text_col: str = "text",
     distinct keys with one groupby shuffle."""
     partials = ds.map_batches(
         lambda t: _token_counts_block(t, text_col).select(["token"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=None)
     if _resolve_mode(ds, mode) == "local":
         n = int(partials.to_pandas()["token"].nunique())
     else:
@@ -203,7 +204,8 @@ def numeric_histogram(ds: rd.Dataset, col: str, lo: float, hi: float,
         return pa.table({"bin": pa.array(idx, pa.int64()),
                          "n": pa.array(n, pa.int64())})
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
     if _resolve_mode(ds, mode) == "local":
         merged = partials.to_pandas().groupby("bin", as_index=False)["n"].sum()
     else:
@@ -292,7 +294,8 @@ def grouped_approx_quantiles(ds: rd.Dataset, group_col: str, col: str,
               .reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
     if _resolve_mode(ds, mode) == "local":
         merged = (partials.to_pandas()
                   .groupby([group_col, "bin"], as_index=False)["n"].sum())
@@ -384,7 +387,8 @@ def heavy_hitters(ds: rd.Dataset, phi: float = 0.001,
         out["n"] = out["n"].astype("int64")
         return out[["token", "n"]]
     partials = ds.map_batches(
-        lambda t: _mg_block(t, k, text_col), batch_format="pyarrow")
+        lambda t: _mg_block(t, k, text_col),
+        batch_format="pyarrow", batch_size=None)
     # distributed merge: bucketed groupby-sum stays in Ray; the driver
     # sees only the top k+1 merged counters (per-block prune via topk)
     # plus the one total row — O(k) rows, never the summary union
@@ -580,7 +584,8 @@ def unigram_freq_score(ds: rd.Dataset, text_col: str = "text",
         return g.select(["token", "doc_id", "count_all"]) \
                 .rename_columns(["token", "doc_id", "m"])
 
-    doc_toks = ds.map_batches(doc_tok_partial, batch_format="pyarrow")
+    doc_toks = ds.map_batches(doc_tok_partial, batch_format="pyarrow",
+                              batch_size=None)
 
     if _rm(ds, mode) == "local":
         cnt = (counts_partials.to_pandas()
@@ -625,7 +630,8 @@ def unigram_freq_score(ds: rd.Dataset, text_col: str = "text",
                     part, preserve_index=False) \
                     .replace_schema_metadata(None)
 
-            per_doc = ds.map_batches(fold, batch_format="pyarrow") \
+            per_doc = ds.map_batches(fold, batch_format="pyarrow",
+                            batch_size=None) \
                         .to_pandas()
         else:
             def complete_left(lf: pa.Table) -> pa.Table:
@@ -721,7 +727,8 @@ def bigram_lift(ds: rd.Dataset, k: int = 50, min_count: int = 5,
             return pa.concat_tables([ug, bg])
         return ug
 
-    parts = ds.map_batches(partial, batch_format="pyarrow")
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
     # both plans complete the counts the same way; the distributed one
     # shuffles by (kind, w1, w2) first so no single node sees the
     # full vocabulary

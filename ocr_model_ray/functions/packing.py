@@ -91,7 +91,8 @@ def sequence_pack(ds: rd.Dataset, seq_len: int = 256,
         return pd.DataFrame({"bucket": g.index.astype("int64"),
                              "tok": g.to_numpy()})
 
-    parts = counts.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = counts.map_batches(partial, batch_format="pandas",
+                               batch_size=None).to_pandas()
     totals = parts.groupby("bucket")["tok"].sum().sort_index()
     offsets = totals.cumsum().shift(fill_value=0).to_dict()
     ref = ray.put(offsets)
@@ -165,7 +166,8 @@ def grouped_sequence_pack(ds: rd.Dataset, group_col: str = "source",
         out.columns = [group_col, "bucket", "tok"]
         return out
 
-    parts = counts.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = counts.map_batches(partial, batch_format="pandas",
+                               batch_size=None).to_pandas()
     totals = parts.groupby([group_col, "bucket"])["tok"].sum()
     offsets = {}
     for grp, sub in totals.groupby(level=0):

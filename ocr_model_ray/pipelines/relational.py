@@ -142,7 +142,8 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
                                  "disc_c", "n"])
 
     from ray.data.aggregate import Sum
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                batch_size=None)
     final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("qty", alias_name="qty"),
         Sum("base_c", alias_name="base_c"),
@@ -264,7 +265,8 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
              .group_by("s_suppkey").aggregate([("rev_c", "sum")]))
         return g.rename_columns(["s_suppkey", "rev_c"])
 
-    partials = line.map_batches(prep, batch_format="pyarrow")
+    partials = line.map_batches(prep, batch_format="pyarrow",
+                batch_size=None)
     if _join_mode(sf_dir, "lineitem") == "local":
         # per-batch partials are one small row per (supplier, batch) —
         # collect them and finish the sum in-process instead of paying
@@ -340,7 +342,8 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
         return pa.table({"rev_c": pa.array([rev_c], pa.int64())})
 
     from ray.data.aggregate import Sum
-    total = (ds.map_batches(partial, batch_format="pyarrow")
+    total = (ds.map_batches(partial, batch_format="pyarrow",
+                batch_size=None)
              .aggregate(Sum("rev_c", alias_name="rev_c")))
     return pd.DataFrame({"revenue": [int(total["rev_c"]) / 10000.0]})
 
@@ -363,7 +366,8 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
     # no global pre-groupby: per-batch partials go straight into the
     # bucket join (sums distribute — the post-join partial + final
     # groupby finish the aggregation), saving one full shuffle
-    revs = line.map_batches(prep, batch_format="pyarrow")
+    revs = line.map_batches(prep, batch_format="pyarrow",
+                batch_size=None)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
                    num_blocks=8).map_batches(
         lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
@@ -433,7 +437,8 @@ def supplier_revenue(sf_dir: str) -> pd.DataFrame:
 
     from ocr_model_ray.functions.bucketed import bucketed_agg
     per_supp = bucketed_agg(
-        line.map_batches(prep, batch_format="pyarrow"), "s_suppkey",
+        line.map_batches(prep, batch_format="pyarrow",
+                batch_size=None), "s_suppkey",
         {"rev_c": ("rev_c", "sum"), "n_items": ("n", "sum")}).to_pandas()
     out = per_supp.merge(sup, on="s_suppkey")[["s_name", "n_items", "rev_c"]]
     out["n_items"] = out["n_items"].astype("int64")
@@ -472,7 +477,8 @@ def promo_revenue_share(sf_dir: str, promo_type: str = "ECONOMY",
                          "tot_c": pa.array([total.as_py() or 0], pa.int64())})
 
     from ray.data.aggregate import Sum
-    agg = (line.map_batches(partial, batch_format="pyarrow")
+    agg = (line.map_batches(partial, batch_format="pyarrow",
+                batch_size=None)
            .aggregate(Sum("promo_c", alias_name="promo_c"),
                       Sum("tot_c", alias_name="tot_c")))
     promo_c, tot_c = int(agg["promo_c"]), int(agg["tot_c"])
@@ -525,7 +531,8 @@ def brand_revenue(sf_dir: str) -> pd.DataFrame:
         return g.rename_columns(["brand_code", "rev_c", "n"])
 
     from ray.data.aggregate import Sum
-    out = (line.map_batches(partial, batch_format="pyarrow")
+    out = (line.map_batches(partial, batch_format="pyarrow",
+                batch_size=None)
            .groupby("brand_code")
            .aggregate(Sum("rev_c", alias_name="rev_c"),
                       Sum("n", alias_name="n_items")).to_pandas())
@@ -626,7 +633,8 @@ def events_top_users_per_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
 
     from ocr_model_ray.functions.bucketed import bucketed_agg
     counts = bucketed_agg(
-        ds.map_batches(partial, batch_format="pyarrow"),
+        ds.map_batches(partial, batch_format="pyarrow",
+                batch_size=None),
         ["event_type", "user_id"],
         {"n_events": ("n", "sum")}).to_pandas()
     counts["n_events"] = counts["n_events"].astype("int64")
@@ -670,7 +678,8 @@ def events_daily(sf_dir: str) -> pd.DataFrame:
                 .rename_columns(["event_type", "day", "n", "value_c"])
 
     from ray.data.aggregate import Sum
-    out = (ds.map_batches(partial, batch_format="pyarrow")
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                batch_size=None)
            .groupby(["event_type", "day"])
            .aggregate(Sum("n", alias_name="n_events"),
                       Sum("value_c", alias_name="value_c"))
@@ -714,7 +723,8 @@ def events_user_stats(sf_dir: str) -> pd.DataFrame:
         return out[["user_id", "n_events", "n_types", "sum_value"]]
 
     return _bucketed_user_stats(
-        ds.map_batches(partial, batch_format="pyarrow"),
+        ds.map_batches(partial, batch_format="pyarrow",
+                batch_size=None),
         kernel).to_pandas()
 
 
@@ -746,7 +756,8 @@ def events_sliding_week(sf_dir: str) -> pd.DataFrame:
                 .rename_columns(["event_type", "day", "n"])
 
     from ray.data.aggregate import Sum
-    daily = (ds.map_batches(day_partial, batch_format="pyarrow")
+    daily = (ds.map_batches(day_partial, batch_format="pyarrow",
+                batch_size=None)
              .groupby(["event_type", "day"])
              .aggregate(Sum("n", alias_name="n")).to_pandas())
     all_days = pd.Series(sorted(daily["day"].unique()))
@@ -920,7 +931,8 @@ def q4_priority_returned(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
         rkeys = rkeys_ds.to_pandas()["o_orderkey"].unique()
         kept = broadcast_semi_filter(
             orders, pa.array(sorted(rkeys), pa.int64()), on="o_orderkey")
-        counted = kept.map_batches(partial, batch_format="pyarrow")
+        counted = kept.map_batches(partial, batch_format="pyarrow",
+                batch_size=None)
     else:
         from ..functions.joins import bloom_from_dataset, bloom_semi_filter
         import pyarrow.parquet as pq
@@ -976,7 +988,8 @@ def q19_bracket_revenue(sf_dir: str, brand: str = "Brand#12",
         return pa.table({"rev_c": pa.array([rev.as_py() or 0], pa.int64())})
 
     from ray.data.aggregate import Sum
-    agg = (line.map_batches(partial, batch_format="pyarrow")
+    agg = (line.map_batches(partial, batch_format="pyarrow",
+                batch_size=None)
            .aggregate(Sum("rev_c", alias_name="rev_c")))
     return pd.DataFrame({"revenue": [int(agg["rev_c"]) / 10000.0]})
 
@@ -1002,7 +1015,8 @@ def q18_large_orders(sf_dir: str, qty_threshold: int = 300,
 
     from ray.data.aggregate import Sum
     thr_c = qty_threshold * 100
-    partials = line.map_batches(prep, batch_format="pyarrow")
+    partials = line.map_batches(prep, batch_format="pyarrow",
+                batch_size=None)
     if _join_mode(sf_dir, "lineitem") == "local":
         # small input: finish the per-order sums in-process (partials
         # are already per-batch combined) — skips the sort-shuffle's
@@ -1131,7 +1145,8 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
 
     from ocr_model_ray.functions.bucketed import bucketed_agg
     per_supp = bucketed_agg(
-        line.map_batches(prep, batch_format="pyarrow"), "s_suppkey",
+        line.map_batches(prep, batch_format="pyarrow",
+                batch_size=None), "s_suppkey",
         {"rev_c": ("rev_c", "sum")}).to_pandas()
     if per_supp.empty:
         return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
@@ -1173,7 +1188,8 @@ def events_type_pivot(sf_dir: str) -> pd.DataFrame:
                 .rename_columns(["user_id"] + [f"n_{et}" for et in EVENT_TYPES])
 
     from ocr_model_ray.functions.bucketed import bucketed_agg
-    out = (bucketed_agg(ds.map_batches(partial, batch_format="pyarrow"),
+    out = (bucketed_agg(ds.map_batches(partial, batch_format="pyarrow",
+                batch_size=None),
                         "user_id",
                         {f"n_{et}": (f"n_{et}", "sum")
                          for et in EVENT_TYPES})
@@ -1306,7 +1322,8 @@ def events_props_stats(sf_dir: str) -> pd.DataFrame:
             n=("k", "size"), sum_k=("k", "sum"),
             min_k=("k", "min"), max_k=("k", "max"))
 
-    out = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                batch_size=None).to_pandas()
            .groupby("event_type", as_index=False)
            .agg(n=("n", "sum"), sum_k=("sum_k", "sum"),
                 min_k=("min_k", "min"), max_k=("max_k", "max"))
@@ -1417,7 +1434,8 @@ def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
              .group_by("o_custkey").aggregate([([], "count_all")]))
         return g.rename_columns(["o_custkey", "n"])
 
-    partials = orders.map_batches(partial, batch_format="pyarrow")
+    partials = orders.map_batches(partial, batch_format="pyarrow",
+                batch_size=None)
     if _join_mode(sf_dir, "orders") == "local":
         # small-input plan: the per-batch partial counts collect once
         # and both groupbys finish in pandas (no shuffle fixed cost)
@@ -1501,7 +1519,8 @@ def q16_supplier_part_counts(sf_dir: str,
             [("p_brand", pa.string()), ("p_type", pa.string()),
              ("p_size", pa.int64()), ("l_suppkey", pa.int64())]))
 
-    deduped = line.map_batches(attach, batch_format="pyarrow")
+    deduped = line.map_batches(attach, batch_format="pyarrow",
+                batch_size=None)
     if _join_mode(sf_dir, "lineitem") == "local":
         # small-input plan: in-batch-deduped quads collect once; the
         # global dedup + count finish in pandas (no shuffle fixed cost)
@@ -1569,7 +1588,8 @@ def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#23"
         return g.select(["l_partkey", "qty_c_sum", "n_sum"]) \
                 .rename_columns(["l_partkey", "qty_c", "n"])
 
-    stats = (line1.map_batches(qty_partial, batch_format="pyarrow")
+    stats = (line1.map_batches(qty_partial, batch_format="pyarrow",
+                batch_size=None)
              .to_pandas().groupby("l_partkey", as_index=False).sum())
     thr = dict(zip(
         stats["l_partkey"].astype(int),
@@ -1640,7 +1660,8 @@ def q21_waiting_supplier(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return out
 
     waits = (hash_partitioned_window(
-        line.map_batches(partial, batch_format="pyarrow"),
+        line.map_batches(partial, batch_format="pyarrow",
+                batch_size=None),
         "l_orderkey", [], kernel)
         .to_pandas().groupby("l_suppkey", as_index=False)["numwait"]
         .sum())
@@ -1862,7 +1883,8 @@ def q2_min_cost_supplier(sf_dir: str, size: int = 15, k: int = 50
 
     from ocr_model_ray.functions.bucketed import bucketed_agg
     mins = bucketed_agg(
-        line.map_batches(min_partial, batch_format="pyarrow"),
+        line.map_batches(min_partial, batch_format="pyarrow",
+                batch_size=None),
         "l_partkey", {"min_pc": ("price_c", "min")}).to_pandas()
     mmap = dict(zip(mins["l_partkey"].astype(int),
                     mins["min_pc"].astype("int64")))
@@ -1917,7 +1939,8 @@ def q11_important_parts(sf_dir: str, fraction: float = 0.0005
              .group_by("l_partkey").aggregate([("value_c", "sum")]))
         return g.rename_columns(["l_partkey", "value_c"])
 
-    partials = line.map_batches(partial, batch_format="pyarrow")
+    partials = line.map_batches(partial, batch_format="pyarrow",
+                batch_size=None)
     if _join_mode(sf_dir, "lineitem") == "local":
         # small-input plan: per-batch partials collect once; sum,
         # scalar threshold and filter finish in pandas
@@ -1995,7 +2018,8 @@ def q20_promo_shippers(sf_dir: str, pattern: str = "red",
         return win[["l_suppkey"]].drop_duplicates()
 
     supps = (hash_partitioned_window(
-        line.map_batches(partial, batch_format="pyarrow"),
+        line.map_batches(partial, batch_format="pyarrow",
+                batch_size=None),
         "l_partkey", [], kernel)
         .to_pandas().drop_duplicates())
     sup = pq.read_table(_pq(sf_dir, "supplier"),
@@ -2065,7 +2089,8 @@ def q1_rollup(sf_dir: str) -> pd.DataFrame:
                 .rename_columns(["l_returnflag", "l_linestatus",
                                  "qty_c", "n_rows"])
 
-    base = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    base = (ds.map_batches(partial, batch_format="pyarrow",
+                batch_size=None).to_pandas()
             .groupby(["l_returnflag", "l_linestatus"], as_index=False)
             [["qty_c", "n_rows"]].sum())
     lvl1 = (base.groupby("l_returnflag", as_index=False)
@@ -2103,7 +2128,8 @@ def lineitem_qty_variance(sf_dir: str) -> pd.DataFrame:
                          "one_sum"]) \
                 .rename_columns(["l_returnflag", "s1", "s2", "n"])
 
-    m = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    m = (ds.map_batches(partial, batch_format="pyarrow",
+                batch_size=None).to_pandas()
          .groupby("l_returnflag", as_index=False)[["s1", "s2", "n"]]
          .sum())
     s1 = m["s1"].astype("int64")
