@@ -250,3 +250,52 @@ def test_waved_run_equals_single_run(t1_pages_dir, tmp_path):
     assert sorted(rec2["partitions_written"]) == victims
     assert set(rec2["partitions_done_before"]).isdisjoint(victims)
     assert mf.done_partitions(out2) == mf.done_partitions(out1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_append_processes_only_new_shards(t1_pages_dir, tmp_path):
+    """run_sharded: one output partition per input shard with full
+    input->output lineage in the manifest; appending new shards to the
+    corpus processes exactly the new ones, and the appended store
+    equals a one-shot run over everything."""
+    from ocr_model_ray.pipelines.checkpoint import run_sharded
+
+    files = sorted(os.path.join(t1_pages_dir, f)
+                   for f in os.listdir(t1_pages_dir)
+                   if f.endswith(".parquet"))
+    assert len(files) >= 2
+
+    # initial crawl: first shard only
+    inc = str(tmp_path / "inc")
+    rec1 = run_sharded(files[:1], inc)
+    assert rec1["input_files_processed"] == files[:1]
+    assert len(rec1["partitions_written"]) == 1
+
+    # a new crawl snapshot lands: rerun over the whole corpus
+    rec2 = run_sharded(files, inc)
+    assert rec2["input_files_processed"] == files[1:]   # only the new
+    assert set(rec2["partitions_done_before"]) == set(
+        rec1["partitions_written"])
+
+    # one-shot reference: manifests must be identical shard-for-shard
+    ref = str(tmp_path / "ref")
+    run_sharded(files, ref)
+    for d in ("inc", "ref"):
+        pass
+    inc_m = {f: json.load(open(os.path.join(inc, "manifest", f)))
+             for f in sorted(os.listdir(os.path.join(inc, "manifest")))}
+    ref_m = {f: json.load(open(os.path.join(ref, "manifest", f)))
+             for f in sorted(os.listdir(os.path.join(ref, "manifest")))}
+    assert inc_m.keys() == ref_m.keys()
+    for k in inc_m:
+        for fact in ("row_count", "url_checksum", "char_count",
+                     "input_files"):
+            assert inc_m[k][fact] == ref_m[k][fact], (k, fact)
+
+    # lineage: every manifest names its exact input shard
+    assert sorted(m["input_files"][0] for m in inc_m.values()) == files
+
+    # a third run is a no-op
+    rec3 = run_sharded(files, inc)
+    assert rec3["partitions_written"] == []
+    assert rec3["input_files_processed"] == []
