@@ -208,6 +208,13 @@ def _docs_sample(sf_dir: str):
                                      batch_format="pandas")
 
 
+def _docs_weighted_sample(sf_dir: str):
+    from ocr_model_ray.functions.text_stats import weighted_sample_batch
+    return _docs(sf_dir).map_batches(weighted_sample_batch,
+                                     batch_format="pandas",
+                                     batch_size=None)
+
+
 def _docs_exact_dedup(sf_dir: str):
     from ocr_model_ray.functions.dedup_algos import exact_dedup
     return exact_dedup(_docs(sf_dir))
@@ -611,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documents: dedup + text analysis
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_deterministic_sample": _docs_sample,
+        "docs_weighted_sample": _docs_weighted_sample,
         "docs_token_count": _docs_token_count,
         "docs_bpe_token_count": _docs_bpe_token_count,
         "docs_quality": _docs_quality,
@@ -1302,6 +1310,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text
             FROM documents
             WHERE CAST(('0x' || substr(md5(text), 1, 1)) AS INTEGER) < 4
+        """,
+        "docs_weighted_sample": """
+            -- length-proportional keep: P = min(1, n_tokens/64), coin =
+            -- md5-uniform; integer cross-multiply, bit-equal to the engine
+            WITH t AS (SELECT doc_id, text,
+                              CAST(len(regexp_extract_all(text, '\\S+'))
+                                   AS BIGINT) AS n_tokens
+                       FROM documents)
+            SELECT doc_id, n_tokens FROM t
+            WHERE text IS NOT NULL
+              AND CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) * 64
+                  < n_tokens * 4294967296
         """,
         "docs_token_count": """
             SELECT doc_id,

@@ -351,3 +351,27 @@ def normalize_text_batch(df: pd.DataFrame,
         "doc_id": df["doc_id"], "normalized": cleaned,
         "n_chars_raw": raw.str.len().astype("int64"),
         "n_chars_norm": cleaned.str.len().astype("int64")})
+
+
+def weighted_sample_batch(df: pd.DataFrame, target_tokens: int = 64,
+                          text_col: str = "text") -> pd.DataFrame:
+    """Deterministic WEIGHTED sampling: keep a document with probability
+    min(1, n_tokens / target_tokens) — length-proportional subsampling,
+    the shape quality- or domain-weighted training mixtures use. The
+    coin is a content-keyed uniform (first 8 md5 hex digits / 2^32),
+    so the decision is reproducible across reruns and partitionings and
+    exact duplicates sample identically. The comparison is an INTEGER
+    cross-multiplication (u * target < n_tokens * 2^32) — no float
+    rounding, so the SQL oracle's identical expression is bit-equal.
+    Null text -> excluded (NULL < x is not true in SQL)."""
+    h8 = md5_hex(df[text_col]).str[:8]
+    u = h8.map(lambda v: int(v, 16) if isinstance(v, str) else None)
+    stripped = df[text_col].str.strip()
+    n = stripped.str.split().str.len().fillna(0).astype("int64")
+    n[stripped == ""] = 0
+    u = pd.array(u, dtype="Int64")
+    keep = (u * int(target_tokens) < (n.to_numpy() * (1 << 32))) \
+        .fillna(False).to_numpy(dtype=bool)
+    out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[keep],
+                        "n_tokens": n.to_numpy()[keep]})
+    return out.astype({"doc_id": "int64", "n_tokens": "int64"})

@@ -1110,3 +1110,27 @@ def test_bucketed_agg_empty_input_no_crash():
     assert out.empty
     out = bucketed_distinct(rd.from_pandas(df), "k").to_pandas()
     assert out.empty
+
+
+def test_weighted_sample_semantics():
+    """Length-proportional sampling: long docs always kept (w >= 1),
+    empty/null never kept, duplicates decide identically, and the
+    empirical keep rate of mid-length docs tracks n_tokens/target."""
+    from ocr_model_ray.functions.text_stats import weighted_sample_batch
+
+    long_doc = " ".join(f"w{i}" for i in range(100))       # w = 100/64 > 1
+    df = pd.DataFrame({
+        "doc_id": range(4),
+        "text": [long_doc, "", None, long_doc],
+    })
+    out = weighted_sample_batch(df, target_tokens=64)
+    assert sorted(out["doc_id"]) == [0, 3]                 # dups agree
+
+    # mid-length: ~16/64 = 25% expected keep rate over distinct docs
+    mid = pd.DataFrame({
+        "doc_id": range(2000),
+        "text": [" ".join(f"t{i}x{j}" for j in range(16))
+                 for i in range(2000)],
+    })
+    rate = len(weighted_sample_batch(mid, target_tokens=64)) / 2000
+    assert 0.18 < rate < 0.32, rate
