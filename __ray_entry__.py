@@ -215,6 +215,14 @@ def _docs_weighted_sample(sf_dir: str):
                                      batch_size=None)
 
 
+def _docs_group_tfidf(sf_dir: str):
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import group_tfidf
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text", "lang"])
+    return group_tfidf(ds, group_col="lang", k=10)
+
+
 def _docs_exact_dedup(sf_dir: str):
     from ocr_model_ray.functions.dedup_algos import exact_dedup
     return exact_dedup(_docs(sf_dir))
@@ -619,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_deterministic_sample": _docs_sample,
         "docs_weighted_sample": _docs_weighted_sample,
+        "docs_group_tfidf": _docs_group_tfidf,
         "docs_token_count": _docs_token_count,
         "docs_bpe_token_count": _docs_bpe_token_count,
         "docs_quality": _docs_quality,
@@ -1310,6 +1319,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text
             FROM documents
             WHERE CAST(('0x' || substr(md5(text), 1, 1)) AS INTEGER) < 4
+        """,
+        "docs_group_tfidf": """
+            -- tf-idf lift: tf * n_groups / df, same eval order as the
+            -- engine ((n*1.0)*g/df); ties broken token-ascending
+            WITH tok AS (SELECT lang, unnest(list_filter(
+                             string_split_regex(
+                                 text, '[ \t\n\r\f\v]+'),
+                             x -> x <> '')) AS token
+                         FROM documents),
+                 tf AS (SELECT lang, token,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM tok GROUP BY 1, 2),
+                 dfs AS (SELECT token, count(DISTINCT lang) AS df
+                         FROM tf GROUP BY 1),
+                 ng AS (SELECT count(DISTINCT lang) AS g FROM documents),
+                 scored AS (SELECT lang, token, n,
+                                   n * 1.0 * (SELECT g FROM ng) / df
+                                       AS score
+                            FROM tf JOIN dfs USING (token)),
+                 ranked AS (SELECT *, row_number() OVER (
+                                PARTITION BY lang
+                                ORDER BY score DESC, token) AS rn
+                            FROM scored)
+            SELECT lang, token, n, score FROM ranked WHERE rn <= 10
         """,
         "docs_weighted_sample": """
             -- length-proportional keep: P = min(1, n_tokens/64), coin =

@@ -768,3 +768,80 @@ def bigram_lift(ds: rd.Dataset, k: int = 50, min_count: int = 5,
                             ascending=[False, True, True],
                             kind="mergesort")
             .head(k).reset_index(drop=True))
+
+
+def group_tfidf(ds: rd.Dataset, group_col: str = "lang", k: int = 10,
+                text_col: str = "text", mode: str = "auto"
+                ) -> pd.DataFrame:
+    """Top-k DISTINGUISHING terms per group (tf-idf lift): score(t, g)
+    = tf(t, g) * n_groups / df(t), where df is the number of groups
+    containing the term — terms every group shares score low, group-
+    specific vocabulary floats to the top (the corpus-analysis view a
+    domain-mixture builder wants per source/language).
+
+    Shape: per-batch (group, token, n) combiners; ONE token-bucketed
+    exchange computes complete per-group counts AND per-token df
+    together (all rows of a token land in one bucket); per-group top-k
+    prunes per block so the driver sees k x groups rows. Float spec:
+    score = ((tf * 1.0) * n_groups) / df — the SQL oracle's
+    `n * 1.0 * g / df` evaluation order, one rounding per step,
+    bit-identical."""
+    from .dedup_algos import _resolve_mode as _rm
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t[text_col], WS_SPLIT)
+        flat = pc.list_flatten(toks)
+        reps = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        grp = np.repeat(t[group_col].to_numpy(zero_copy_only=False), reps)
+        tb = pa.table({group_col: pa.array(grp), "token": flat})
+        tb = tb.filter(pc.not_equal(tb["token"], ""))
+        gb = (tb.group_by([group_col, "token"])
+              .aggregate([([], "count_all")]))
+        return gb.select([group_col, "token", "count_all"]) \
+                 .rename_columns([group_col, "token", "n"])
+
+    def uniq_groups(t: pa.Table) -> pa.Table:
+        return pa.table({group_col: pc.unique(t[group_col])})
+
+    n_groups = int(ds.map_batches(uniq_groups, batch_format="pyarrow",
+                                  batch_size=None)
+                   .to_pandas()[group_col].nunique())
+
+    def score_frame(tf: pd.DataFrame) -> pd.DataFrame:
+        df_per_tok = tf.groupby("token")[group_col].transform("size")
+        score = (tf["n"].to_numpy() * 1.0) * n_groups \
+            / df_per_tok.to_numpy()
+        return tf.assign(score=score)
+
+    partials_ds = ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None)
+    if _rm(ds, mode) == "local":
+        tf = (partials_ds.to_pandas()
+              .groupby([group_col, "token"], as_index=False)["n"].sum())
+        scored = score_frame(tf)
+        out = (scored.sort_values(["score", "token"],
+                                  ascending=[False, True],
+                                  kind="mergesort")
+               .groupby(group_col, sort=False).head(k))
+        out = out.sort_values([group_col, "score", "token"],
+                              ascending=[True, False, True],
+                              kind="mergesort").reset_index(drop=True)
+    else:
+        from .bucketed import _bucket_ids
+        from .topk import grouped_topk
+
+        def tag(t: pa.Table) -> pa.Table:
+            return t.append_column("__b", _bucket_ids(t, ["token"], 64))
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            tf = (g.groupby([group_col, "token"], as_index=False)
+                  ["n"].sum())
+            return score_frame(tf)
+
+        scored_ds = (partials_ds.map_batches(tag, batch_format="pyarrow")
+                     .groupby("__b").map_groups(per_bucket,
+                                                batch_format="pandas"))
+        out = grouped_topk(scored_ds, [group_col], ["score", "token"],
+                           k=k, descending=[True, False])
+    out["n"] = out["n"].astype("int64")
+    return out[[group_col, "token", "n", "score"]]

@@ -244,3 +244,21 @@ def test_bigram_lift_local_equals_distributed_and_boundaries():
     pairs = set(zip(out["w1"], out["w2"]))
     assert ("beta", "beta") not in pairs
     assert ("alpha", "beta") in pairs and ("beta", "alpha") in pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_tfidf_local_equals_distributed():
+    """The single-frame plan and the token-bucketed exchange plan must
+    agree bit-for-bit; shared terms (df = n_groups) score exactly tf."""
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import group_tfidf
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["text", "lang"])
+    a = group_tfidf(ds, k=5, mode="local")
+    b = group_tfidf(ds, k=5, mode="distributed")
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["score"] > 0).all()
+    # a term present in every group has score == tf exactly
+    # (df == n_groups cancels), so scores never drop below tf/n_groups
+    assert (a["score"] >= a["n"] / a["lang"].nunique() - 1e-12).all()
