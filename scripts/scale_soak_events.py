@@ -48,11 +48,14 @@ def build_corpus(replicas: int) -> str:
     d = os.path.join(out, "events.parquet")
     os.makedirs(d, exist_ok=True)
     for r in range(replicas):
+        dst = os.path.join(d, f"part_{r:04d}.parquet")
+        if os.path.exists(dst):
+            continue  # resumable build (atomic writes below)
         cols = {n: base[n] for n in base.column_names}
         cols["user_id"] = pc.add(base["user_id"], r * uspan)
         cols["event_id"] = pc.add(base["event_id"], r * espan)
-        pq.write_table(pa.table(cols),
-                       os.path.join(d, f"part_{r:04d}.parquet"))
+        pq.write_table(pa.table(cols), dst + ".tmp")
+        os.replace(dst + ".tmp", dst)
     open(marker, "w").write("ok")
     return out
 
