@@ -158,6 +158,54 @@ def main() -> int:
                           "match": bool(ok)}), flush=True)
         all_ok &= ok
 
+    # out-of-order watermark sessionizer: feed with BOUNDED DISORDER
+    # (deterministic per-event jitter < allowed lateness), so the
+    # watermark contract guarantees exact equality with the batch
+    # operator and zero late drops — the Flink/Beam semantics at volume
+    if args.queries in ("all", "watermark_sessions"):
+        import pyarrow as pa
+        import ray.data as rd
+        from ocr_model_ray.state.streaming import WatermarkSessionizer
+
+        t = time.time()
+        MIX = np.uint64(0x9E3779B97F4A7C15)
+
+        def jitter(tb: pa.Table) -> pa.Table:
+            eid = tb["event_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            j = (((eid * MIX) >> np.uint64(33)) % np.uint64(300)) \
+                .astype("timedelta64[s]")
+            feed = tb["ts"].to_numpy(zero_copy_only=False) + j
+            return pa.table({"user_id": tb["user_id"], "ts": tb["ts"],
+                             "__feed": pa.array(feed)})
+
+        ds = (rd.read_parquet(os.path.join(corpus, "events.parquet"),
+                              columns=["user_id", "ts", "event_id"])
+              .map_batches(jitter, batch_format="pyarrow")
+              .sort("__feed"))
+        wz = WatermarkSessionizer(num_shards=8, gap_minutes=30,
+                                  lateness_minutes=10)
+        n_fed = 0
+        for b in ds.iter_batches(batch_size=131072,
+                                 batch_format="pandas"):
+            wz.ingest_batch(b[["user_id", "ts"]])
+            n_fed += len(b)
+        got = wz.finalize()
+        sec = round(time.time() - t, 2)
+        dropped = int(got["late_dropped"].sum())
+        want = tq._canon(tq._to_pandas(qs["events_sessions"](corpus)))
+        gotc = tq._canon(got.drop(columns=["late_dropped"]))
+        ok = (dropped == 0 and len(gotc) == len(want)
+              and list(gotc.columns) == list(want.columns)
+              and all((gotc[c].reset_index(drop=True)
+                       == want[c].reset_index(drop=True)).all()
+                      for c in gotc.columns))
+        print(json.dumps({"query": "watermark_sessions", "seconds": sec,
+                          "rows": len(gotc), "fed": n_fed,
+                          "late_dropped": dropped,
+                          "match": bool(ok)}), flush=True)
+        all_ok &= ok
+
     print(json.dumps({"soak": "PASS" if all_ok else "FAIL"}))
     ray.shutdown()
     return 0 if all_ok else 1
