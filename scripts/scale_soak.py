@@ -231,6 +231,23 @@ def main() -> int:
     for name, (fn, sql) in chosen.items():
         all_ok &= run(name, fn, sql)
 
+    # --- driver-pair op: reuse the queries()/oracle_sql() twins
+    # verbatim on the soak corpus (documents.parquet symlinks to the
+    # part-file dir so the sf_dir contract holds) -------------------
+    if args.ops in ("all", "decontaminate"):
+        import __ray_entry__ as em
+        import tests.test_queries_oracle as tq
+        wrap = corpus + "_sf"
+        os.makedirs(wrap, exist_ok=True)
+        link = os.path.join(wrap, "documents.parquet")
+        if not os.path.lexists(link):
+            os.symlink(corpus, link)
+        all_ok &= run(
+            "decontaminate",
+            lambda: tq._to_pandas(
+                em.queries()["docs_decontaminate"](wrap)),
+            em.oracle_sql()["docs_decontaminate"])
+
     # --- near-dup ops: no feasible SQL oracle at this size; verified
     # structurally instead, each check independent of the engine code --
     import numpy as np

@@ -164,6 +164,69 @@ def main() -> int:
               flush=True)
         all_ok &= ok
 
+    import ray.data as rd
+    emb_path = os.path.join(corpus, "embeddings.parquet")
+
+    if "emb_kmeans" in ops or args.ops == "all":
+        # structural: every assignment is (within one 1e-5 sim-grid
+        # step of) the argmax centroid, recomputed independently in
+        # numpy for a 20k sample; all k clusters populated
+        from ocr_model_ray.functions.clustering import (kmeans_assign,
+                                                        kmeans_fit)
+        t = time.time()
+        ds = rd.read_parquet(emb_path)
+        cent = kmeans_fit(ds, k=8, train_size=50_000)
+        assigned = kmeans_assign(ds, cent).to_pandas()
+        sec = round(time.time() - t, 2)
+        t = time.time()
+        sample = assigned.sort_values("vec_id").iloc[::max(1, len(assigned) // 20_000)]
+        con.register("want_ids2",
+                     pd.DataFrame({"vec_id": sample["vec_id"]}))
+        vec = con.sql("SELECT vec_id, embedding FROM embeddings "
+                      "JOIN want_ids2 USING (vec_id)").df()
+        m = np.stack(vec["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        c = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        sims = m @ c.T
+        best = sims.max(axis=1)
+        got_sim = sims[np.arange(len(m)),
+                       sample.set_index("vec_id").loc[
+                           vec["vec_id"], "cluster"].to_numpy()]
+        within = bool((best - got_sim <= 1e-5 + 1e-12).all())
+        populated = assigned["cluster"].nunique() == 8
+        ok = within and populated and len(assigned) == ds.count()
+        print(json.dumps({"query": "emb_kmeans", "seconds": sec,
+                          "rows": len(assigned), "match": bool(ok),
+                          "argmax_within_grid": within,
+                          "clusters_populated": bool(populated),
+                          "check_seconds": round(time.time() - t, 2)}),
+              flush=True)
+        all_ok &= ok
+
+    if "emb_ann_recall" in ops or args.ops == "all":
+        # ANN recall vs the exact scan at volume (structural floor; the
+        # measured number is the report)
+        from ocr_model_ray.functions.similarity import (ivf_knn,
+                                                        knn_bruteforce,
+                                                        lsh_knn)
+        qdf = con.sql("SELECT vec_id, embedding FROM embeddings "
+                      "WHERE vec_id < 10 ORDER BY vec_id").df()
+        t = time.time()
+        exact = knn_bruteforce(rd.read_parquet(emb_path), qdf, k=5)
+        e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+        recalls = {}
+        for name, fn in (("lsh", lsh_knn), ("ivf", ivf_knn)):
+            approx = fn(rd.read_parquet(emb_path), qdf, k=5)
+            a = {(r.query_id, r.neighbor_id)
+                 for r in approx.itertuples()}
+            recalls[name] = round(len(e & a) / len(e), 3)
+        ok = all(r >= 0.2 for r in recalls.values())
+        print(json.dumps({"query": "emb_ann_recall",
+                          "seconds": round(time.time() - t, 2),
+                          "recall": recalls, "match": bool(ok)}),
+              flush=True)
+        all_ok &= ok
+
     print(json.dumps({"soak": "PASS" if all_ok else "FAIL"}))
     ray.shutdown()
     return 0 if all_ok else 1
