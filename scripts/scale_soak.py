@@ -231,10 +231,21 @@ def main() -> int:
     for name, (fn, sql) in chosen.items():
         all_ok &= run(name, fn, sql)
 
-    # --- driver-pair op: reuse the queries()/oracle_sql() twins
+    # --- driver-pair ops: reuse the queries()/oracle_sql() twins
     # verbatim on the soak corpus (documents.parquet symlinks to the
     # part-file dir so the sf_dir contract holds) -------------------
-    if args.ops in ("all", "decontaminate"):
+    DRIVER_PAIR = ["docs_decontaminate", "docs_pii_scrub",
+                   "docs_normalize", "docs_quality", "docs_token_count",
+                   "docs_bpe_token_count", "docs_hash_split",
+                   "docs_weighted_sample", "docs_repetition"]
+    # (docs_group_tfidf needs the lang column the salted soak corpus
+    # doesn't carry; its token-bucket exchange is covered by the
+    # top_tokens/vocab ops above)
+    wanted = DRIVER_PAIR if args.ops == "all" else [
+        n for n in DRIVER_PAIR
+        if n in args.ops.split(",") or n.removeprefix("docs_")
+        in args.ops.split(",")]
+    if wanted:
         import __ray_entry__ as em
         import tests.test_queries_oracle as tq
         wrap = corpus + "_sf"
@@ -242,11 +253,12 @@ def main() -> int:
         link = os.path.join(wrap, "documents.parquet")
         if not os.path.lexists(link):
             os.symlink(corpus, link)
-        all_ok &= run(
-            "decontaminate",
-            lambda: tq._to_pandas(
-                em.queries()["docs_decontaminate"](wrap)),
-            em.oracle_sql()["docs_decontaminate"])
+        qs, sqls = em.queries(), em.oracle_sql()
+        for name in wanted:
+            all_ok &= run(
+                name.removeprefix("docs_"),
+                lambda name=name: tq._to_pandas(qs[name](wrap)),
+                sqls[name])
 
     # --- near-dup ops: no feasible SQL oracle at this size; verified
     # structurally instead, each check independent of the engine code --
