@@ -935,11 +935,12 @@ def q4_priority_returned(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
                 batch_size=None)
     else:
         from ..functions.joins import bloom_from_dataset, bloom_semi_filter
-        import pyarrow.parquet as pq
+        import pyarrow.dataset as pads
         # capacity: per-batch distinct rows upper-bound the true
         # distinct count; parquet metadata gives it without a scan
-        cap = max(64, pq.ParquetFile(_pq(sf_dir, "lineitem"))
-                  .metadata.num_rows // 2)
+        # (pads.dataset handles file- and directory-shaped tables)
+        cap = max(64, pads.dataset(_pq(sf_dir, "lineitem"),
+                                   format="parquet").count_rows() // 2)
         rkeys_ds = rkeys_ds.materialize()
         bf = bloom_from_dataset(rkeys_ds, "o_orderkey", capacity=cap)
         pruned = bloom_semi_filter(orders, bf, on="o_orderkey")

@@ -104,7 +104,12 @@ def main() -> int:
     names = ["q1_pricing_summary", "q10_returned_revenue",
              "q13_customer_distribution", "q18_large_orders",
              "supplier_revenue", "q11_important_parts",
-             "q16_supplier_part_counts"]
+             "q16_supplier_part_counts",
+             "q3_top_orders", "q5_region_revenue",
+             "q4_priority_returned", "q12_priority_lines",
+             "q9_product_profit", "q21_waiting_supplier",
+             "q7_nation_volume", "order_priority_counts",
+             "q2_min_cost_supplier", "q17_small_qty_revenue"]
     if args.queries != "all":
         names = [n for n in names if n in args.queries.split(",")]
 
