@@ -735,28 +735,51 @@ def bigram_lift(ds: rd.Dataset, k: int = 50, min_count: int = 5,
     if _resolve_mode(ds, mode) == "local":
         allp = (parts.to_pandas()
                 .groupby(["kind", "w1", "w2"], as_index=False)["n"].sum())
+        uni = allp[(allp["kind"] == "u")
+                   & (allp["w1"] != "\x00TOTAL\x00")]
+        T = int(allp.loc[(allp["kind"] == "u")
+                         & (allp["w1"] == "\x00TOTAL\x00"), "n"].sum())
+        TB = int(allp.loc[(allp["kind"] == "b")
+                          & (allp["w1"] == "\x00TOTAL\x00"), "n"].sum())
+        bi = allp[(allp["kind"] == "b")
+                  & (allp["w1"] != "\x00TOTAL\x00")]
+        bi = bi[bi["n"] >= min_count]
+        cmap = dict(zip(uni["w1"], uni["n"].astype("int64")))
     else:
+        import ray
+
         from .bucketed import bucketed_agg
-        allp = bucketed_agg(parts, ["kind", "w1", "w2"],
-                            {"n": ("n", "sum")}).to_pandas()
-        # the merged (kind, w1, w2) table is vocabulary-sized; the
-        # lift join below runs on the min_count survivors only, which
-        # is what bounds the driver frame at corpus scale
-    uni = allp[(allp["kind"] == "u")
-               & (allp["w1"] != "\x00TOTAL\x00")]
-    T = int(allp.loc[(allp["kind"] == "u")
-                     & (allp["w1"] == "\x00TOTAL\x00"), "n"].sum())
-    TB = int(allp.loc[(allp["kind"] == "b")
-                      & (allp["w1"] == "\x00TOTAL\x00"), "n"].sum())
-    bi = allp[(allp["kind"] == "b")
-              & (allp["w1"] != "\x00TOTAL\x00")]
-    bi = bi[bi["n"] >= min_count]
+        merged = bucketed_agg(parts, ["kind", "w1", "w2"],
+                              {"n": ("n", "sum")}).materialize()
+        # the merged (kind, w1, w2) table is vocabulary-sized — it
+        # NEVER collects whole. The driver receives: the two TOTAL
+        # rows, the min_count-surviving bigrams, and only the unigram
+        # rows whose token appears in a surviving bigram (a broadcast
+        # membership filter) — all min_count-bounded.
+        tot = merged.map_batches(
+            lambda t: t.filter(pc.equal(t["w1"], "\x00TOTAL\x00")),
+            batch_format="pyarrow").to_pandas()
+        T = int(tot.loc[tot["kind"] == "u", "n"].sum())
+        TB = int(tot.loc[tot["kind"] == "b", "n"].sum())
+        bi = merged.map_batches(
+            lambda t: t.filter(
+                pc.and_(pc.and_(pc.equal(t["kind"], "b"),
+                                pc.not_equal(t["w1"], "\x00TOTAL\x00")),
+                        pc.greater_equal(t["n"], min_count))),
+            batch_format="pyarrow").to_pandas()
+        need = ray.put(pa.array(sorted(set(bi["w1"]) | set(bi["w2"])),
+                                pa.string()))
+        uni = merged.map_batches(
+            lambda t: t.filter(
+                pc.and_(pc.equal(t["kind"], "u"),
+                        pc.is_in(t["w1"], value_set=ray.get(need)))),
+            batch_format="pyarrow").to_pandas()
+        cmap = dict(zip(uni["w1"], uni["n"].astype("int64")))
     if bi.empty or T == 0 or TB == 0:
         return pd.DataFrame({"w1": pd.Series([], dtype="object"),
                              "w2": pd.Series([], dtype="object"),
                              "n_pair": pd.Series([], dtype="int64"),
                              "lift": pd.Series([], dtype="float64")})
-    cmap = dict(zip(uni["w1"], uni["n"].astype("int64")))
     ca = bi["w1"].map(cmap).astype("int64")
     cb = bi["w2"].map(cmap).astype("int64")
     cab = bi["n"].astype("int64")
