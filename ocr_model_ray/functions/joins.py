@@ -146,7 +146,11 @@ def bloom_from_dataset(keys: rd.Dataset, on: str, capacity: int,
     filter would ship."""
     import numpy as np
     bf = BloomFilter(capacity=capacity, bits_per_key=bits_per_key)
-    for batch in keys.iter_batches(batch_format="pyarrow"):
+    # batch_size=None: whole blocks per fetch — the default small
+    # batches cost one object-store round trip per few thousand keys
+    # (measured 49 s -> ~2 s streaming 9.5M keys)
+    for batch in keys.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
         bf.add(batch[on].to_numpy(zero_copy_only=False).astype(np.int64))
     return bf
 
