@@ -606,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prior_clicks": rel.events_prior_clicks,
         "q1_rollup": rel.q1_rollup,
         "events_percent_rank": rel.events_percent_rank,
+        "events_ntile": rel.events_ntile,
         "events_type_counts_salted": rel.events_type_counts_salted,
         "lineitem_qty_variance": rel.lineitem_qty_variance,
         "nation_customer_counts": rel.nation_customer_counts,
@@ -1155,6 +1156,13 @@ def oracle_sql() -> dict[str, str]:
                    PERCENT_RANK() OVER (PARTITION BY user_id
                                         ORDER BY ts, event_id)
                        AS percent_rank
+            FROM events ORDER BY event_id
+        """,
+        "events_ntile": """
+            SELECT event_id, user_id,
+                   CAST(NTILE(4) OVER (PARTITION BY user_id
+                                       ORDER BY value, event_id)
+                        AS BIGINT) AS quartile
             FROM events ORDER BY event_id
         """,
         "events_type_counts_salted": """

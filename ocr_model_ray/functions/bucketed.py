@@ -74,8 +74,10 @@ def bucketed_agg(ds: rd.Dataset, keys: str | Sequence[str],
              for o, (c, f) in aggs.items()}
 
     def tag(t: pa.Table) -> pa.Table:
-        return t.append_column("__b",
-                               _bucket_ids(t, key_list, num_buckets))
+        # metadata-free: mixed schema metadata trips Ray's sort-unify
+        # hash (one warning per reduce block otherwise)
+        return t.replace_schema_metadata(None).append_column(
+            "__b", _bucket_ids(t, key_list, num_buckets))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return (g.groupby(key_list, as_index=False, sort=False,
@@ -94,8 +96,8 @@ def bucketed_distinct(ds: rd.Dataset, keys: str | Sequence[str],
     key_list = [keys] if isinstance(keys, str) else list(keys)
 
     def tag(t: pa.Table) -> pa.Table:
-        return t.append_column("__b",
-                               _bucket_ids(t, key_list, num_buckets))
+        return t.replace_schema_metadata(None).append_column(
+            "__b", _bucket_ids(t, key_list, num_buckets))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return g[key_list].drop_duplicates()

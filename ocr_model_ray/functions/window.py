@@ -57,7 +57,10 @@ def hash_partitioned_window(ds: rd.Dataset, partition_col: str,
             .astype(np.uint64)
         mixed = (key * _MIX) >> np.uint64(32)
         b = pa.array((mixed % np.uint64(num_buckets)).astype(np.int32))
-        return t.append_column("__bucket", b)
+        # metadata-free blocks: parquet reads carry pandas key/value
+        # schema metadata that Ray's sort can't hash (it warns per
+        # reduce block when unified with metadata-free blocks)
+        return t.replace_schema_metadata(None).append_column("__bucket", b)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__bucket").sort_values(
@@ -128,5 +131,29 @@ def percent_rank_kernel(out_cols: Sequence[str],
         multi = n > 1
         pr[multi] = rank[multi] * 1.0 / (n[multi] - 1)
         out[name] = pr
+        return out
+    return kernel
+
+
+def ntile_kernel(n: int, out_cols: Sequence[str], name: str = "ntile"):
+    """SQL NTILE(n): split each partition into n buckets in order-column
+    order, the first (rows % n) buckets one row larger — vectorized via
+    the same rank/partition-size arrays as percent_rank. Partitions
+    smaller than n give each row its own bucket (rank + 1), per SQL."""
+    def kernel(g: pd.DataFrame, new_key: pd.Series) -> pd.DataFrame:
+        seq = np.arange(len(g), dtype=np.int64)
+        nk = new_key.to_numpy()
+        base = pd.Series(seq, index=g.index).where(nk).ffill().to_numpy()
+        rank = (seq - base).astype(np.int64)
+        starts = np.flatnonzero(nk)
+        sizes = np.diff(np.append(starts, len(g)))
+        s = np.repeat(sizes, sizes).astype(np.int64)
+        q, r = s // n, s % n
+        cut = r * (q + 1)
+        tile = np.where(rank < cut,
+                        rank // np.maximum(q + 1, 1),
+                        r + (rank - cut) // np.maximum(q, 1)) + 1
+        out = g[list(out_cols)].copy()
+        out[name] = tile.astype("int64")
         return out
     return kernel

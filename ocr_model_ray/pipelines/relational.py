@@ -2158,6 +2158,22 @@ def events_percent_rank(sf_dir: str) -> pd.DataFrame:
             .astype({"event_id": "int64", "user_id": "int64"}))
 
 
+def events_ntile(sf_dir: str, n: int = 4) -> pd.DataFrame:
+    """NTILE(4) per user by (value, event_id) — quartile assignment
+    within each user's value distribution, the mixture-balancing shape
+    (e.g. per-source quality quartiles). Same bucketed window operator;
+    the kernel is pure integer arithmetic, bit-free of float order."""
+    from ..functions.window import hash_partitioned_window, ntile_kernel
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = hash_partitioned_window(
+        ds, "user_id", ["value", "event_id"],
+        ntile_kernel(n, ["event_id", "user_id"], name="quartile"),
+    ).to_pandas()
+    return (out.sort_values("event_id").reset_index(drop=True)
+            .astype({"event_id": "int64", "user_id": "int64",
+                     "quartile": "int64"}))
+
+
 def events_type_counts_salted(sf_dir: str) -> pd.DataFrame:
     """Skew-safe grouped count over a 5-hot-key column: each hot key
     salts into sub-groups for the wide shuffle so no reducer sees a
