@@ -313,6 +313,13 @@ def cosine_near_dup(ds: rd.Dataset, threshold: float = 0.4,
         out = _cosine_near_dup_bucketed(
             ds, threshold, id_col, vec_col, num_planes,
             target_recall, max_bucket, seed)
+    if out.empty or "sim" not in out.columns:
+        # zero pairs above threshold: Ray's all-empty-block collect
+        # loses the schema — return the typed empty frame instead of
+        # crashing on the missing column
+        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                             "vec_b": pd.Series([], dtype="int64"),
+                             "sim": pd.Series([], dtype="float64")})
     out["sim"] = out["sim"].round(round_to)
     return (out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
             .astype({"vec_a": "int64", "vec_b": "int64"}))

@@ -167,6 +167,43 @@ def main() -> int:
     import ray.data as rd
     emb_path = os.path.join(corpus, "embeddings.parquet")
 
+    if "emb_near_dup_hi" in ops or args.ops == "all":
+        # a higher threshold (0.5 — the corpus has no 0.8 pairs):
+        # hyperplane buckets stay small, recall near target — same
+        # independent float64 check
+        from ocr_model_ray.functions.similarity import cosine_near_dup
+        t = time.time()
+        got = cosine_near_dup(rd.read_parquet(
+            os.path.join(corpus, "embeddings.parquet")), threshold=0.5)
+        sec = round(time.time() - t, 2)
+        t = time.time()
+        ids = sorted(set(got["vec_a"]) | set(got["vec_b"]))
+        con.register("want_ids_hi", pd.DataFrame({"vec_id": ids}))
+        vec = con.sql("SELECT vec_id, embedding FROM embeddings "
+                      "JOIN want_ids_hi USING (vec_id)").df()
+        vmap = {int(r.vec_id): np.asarray(r.embedding, np.float64)
+                for r in vec.itertuples()}
+
+        def cos_hi(a, b):
+            va, vb = vmap[int(a)], vmap[int(b)]
+            return round(float(va @ vb /
+                               (np.sqrt(va @ va) * np.sqrt(vb @ vb))), 5)
+
+        ws = np.array([cos_hi(a, b) for a, b in
+                       zip(got["vec_a"], got["vec_b"])])
+        exact = (np.array_equal(ws.view("int64"),
+                                got["sim"].to_numpy().view("int64"))
+                 if len(got) else True)
+        thr_ok = bool((got["sim"] >= 0.5).all()) if len(got) else True
+        ok = bool(exact and thr_ok and len(got) > 0)
+        print(json.dumps({"query": "emb_near_dup_hi_threshold",
+                          "seconds": sec, "rows": len(got),
+                          "cosine_exact": bool(exact),
+                          "match": ok,
+                          "check_seconds": round(time.time() - t, 2)}),
+              flush=True)
+        all_ok &= ok
+
     if "emb_kmeans" in ops or args.ops == "all":
         # structural: every assignment is (within one 1e-5 sim-grid
         # step of) the argmax centroid, recomputed independently in

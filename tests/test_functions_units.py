@@ -1134,3 +1134,28 @@ def test_weighted_sample_semantics():
     })
     rate = len(weighted_sample_batch(mid, target_tokens=64)) / 2000
     assert 0.18 < rate < 0.32, rate
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cosine_near_dup_empty_result_typed():
+    """A threshold above every pairwise similarity must return the
+    TYPED empty frame, not crash on Ray's schema-less all-empty
+    collect (regression: KeyError 'sim')."""
+    import numpy as np
+    import ray.data as rd
+    from ocr_model_ray.functions.similarity import cosine_near_dup
+
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame({
+        "vec_id": range(50),
+        "embedding": [rng.normal(size=16).astype("float32").tolist()
+                      for _ in range(50)],
+    })
+    out = cosine_near_dup(rd.from_pandas(df).repartition(4),
+                          threshold=0.9999)
+    assert list(out.columns) == ["vec_a", "vec_b", "sim"]
+    assert out.empty
+    # both plans
+    out = cosine_near_dup(rd.from_pandas(df).repartition(4),
+                          threshold=0.9999, mode="bucketed")
+    assert list(out.columns) == ["vec_a", "vec_b", "sim"] and out.empty
