@@ -65,6 +65,10 @@ def top_tokens(ds: rd.Dataset, k: int = 50, text_col: str = "text",
         from .topk import topk
         summed = bucketed_agg(partials, "token", {"n": ("n", "sum")})
         out = topk(summed, ["n", "token"], k=k, descending=[True, False])
+    if out.empty or "n" not in out.columns:
+        # token-free corpus: Ray's all-empty collect loses the schema
+        return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
     out["n"] = out["n"].astype("int64")
     return out[["token", "n"]]
 
@@ -403,6 +407,10 @@ def heavy_hitters(ds: rd.Dataset, phi: float = 0.001,
         lambda t: t.filter(pc.not_equal(t["token"], _HH_TOTAL_KEY)),
         batch_format="pyarrow"), ["n", "token"], k=k + 1,
         descending=[True, False])
+    if total == 0 or top.empty or "n" not in top.columns:
+        # token-free corpus: nothing can be phi-heavy
+        return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
     # prune rule: subtract the (k+1)-th largest merged counter;
     # every strictly-positive residual is within the returned top
     sub = 0 if len(top) <= k else int(top["n"].iloc[-1])
@@ -602,6 +610,14 @@ def unigram_freq_score(ds: rd.Dataset, text_col: str = "text",
         from .joins import hash_bucket_join
         counts = bucketed_agg(counts_partials, "token",
                               {"n": ("n", "sum")}).materialize()
+        csch = counts.schema()
+        if csch is None or "n" not in csch.names:
+            # token-free corpus
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "sum_freq": pd.Series([], dtype="int64"),
+                "n_tok": pd.Series([], dtype="int64"),
+                "avg_freq": pd.Series([], dtype="float64")})
         total = int(counts.sum("n") or 0)
 
         if counts.count() <= vocab_broadcast_rows:
@@ -667,6 +683,12 @@ def unigram_freq_score(ds: rd.Dataset, text_col: str = "text",
                        .groupby("__db")
                        .map_groups(reduce_bucket, batch_format="pandas")
                        .to_pandas())
+    if per_doc.empty or "sum_freq" not in per_doc.columns:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "sum_freq": pd.Series([], dtype="int64"),
+            "n_tok": pd.Series([], dtype="int64"),
+            "avg_freq": pd.Series([], dtype="float64")})
     per_doc["sum_freq"] = per_doc["sum_freq"].astype("int64")
     per_doc["n_tok"] = per_doc["n_tok"].astype("int64")
     per_doc["avg_freq"] = (per_doc["sum_freq"]
@@ -732,9 +754,16 @@ def bigram_lift(ds: rd.Dataset, k: int = 50, min_count: int = 5,
     # both plans complete the counts the same way; the distributed one
     # shuffles by (kind, w1, w2) first so no single node sees the
     # full vocabulary
+    _empty_lift = pd.DataFrame({"w1": pd.Series([], dtype="object"),
+                                "w2": pd.Series([], dtype="object"),
+                                "n_pair": pd.Series([], dtype="int64"),
+                                "lift": pd.Series([], dtype="float64")})
     if _resolve_mode(ds, mode) == "local":
-        allp = (parts.to_pandas()
-                .groupby(["kind", "w1", "w2"], as_index=False)["n"].sum())
+        allp = parts.to_pandas()
+        if allp.empty or "kind" not in allp.columns:
+            return _empty_lift
+        allp = allp.groupby(["kind", "w1", "w2"],
+                            as_index=False)["n"].sum()
         uni = allp[(allp["kind"] == "u")
                    & (allp["w1"] != "\x00TOTAL\x00")]
         T = int(allp.loc[(allp["kind"] == "u")
@@ -751,6 +780,9 @@ def bigram_lift(ds: rd.Dataset, k: int = 50, min_count: int = 5,
         from .bucketed import bucketed_agg
         merged = bucketed_agg(parts, ["kind", "w1", "w2"],
                               {"n": ("n", "sum")}).materialize()
+        msch = merged.schema()
+        if msch is None or "kind" not in msch.names:
+            return _empty_lift
         # the merged (kind, w1, w2) table is vocabulary-sized — it
         # NEVER collects whole. The driver receives: the two TOTAL
         # rows, the min_count-surviving bigrams, and only the unigram
@@ -767,6 +799,8 @@ def bigram_lift(ds: rd.Dataset, k: int = 50, min_count: int = 5,
                                 pc.not_equal(t["w1"], "\x00TOTAL\x00")),
                         pc.greater_equal(t["n"], min_count))),
             batch_format="pyarrow").to_pandas()
+        if bi.empty:
+            return _empty_lift  # no bigram survives min_count
         need = ray.put(pa.array(sorted(set(bi["w1"]) | set(bi["w2"])),
                                 pa.string()))
         uni = merged.map_batches(
@@ -826,9 +860,10 @@ def group_tfidf(ds: rd.Dataset, group_col: str = "lang", k: int = 10,
     def uniq_groups(t: pa.Table) -> pa.Table:
         return pa.table({group_col: pc.unique(t[group_col])})
 
-    n_groups = int(ds.map_batches(uniq_groups, batch_format="pyarrow",
-                                  batch_size=None)
-                   .to_pandas()[group_col].nunique())
+    _ug = ds.map_batches(uniq_groups, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    n_groups = int(_ug[group_col].nunique()) \
+        if group_col in _ug.columns else 0
 
     def score_frame(tf: pd.DataFrame) -> pd.DataFrame:
         df_per_tok = tf.groupby("token")[group_col].transform("size")
@@ -838,9 +873,16 @@ def group_tfidf(ds: rd.Dataset, group_col: str = "lang", k: int = 10,
 
     partials_ds = ds.map_batches(partial, batch_format="pyarrow",
                                  batch_size=None)
+    _empty_tfidf = pd.DataFrame({
+        group_col: pd.Series([], dtype="object"),
+        "token": pd.Series([], dtype="object"),
+        "n": pd.Series([], dtype="int64"),
+        "score": pd.Series([], dtype="float64")})
     if _rm(ds, mode) == "local":
-        tf = (partials_ds.to_pandas()
-              .groupby([group_col, "token"], as_index=False)["n"].sum())
+        tf = partials_ds.to_pandas()
+        if tf.empty or "token" not in tf.columns:
+            return _empty_tfidf
+        tf = tf.groupby([group_col, "token"], as_index=False)["n"].sum()
         scored = score_frame(tf)
         out = (scored.sort_values(["score", "token"],
                                   ascending=[False, True],
@@ -866,5 +908,7 @@ def group_tfidf(ds: rd.Dataset, group_col: str = "lang", k: int = 10,
                                                 batch_format="pandas"))
         out = grouped_topk(scored_ds, [group_col], ["score", "token"],
                            k=k, descending=[True, False])
+    if n_groups == 0 or out.empty or "n" not in out.columns:
+        return _empty_tfidf
     out["n"] = out["n"].astype("int64")
     return out[[group_col, "token", "n", "score"]]

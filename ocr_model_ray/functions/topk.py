@@ -30,6 +30,8 @@ def topk(ds: rd.Dataset, by: Sequence[str], k: int,
         return df.sort_values(by, ascending=ascending, kind="mergesort").head(k)
 
     small = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if small.empty and not set(by).issubset(small.columns):
+        return small  # schema-less all-empty collect; caller types it
     return (small.sort_values(by, ascending=ascending, kind="mergesort")
             .head(k).reset_index(drop=True))
 
@@ -57,6 +59,8 @@ def grouped_topk(ds: rd.Dataset, group_cols: Sequence[str],
                 .groupby(group_cols, sort=False, dropna=False).head(k))
 
     small = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if small.empty and not set(by).issubset(small.columns):
+        return small  # schema-less all-empty collect; caller types it
     return (small.sort_values(by, ascending=ascending, kind="mergesort")
             .groupby(group_cols, sort=False, dropna=False).head(k)
             .sort_values(group_cols + by, ascending=[True] * len(group_cols)

@@ -262,3 +262,37 @@ def test_group_tfidf_local_equals_distributed():
     # a term present in every group has score == tf exactly
     # (df == n_groups cancels), so scores never drop below tf/n_groups
     assert (a["score"] >= a["n"] / a["lang"].nunique() - 1e-12).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_ops_empty_corpus_typed_results():
+    """Token-free and zero-row corpora (a fully-filtered partition at
+    scale) must yield TYPED empty results from every distributed plan,
+    never crash on Ray's schema-less all-empty collect."""
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import (
+        bigram_lift, group_tfidf, heavy_hitters, unigram_freq_score,
+    )
+    from ocr_model_ray.functions.corpus_stats import top_tokens as tt
+
+    empty_texts = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["", "", ""],
+         "lang": ["en", "en", "fr"]})).repartition(2)
+    zero_rows = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "text": pd.Series([], dtype="object"),
+         "lang": pd.Series([], dtype="object")}))
+
+    for ds in (empty_texts, zero_rows):
+        assert list(tt(ds, k=5, mode="distributed").columns) == \
+            ["token", "n"]
+        assert list(heavy_hitters(ds, phi=0.1, mode="distributed")
+                    .columns) == ["token", "n"]
+        for kw in ({}, {"vocab_broadcast_rows": 0}):
+            out = unigram_freq_score(ds, mode="distributed", **kw)
+            assert list(out.columns) == ["doc_id", "sum_freq", "n_tok",
+                                         "avg_freq"] and out.empty
+        assert list(bigram_lift(ds, mode="distributed").columns) == \
+            ["w1", "w2", "n_pair", "lift"]
+        assert list(group_tfidf(ds, mode="distributed").columns) == \
+            ["lang", "token", "n", "score"]
