@@ -178,7 +178,12 @@ def salted_group_count(ds: rd.Dataset, key: str, num_salts: int = 8) -> "pd.Data
 
     salted = bucketed_agg(ds.map_batches(add_salt, batch_format="pyarrow"),
                           [key, "__salt"], {"n": ("n", "sum")})
-    final = salted.to_pandas().groupby(key, as_index=False)["n"].sum()
+    collected = salted.to_pandas()
+    if collected.empty and key not in collected.columns:
+        # zero-row input: schema-less all-empty collect
+        return pd.DataFrame({key: pd.Series([], dtype="object"),
+                             "count": pd.Series([], dtype="int64")})
+    final = collected.groupby(key, as_index=False)["n"].sum()
     final["n"] = final["n"].astype("int64")
     return final.rename(columns={"n": "count"})
 

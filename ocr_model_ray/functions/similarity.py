@@ -102,6 +102,8 @@ def knn_bruteforce(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
                          "sim": pa.array(out_s, pa.float64())})
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    if partials.empty and "query_id" not in partials.columns:
+        return _empty_topk()  # zero-row corpus: schema-less collect
     return _finalize_topk(partials, k, exclude_self, round_to)
 
 
@@ -165,6 +167,8 @@ def lsh_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
                          "sim": pa.array(out_s, pa.float64())})
 
     partials = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    if partials.empty and "query_id" not in partials.columns:
+        return _empty_topk()  # zero-row corpus
     return _finalize_topk(partials, k, exclude_self, round_to)
 
 
@@ -185,6 +189,8 @@ def ivf_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
     if len(queries) == 0:
         return _empty_topk()
     sample = ds.limit(sample_size).to_pandas()
+    if sample.empty:
+        return _empty_topk()  # zero-row corpus
     train = _normalize(_to_matrix(sample[vec_col]))
     rng = np.random.RandomState(seed)
     cent = train[rng.choice(len(train), size=min(num_centroids, len(train)),
@@ -236,6 +242,8 @@ def ivf_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
                          "sim": pa.array(out_s, pa.float64())})
 
     partials = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    if partials.empty and "query_id" not in partials.columns:
+        return _empty_topk()  # zero-row corpus
     return _finalize_topk(partials, k, exclude_self, round_to)
 
 
@@ -412,6 +420,11 @@ def label_stats(ds: rd.Dataset) -> pd.DataFrame:
            .aggregate(Sum("n", alias_name="n_vectors"),
                       Sum("sum_norm", alias_name="sum_norm"))
            .to_pandas())
+    if out.empty or "sum_norm" not in out.columns:
+        # zero-row corpus: schema-less all-empty collect
+        return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                             "n_vectors": pd.Series([], dtype="int64"),
+                             "avg_norm": pd.Series([], dtype="float64")})
     out["avg_norm"] = (out["sum_norm"] / out["n_vectors"]).round(5)
     out["n_vectors"] = out["n_vectors"].astype("int64")
     return out[["label", "n_vectors", "avg_norm"]]

@@ -1159,3 +1159,34 @@ def test_cosine_near_dup_empty_result_typed():
     out = cosine_near_dup(rd.from_pandas(df).repartition(4),
                           threshold=0.9999, mode="bucketed")
     assert list(out.columns) == ["vec_a", "vec_b", "sim"] and out.empty
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_similarity_and_salted_ops_empty_corpus_typed():
+    """Zero-row corpora must yield typed empty results from the kNN
+    family, label_stats and salted_group_count (same schema-less
+    all-empty-collect class as the corpus-stats sweep)."""
+    import numpy as np
+    import ray.data as rd
+    from ocr_model_ray.functions.joins import salted_group_count
+    from ocr_model_ray.functions.similarity import (ivf_knn,
+                                                    knn_bruteforce,
+                                                    label_stats, lsh_knn)
+
+    zero_vecs = rd.from_pandas(pd.DataFrame(
+        {"vec_id": pd.Series([], dtype="int64"),
+         "embedding": pd.Series([], dtype="object"),
+         "label": pd.Series([], dtype="int32")}))
+    q = pd.DataFrame({"vec_id": [0],
+                      "embedding": [np.ones(8, np.float32).tolist()]})
+    for fn in (knn_bruteforce, lsh_knn, ivf_knn):
+        out = fn(zero_vecs, q, k=3)
+        assert list(out.columns) == ["query_id", "neighbor_id", "sim"]
+        assert out.empty
+    out = label_stats(zero_vecs)
+    assert list(out.columns) == ["label", "n_vectors", "avg_norm"]
+
+    zero_events = rd.from_pandas(pd.DataFrame(
+        {"event_type": pd.Series([], dtype="object")}))
+    out = salted_group_count(zero_events, "event_type")
+    assert list(out.columns) == ["event_type", "count"] and out.empty
