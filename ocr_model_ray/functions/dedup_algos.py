@@ -20,17 +20,18 @@
     3. band-bucket pairing with a hard size cap (oversized buckets are
        sampled + logged, never exploded).
     4. DISTRIBUTED Jaccard verify: candidate texts never touch the
-       driver — each pair id is tagged to both endpoints, bucket-joined
-       with the (pre-filtered) corpus texts, and verified inside
-       groupby(pair_id).map_groups.
+       driver — each pair explodes to two (doc_id, pa, pb) membership
+       rows, ONE hash-bucket join on doc_id attaches the corpus texts
+       (the inner join IS the semi-filter), and the exact Jaccard
+       computes inside a coarse-pair-bucket map_groups.
 * ``near_dup_clusters`` — connected components over verified pairs via
   iterative groupby min-label propagation (no driver union-find).
 
 At 100 TB: texts stay in place; only (doc_id, band_hash) pairs —
-~tens of bytes/doc/band — shuffle, and only candidate-pair texts move
-through the verify join. The one driver-side structure is the candidate
-doc-ID SET (ints), used for the corpus semi-filter; swap in
-joins.bloom_semi_filter when even that set outgrows the driver.
+~tens of bytes/doc/band — shuffle; candidate/exact EDGES stay a
+Dataset end-to-end (band pass -> distinct -> verify join -> label
+propagation), so the driver holds NO per-pair or per-doc structure at
+any point in the distributed plan (round-3 verdict #1).
 
 Plan selection (``mode='auto'``): Ray's sort-shuffle carries seconds of
 driver-side fixed cost per exchange, so provably-small inputs (pure
@@ -167,16 +168,42 @@ def _signatures_block(texts, ngram: int) -> np.ndarray:
     return out
 
 
-def _band_hashes(sigs: np.ndarray) -> np.ndarray:
-    """(ndocs, NUM_BANDS) int64 band hashes: polynomial mix of each
-    band's 8 signature rows, fully vectorized (no per-doc crc32 loop)."""
-    bands = sigs.reshape(len(sigs), NUM_BANDS, ROWS_PER_BAND)
+def _band_hashes(sigs: np.ndarray,
+                 num_bands: int = NUM_BANDS) -> np.ndarray:
+    """(ndocs, num_bands) int64 band hashes: polynomial mix of each
+    band's signature rows, fully vectorized (no per-doc crc32 loop)."""
+    rows_per_band = sigs.shape[1] // num_bands
+    bands = sigs.reshape(len(sigs), num_bands, rows_per_band)
     with np.errstate(over="ignore"):
         h = np.zeros(bands.shape[:2], dtype=np.uint64)
-        for r in range(ROWS_PER_BAND):
+        for r in range(rows_per_band):
             h = h * _SHINGLE_P + bands[:, :, r]
         h = (h ^ (h >> np.uint64(33))) * np.uint64(0x9E3779B97F4A7C15)
     return h.view(np.int64)
+
+
+def _lsh_params(threshold: float, num_perm: int = NUM_PERM,
+                target_recall: float = 0.9) -> int:
+    """Band count for the requested Jaccard threshold (the same
+    recall-targeted derivation similarity._lsh_num_tables does for
+    cosine): with b bands of r = num_perm/b rows, a pair at similarity
+    s collides with probability 1 - (1 - s^r)^b. Pick the LARGEST r
+    (fewest candidate pairs) whose recall at ``threshold`` still meets
+    ``target_recall``; if no r does, the max-recall r wins. At the
+    default 0.8 threshold this reproduces the frozen 16x8 layout
+    (recall 0.948); at 0.4 it switches to 64 bands x 2 rows instead of
+    silently missing pairs (round-3 verdict #10)."""
+    best_bands, best_recall = num_perm, 0.0
+    for rows in (64, 32, 16, 8, 4, 2, 1):
+        if num_perm % rows:
+            continue
+        bands = num_perm // rows
+        recall = 1.0 - (1.0 - threshold ** rows) ** bands
+        if recall >= target_recall:
+            return bands
+        if recall > best_recall:
+            best_bands, best_recall = bands, recall
+    return best_bands
 
 
 #: band id carrying the md5 exact-hash rows through the SAME shuffle as
@@ -193,25 +220,28 @@ class MinHashWorker:
 
     BLOCK = 64  # docs per vectorized signature block
 
-    def __init__(self, ngram: int = 3, emit_exact: bool = False) -> None:
+    def __init__(self, ngram: int = 3, emit_exact: bool = False,
+                 num_bands: int = NUM_BANDS) -> None:
         self.ngram = ngram
         self.emit_exact = emit_exact
+        self.num_bands = num_bands
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        nb = self.num_bands
         ids = df["doc_id"].to_numpy()
         texts = df["text"].tolist()
         bh_blocks = []
         for lo in range(0, len(texts), self.BLOCK):
             sigs = _signatures_block(texts[lo:lo + self.BLOCK], self.ngram)
-            bh_blocks.append(_band_hashes(sigs))
+            bh_blocks.append(_band_hashes(sigs, nb))
         bh = np.concatenate(bh_blocks) if bh_blocks else \
-            np.empty((0, NUM_BANDS), dtype=np.int64)
+            np.empty((0, nb), dtype=np.int64)
         n = len(ids)
         out = pd.DataFrame({
-            "doc_id": np.repeat(ids, NUM_BANDS),
-            "band": np.tile(np.arange(NUM_BANDS, dtype=np.int32), n),
+            "doc_id": np.repeat(ids, nb),
+            "band": np.tile(np.arange(nb, dtype=np.int32), n),
             "band_hash": bh.reshape(-1),
-            "h2": np.zeros(n * NUM_BANDS, dtype=np.int64),
+            "h2": np.zeros(n * nb, dtype=np.int64),
         })
         if self.emit_exact:
             # ch = md5-low64 rides on every band row: inside an LSH
@@ -224,7 +254,7 @@ class MinHashWorker:
             mh = md5_hex(df["text"])
             ch = np.array([int(h[16:], 16) - (1 << 63) for h in mh],
                           dtype=np.int64)
-            out["ch"] = np.repeat(ch, NUM_BANDS)
+            out["ch"] = np.repeat(ch, nb)
             # full 128-bit md5 rides as two int64 keys (band_hash, h2) —
             # a 64-bit prefix alone would collide at 10^12 docs
             eh = np.array([int(h[:16], 16) - (1 << 63) for h in mh],
@@ -269,7 +299,16 @@ def exact_dedup(ds: rd.Dataset, num_buckets: int = 64,
 
     hashed = ds.map_batches(hash_batch, batch_format="pandas")
     if _resolve_mode(ds, mode) == "local":
-        return rd.from_pandas(per_bucket(hashed.to_pandas()))
+        frame = hashed.to_pandas()
+        if frame.empty or "h" not in frame.columns:
+            # zero-row corpus: Ray's all-empty collect is schema-less;
+            # arrow blocks (unlike 0-row pandas blocks) keep the typed
+            # schema through the next collect
+            return rd.from_arrow(pa.table({
+                "h": pa.array([], pa.string()),
+                "keep_id": pa.array([], pa.int64()),
+                "n_dupes": pa.array([], pa.int64())}))
+        return rd.from_pandas(per_bucket(frame))
     return hashed.groupby("__b").map_groups(per_bucket,
                                             batch_format="pandas")
 
@@ -363,9 +402,15 @@ def _pairs_in_frame(g: pd.DataFrame, max_bucket: int,
 def _band_pass(ds: rd.Dataset, ngram: int, max_bucket: int,
                emit_exact: bool,
                concurrency: int | tuple | None = None,
-               mode: str = "auto") -> pd.DataFrame:
+               mode: str = "auto",
+               num_bands: int = NUM_BANDS) -> pd.DataFrame | rd.Dataset:
     """ONE read + ONE shuffle producing LSH candidate pairs and
     (optionally) exact-dup (rep, member) edges in the same pass.
+
+    Returns a pandas frame in the local plan and a **Dataset** of
+    (doc_a, doc_b, exact) rows in the distributed plan (round-3
+    verdict #1: at web-typical dup rates the edge set is O(N) — it
+    must stay in the object store, never collect to the driver).
 
     The groupby runs over ~128 COARSE buckets, not a map_groups per
     (band, band_hash): Ray's per-group UDF overhead at millions of tiny
@@ -383,13 +428,16 @@ def _band_pass(ds: rd.Dataset, ngram: int, max_bucket: int,
     # adds ~5s of process spin-up to the first call for no reuse win.
     if concurrency is None:
         band_rows = ds.map_batches(
-            MinHashWorker(ngram=ngram, emit_exact=emit_exact),
+            MinHashWorker(ngram=ngram, emit_exact=emit_exact,
+                          num_bands=num_bands),
             batch_format="pandas", batch_size=1024)
     else:
         band_rows = ds.map_batches(
             MinHashWorker, batch_format="pandas", batch_size=1024,
             concurrency=concurrency,
-            fn_constructor_kwargs={"ngram": ngram, "emit_exact": emit_exact})
+            fn_constructor_kwargs={"ngram": ngram,
+                                   "emit_exact": emit_exact,
+                                   "num_bands": num_bands})
 
     num_coarse = 128
 
@@ -409,13 +457,13 @@ def _band_pass(ds: rd.Dataset, ngram: int, max_bucket: int,
         # identical pairing function runs once on the whole frame,
         # skipping the sort-shuffle and its seconds of fixed cost
         out = _pairs_in_frame(band_rows.to_pandas(), max_bucket, emit_exact)
-    else:
-        out = (band_rows.map_batches(add_coarse, batch_format="pandas")
-               .groupby("__cb")
-               .map_groups(pairs_in_coarse, batch_format="pandas").to_pandas())
-    if out.empty:
-        return pd.DataFrame(_EMPTY_EDGES)
-    return out.astype({"doc_a": "int64", "doc_b": "int64", "exact": "bool"})
+        if out.empty:
+            return pd.DataFrame(_EMPTY_EDGES)
+        return out.astype({"doc_a": "int64", "doc_b": "int64",
+                           "exact": "bool"})
+    return (band_rows.map_batches(add_coarse, batch_format="pandas")
+            .groupby("__cb")
+            .map_groups(pairs_in_coarse, batch_format="pandas"))
 
 
 def minhash_lsh_candidates(ds: rd.Dataset, ngram: int = 3,
@@ -429,12 +477,23 @@ def minhash_lsh_candidates(ds: rd.Dataset, ngram: int = 3,
     O(n^2) pairs: the sorted-id prefix is paired (deterministic) and
     the drop is logged. Run the exact-dedup pre-pass first (see
     near_dup_pairs) so identical texts can't create such buckets."""
-    cand = _band_pass(ds, ngram, max_bucket, emit_exact=False,
-                      concurrency=concurrency, mode=mode)[["doc_a", "doc_b"]]
-    if cand.empty:
+    edges = _band_pass(ds, ngram, max_bucket, emit_exact=False,
+                       concurrency=concurrency, mode=mode)
+    if isinstance(edges, rd.Dataset):
+        # distributed plan: dedup the O(N)-row edge set with the
+        # bucketed exchange BEFORE the (driver-compare) collect
+        from .bucketed import bucketed_distinct
+        cand = bucketed_distinct(
+            edges.map_batches(
+                lambda t: t.select(["doc_a", "doc_b"]),
+                batch_format="pyarrow"),
+            ["doc_a", "doc_b"]).to_pandas()
+    else:
+        cand = edges[["doc_a", "doc_b"]].drop_duplicates()
+    if cand.empty or "doc_a" not in cand.columns:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64")})
-    return (cand.drop_duplicates().sort_values(["doc_a", "doc_b"])
+    return (cand.sort_values(["doc_a", "doc_b"])
             .reset_index(drop=True).astype("int64"))
 
 
@@ -465,62 +524,70 @@ _EMPTY_VERIFIED = {"doc_a": pd.Series([], dtype="int64"),
                    "jaccard": pd.Series([], dtype="float64")}
 
 
-def _verify_pairs_distributed(ds: rd.Dataset, cand: pd.DataFrame,
-                              ngram: int) -> pd.DataFrame:
-    """Exact-Jaccard verify WITHOUT driver text materialization, in ONE
-    shuffle: the (small, id-only) pair membership map broadcasts via
-    ray.put; a map over the semi-filtered corpus replicates each
-    candidate text once per pair membership, keyed by a COARSE pair
-    bucket; one groupby colocates both texts of every pair and the
-    Jaccard computes inside the group task (texts never touch the
-    driver). Per-block shingle cache amortizes docs in many pairs."""
-    import ray
-    from .joins import broadcast_semi_filter
+def _verify_pairs_distributed(ds: rd.Dataset, cand: rd.Dataset,
+                              ngram: int,
+                              num_coarse: int = 64) -> rd.Dataset:
+    """Exact-Jaccard verify with NOTHING on the driver — not the texts
+    and not the pair rows either (round-3 verdict #1 replaced the old
+    driver membership dict).
 
-    n_pairs = len(cand)
-    num_coarse = 64
-    membership: dict[int, list[tuple[int, bool]]] = {}
-    for pid, (a, b) in enumerate(zip(cand["doc_a"].to_numpy(),
-                                     cand["doc_b"].to_numpy())):
-        membership.setdefault(int(a), []).append((pid, True))
-        membership.setdefault(int(b), []).append((pid, False))
-    needed = pa.array(sorted(membership), pa.int64())
-    mem_ref = ray.put(membership)
-    cand_texts = broadcast_semi_filter(ds, needed, on="doc_id")
+    ``cand`` is a Dataset of unique (doc_a, doc_b) id pairs. Plan:
 
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        mem = ray.get(mem_ref)
-        pids, isa, docs, texts = [], [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            for pid, a_side in mem.get(int(doc_id), ()):
-                pids.append(pid)
-                isa.append(a_side)
-                docs.append(int(doc_id))
-                texts.append(text)
-        return pd.DataFrame({
-            "__pb": np.array(pids, dtype=np.int64) % num_coarse,
-            "pair_id": pd.Series(pids, dtype="int64"),
-            "is_a": pd.Series(isa, dtype="bool"),
-            "doc_id": pd.Series(docs, dtype="int64"),
-            "text": pd.Series(texts, dtype="object")})
+    1. each pair explodes into two (doc_id, pa, pb) membership rows —
+       a map, no driver collect;
+    2. ONE hash-bucket join on doc_id attaches the corpus text to each
+       membership row; the inner join IS the semi-filter (non-candidate
+       docs never leave their bucket task) and replicates a text once
+       per pair membership, exactly what the verify needs;
+    3. a second groupby on a coarse (pa, pb) bucket colocates the two
+       sides of every pair; the exact Jaccard computes inside the group
+       task with a per-block shingle cache.
+
+    Returns a Dataset of (doc_a, doc_b, jaccard) — O(pairs) rows that
+    stay in the object store."""
+    from .joins import hash_bucket_join
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"doc_id": np.concatenate([a, b]),
+                             "pa": np.concatenate([a, a]),
+                             "pb": np.concatenate([b, b])})
+
+    memb = cand.map_batches(explode, batch_format="pandas")
+    corpus = ds.map_batches(lambda t: t.select(["doc_id", "text"]),
+                            batch_format="pyarrow")
+    joined = hash_bucket_join(memb, corpus, on="doc_id")
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        a = t["pa"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["pb"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ((a * _SHINGLE_P + b)
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        pb_col = pa.array((h % np.uint64(num_coarse)).astype(np.int32))
+        return t.replace_schema_metadata(None).append_column("__pb",
+                                                             pb_col)
 
     def verify_block(g: pd.DataFrame) -> pd.DataFrame:
         # array path: one lexsort puts each pair's a-side row first,
         # boundaries come from np.diff — pandas' per-group iteration
         # measured ~0.3 ms/pair, i.e. tens of seconds over 62k pairs;
         # this loop's per-pair cost is two dict hits + one intersect1d
-        pid = g["pair_id"].to_numpy(dtype=np.int64)
-        isa = g["is_a"].to_numpy(dtype=bool)
+        pa_ = g["pa"].to_numpy(dtype=np.int64)
+        pb_ = g["pb"].to_numpy(dtype=np.int64)
         doc = g["doc_id"].to_numpy(dtype=np.int64)
         txt = g["text"].to_numpy()
-        order = np.lexsort((~isa, pid))  # a-side rows first in each pair
-        pid, isa, doc, txt = pid[order], isa[order], doc[order], txt[order]
-        n = len(pid)
+        isa = doc == pa_
+        order = np.lexsort((~isa, pb_, pa_))  # a-side first per pair
+        pa_, pb_, doc, txt, isa = (pa_[order], pb_[order], doc[order],
+                                   txt[order], isa[order])
+        n = len(doc)
         if n == 0:
             return pd.DataFrame(_EMPTY_VERIFIED)
         new = np.empty(n, dtype=bool)
         new[0] = True
-        new[1:] = pid[1:] != pid[:-1]
+        new[1:] = (pa_[1:] != pa_[:-1]) | (pb_[1:] != pb_[:-1])
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], n)
 
@@ -540,8 +607,8 @@ def _verify_pairs_distributed(ds: rd.Dataset, cand: pd.DataFrame,
             sa, sb = sh(s), sh(s + n_a)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
-            out_a.append(int(doc[s]))
-            out_b.append(int(doc[s + n_a]))
+            out_a.append(int(pa_[s]))
+            out_b.append(int(pb_[s]))
             out_j.append(round(inter / union, 6) if union else 1.0)
         if not out_a:
             return pd.DataFrame(_EMPTY_VERIFIED)
@@ -549,12 +616,9 @@ def _verify_pairs_distributed(ds: rd.Dataset, cand: pd.DataFrame,
                              "doc_b": pd.Series(out_b, dtype="int64"),
                              "jaccard": pd.Series(out_j, dtype="float64")})
 
-    out = (cand_texts.map_batches(emit, batch_format="pandas")
-           .groupby("__pb").map_groups(verify_block, batch_format="pandas")
-           .to_pandas())
-    if out.empty:
-        return pd.DataFrame(_EMPTY_VERIFIED)
-    return out
+    return (joined.map_batches(add_pb, batch_format="pyarrow")
+            .groupby("__pb").map_groups(verify_block,
+                                        batch_format="pandas"))
 
 
 def _verify_pairs_local(ds: rd.Dataset, cand: pd.DataFrame,
@@ -587,6 +651,70 @@ def _verify_pairs_local(ds: rd.Dataset, cand: pd.DataFrame,
     return out if not out.empty else pd.DataFrame(_EMPTY_VERIFIED)
 
 
+def near_dup_pairs_ds(ds: rd.Dataset, threshold: float = 0.8,
+                      ngram: int = 3,
+                      max_bucket: int = MAX_BUCKET) -> rd.Dataset:
+    """The fully distributed near-dup plan: exact pre-pass -> LSH
+    candidates over representatives -> bucket-join verify, with neither
+    texts NOR edges ever materializing on the driver (round-3 verdict
+    #1 — at 10^12 docs with web-typical dup rates the edge set is
+    O(N) rows and must stay in the object store).
+
+    Returns a Dataset of (doc_a, doc_b, jaccard >= threshold) pairs
+    over exact-dedup REPRESENTATIVES; each member of an exact-dup
+    group appears once as (rep, member, 1.0).
+
+    Candidates never touch exact-dup members STRUCTURALLY: identical
+    texts share every band hash, so each LSH bucket holds the whole
+    exact group and _pairs_in_frame's ch-collapse keeps only the
+    global min-id representative before pairing (the member's rep is
+    always co-bucketed — pinned by test). The local plan's defensive
+    member filter is therefore a provable no-op here."""
+    num_bands = _lsh_params(threshold)
+    edges = _band_pass(ds, ngram, max_bucket, emit_exact=True,
+                       mode="distributed", num_bands=num_bands)
+    # the band pass runs ONCE: both consumers below read its
+    # materialized blocks from the object store (spillable), and the
+    # count() short-circuit on an empty corpus is metadata-only
+    edges = edges.materialize()
+    empty = pd.DataFrame(_EMPTY_VERIFIED)
+    if edges.count() == 0:
+        return rd.from_pandas(empty)
+
+    def _split(want_exact: bool):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            m = t["exact"] if want_exact else pc.invert(t["exact"])
+            return t.filter(m).select(["doc_a", "doc_b"])
+        return f
+
+    exact = edges.map_batches(_split(True), batch_format="pyarrow")
+
+    def _one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "jaccard", pa.array(np.ones(t.num_rows, np.float64)))
+
+    exact_pairs = exact.map_batches(_one, batch_format="pyarrow")
+
+    from .bucketed import bucketed_distinct
+    # same pair found in up to num_bands bands: dedup the int-pair rows
+    # BEFORE the verify join so no text ships more than once per pair
+    cand = bucketed_distinct(
+        edges.map_batches(_split(False), batch_format="pyarrow"),
+        ["doc_a", "doc_b"]).materialize()
+    if cand.count() == 0:
+        return exact_pairs
+
+    verified = _verify_pairs_distributed(ds, cand, ngram)
+
+    def _thresh(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+    return (verified.map_batches(_thresh, batch_format="pyarrow")
+            .union(exact_pairs))
+
+
 def near_dup_pairs(ds: rd.Dataset, threshold: float = 0.8,
                    ngram: int = 3,
                    max_bucket: int = MAX_BUCKET,
@@ -600,15 +728,26 @@ def near_dup_pairs(ds: rd.Dataset, threshold: float = 0.8,
     identical, without the O(N^2) pair blowup of identical texts.
 
     One read + one shuffle discovers BOTH exact groups and LSH
-    candidates (_band_pass); one bucket-join shuffle verifies. LSH
-    candidates touching an exact-dup MEMBER are redundant copies of a
-    rep pair and drop before verification.
+    candidates (_band_pass); one bucket-join shuffle verifies.
 
-    ``mode``: 'distributed' always shuffles (the 10^12-doc plan);
-    'local' collapses the two tiny exchanges to single-task combines;
-    'auto' (default) picks by input size (_resolve_mode)."""
+    ``mode``: 'distributed' runs near_dup_pairs_ds (the 10^12-doc plan
+    — edges never touch the driver; THIS wrapper's collect is the
+    driver-compare shim over the O(pairs) result); 'local' collapses
+    the tiny exchanges to single-task combines; 'auto' (default) picks
+    by input size (_resolve_mode)."""
     mode = _resolve_mode(ds, mode)
-    edges = _band_pass(ds, ngram, max_bucket, emit_exact=True, mode=mode)
+    if mode == "distributed":
+        out = near_dup_pairs_ds(ds, threshold=threshold, ngram=ngram,
+                                max_bucket=max_bucket).to_pandas()
+        if out.empty or "doc_a" not in out.columns:
+            return pd.DataFrame(_EMPTY_VERIFIED)
+        return (out.sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True)
+                .astype({"doc_a": "int64", "doc_b": "int64"}))
+
+    num_bands = _lsh_params(threshold)
+    edges = _band_pass(ds, ngram, max_bucket, emit_exact=True,
+                       mode="local", num_bands=num_bands)
     exact_edges = edges[edges["exact"]]
     exact_pairs = pd.DataFrame({
         "doc_a": exact_edges["doc_a"].astype("int64"),
@@ -617,18 +756,18 @@ def near_dup_pairs(ds: rd.Dataset, threshold: float = 0.8,
 
     cand = edges[~edges["exact"]][["doc_a", "doc_b"]]
     if not exact_edges.empty and not cand.empty:
+        # defensive only: the ch-collapse already keeps candidates on
+        # representatives (see near_dup_pairs_ds) — kept here because
+        # it is O(pairs) cheap on the local plan
         members = exact_edges["doc_b"].unique()
         cand = cand[~cand["doc_a"].isin(members)
                     & ~cand["doc_b"].isin(members)]
     cand = cand.drop_duplicates()
     if cand.empty:
-        verified = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
+        verified = pd.DataFrame(_EMPTY_VERIFIED)
     else:
-        verify = (_verify_pairs_local if mode == "local"
-                  else _verify_pairs_distributed)
-        verified = verify(ds, cand.reset_index(drop=True), ngram)
+        verified = _verify_pairs_local(ds, cand.reset_index(drop=True),
+                                       ngram)
         verified = verified[verified["jaccard"] >= threshold]
 
     out = pd.concat([verified, exact_pairs], ignore_index=True)
@@ -774,13 +913,71 @@ def _label_prop_ray(edges: rd.Dataset, labels: rd.Dataset,
     return labels
 
 
+def label_propagation_ds(pairs: rd.Dataset) -> rd.Dataset:
+    """Connected components over a PAIR DATASET — the fully distributed
+    twin of ``min_label_propagation(engine='ray')``: edges, the node
+    set and the label table are all built as Datasets from the pair
+    Dataset and never collect to the driver (round-3 verdict #1).
+    Returns the converged (node, label) Dataset."""
+    from .bucketed import bucketed_distinct
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"src": np.concatenate([a, b]),
+                             "dst": np.concatenate([b, a])})
+
+    # materialized: _label_prop_ray re-reads the edges every round
+    edges = pairs.map_batches(both_dirs,
+                              batch_format="pandas").materialize()
+    if edges.count() == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.Series([], dtype="int64"),
+            "label": pd.Series([], dtype="int64")}))
+
+    def as_label(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["src"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"node": n, "label": n})
+
+    labels = bucketed_distinct(edges, "src").map_batches(
+        as_label, batch_format="pandas").materialize()
+    # rounds cap = node count (the hard stop; convergence is the
+    # changed-count aggregate) — a metadata-only count here
+    return _label_prop_ray(edges, labels, int(labels.count()) + 1, None)
+
+
 def near_dup_clusters(ds: rd.Dataset, threshold: float = 0.8,
                       ngram: int = 3, mode: str = "auto") -> pd.DataFrame:
     """Near-dup clusters: verified pairs -> connected components ->
     (doc_id, cluster_id = min doc_id of the component), via distributed
-    min-label propagation (no driver union-find)."""
-    pairs = near_dup_pairs(ds, threshold=threshold, ngram=ngram, mode=mode)
-    return min_label_propagation(pairs)
+    min-label propagation (no driver union-find).
+
+    Distributed plan: the pair Dataset from near_dup_pairs_ds feeds
+    label_propagation_ds DIRECTLY — edges never surface on the driver;
+    only the O(clustered docs) label table collects at the end (it IS
+    the result). Below 50k pairs the label rounds run on the driver
+    frame instead (same doctrine as min_label_propagation's
+    engine='auto': each Ray round costs seconds of fixed shuffle time
+    that swamps a tiny graph; pair count is metadata on the
+    materialized pair set, not an extra pass)."""
+    mode = _resolve_mode(ds, mode)
+    if mode == "local":
+        pairs = near_dup_pairs(ds, threshold=threshold, ngram=ngram,
+                               mode="local")
+        return min_label_propagation(pairs)
+    pairs_ds = near_dup_pairs_ds(ds, threshold=threshold,
+                                 ngram=ngram).materialize()
+    if pairs_ds.count() < 50_000:
+        frame = pairs_ds.to_pandas()
+        if frame.empty or "doc_a" not in frame.columns:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "cluster_id": pd.Series([], dtype="int64")})
+        return min_label_propagation(frame)
+    final = (label_propagation_ds(pairs_ds).to_pandas()
+             .sort_values("node").reset_index(drop=True)
+             .astype({"node": "int64", "label": "int64"}))
+    return pd.DataFrame({"doc_id": final["node"],
+                         "cluster_id": final["label"]})
 
 
 def simhash_buckets(ds: rd.Dataset) -> rd.Dataset:
@@ -837,11 +1034,18 @@ _EMPTY_JACCARD = {"doc_a": pd.Series([], dtype="int64"),
                   "jaccard": pd.Series([], dtype="float64")}
 
 
-def _jaccard_pairs_frame(g: pd.DataFrame) -> pd.DataFrame:
+def _jaccard_pairs_frame(g: pd.DataFrame,
+                         max_df: int | None = None) -> pd.DataFrame:
     """Posting-list pair expansion over a (gram-sorted) frame: for
     every gram shared by >=2 docs emit all doc pairs, then pre-sum
     intersections per pair. The Python loop is per SHARED gram (runs
-    of length >= 2), each iteration pure numpy."""
+    of length >= 2), each iteration pure numpy.
+
+    ``max_df`` drops grams shared by more than that many docs BEFORE
+    the quadratic expansion (a stop-gram shared by k docs costs k^2
+    pair rows). The drop is LOGGED, never silent, and it biases
+    jaccard DOWN for pairs sharing a dropped gram (set sizes stay
+    full), so it can only lose pairs, never fabricate them."""
     gr = g["gram"].to_numpy()
     d = g["doc_id"].to_numpy()
     s = g["sz"].to_numpy()
@@ -862,6 +1066,16 @@ def _jaccard_pairs_frame(g: pd.DataFrame) -> pd.DataFrame:
     run_len = np.append(run_start[1:], len(gr)) - run_start
     after = (run_start[run_id] + run_len[run_id]
              - np.arange(len(gr)) - 1).astype(np.int64)
+    if max_df is not None:
+        hot = run_len > max_df
+        n_hot = int(hot.sum())
+        if n_hot:
+            log.warning(
+                "jaccard join: dropping %d grams with df > %d "
+                "(max run %d) before pair expansion — jaccard "
+                "undercounts for pairs sharing them (recall-only "
+                "bias)", n_hot, max_df, int(run_len.max()))
+            after[hot[run_id]] = 0
     total = int(after.sum())
     if total == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
@@ -895,7 +1109,8 @@ def _jaccard_pairs_frame(g: pd.DataFrame) -> pd.DataFrame:
 
 def jaccard_similarity_join(ds: rd.Dataset, threshold: float = 0.8,
                             ngram: int = 3, num_buckets: int = 64,
-                            mode: str = "auto") -> pd.DataFrame:
+                            mode: str = "auto",
+                            max_df: int | None = None) -> pd.DataFrame:
     """EXACT word-n-gram Jaccard similarity join: every doc pair with
     |grams_a ∩ grams_b| / |grams_a ∪ grams_b| >= threshold — the
     SQL-oracle-verifiable baseline of the dedup family (MinHash+LSH
@@ -913,7 +1128,13 @@ def jaccard_similarity_join(ds: rd.Dataset, threshold: float = 0.8,
     pair expansion is Θ(Σ_g |posting(g)|²) — a stop-gram shared by k
     docs costs k² rows, so an unbounded web corpus must either drop
     top-df grams or use the MinHash path; this operator is for
-    bounded corpora and for verifying the approximate paths."""
+    bounded corpora and for verifying the approximate paths.
+
+    ``max_df`` engages the logged top-df drop (grams shared by more
+    than ``max_df`` docs skip the expansion; jaccard for pairs that
+    shared them biases DOWN — recall-only loss). Default None keeps
+    the join EXACT so it stays oracle-verifiable; pass a cap (e.g.
+    1000) to run it as a verifier over unbounded skewed corpora."""
     import pyarrow as _pa
 
     def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -940,14 +1161,14 @@ def jaccard_similarity_join(ds: rd.Dataset, threshold: float = 0.8,
         if allg.empty:
             return pd.DataFrame(_EMPTY_JACCARD)
         partial = _jaccard_pairs_frame(
-            allg.sort_values("gram", kind="mergesort"))
+            allg.sort_values("gram", kind="mergesort"), max_df)
         done = partial
     else:
         from .window import hash_partitioned_window
 
         partials = hash_partitioned_window(
             grams, "gram", [],
-            lambda g, new_key: _jaccard_pairs_frame(g),
+            lambda g, new_key: _jaccard_pairs_frame(g, max_df),
             num_buckets=num_buckets)
         from ray.data.aggregate import Max, Sum
         done = (partials.groupby(["doc_a", "doc_b"])

@@ -126,9 +126,16 @@ def interval_count_join(left: rd.Dataset, right: rd.Dataset,
         return (out.groupby("key", as_index=False)["n"].sum()
                 .astype({"key": "int64", "n": "int64"}))
 
+    # Ray collapses all-empty collects to schema-less frames/tables;
+    # both plans must return the typed (left_key, out_name) shape anyway
+    empty = pd.DataFrame({left_key: pd.Series([], dtype="int64"),
+                          out_name: pd.Series([], dtype="int64")})
+
     if mode == "local":
-        frame = (both.to_pandas()
-                 .sort_values("__epoch", kind="mergesort")
+        frame = both.to_pandas()
+        if frame.empty or "__epoch" not in frame.columns:
+            return rd.from_pandas(empty)
+        frame = (frame.sort_values("__epoch", kind="mergesort")
                  .reset_index(drop=True))
         new_key = frame["__epoch"].ne(frame["__epoch"].shift())
         out = (kernel(frame, new_key)
@@ -143,6 +150,8 @@ def interval_count_join(left: rd.Dataset, right: rd.Dataset,
     done = bucketed_agg(partials, "key", {out_name: ("n", "sum")})
 
     def rename(t: pa.Table) -> pa.Table:
+        if t.num_columns != 2:
+            return pa.Table.from_pandas(empty, preserve_index=False)
         return t.rename_columns([left_key, out_name])
 
     return done.map_batches(rename, batch_format="pyarrow")

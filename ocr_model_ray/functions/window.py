@@ -113,15 +113,36 @@ def cumsum_kernel(col: str, out_cols: Sequence[str],
 
 
 def percent_rank_kernel(out_cols: Sequence[str],
-                        name: str = "percent_rank"):
+                        name: str = "percent_rank",
+                        order_cols: Sequence[str] | None = None):
     """SQL PERCENT_RANK(): (rank - 1) / (partition_rows - 1), 0.0 for
     single-row partitions — one IEEE division per row, bit-identical
-    to the oracle's."""
+    to the oracle's.
+
+    Pass ``order_cols`` (the same columns given to
+    ``hash_partitioned_window``) to get true SQL peer-group ranks —
+    tied order keys share the rank of their run's first row. Without
+    it the rank is the row position (ROW_NUMBER-based), which equals
+    SQL PERCENT_RANK only when the order columns form a unique key
+    within each partition."""
+    order_cols = list(order_cols or [])
+
     def kernel(g: pd.DataFrame, new_key: pd.Series) -> pd.DataFrame:
         seq = np.arange(len(g), dtype=np.int64)
         nk = new_key.to_numpy()
         base = pd.Series(seq, index=g.index).where(nk).ffill().to_numpy()
-        rank = seq - base  # 0-based
+        if order_cols:
+            # peer-group rank: a row's rank is the 0-based position of
+            # the first row of its tied run (new run when the partition
+            # or any order column changes)
+            new_peer = nk.copy()
+            for c in order_cols:
+                new_peer |= g[c].ne(g[c].shift()).to_numpy()
+            peer_start = pd.Series(seq, index=g.index) \
+                .where(new_peer).ffill().to_numpy()
+            rank = peer_start - base
+        else:
+            rank = seq - base  # 0-based ROW_NUMBER rank
         # partition sizes: distance between consecutive starts
         starts = np.flatnonzero(nk)
         sizes = np.diff(np.append(starts, len(g)))

@@ -182,8 +182,11 @@ def run_sharded(paths: str | Sequence[str], out_dir: str,
     checksums). Unlike ``run_resumable`` (url-hash partitions over a
     FIXED corpus), this mode supports APPEND: rerunning after new crawl
     shards land processes exactly the shards without manifests —
-    nothing else is read. Shard identity is crc32 of the shard's file
-    name, so ids are stable under appends and reorderings.
+    nothing else is read. Shard identity is a 64-bit blake2b digest of
+    the shard's full normalized path, so ids are stable under appends
+    and reorderings AND distinct for same-named files in different
+    directories (2024-01/part-0.parquet vs 2024-02/part-0.parquet in a
+    crawl layout must be two shards, not one).
 
     Each shard runs as its own pipeline launch (a shard is a crawl
     dump, hundreds of MB — launch cost amortizes; tiny-file corpora
@@ -191,8 +194,8 @@ def run_sharded(paths: str | Sequence[str], out_dir: str,
     shard-at-a-time output equals any other partitioning of the same
     rows. ``cfg.dedup`` is shard-local here by construction."""
     import glob as _glob
+    import hashlib
     import os
-    import zlib
 
     cfg = cfg or ExtractConfig()
     t0 = time.monotonic()
@@ -206,7 +209,16 @@ def run_sharded(paths: str | Sequence[str], out_dir: str,
             files = sorted(_glob.glob(paths))
     else:
         files = sorted(paths)
-    shard_of = {f: zlib.crc32(os.path.basename(f).encode()) for f in files}
+
+    def _shard_id(path):
+        norm = os.path.normpath(os.path.abspath(path))
+        return int.from_bytes(
+            hashlib.blake2b(norm.encode(), digest_size=8).digest(), "big")
+
+    shard_of = {f: _shard_id(f) for f in files}
+    if len(set(shard_of.values())) != len(files):
+        raise ValueError("shard id collision across input files: %r"
+                         % sorted(files))
 
     done_before = mf.done_partitions(out_dir)
     cleaned = mf.clean_partial(out_dir)

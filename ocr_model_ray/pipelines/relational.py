@@ -39,10 +39,16 @@ SMALL_JOIN_BYTES = 128 << 20
 
 def _table_bytes(path: str) -> int:
     """On-disk bytes of a parquet table that is either one file or a
-    directory of part files (the shape real partitioned tables have)."""
+    directory tree of part files (hive-partitioned tables nest
+    part_id=N subdirectories — a flat listdir would count dirent sizes
+    and massively undercount, flipping _join_mode to 'local' on big
+    data)."""
     if os.path.isdir(path):
-        return sum(os.path.getsize(os.path.join(path, f))
-                   for f in os.listdir(path))
+        total = 0
+        for root, _dirs, names in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in names)
+        return total
     return os.path.getsize(path)
 
 
@@ -1440,8 +1446,13 @@ def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
     if _join_mode(sf_dir, "orders") == "local":
         # small-input plan: the per-batch partial counts collect once
         # and both groupbys finish in pandas (no shuffle fixed cost)
-        pc_ = (partials.to_pandas()
-               .groupby("o_custkey", as_index=False)["n"].sum())
+        collected = partials.to_pandas()
+        if collected.empty or "o_custkey" not in collected.columns:
+            # all orders excluded: schema-less all-empty collect
+            collected = pd.DataFrame({
+                "o_custkey": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")})
+        pc_ = collected.groupby("o_custkey", as_index=False)["n"].sum()
         dist = (pc_.groupby("n", as_index=False).size()
                 .rename(columns={"n": "c_count", "size": "custdist"}))
     else:
@@ -1459,6 +1470,10 @@ def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
                 .groupby("c_count")
                 .aggregate(Sum("custdist", alias_name="custdist"))
                 .to_pandas())
+    if dist.empty or "custdist" not in dist.columns:
+        # every order excluded: typed empty before the k=0 top-up
+        dist = pd.DataFrame({"c_count": pd.Series([], dtype="int64"),
+                             "custdist": pd.Series([], dtype="int64")})
     n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
     n_zero = int(n_cust) - int(dist["custdist"].sum())
     if n_zero > 0:
@@ -1525,7 +1540,11 @@ def q16_supplier_part_counts(sf_dir: str,
     if _join_mode(sf_dir, "lineitem") == "local":
         # small-input plan: in-batch-deduped quads collect once; the
         # global dedup + count finish in pandas (no shuffle fixed cost)
-        out = (deduped.to_pandas().drop_duplicates()
+        out = deduped.to_pandas()
+        if out.empty or "p_brand" not in out.columns:
+            out = pd.DataFrame(columns=["p_brand", "p_type", "p_size",
+                                        "l_suppkey"])
+        out = (out.drop_duplicates()
                .groupby(["p_brand", "p_type", "p_size"], as_index=False)
                .agg(supplier_cnt=("l_suppkey", "size")))
     else:
@@ -1547,6 +1566,13 @@ def q16_supplier_part_counts(sf_dir: str,
             quads.map_batches(per_attr, batch_format="pyarrow"),
             ["p_brand", "p_type", "p_size"],
             {"supplier_cnt": ("supplier_cnt", "sum")}).to_pandas()
+    if out.empty or "supplier_cnt" not in out.columns:
+        # no parts survive the brand/type/size predicates: typed empty
+        out = pd.DataFrame({
+            "p_brand": pd.Series([], dtype="object"),
+            "p_type": pd.Series([], dtype="object"),
+            "p_size": pd.Series([], dtype="int64"),
+            "supplier_cnt": pd.Series([], dtype="int64")})
     out = out.astype({"p_size": "int64", "supplier_cnt": "int64"})
     return (out.sort_values(
         ["supplier_cnt", "p_brand", "p_type", "p_size"],
@@ -1660,12 +1686,15 @@ def q21_waiting_supplier(sf_dir: str, k: int = 20) -> pd.DataFrame:
                .rename(columns={"n_r": "numwait"}))
         return out
 
-    waits = (hash_partitioned_window(
+    waits = hash_partitioned_window(
         line.map_batches(partial, batch_format="pyarrow",
                 batch_size=None),
-        "l_orderkey", [], kernel)
-        .to_pandas().groupby("l_suppkey", as_index=False)["numwait"]
-        .sum())
+        "l_orderkey", [], kernel).to_pandas()
+    if waits.empty or "l_suppkey" not in waits.columns:
+        # no qualifying orders anywhere: typed empty result
+        return pd.DataFrame({"s_name": pd.Series([], dtype="object"),
+                             "numwait": pd.Series([], dtype="int64")})
+    waits = waits.groupby("l_suppkey", as_index=False)["numwait"].sum()
     sup = pq.read_table(_pq(sf_dir, "supplier"),
                         columns=["s_suppkey", "s_name"]).to_pandas()
     names = dict(zip(sup["s_suppkey"].astype(int), sup["s_name"]))
@@ -2061,6 +2090,11 @@ def events_prior_clicks(sf_dir: str, minutes: int = 60) -> pd.DataFrame:
         left_key="event_id", left_time="ts_lo", right_time="ts",
         window_us=window_us, out_name="n_clicks",
         mode=_join_mode(sf_dir, "events")).to_pandas()
+    if out.empty or "n_clicks" not in out.columns:
+        # no purchase events: typed empty (all-empty collects lose the
+        # schema)
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "n_clicks": pd.Series([], dtype="int64")})
     out["n_clicks"] = out["n_clicks"].astype("int64")
     return (out.sort_values("event_id").reset_index(drop=True)
             .astype({"event_id": "int64"}))
@@ -2152,7 +2186,8 @@ def events_percent_rank(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     out = hash_partitioned_window(
         ds, "user_id", ["ts", "event_id"],
-        percent_rank_kernel(["event_id", "user_id"]),
+        percent_rank_kernel(["event_id", "user_id"],
+                            order_cols=["ts", "event_id"]),
     ).to_pandas()
     return (out.sort_values("event_id").reset_index(drop=True)
             .astype({"event_id": "int64", "user_id": "int64"}))

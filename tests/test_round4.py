@@ -1,0 +1,329 @@
+"""Round-4 additions: distributed near-dup edge plumbing (verdict #1),
+threshold-derived LSH banding (#10), the jaccard max_df skew guard
+(#5), and the ADVICE.md robustness fixes (typed empties, shard-id
+collisions, peer-group percent_rank)."""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# threshold-derived LSH banding
+# ---------------------------------------------------------------------------
+def test_lsh_params_derivation():
+    from ocr_model_ray.functions.dedup_algos import NUM_PERM, _lsh_params
+
+    # the frozen default layout survives at the default threshold
+    assert _lsh_params(0.8) == 16
+    # a low threshold gets MORE bands (shorter rows) instead of
+    # silently missing pairs
+    assert _lsh_params(0.4) == 64
+    # recall at the requested threshold meets the target at the chosen
+    # layout
+    for t in (0.4, 0.6, 0.8):
+        bands = _lsh_params(t)
+        rows = NUM_PERM // bands
+        recall = 1.0 - (1.0 - t ** rows) ** bands
+        assert recall >= 0.9, (t, bands, recall)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_low_threshold_planted_pair_recall():
+    """A planted pair at jaccard ~0.43 must be FOUND at threshold=0.4
+    (64x2 banding collides with prob ~1-1.6e-6) and correctly absent
+    at threshold=0.8 — in both plans."""
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import near_dup_pairs
+
+    words_a = [f"w{i}" for i in range(40)]
+    words_b = words_a[:25] + [f"v{i}" for i in range(25, 40)]
+    rows = [{"doc_id": 1, "text": " ".join(words_a)},
+            {"doc_id": 2, "text": " ".join(words_b)}]
+    rows += [{"doc_id": 10 + i,
+              "text": " ".join(f"u{i}x{j}" for j in range(40))}
+             for i in range(20)]
+    ds = rd.from_pandas(pd.DataFrame(rows))  # no metadata -> distributed
+
+    for mode in ("local", "distributed"):
+        low = near_dup_pairs(ds, threshold=0.4, mode=mode)
+        got = set(zip(low["doc_a"], low["doc_b"]))
+        assert (1, 2) in got, (mode, got)
+        j = float(low.set_index(["doc_a", "doc_b"]).loc[(1, 2), "jaccard"])
+        assert 0.4 <= j < 0.8
+        high = near_dup_pairs(ds, threshold=0.8, mode=mode)
+        assert (1, 2) not in set(zip(high["doc_a"], high["doc_b"]))
+
+
+# ---------------------------------------------------------------------------
+# distributed near-dup edge plumbing
+# ---------------------------------------------------------------------------
+@pytest.mark.usefixtures("ray_session")
+def test_near_dup_pairs_ds_is_dataset_end_to_end():
+    """The distributed plan returns a Dataset whose collected content
+    equals the local plan, and exact-dup members never appear as
+    candidate endpoints (the ch-collapse invariant the plan relies on
+    instead of a member anti-join)."""
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import (near_dup_pairs,
+                                                     near_dup_pairs_ds)
+
+    base = " ".join(f"common{i}" for i in range(60))
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base},           # exact dup of 1
+            {"doc_id": 3, "text": base},           # exact dup of 1
+            {"doc_id": 4, "text": base + " tail extra words here"}]
+    rows += [{"doc_id": 50 + i,
+              "text": " ".join(f"z{i}q{j}" for j in range(50))}
+             for i in range(10)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+
+    out_ds = near_dup_pairs_ds(ds, threshold=0.8)
+    assert isinstance(out_ds, rd.Dataset)
+    got = (out_ds.to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    local = near_dup_pairs(ds, threshold=0.8, mode="local")
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_a": "int64", "doc_b": "int64"}), local)
+
+    # members 2 and 3 appear ONLY as exact (rep, member, 1.0) rows
+    members = {2, 3}
+    nonexact = got[got["jaccard"] < 1.0]
+    assert not (set(nonexact["doc_a"]) | set(nonexact["doc_b"])) & members
+    exact_rows = set(zip(got[got["jaccard"] == 1.0]["doc_a"],
+                         got[got["jaccard"] == 1.0]["doc_b"]))
+    assert {(1, 2), (1, 3)} <= exact_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagation_ds_equals_pandas():
+    """Dataset-native connected components == the pandas fixpoint on a
+    multi-component graph with a long chain (diameter > 1 round)."""
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import (label_propagation_ds,
+                                                     min_label_propagation)
+
+    pairs = pd.DataFrame({
+        "doc_a": [1, 2, 3, 4,   10, 11,   20],
+        "doc_b": [2, 3, 4, 5,   11, 12,   21],
+        "jaccard": 1.0})
+    want = min_label_propagation(pairs)
+    got = (label_propagation_ds(rd.from_pandas(pairs)).to_pandas()
+           .sort_values("node").reset_index(drop=True)
+           .astype({"node": "int64", "label": "int64"}))
+    got = pd.DataFrame({"doc_id": got["node"], "cluster_id": got["label"]})
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagation_ds_empty():
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import label_propagation_ds
+
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+    out = label_propagation_ds(rd.from_pandas(empty)).to_pandas()
+    assert out.empty
+
+
+# ---------------------------------------------------------------------------
+# jaccard max_df skew guard
+# ---------------------------------------------------------------------------
+@pytest.mark.usefixtures("ray_session")
+def test_jaccard_max_df_caps_stop_gram_and_logs(caplog):
+    """1k docs sharing one stop-gram: with max_df the posting-list
+    expansion skips the hot gram (k^2 guard), logs the drop, and emits
+    no false pairs; without the cap the same corpus would expand
+    ~500k pair rows for that gram alone."""
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import jaccard_similarity_join
+
+    rows = [{"doc_id": i,
+             "text": "the common header " +
+                     " ".join(f"d{i}w{j}" for j in range(12))}
+            for i in range(1000)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    with caplog.at_level(logging.WARNING, logger="ocr_model_ray.dedup"):
+        out = jaccard_similarity_join(ds, threshold=0.5, mode="local",
+                                      max_df=10)
+    assert out.empty
+    assert any("df > 10" in r.message for r in caplog.records)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jaccard_max_df_disabled_matches_exact():
+    """Cap high enough to never engage == cap disabled (exact)."""
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import jaccard_similarity_join
+
+    rows = [{"doc_id": 1, "text": "a b c d e f g h"},
+            {"doc_id": 2, "text": "a b c d e f g x"},
+            {"doc_id": 3, "text": "p q r s t u v w"}]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    exact = jaccard_similarity_join(ds, threshold=0.3, mode="local")
+    capped = jaccard_similarity_join(ds, threshold=0.3, mode="local",
+                                     max_df=100)
+    pd.testing.assert_frame_equal(exact, capped)
+    assert set(zip(exact["doc_a"], exact["doc_b"])) == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# typed-empty guards (ADVICE.md)
+# ---------------------------------------------------------------------------
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_empty_corpus():
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import exact_dedup
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "text": pd.Series([], dtype="object")})
+    # contract: no KeyError on the zero-row corpus, empty result.
+    # (Ray's to_pandas drops the schema of ANY zero-row dataset, so
+    # collect sites guard on .empty per the repo-wide convention.)
+    out = exact_dedup(rd.from_pandas(empty), mode="local").to_pandas()
+    assert out.empty
+    if len(out.columns):
+        assert list(out.columns) == ["h", "keep_id", "n_dupes"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_count_join_empty_left():
+    import ray.data as rd
+    from ocr_model_ray.functions.interval import interval_count_join
+
+    left = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                         "ts_lo": pd.Series([], dtype="int64")})
+    right = pd.DataFrame({"ts": pd.Series([1, 2, 3], dtype="int64")})
+    for mode in ("local", "distributed"):
+        out = interval_count_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            left_key="event_id", left_time="ts_lo", right_time="ts",
+            window_us=60_000_000, mode=mode).to_pandas()
+        assert out.empty
+        if not out.empty or len(out.columns):
+            assert list(out.columns) == ["event_id", "n_matches"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q16_no_matching_parts_typed_empty():
+    from ocr_model_ray.pipelines.relational import q16_supplier_part_counts
+
+    out = q16_supplier_part_counts(SF, sizes=(999,))
+    assert out.empty
+    assert list(out.columns) == ["p_brand", "p_type", "p_size",
+                                 "supplier_cnt"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q13_q21_prior_clicks_zero_qualifying(tmp_path):
+    """Synthetic tables where the filters exclude everything: q13 rolls
+    every customer into the k=0 bucket, q21 and the interval query
+    return typed empties instead of KeyError."""
+    from ocr_model_ray.pipelines.relational import (
+        events_prior_clicks, q13_customer_distribution,
+        q21_waiting_supplier)
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3)}),
+        os.path.join(sf, "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+        os.path.join(sf, "customer.parquet"))
+    out13 = q13_customer_distribution(sf)
+    assert out13.to_dict("records") == [{"c_count": 0, "custdist": 4}]
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([10, 11, 10], pa.int64()),
+        "l_returnflag": pa.array(["N", "N", "N"])}),
+        os.path.join(sf, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10, 11], pa.int64()),
+        "s_name": pa.array(["s10", "s11"])}),
+        os.path.join(sf, "supplier.parquet"))
+    out21 = q21_waiting_supplier(sf)
+    assert out21.empty
+    assert list(out21.columns) == ["s_name", "numwait"]
+
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "ts": pa.array([1_000_000, 2_000_000],
+                       pa.timestamp("us"))}),
+        os.path.join(sf, "events.parquet"))
+    outpc = events_prior_clicks(sf)
+    assert outpc.empty
+    assert list(outpc.columns) == ["event_id", "n_clicks"]
+
+
+# ---------------------------------------------------------------------------
+# shard identity (ADVICE.md medium)
+# ---------------------------------------------------------------------------
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_same_basename_different_dirs(t1_pages_dir, tmp_path):
+    """Two input shards with the SAME file name in different
+    directories (common crawl layout) must be two distinct partitions
+    — the round-3 basename-crc32 id silently skipped the second."""
+    import shutil
+
+    from ocr_model_ray.pipelines.checkpoint import run_sharded
+
+    src = sorted(os.path.join(t1_pages_dir, f)
+                 for f in os.listdir(t1_pages_dir)
+                 if f.endswith(".parquet"))[:2]
+    d1 = tmp_path / "2024-01"
+    d2 = tmp_path / "2024-02"
+    d1.mkdir()
+    d2.mkdir()
+    shutil.copy(src[0], d1 / "part-0.parquet")
+    shutil.copy(src[1], d2 / "part-0.parquet")
+
+    out = str(tmp_path / "out")
+    rec = run_sharded([str(d1 / "part-0.parquet"),
+                       str(d2 / "part-0.parquet")], out)
+    assert len(rec["partitions_written"]) == 2
+    assert len(set(rec["partitions_written"])) == 2
+    assert sorted(rec["input_files_processed"]) == sorted(
+        [str(d1 / "part-0.parquet"), str(d2 / "part-0.parquet")])
+
+
+# ---------------------------------------------------------------------------
+# peer-group percent_rank (ADVICE.md low)
+# ---------------------------------------------------------------------------
+@pytest.mark.usefixtures("ray_session")
+def test_percent_rank_ties_match_sql():
+    """With tied order keys, order_cols-aware percent_rank assigns
+    peer-group ranks exactly like SQL PERCENT_RANK (DuckDB oracle)."""
+    import duckdb
+    import ray.data as rd
+    from ocr_model_ray.functions.window import (hash_partitioned_window,
+                                                percent_rank_kernel)
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2, 2],
+        "v": [10, 10, 20, 30, 5, 5, 5],
+        "rid": [0, 1, 2, 3, 4, 5, 6]})
+    got = hash_partitioned_window(
+        rd.from_pandas(df), "k", ["v"],
+        percent_rank_kernel(["rid"], order_cols=["v"]),
+    ).to_pandas().sort_values("rid").reset_index(drop=True)
+
+    want = duckdb.sql("""
+        SELECT rid, PERCENT_RANK() OVER (PARTITION BY k ORDER BY v)
+               AS percent_rank
+        FROM df ORDER BY rid""").df()
+    pd.testing.assert_frame_equal(
+        got.astype({"rid": "int64"}),
+        want.astype({"rid": "int64"}))
