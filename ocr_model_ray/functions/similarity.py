@@ -21,13 +21,44 @@ import ray.data as rd
 def _to_matrix(col) -> np.ndarray:
     """list<float> column (arrow or pandas of lists) -> (n, d) float64.
 
+    Arrow columns convert ZERO-COPY: the list values flatten to one
+    contiguous buffer and reshape to (n, d) — no per-row to_pylist()
+    materialization (round-3 verdict #3: that cost a Python object per
+    vector element across all 8 embedding operators). Ragged or
+    null-bearing list columns fall back to the slow path.
+
     float64 so cosine values agree with the DuckDB double-precision
     oracle to well below the 1e-5 rounding grid."""
-    if isinstance(col, (pa.ChunkedArray, pa.Array)):
-        lists = col.to_pylist()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        n = len(col)
+        if pa.types.is_fixed_size_list(col.type) and col.null_count == 0:
+            d = col.type.list_size
+            flat = col.values.to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=False).reshape(n, d)
+        if (pa.types.is_list(col.type)
+                or pa.types.is_large_list(col.type)) \
+                and col.null_count == 0:
+            offsets = col.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offsets)
+            if n == 0:
+                return np.empty((0, 0), dtype=np.float64)
+            if (widths == widths[0]).all():
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                return flat.astype(np.float64,
+                                   copy=False).reshape(n, int(widths[0]))
+        lists = col.to_pylist()   # ragged / nulls: slow exact fallback
     else:
         lists = list(col)
     return np.asarray(lists, dtype=np.float64)
+
+
+def _ids_np(col) -> np.ndarray:
+    """int id column (arrow) -> int64 numpy without to_pylist()."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -86,7 +117,7 @@ def knn_bruteforce(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         q_ids, q = ray.get(ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = _ids_np(batch[id_col])
         m = _normalize(_to_matrix(batch[vec_col]))
         sims = m @ q.T                      # (batch, nq)
         out_q, out_n, out_s = [], [], []
@@ -130,41 +161,51 @@ def lsh_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
     rng = np.random.RandomState(seed)
     plane_sets = [rng.normal(size=(num_planes, dim)) for _ in range(num_tables)]
     qmat = _normalize(_to_matrix(queries[vec_col]))
-    qids = queries[id_col].to_numpy()
-    # wanted[table][bucket] -> list of (query_id, query_vec)
-    wanted: list[dict[int, list]] = []
+    qids = queries[id_col].to_numpy().astype(np.int64)
+    # per-table SORTED query-signature arrays: the probe becomes two
+    # searchsorted calls per table (round-3 verdict #6 replaced a
+    # per-row x per-table Python dict loop)
+    tables = []
     for planes in plane_sets:
         qsigs = _signatures(qmat, planes)
-        table: dict[int, list] = {}
-        for sig, qi, qv in zip(qsigs, qids, qmat):
-            table.setdefault(int(sig), []).append((int(qi), qv))
-        wanted.append(table)
-    ref = ray.put((wanted, plane_sets))
+        order = np.argsort(qsigs, kind="stable")
+        tables.append((qsigs[order], order))
+    ref = ray.put((qids, qmat, tables, plane_sets))
 
     def probe(batch: pa.Table) -> pa.Table:
-        want_tables, psets = ray.get(ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        q_ids, q_mat, tabs, psets = ray.get(ref)
+        ids = _ids_np(batch[id_col])
         m = _normalize(_to_matrix(batch[vec_col]))
-        # (corpus_row, query_id) candidate pairs from any table
-        cands: dict[int, set[int]] = {}
-        qvecs: dict[int, np.ndarray] = {}
-        for want, pl in zip(want_tables, psets):
+        rows_all, q_all = [], []
+        for (sorted_sigs, order), pl in zip(tabs, psets):
             sigs = _signatures(m, pl)
-            for row, sig_val in enumerate(sigs):
-                hits = want.get(int(sig_val))
-                if hits:
-                    for qi, qv in hits:
-                        cands.setdefault(row, set()).add(qi)
-                        qvecs[qi] = qv
-        out_q, out_n, out_s = [], [], []
-        for row, qset in cands.items():
-            for qi in qset:
-                out_q.append(qi)
-                out_n.append(int(ids[row]))
-                out_s.append(float(m[row] @ qvecs[qi]))
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "neighbor_id": pa.array(out_n, pa.int64()),
-                         "sim": pa.array(out_s, pa.float64())})
+            lo = np.searchsorted(sorted_sigs, sigs, side="left")
+            hi = np.searchsorted(sorted_sigs, sigs, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            # expand each corpus row against its matching query run
+            row_idx = np.repeat(np.arange(len(m)), counts)
+            offs = np.cumsum(counts) - counts
+            flat = np.arange(total) - offs[row_idx] + lo[row_idx]
+            rows_all.append(row_idx)
+            q_all.append(order[flat])
+        if not rows_all:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        rows = np.concatenate(rows_all)
+        qidx = np.concatenate(q_all)
+        # dedup (row, query) hits shared by several tables
+        key = rows.astype(np.int64) * np.int64(len(q_ids)) + qidx
+        uniq = np.unique(key)
+        rows = (uniq // len(q_ids)).astype(np.int64)
+        qidx = (uniq % len(q_ids)).astype(np.int64)
+        sims = np.einsum("ij,ij->i", m[rows], q_mat[qidx])
+        return pa.table({"query_id": pa.array(q_ids[qidx], pa.int64()),
+                         "neighbor_id": pa.array(ids[rows], pa.int64()),
+                         "sim": pa.array(sims, pa.float64())})
 
     partials = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
     if partials.empty and "query_id" not in partials.columns:
@@ -217,7 +258,7 @@ def ivf_knn(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,
 
     def scan(batch: pa.Table) -> pa.Table:
         probe_map, centroids = ray.get(ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = _ids_np(batch[id_col])
         m = _normalize(_to_matrix(batch[vec_col]))
         cells = (m @ centroids.T).argmax(axis=1)
         kk = k + (1 if exclude_self else 0)
@@ -307,7 +348,7 @@ def cosine_near_dup(ds: rd.Dataset, threshold: float = 0.4,
 
         def partial(batch: pa.Table) -> pa.Table:
             all_ids, all_m = ray.get(ref)
-            bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            bids = _ids_np(batch[id_col])
             bm = _normalize(_to_matrix(batch[vec_col]))
             sims = bm @ all_m.T                   # (batch, N)
             hit = (sims >= threshold) & (all_ids[None, :] > bids[:, None])
@@ -356,7 +397,7 @@ def _cosine_near_dup_bucketed(ds: rd.Dataset, threshold: float,
 
     def band(batch: pa.Table) -> pa.Table:
         psets = ray.get(ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = _ids_np(batch[id_col])
         m = _normalize(_to_matrix(batch[vec_col]))
         vecs = batch[vec_col]
         keys, out_ids, take = [], [], []
