@@ -178,6 +178,41 @@ def test_jaccard_max_df_disabled_matches_exact():
 
 
 # ---------------------------------------------------------------------------
+# bloom decontamination plan
+# ---------------------------------------------------------------------------
+@pytest.mark.usefixtures("ray_session")
+def test_decontamination_bloom_plan_equals_exact():
+    """Forcing the bloom pre-screen (threshold=0) yields BIT-identical
+    flags to the exact broadcast plan — false positives die in the
+    driver-side exact rescreen — and the planted leak passes through
+    the bloom path."""
+    import ray.data as rd
+    from ocr_model_ray.functions.decontam import contamination, ngram_set
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    evals = [f"benchmark question: {leak} answer choice A",
+             "second benchmark item about celestial navigation with "
+             "sextants and chronometers at sea during long voyages"]
+    grams = ngram_set(evals, n=8)
+    corpus = pd.DataFrame({
+        "doc_id": list(range(1, 41)),
+        "text": [f"web page copying {leak} verbatim here"] +
+                [None] +
+                [f"clean page {i} " +
+                 " ".join(f"tok{i}x{j}" for j in range(30))
+                 for i in range(38)]})
+    ds = rd.from_pandas(corpus)
+    exact = (contamination(ds, grams, n=8).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    bloom = (contamination(ds, grams, n=8, bloom_threshold=0).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(exact, bloom)
+    assert bloom.loc[0, "contaminated"]
+    assert bloom.loc[0, "n_contaminated"] == len(leak.split()) - 8 + 1
+    assert not bloom["contaminated"].iloc[1:].any()
+
+
+# ---------------------------------------------------------------------------
 # typed-empty guards (ADVICE.md)
 # ---------------------------------------------------------------------------
 @pytest.mark.usefixtures("ray_session")
