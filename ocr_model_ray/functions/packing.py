@@ -39,21 +39,29 @@ import ray
 import ray.data as rd
 
 
-def _token_counts(batch: pa.Table, id_col: str, text_col: str,
-                  span: int) -> pd.DataFrame:
+def _token_counts(batch: pa.Table, id_col: str,
+                  text_col: str) -> pd.DataFrame:
     df = batch.select([id_col, text_col]).to_pandas()
     # str.split() counts \S+ runs — identical to the SQL oracle's
     # len(regexp_extract_all(text,'\S+')) and to token_count_batch
     n = df[text_col].str.strip().str.split().str.len() \
         .fillna(0).astype("int64")
     ids = df[id_col].astype("int64")
-    return pd.DataFrame({id_col: ids, "n_tokens": n,
-                         "bucket": ids // span})
+    return pd.DataFrame({id_col: ids, "n_tokens": n})
+
+
+def _empty_packed(id_col: str) -> rd.Dataset:
+    return rd.from_arrow(pa.table({
+        id_col: pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "cum_before": pa.array([], pa.int64()),
+        "seq_id": pa.array([], pa.int64())}))
 
 
 def sequence_pack(ds: rd.Dataset, seq_len: int = 256,
                   num_buckets: int = 64, id_col: str = "doc_id",
-                  text_col: str = "text") -> rd.Dataset:
+                  text_col: str = "text",
+                  mode: str = "auto") -> rd.Dataset:
     """Assign each document its global token offset and the training
     sequence it starts in (documents concatenated in id order, stream
     cut every ``seq_len`` tokens).
@@ -66,23 +74,48 @@ def sequence_pack(ds: rd.Dataset, seq_len: int = 256,
     documents and ``seq_id = cum_before // seq_len``. Output block
     order is bucket order = contiguous id ranges, so the stream is
     globally id-sorted without a global sort.
-    """
-    hi = ds.select_columns([id_col]).max(id_col)
-    if hi is None:
+
+    ``mode`` follows the repo-wide plan doctrine: 'local' (small
+    inputs, picked by 'auto' from parquet metadata) collects the
+    NARROW token counts after the single tokenize pass and finishes
+    the prefix sum as one driver cumsum, skipping both the max pass
+    and the bucket shuffle's fixed cost; 'distributed' is the
+    10^12-doc two-pass plan. Pinned equal by test."""
+    from .dedup_algos import _resolve_mode
+
+    # tokenize ONCE: the narrow (id, n_tokens) projection (~16 B/doc)
+    # feeds everything downstream — the regex scan over the full text
+    # never runs twice, and the id max comes from the narrow
+    # projection instead of a second parquet pass
+    counts0 = ds.map_batches(
+        _token_counts, batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "text_col": text_col})
+
+    if _resolve_mode(ds, mode) == "local":
+        frame = counts0.to_pandas()
+        if frame.empty or id_col not in frame.columns:
+            return _empty_packed(id_col)
+        g = frame.sort_values(id_col, kind="mergesort")
+        cum = g["n_tokens"].cumsum().shift(fill_value=0)
         return rd.from_arrow(pa.table({
-            id_col: pa.array([], pa.int64()),
-            "n_tokens": pa.array([], pa.int64()),
-            "cum_before": pa.array([], pa.int64()),
-            "seq_id": pa.array([], pa.int64())}))
+            id_col: pa.array(g[id_col].to_numpy(dtype=np.int64)),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(dtype=np.int64)),
+            "cum_before": pa.array(cum.to_numpy().astype(np.int64)),
+            "seq_id": pa.array((cum.to_numpy() // seq_len)
+                               .astype(np.int64))}))
+
+    counts0 = counts0.materialize()
+    hi = counts0.max(id_col)
+    if hi is None:
+        return _empty_packed(id_col)
     span = max(1, (int(hi) + num_buckets) // num_buckets)
 
-    # tokenize ONCE: the narrow (id, n_tokens, bucket) projection
-    # (~24 B/doc) is materialized and feeds BOTH passes — the regex
-    # scan over the full text never runs twice
-    counts = ds.map_batches(
-        _token_counts, batch_format="pyarrow",
-        fn_kwargs={"id_col": id_col, "text_col": text_col,
-                   "span": span}).materialize()
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket",
+                               pa.array(ids // span, pa.int64()))
+
+    counts = counts0.map_batches(add_bucket, batch_format="pyarrow")
 
     # pass 1: per-batch per-bucket partials -> tiny driver reduce
     # (<= num_buckets rows per batch; int64 sums, order-independent)
@@ -128,7 +161,7 @@ def pack_summary(packed: pd.DataFrame, seq_len: int) -> pd.DataFrame:
 def grouped_sequence_pack(ds: rd.Dataset, group_col: str = "source",
                           seq_len: int = 256, num_buckets: int = 64,
                           id_col: str = "doc_id", text_col: str = "text",
-                          ) -> rd.Dataset:
+                          mode: str = "auto") -> rd.Dataset:
     """Per-GROUP sequence packing (one independent token stream per
     ``group_col`` value — e.g. pack each source/domain separately so a
     training mixture can weight them): same two-pass prefix-sum shape
@@ -138,16 +171,20 @@ def grouped_sequence_pack(ds: rd.Dataset, group_col: str = "source",
     the driver (true for source/domain-grained groups; a high-card
     group column belongs in sequence_pack after a partition-by-group
     write). Output Dataset: (group_col, id, n_tokens, cum_before,
-    seq_id), cum_before/seq_id counted WITHIN the group."""
-    hi = ds.select_columns([id_col]).max(id_col)
-    if hi is None:
+    seq_id), cum_before/seq_id counted WITHIN the group.
+
+    Same ``mode`` doctrine as sequence_pack: tokenize once, local plan
+    finishes with one driver groupby-cumsum, distributed derives the
+    id max from the narrow projection instead of a second scan."""
+    from .dedup_algos import _resolve_mode
+
+    def _empty():
         return rd.from_arrow(pa.table({
             group_col: pa.array([], pa.string()),
             id_col: pa.array([], pa.int64()),
             "n_tokens": pa.array([], pa.int64()),
             "cum_before": pa.array([], pa.int64()),
             "seq_id": pa.array([], pa.int64())}))
-    span = max(1, (int(hi) + num_buckets) // num_buckets)
 
     def counts_block(batch: pa.Table) -> pd.DataFrame:
         df = batch.select([group_col, id_col, text_col]).to_pandas()
@@ -155,10 +192,37 @@ def grouped_sequence_pack(ds: rd.Dataset, group_col: str = "source",
             .fillna(0).astype("int64")
         ids = df[id_col].astype("int64")
         return pd.DataFrame({group_col: df[group_col], id_col: ids,
-                             "n_tokens": n, "bucket": ids // span})
+                             "n_tokens": n})
 
-    counts = ds.map_batches(counts_block,
-                            batch_format="pyarrow").materialize()
+    counts0 = ds.map_batches(counts_block, batch_format="pyarrow")
+
+    if _resolve_mode(ds, mode) == "local":
+        frame = counts0.to_pandas()
+        if frame.empty or id_col not in frame.columns:
+            return _empty()
+        g = frame.sort_values([group_col, id_col], kind="mergesort")
+        cum = (g.groupby(group_col, sort=False)["n_tokens"]
+               .cumsum() - g["n_tokens"])
+        return rd.from_arrow(pa.table({
+            group_col: pa.array(g[group_col].astype(str)),
+            id_col: pa.array(g[id_col].to_numpy(dtype=np.int64)),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(dtype=np.int64)),
+            "cum_before": pa.array(cum.to_numpy().astype(np.int64)),
+            "seq_id": pa.array((cum.to_numpy() // seq_len)
+                               .astype(np.int64))}))
+
+    counts0 = counts0.materialize()
+    hi = counts0.max(id_col)
+    if hi is None:
+        return _empty()
+    span = max(1, (int(hi) + num_buckets) // num_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket",
+                               pa.array(ids // span, pa.int64()))
+
+    counts = counts0.map_batches(add_bucket, batch_format="pyarrow")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby([group_col, "bucket"])["n_tokens"].sum()

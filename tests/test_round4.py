@@ -213,6 +213,42 @@ def test_decontamination_bloom_plan_equals_exact():
 
 
 # ---------------------------------------------------------------------------
+# packing plans
+# ---------------------------------------------------------------------------
+@pytest.mark.usefixtures("ray_session")
+def test_sequence_pack_local_equals_distributed():
+    """The new small-input packing plan (single tokenize pass + driver
+    cumsum) is bit-identical to the two-pass distributed prefix sum,
+    for both the global and the per-group variant."""
+    import ray.data as rd
+    from ocr_model_ray.functions.packing import (grouped_sequence_pack,
+                                                 sequence_pack)
+
+    rng = np.random.RandomState(5)
+    rows = pd.DataFrame({
+        "doc_id": np.arange(500, dtype=np.int64),
+        "source": [f"s{i % 3}" for i in range(500)],
+        "text": [" ".join(f"w{j}" for j in range(rng.randint(1, 40)))
+                 for _ in range(500)]})
+    ds = rd.from_pandas(rows)
+
+    outs = {}
+    for mode in ("local", "distributed"):
+        outs[mode] = (sequence_pack(ds, seq_len=64, mode=mode)
+                      .to_pandas().sort_values("doc_id")
+                      .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs["local"], outs["distributed"])
+
+    gouts = {}
+    for mode in ("local", "distributed"):
+        gouts[mode] = (grouped_sequence_pack(ds, group_col="source",
+                                             seq_len=64, mode=mode)
+                       .to_pandas().sort_values(["source", "doc_id"])
+                       .reset_index(drop=True))
+    pd.testing.assert_frame_equal(gouts["local"], gouts["distributed"])
+
+
+# ---------------------------------------------------------------------------
 # typed-empty guards (ADVICE.md)
 # ---------------------------------------------------------------------------
 @pytest.mark.usefixtures("ray_session")
