@@ -439,7 +439,13 @@ def _band_pass(ds: rd.Dataset, ngram: int, max_bucket: int,
                                    "emit_exact": emit_exact,
                                    "num_bands": num_bands})
 
-    num_coarse = 128
+    # 32 coarse reduce partitions, not 128: Ray's sort shuffle leaves
+    # O(map_blocks x reduce_partitions) small boundary/piece objects
+    # owned by the DRIVER's in-process store — measured on a 1.25M-doc
+    # corpus: 128 partitions cost the driver +1.9 GB RSS, 32 cost ~0
+    # (scripts/scale_soak_neardup_rss.py). Pairing inside a bucket is
+    # linear array code, so fewer/bigger buckets don't add Python cost.
+    num_coarse = 32
 
     def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
         h = df["band_hash"].to_numpy().view(np.uint64)
@@ -526,7 +532,7 @@ _EMPTY_VERIFIED = {"doc_a": pd.Series([], dtype="int64"),
 
 def _verify_pairs_distributed(ds: rd.Dataset, cand: rd.Dataset,
                               ngram: int,
-                              num_coarse: int = 64) -> rd.Dataset:
+                              num_coarse: int = 32) -> rd.Dataset:
     """Exact-Jaccard verify with NOTHING on the driver — not the texts
     and not the pair rows either (round-3 verdict #1 replaced the old
     driver membership dict).
@@ -535,17 +541,22 @@ def _verify_pairs_distributed(ds: rd.Dataset, cand: rd.Dataset,
 
     1. each pair explodes into two (doc_id, pa, pb) membership rows —
        a map, no driver collect;
-    2. ONE hash-bucket join on doc_id attaches the corpus text to each
-       membership row; the inner join IS the semi-filter (non-candidate
-       docs never leave their bucket task) and replicates a text once
-       per pair membership, exactly what the verify needs;
-    3. a second groupby on a coarse (pa, pb) bucket colocates the two
+    2. the corpus SEMI-FILTERS against a Bloom filter of the candidate
+       doc ids BEFORE the join (built by streaming the id column —
+       O(filter bits) driver memory, never the id set): at web scale
+       candidates are a sliver of the corpus, so the text volume that
+       enters the shuffle is O(candidate texts), not O(corpus). No
+       false negatives; false positives die in the inner join;
+    3. ONE hash-bucket join on doc_id attaches each candidate text to
+       its membership rows (replicated once per pair membership);
+    4. a second groupby on a coarse (pa, pb) bucket colocates the two
        sides of every pair; the exact Jaccard computes inside the group
        task with a per-block shingle cache.
 
     Returns a Dataset of (doc_a, doc_b, jaccard) — O(pairs) rows that
     stay in the object store."""
-    from .joins import hash_bucket_join
+    from .joins import (bloom_from_dataset, bloom_semi_filter,
+                        hash_bucket_join)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         a = df["doc_a"].to_numpy(dtype=np.int64)
@@ -554,9 +565,12 @@ def _verify_pairs_distributed(ds: rd.Dataset, cand: rd.Dataset,
                              "pa": np.concatenate([a, a]),
                              "pb": np.concatenate([b, b])})
 
-    memb = cand.map_batches(explode, batch_format="pandas")
-    corpus = ds.map_batches(lambda t: t.select(["doc_id", "text"]),
-                            batch_format="pyarrow")
+    memb = cand.map_batches(explode, batch_format="pandas").materialize()
+    bf = bloom_from_dataset(memb, "doc_id",
+                            capacity=max(int(memb.count()), 1))
+    corpus = bloom_semi_filter(
+        ds.map_batches(lambda t: t.select(["doc_id", "text"]),
+                       batch_format="pyarrow"), bf, on="doc_id")
     joined = hash_bucket_join(memb, corpus, on="doc_id")
 
     def add_pb(t: pa.Table) -> pa.Table:
@@ -986,15 +1000,18 @@ def simhash_buckets(ds: rd.Dataset) -> rd.Dataset:
     from .text_stats import simhash64
 
     def batch_fn(df: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, bands, buckets = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            h = simhash64(text)
-            for band in range(4):
-                doc_ids.append(doc_id)
-                bands.append(band)
-                buckets.append((h >> (band * 16)) & 0xFFFF)
-        return pd.DataFrame({"doc_id": doc_ids, "band": bands,
-                             "bucket": buckets})
+        n = len(df)
+        h = np.fromiter((simhash64(t) for t in df["text"]),
+                        dtype=np.uint64, count=n)
+        # band explosion is pure numpy: 4 rows per doc, bucket =
+        # the band'th 16-bit slice of the 64-bit simhash
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        buckets = ((h[:, None] >> shifts[None, :])
+                   & np.uint64(0xFFFF)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), 4),
+            "band": np.tile(np.arange(4, dtype=np.int64), n),
+            "bucket": buckets.reshape(-1)})
 
     return ds.map_batches(batch_fn, batch_format="pandas")
 

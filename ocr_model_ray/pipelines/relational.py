@@ -1706,22 +1706,47 @@ def q21_waiting_supplier(sf_dir: str, k: int = 20) -> pd.DataFrame:
                .rename(columns={"n_r": "numwait"}))
         return out
 
-    waits = hash_partitioned_window(
+    waits_ds = hash_partitioned_window(
         line.map_batches(partial, batch_format="pyarrow",
                 batch_size=None),
-        "l_orderkey", [], kernel).to_pandas()
-    if waits.empty or "l_suppkey" not in waits.columns:
-        # no qualifying orders anywhere: typed empty result
-        return pd.DataFrame({"s_name": pd.Series([], dtype="object"),
-                             "numwait": pd.Series([], dtype="int64")})
-    waits = waits.groupby("l_suppkey", as_index=False)["numwait"].sum()
-    sup = pq.read_table(_pq(sf_dir, "supplier"),
-                        columns=["s_suppkey", "s_name"]).to_pandas()
-    names = dict(zip(sup["s_suppkey"].astype(int), sup["s_name"]))
-    waits["s_name"] = waits["l_suppkey"].astype(int).map(names)
-    out = (waits.groupby("s_name", as_index=False)["numwait"].sum()
-           .sort_values(["numwait", "s_name"], ascending=[False, True],
-                        kind="mergesort").head(k).reset_index(drop=True))
+        "l_orderkey", [], kernel)
+    empty = pd.DataFrame({"s_name": pd.Series([], dtype="object"),
+                          "numwait": pd.Series([], dtype="int64")})
+    if _join_mode(sf_dir, "lineitem") == "local":
+        waits = waits_ds.to_pandas()
+        if waits.empty or "l_suppkey" not in waits.columns:
+            # no qualifying orders anywhere: typed empty result
+            return empty
+        waits = waits.groupby("l_suppkey", as_index=False)["numwait"].sum()
+        sup = pq.read_table(_pq(sf_dir, "supplier"),
+                            columns=["s_suppkey", "s_name"]).to_pandas()
+        names = dict(zip(sup["s_suppkey"].astype(int), sup["s_name"]))
+        waits["s_name"] = waits["l_suppkey"].astype(int).map(names)
+        out = (waits.groupby("s_name", as_index=False)["numwait"].sum()
+               .sort_values(["numwait", "s_name"],
+                            ascending=[False, True],
+                            kind="mergesort").head(k)
+               .reset_index(drop=True))
+    else:
+        # unbounded supplier dim: name join + name rollup stay
+        # DISTRIBUTED; only the top-k rows reach the driver
+        from ocr_model_ray.functions.bucketed import bucketed_agg
+
+        from ..functions.topk import topk
+        per_supp = bucketed_agg(waits_ds, "l_suppkey",
+                                {"numwait": ("numwait", "sum")})
+        sup_ds = _read(sf_dir, "supplier",
+                       ["s_suppkey", "s_name"]).map_batches(
+            lambda t: t.rename_columns(["l_suppkey", "s_name"]),
+            batch_format="pyarrow")
+        named = hash_bucket_join(per_supp, sup_ds, on="l_suppkey")
+        per_name = bucketed_agg(named, "s_name",
+                                {"numwait": ("numwait", "sum")})
+        out = topk(per_name, ["numwait", "s_name"], k=k,
+                   descending=[True, False])
+        if out.empty or "s_name" not in out.columns:
+            return empty
+        out = out.reset_index(drop=True)
     out["numwait"] = out["numwait"].astype("int64")
     return out[["s_name", "numwait"]]
 

@@ -41,15 +41,15 @@ class RssSampler(threading.Thread):
         super().__init__(daemon=True)
         self.interval = interval
         self.peak = 0.0
-        self._stop = threading.Event()
+        self._halt = threading.Event()   # NOT _stop: Thread._stop is real
 
     def run(self) -> None:
-        while not self._stop.is_set():
+        while not self._halt.is_set():
             self.peak = max(self.peak, rss_mb())
             time.sleep(self.interval)
 
     def stop(self) -> float:
-        self._stop.set()
+        self._halt.set()
         self.join()
         return self.peak
 
