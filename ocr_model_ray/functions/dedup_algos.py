@@ -554,7 +554,13 @@ def _verify_pairs_distributed(ds: rd.Dataset, cand: rd.Dataset,
        task with a per-block shingle cache.
 
     Returns a Dataset of (doc_a, doc_b, jaccard) — O(pairs) rows that
-    stay in the object store."""
+    stay in the object store.
+
+    Id-domain note: Ray's sort can route the join's padded union
+    through pandas blocks, where the null-padded pair columns decay to
+    float64 in transit; every downstream read casts back to int64, so
+    doc ids must fit a double's integer range (< 2^53 — 9e15, far
+    above the 10^12-doc design point)."""
     from .joins import (bloom_from_dataset, bloom_semi_filter,
                         hash_bucket_join)
 

@@ -58,6 +58,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=25)
     ap.add_argument("--max-driver-growth-mb", type=float, default=1500.0)
+    ap.add_argument("--clusters", action="store_true",
+                    help="also run Dataset-native label propagation "
+                         "over the written pairs and verify vs a "
+                         "driver union-find")
     args = ap.parse_args()
 
     import ray
@@ -102,6 +106,41 @@ def main() -> int:
         "driver_growth_mb": growth,
         "bound_mb": args.max_driver_growth_mb,
         "pass": bool(ok)}), flush=True)
+
+    if ok and args.clusters:
+        from ocr_model_ray.functions.dedup_algos import \
+            label_propagation_ds
+        t0 = time.time()
+        labels = (label_propagation_ds(rd.read_parquet(out_dir))
+                  .to_pandas())
+        lp_wall = round(time.time() - t0, 1)
+        # independent verification: driver union-find over the same
+        # written pairs (never the engine's own label propagation)
+        import pandas as pd
+        pairs_pd = pads.dataset(out_dir).to_table(
+            columns=["doc_a", "doc_b"]).to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs_pd["doc_a"], pairs_pd["doc_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {int(n): find(int(n))
+                for n in set(pairs_pd["doc_a"]) | set(pairs_pd["doc_b"])}
+        got = dict(zip(labels["node"].astype(int),
+                       labels["label"].astype(int)))
+        eq = got == want
+        print(json.dumps({"soak": "neardup_clusters_ds",
+                          "nodes": len(want), "wall_s": lp_wall,
+                          "union_find_equal": bool(eq)}), flush=True)
+        ok = ok and eq
+
     ray.shutdown()
     return 0 if ok else 1
 
