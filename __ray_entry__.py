@@ -500,6 +500,53 @@ def _docs_near_dup_clusters(sf_dir: str):
     return near_dup_clusters(_docs(sf_dir), threshold=0.8)
 
 
+# Forced-plan twins: same semantics and the SAME oracle as their
+# auto-plan counterparts, but pinned to the plan the small sf would
+# not otherwise pick — so the external gate verifies the 100-TB code
+# path itself, not just the small-input plan (round-4).
+def _docs_near_dup_dist(sf_dir: str):
+    from ocr_model_ray.functions.dedup_algos import near_dup_pairs
+    return near_dup_pairs(_docs(sf_dir), threshold=0.8,
+                          mode="distributed")
+
+
+def _docs_near_dup_clusters_dist(sf_dir: str):
+    from ocr_model_ray.functions.dedup_algos import near_dup_clusters
+    return near_dup_clusters(_docs(sf_dir), threshold=0.8,
+                             mode="distributed")
+
+
+def _docs_jaccard_pairs_dist(sf_dir: str):
+    from ocr_model_ray.functions.dedup_algos import jaccard_similarity_join
+    return jaccard_similarity_join(_docs(sf_dir), threshold=0.8,
+                                   mode="distributed")
+
+
+def _docs_sequence_pack_dist(sf_dir: str):
+    from ocr_model_ray.functions.packing import sequence_pack
+    return sequence_pack(_docs(sf_dir), seq_len=256, mode="distributed")
+
+
+def _docs_decontaminate_bloom(sf_dir: str):
+    """The bloom pre-screen plan (threshold 0 forces it); bit-identical
+    flags to the exact plan, same oracle."""
+    import pyarrow as pa
+    from ocr_model_ray.functions.decontam import contamination, ngram_set
+
+    def _cut(want_eval: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            mask = (ids % 50 == 0) if want_eval else (ids % 50 != 0)
+            return batch.filter(pa.array(mask))
+        return f
+
+    evals = (_docs(sf_dir)
+             .map_batches(_cut(True), batch_format="pyarrow").to_pandas())
+    grams = ngram_set(evals["text"], n=8)
+    corpus = _docs(sf_dir).map_batches(_cut(False), batch_format="pyarrow")
+    return contamination(corpus, grams, n=8, bloom_threshold=0)
+
+
 def _emb(sf_dir: str):
     import ray.data as rd
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -645,6 +692,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_freq_score": _docs_freq_score,
         "docs_bigram_lift": _docs_bigram_lift,
         "docs_near_dup_clusters": _docs_near_dup_clusters,
+        "docs_near_dup_dist": _docs_near_dup_dist,
+        "docs_near_dup_clusters_dist": _docs_near_dup_clusters_dist,
+        "docs_jaccard_pairs_dist": _docs_jaccard_pairs_dist,
+        "docs_sequence_pack_dist": _docs_sequence_pack_dist,
+        "docs_decontaminate_bloom": _docs_decontaminate_bloom,
         "docs_repetition": _docs_repetition,
         "docs_source_stats": _docs_source_stats,
         "docs_hash_split": _docs_hash_split,
@@ -683,7 +735,7 @@ _REV_C = ("CAST(round(l_extendedprice*100) AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "q1_pricing_summary": f"""
             WITH g AS (
                 SELECT l_returnflag, l_linestatus,
@@ -1915,3 +1967,11 @@ def oracle_sql() -> dict[str, str]:
             FROM norms GROUP BY label
         """,
     }
+    # forced-plan twins share their auto-plan counterpart's oracle —
+    # identical semantics, different physical plan
+    d["docs_near_dup_dist"] = d["docs_near_dup"]
+    d["docs_near_dup_clusters_dist"] = d["docs_near_dup_clusters"]
+    d["docs_jaccard_pairs_dist"] = d["docs_jaccard_pairs"]
+    d["docs_sequence_pack_dist"] = d["docs_sequence_pack"]
+    d["docs_decontaminate_bloom"] = d["docs_decontaminate"]
+    return d
