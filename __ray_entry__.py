@@ -527,6 +527,15 @@ def _docs_sequence_pack_dist(sf_dir: str):
     return sequence_pack(_docs(sf_dir), seq_len=256, mode="distributed")
 
 
+def _docs_dedup_keep(sf_dir: str):
+    """Kept-document ids after exact+near dedup — the user-facing
+    composite (one representative per cluster + all unclustered)."""
+    from ocr_model_ray.functions.dedup_algos import dedup_corpus
+    out = dedup_corpus(_docs(sf_dir), threshold=0.8).to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64"}))
+
+
 def _docs_decontaminate_bloom(sf_dir: str):
     """The bloom pre-screen plan (threshold 0 forces it); bit-identical
     flags to the exact plan, same oracle."""
@@ -697,6 +706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_pairs_dist": _docs_jaccard_pairs_dist,
         "docs_sequence_pack_dist": _docs_sequence_pack_dist,
         "docs_decontaminate_bloom": _docs_decontaminate_bloom,
+        "docs_dedup_keep": _docs_dedup_keep,
         "docs_repetition": _docs_repetition,
         "docs_source_stats": _docs_source_stats,
         "docs_hash_split": _docs_hash_split,
@@ -1974,4 +1984,11 @@ def oracle_sql() -> dict[str, str]:
     d["docs_jaccard_pairs_dist"] = d["docs_jaccard_pairs"]
     d["docs_sequence_pack_dist"] = d["docs_sequence_pack"]
     d["docs_decontaminate_bloom"] = d["docs_decontaminate"]
+    # kept docs = everything except non-representative cluster members
+    # (wraps the clusters oracle as a nested CTE)
+    d["docs_dedup_keep"] = (
+        "WITH cl AS (" + d["docs_near_dup_clusters"] + ") "
+        "SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN "
+        "(SELECT doc_id FROM cl WHERE doc_id <> cluster_id) "
+        "ORDER BY doc_id")
     return d

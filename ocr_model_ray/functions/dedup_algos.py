@@ -1000,6 +1000,36 @@ def near_dup_clusters(ds: rd.Dataset, threshold: float = 0.8,
                          "cluster_id": final["label"]})
 
 
+def dedup_corpus(ds: rd.Dataset, threshold: float = 0.8,
+                 ngram: int = 3, mode: str = "auto",
+                 id_col: str = "doc_id") -> rd.Dataset:
+    """The user-facing composite: KEPT document ids after exact+near
+    dedup — one min-id representative per near-dup cluster plus every
+    unclustered doc. Consume by joining back to the corpus (the id
+    stream is the deduped corpus's row set).
+
+    Plan: clusters from the near-dup pipeline (O(clustered docs) —
+    the duplicate mass, not the corpus), drop set = cluster members
+    that are not their own representative, then a streaming anti-join
+    of the corpus id column against the broadcast drop set. At
+    10^12-doc scale with a drop set too big to broadcast, swap the
+    final filter for a hash_bucket_join anti (same machinery as q4's
+    bloom path) — bloom alone is NOT safe here (a false positive
+    would silently drop a kept document)."""
+    from .joins import broadcast_semi_filter
+
+    clusters = near_dup_clusters(ds, threshold=threshold, ngram=ngram,
+                                 mode=mode)
+    drop = clusters.loc[clusters["doc_id"] != clusters["cluster_id"],
+                        "doc_id"].to_numpy(dtype=np.int64)
+    ids = ds.map_batches(lambda t: t.select([id_col]),
+                         batch_format="pyarrow")
+    if drop.size == 0:
+        return ids
+    return broadcast_semi_filter(ids, pa.array(drop, pa.int64()),
+                                 on=id_col, anti=True)
+
+
 def simhash_buckets(ds: rd.Dataset) -> rd.Dataset:
     """(doc_id, band, bucket) rows from 16-bit SimHash sub-bands — docs
     within Hamming distance 3 share at least one of the 4 bands."""
