@@ -177,6 +177,27 @@ def test_jaccard_max_df_disabled_matches_exact():
     assert set(zip(exact["doc_a"], exact["doc_b"])) == {(1, 2)}
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_corpus_keeps_representatives():
+    """dedup_corpus keeps exactly one min-id doc per cluster plus all
+    unclustered docs, in both plans."""
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import dedup_corpus
+
+    base = " ".join(f"common{i}" for i in range(60))
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base},
+            {"doc_id": 3, "text": base + " tail extra words here"}]
+    rows += [{"doc_id": 10 + i,
+              "text": " ".join(f"z{i}q{j}" for j in range(50))}
+             for i in range(5)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    for mode in ("local", "distributed"):
+        kept = sorted(dedup_corpus(ds, threshold=0.8, mode=mode)
+                      .to_pandas()["doc_id"])
+        assert kept == [1] + [10 + i for i in range(5)], (mode, kept)
+
+
 # ---------------------------------------------------------------------------
 # bloom decontamination plan
 # ---------------------------------------------------------------------------
