@@ -475,7 +475,8 @@ def _band_pass(ds: rd.Dataset, ngram: int, max_bucket: int,
 def minhash_lsh_candidates(ds: rd.Dataset, ngram: int = 3,
                            concurrency: int | tuple | None = None,
                            max_bucket: int = MAX_BUCKET,
-                           mode: str = "auto") -> pd.DataFrame:
+                           mode: str = "auto",
+                           num_bands: int = NUM_BANDS) -> pd.DataFrame:
     """Candidate near-dup pairs from LSH banding. Returns a (small)
     pandas frame of unique (doc_a, doc_b) with doc_a < doc_b.
 
@@ -484,7 +485,8 @@ def minhash_lsh_candidates(ds: rd.Dataset, ngram: int = 3,
     the drop is logged. Run the exact-dedup pre-pass first (see
     near_dup_pairs) so identical texts can't create such buckets."""
     edges = _band_pass(ds, ngram, max_bucket, emit_exact=False,
-                       concurrency=concurrency, mode=mode)
+                       concurrency=concurrency, mode=mode,
+                       num_bands=num_bands)
     if isinstance(edges, rd.Dataset):
         # distributed plan: dedup the O(N)-row edge set with the
         # bucketed exchange BEFORE the (driver-compare) collect
@@ -883,7 +885,15 @@ def _label_prop_ray(edges: rd.Dataset, labels: rd.Dataset,
          in the object store (materialized per round so the next
          round's lineage doesn't re-run all prior rounds).
 
-    Returns the converged (node, label) Dataset."""
+    Returns the converged (node, label) Dataset.
+
+    Scale note: the static edge side re-enters the join exchange every
+    round (Ray Data has no persistent partitioning between rounds). At
+    graph scales where that re-shipment dominates, the upgrade path is
+    the Pregel split: pre-bucket the edges ONCE into per-bucket arrow
+    tables broadcast as object refs, shuffle only the label frontier,
+    and emit messages keyed by the destination bucket — same two sort
+    ops per round, minus the edge volume."""
     # everything stays ARROW: pandas blocks send the groupby shuffle
     # through Ray's slow pandas sort path (measured ~10x on the join —
     # see joins._merge_group note)
