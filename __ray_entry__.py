@@ -536,6 +536,31 @@ def _docs_dedup_keep(sf_dir: str):
             .astype({"doc_id": "int64"}))
 
 
+def _docs_dedup_ingest(sf_dir: str):
+    """Cross-run dedup index: ingest even-id docs as crawl dump 1,
+    odd-id docs as dump 2; return dump 2's FRESH docs (text hash never
+    seen before, min-id per hash within the dump)."""
+    import tempfile
+
+    import pyarrow as pa
+    from ocr_model_ray.state.dedup_index import dedup_ingest
+
+    def _half(odd: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            mask = (ids % 2 == 1) if odd else (ids % 2 == 0)
+            return batch.filter(pa.array(mask))
+        return f
+
+    idx = tempfile.mkdtemp(prefix="dedup_index_", dir="/tmp")
+    first = _docs(sf_dir).map_batches(_half(False), batch_format="pyarrow")
+    dedup_ingest(first, idx, run_id="r1").materialize()
+    second = _docs(sf_dir).map_batches(_half(True), batch_format="pyarrow")
+    out = dedup_ingest(second, idx, run_id="r2").to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64"})[["doc_id", "h"]])
+
+
 def _docs_decontaminate_bloom(sf_dir: str):
     """The bloom pre-screen plan (threshold 0 forces it); bit-identical
     flags to the exact plan, same oracle."""
@@ -707,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sequence_pack_dist": _docs_sequence_pack_dist,
         "docs_decontaminate_bloom": _docs_decontaminate_bloom,
         "docs_dedup_keep": _docs_dedup_keep,
+        "docs_dedup_ingest": _docs_dedup_ingest,
         "docs_repetition": _docs_repetition,
         "docs_source_stats": _docs_source_stats,
         "docs_hash_split": _docs_hash_split,
@@ -1991,4 +2017,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN "
         "(SELECT doc_id FROM cl WHERE doc_id <> cluster_id) "
         "ORDER BY doc_id")
+    d["docs_dedup_ingest"] = """
+        WITH second AS (SELECT doc_id, md5(text) AS h FROM documents
+                        WHERE doc_id % 2 = 1),
+             first AS (SELECT DISTINCT md5(text) AS h FROM documents
+                       WHERE doc_id % 2 = 0),
+             keep AS (SELECT h, min(doc_id) AS doc_id FROM second
+                      GROUP BY h)
+        SELECT doc_id, h FROM keep
+        WHERE h NOT IN (SELECT h FROM first)
+        ORDER BY doc_id
+    """
     return d

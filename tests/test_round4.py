@@ -361,6 +361,66 @@ def test_q13_q21_prior_clicks_zero_qualifying(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# cross-run dedup index
+# ---------------------------------------------------------------------------
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_ingest_incremental_equals_oneshot(tmp_path):
+    """Two sequential ingests produce exactly the keep-set a one-shot
+    exact_dedup over the combined corpus would; the second ingest
+    never sees first-ingest texts as fresh."""
+    import ray.data as rd
+    from ocr_model_ray.functions.dedup_algos import exact_dedup
+    from ocr_model_ray.state.dedup_index import dedup_ingest, index_stats
+
+    def doc(i, text):
+        return {"doc_id": i, "text": text}
+
+    first = pd.DataFrame([doc(1, "alpha beta gamma"),
+                          doc(2, "alpha beta gamma"),      # in-run dup
+                          doc(3, "delta epsilon zeta")])
+    second = pd.DataFrame([doc(10, "alpha beta gamma"),    # old text
+                           doc(11, "eta theta iota"),      # fresh
+                           doc(12, "eta theta iota"),      # in-run dup
+                           doc(13, "delta epsilon zeta")])  # old text
+    idx = str(tmp_path / "index")
+    f1 = (dedup_ingest(rd.from_pandas(first), idx, run_id="r1")
+          .to_pandas())
+    assert sorted(f1["doc_id"]) == [1, 3]
+    f2 = (dedup_ingest(rd.from_pandas(second), idx, run_id="r2")
+          .to_pandas())
+    assert sorted(f2["doc_id"]) == [11]
+
+    # one-shot reference over the combined corpus
+    both = pd.concat([first, second], ignore_index=True)
+    ref = exact_dedup(rd.from_pandas(both), mode="local").to_pandas()
+    assert sorted(pd.concat([f1, f2])["doc_id"]) == \
+        sorted(ref["keep_id"])
+
+    stats = index_stats(idx)
+    assert stats["total_hashes"] == 3
+    assert stats["runs"] == {"r1": 2, "r2": 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_ingest_rerun_same_run_id_idempotent(tmp_path):
+    """Re-running a (failed) ingest with the SAME run_id returns the
+    same fresh set and leaves the index unchanged — its own prior
+    parts are excluded from the 'seen' read and overwritten."""
+    import ray.data as rd
+    from ocr_model_ray.state.dedup_index import dedup_ingest, index_stats
+
+    docs = pd.DataFrame([{"doc_id": 1, "text": "aa bb cc"},
+                         {"doc_id": 2, "text": "dd ee ff"}])
+    idx = str(tmp_path / "index")
+    a = dedup_ingest(rd.from_pandas(docs), idx, run_id="r1").to_pandas()
+    b = dedup_ingest(rd.from_pandas(docs), idx, run_id="r1").to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True))
+    assert index_stats(idx)["total_hashes"] == 2
+
+
+# ---------------------------------------------------------------------------
 # shard identity (ADVICE.md medium)
 # ---------------------------------------------------------------------------
 @pytest.mark.usefixtures("ray_session")
