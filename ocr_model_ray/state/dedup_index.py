@@ -115,6 +115,43 @@ def dedup_ingest(ds: rd.Dataset, index_dir: str, run_id: str,
                                        batch_format="pandas"))
 
 
+def compact_index(index_dir: str, run_id: str = "compacted") -> dict:
+    """Merge each bucket's ingest parts into one part (monthly dumps
+    accumulate one small file per bucket per ingest; parquet open cost
+    eventually dominates the per-bucket read). Single-writer protocol,
+    same doctrine as ``state/compact.py``: write the merged part as
+    ``.tmp``, atomic-rename it in, THEN delete the source parts — a
+    kill at any point leaves either the old parts (tmp ignored) or the
+    merged part plus already-deleted sources (idempotent re-run
+    finishes the deletes). Do not compact concurrently with an ingest.
+    Returns {buckets, parts_before, parts_after, rows}."""
+    import pyarrow.parquet as pq
+    buckets = parts_before = rows = 0
+    if not os.path.isdir(index_dir):
+        return {"buckets": 0, "parts_before": 0, "parts_after": 0,
+                "rows": 0}
+    for b in sorted(os.listdir(index_dir)):
+        bdir = os.path.join(index_dir, b)
+        if not os.path.isdir(bdir):
+            continue
+        parts = _index_parts(bdir)
+        dst = os.path.join(bdir, f"ingest_{run_id}.parquet")
+        if len(parts) <= 1 and parts == [dst]:
+            continue
+        buckets += 1
+        parts_before += len(parts)
+        tbl = pa.concat_tables([pq.read_table(p) for p in parts]) \
+            if parts else _INDEX_SCHEMA.empty_table()
+        rows += tbl.num_rows
+        pq.write_table(tbl, dst + ".tmp")
+        os.replace(dst + ".tmp", dst)
+        for p in parts:
+            if p != dst:
+                os.remove(p)
+    return {"buckets": buckets, "parts_before": parts_before,
+            "parts_after": buckets, "rows": rows}
+
+
 def index_stats(index_dir: str) -> dict:
     """Driver-side summary of the index: per-run row counts and the
     total distinct-hash count (sums part metadata — no data read)."""

@@ -420,6 +420,32 @@ def test_dedup_ingest_rerun_same_run_id_idempotent(tmp_path):
     assert index_stats(idx)["total_hashes"] == 2
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_index_compaction_preserves_semantics(tmp_path):
+    """Compacting the index merges parts per bucket without changing
+    what a later ingest sees as already-ingested."""
+    import ray.data as rd
+    from ocr_model_ray.state.dedup_index import (compact_index,
+                                                 dedup_ingest,
+                                                 index_stats)
+
+    idx = str(tmp_path / "index")
+    d1 = pd.DataFrame([{"doc_id": 1, "text": "one two three"}])
+    d2 = pd.DataFrame([{"doc_id": 2, "text": "four five six"}])
+    dedup_ingest(rd.from_pandas(d1), idx, run_id="r1").materialize()
+    dedup_ingest(rd.from_pandas(d2), idx, run_id="r2").materialize()
+    before = index_stats(idx)["total_hashes"]
+    rec = compact_index(idx)
+    assert rec["parts_after"] <= rec["parts_before"]
+    assert index_stats(idx)["total_hashes"] == before == 2
+
+    d3 = pd.DataFrame([{"doc_id": 3, "text": "one two three"},   # old
+                       {"doc_id": 4, "text": "seven eight"}])    # new
+    f3 = (dedup_ingest(rd.from_pandas(d3), idx, run_id="r3")
+          .to_pandas())
+    assert sorted(f3["doc_id"]) == [4]
+
+
 # ---------------------------------------------------------------------------
 # shard identity (ADVICE.md medium)
 # ---------------------------------------------------------------------------
