@@ -72,6 +72,37 @@ def _sf_branch_golden_sql(select: str, base: str) -> str:
     """
 
 
+def _line_dedup_sql(source: str, id_col: str,
+                    min_len: int = 15, min_docs: int = 2) -> str:
+    """Independent SQL replay of functions/line_dedup.py semantics
+    over any (id, text) source relation: drop every line of >=min_len
+    chars shared by >=min_docs distinct docs, rejoin survivors in
+    order (SQL counts literal line strings where the engine counts
+    64-bit siphashes — equivalent up to hash collisions)."""
+    return f"""
+        WITH src AS ({source}),
+        ls AS (SELECT {id_col} AS did,
+                      string_split(text, chr(10)) AS arr FROM src),
+        lines AS (SELECT did, unnest(arr) AS line,
+                         generate_subscripts(arr, 1) AS pos FROM ls),
+        dup AS (SELECT line FROM (
+                    SELECT line, count(DISTINCT did) AS nd FROM lines
+                    WHERE length(line) >= {min_len} GROUP BY line)
+                WHERE nd >= {min_docs}),
+        marked AS (SELECT did, line, pos,
+                          (length(line) >= {min_len} AND
+                           line IN (SELECT line FROM dup)) AS hit
+                   FROM lines)
+        SELECT did AS {id_col},
+               coalesce(string_agg(CASE WHEN hit THEN NULL ELSE line END,
+                                   chr(10) ORDER BY pos), '') AS text,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed
+        FROM marked GROUP BY did
+    """
+
+
 def _tiered_golden_sql(select: str, relpath: str) -> str:
     """Oracle over a committed per-tier golden: the tier branch mirrors
     _tier_for via the registered lineitem view's row count."""
@@ -253,6 +284,86 @@ def _docs_decontaminate(sf_dir: str):
     grams = ngram_set(evals["text"], n=8)
     corpus = _docs(sf_dir).map_batches(_cut(False), batch_format="pyarrow")
     return contamination(corpus, grams, n=8)
+
+
+def _docs_wrapped(sf_dir: str, width: int = 10):
+    """Testdata adapter for line-granularity ops: the synthetic
+    documents are single-line token soups, so wrap every ``width``
+    tokens into one ``\\n``-terminated line. The SQL oracle applies the
+    IDENTICAL wrap, so the line-dedup semantics stay independently
+    checked end-to-end. Adapter only — ``line_dedup`` itself consumes
+    any newline-structured text column."""
+    import pyarrow as pa
+
+    def wrap(t: pa.Table) -> pa.Table:
+        obj = t["text"].to_numpy(zero_copy_only=False)
+        out = [
+            "\n".join(" ".join(toks[i:i + width])
+                      for i in range(0, max(len(toks), 1), width))
+            for toks in (s.split() for s in obj)
+        ]
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks()
+            if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"],
+            "text": pa.array(out, pa.string())})
+
+    return _docs(sf_dir).map_batches(wrap, batch_format="pyarrow")
+
+
+def _docs_line_dedup(sf_dir: str):
+    """CCNet-style duplicate-line removal (broadcast plan) over the
+    10-token-wrapped corpus."""
+    from ocr_model_ray.functions.line_dedup import line_dedup
+    return line_dedup(_docs_wrapped(sf_dir), min_docs=2, min_len=15)
+
+
+def _docs_line_dedup_dist(sf_dir: str):
+    """Forced no-driver-state plan twin of docs_line_dedup."""
+    from ocr_model_ray.functions.line_dedup import line_dedup
+    return line_dedup(_docs_wrapped(sf_dir), min_docs=2, min_len=15,
+                      mode="distributed")
+
+
+def _docs_line_dedup_summary(sf_dir: str):
+    """Corpus-level effect of line dedup: one row of totals, streamed
+    through a per-batch combiner (no per-doc frame on the driver)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ocr_model_ray.functions.line_dedup import line_dedup
+    per_doc = line_dedup(_docs_wrapped(sf_dir), min_docs=2, min_len=15)
+
+    def partial(t: pa.Table) -> pa.Table:
+        nr = t["n_removed"].to_numpy()
+        nl = t["n_lines"].to_numpy()
+        return pa.table({
+            "docs_total": pa.array([t.num_rows], pa.int64()),
+            "docs_affected": pa.array([int((nr > 0).sum())], pa.int64()),
+            "lines_total": pa.array([int(nl.sum())], pa.int64()),
+            "lines_removed": pa.array([int(nr.sum())], pa.int64())})
+
+    parts = per_doc.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        parts = pd.DataFrame({c: [0] for c in [
+            "docs_total", "docs_affected", "lines_total", "lines_removed"]})
+    return parts.sum().astype(np.int64).to_frame().T
+
+
+def _extract_line_dedup(sf_dir: str):
+    """Composition: extraction pipeline -> corpus line dedup over the
+    extracted main-content text (shared nav/footer boilerplate lines
+    vanish). Oracle: the independent line-dedup SQL applied to the
+    committed extraction golden."""
+    import pyarrow as pa
+    from ocr_model_ray.functions.line_dedup import line_dedup
+    from ocr_model_ray.pipelines.extract_pipeline import (
+        extract_pipeline, extracted_summary)
+    ds = extracted_summary(extract_pipeline(_fixture_dir(_tier_for(sf_dir))))
+    ds = ds.map_batches(
+        lambda t: pa.table({"url": t["url"],
+                            "text": t["extracted_text"]}),
+        batch_format="pyarrow")
+    return line_dedup(ds, id_col="url", min_docs=2, min_len=15)
 
 
 def _docs_sequence_pack(sf_dir: str):
@@ -737,6 +848,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_stats": _docs_source_stats,
         "docs_hash_split": _docs_hash_split,
         "docs_decontaminate": _docs_decontaminate,
+        "docs_line_dedup": _docs_line_dedup,
+        "docs_line_dedup_dist": _docs_line_dedup_dist,
+        "docs_line_dedup_summary": _docs_line_dedup_summary,
+        "extract_line_dedup": _extract_line_dedup,
         "docs_sequence_pack": _docs_sequence_pack,
         "docs_sequence_pack_by_source": _docs_sequence_pack_by_source,
         "docs_pack_summary": _docs_pack_summary,
@@ -2003,6 +2118,43 @@ def oracle_sql() -> dict[str, str]:
             FROM norms GROUP BY label
         """,
     }
+    # line dedup: the wrap (10-token lines) and the dedup (drop every
+    # line >=15 chars shared by >=2 docs) are both replayed in SQL, so
+    # the whole transform is independently checked
+    _wrap_src = """
+        SELECT doc_id, string_agg(
+                   array_to_string(toks[CAST(i AS BIGINT):
+                                        CAST(i + 9 AS BIGINT)], ' '),
+                   chr(10) ORDER BY i) AS text
+        FROM (SELECT doc_id,
+                     unnest(range(1, greatest(len(toks), 1) + 1, 10)) AS i,
+                     toks
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(
+                               text, '[ \t\n\r\f\v]+'),
+                               x -> x <> '') AS toks
+                    FROM documents))
+        GROUP BY doc_id
+    """
+    d["docs_line_dedup"] = _line_dedup_sql(_wrap_src, "doc_id")
+    d["docs_line_dedup_dist"] = d["docs_line_dedup"]
+    d["docs_line_dedup_summary"] = f"""
+        SELECT CAST(count(*) AS BIGINT) AS docs_total,
+               CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_affected,
+               CAST(sum(n_lines) AS BIGINT) AS lines_total,
+               CAST(sum(n_removed) AS BIGINT) AS lines_removed
+        FROM ({d["docs_line_dedup"]})
+    """
+    _t1x = os.path.join(_GOLDENS, "t1", "extracted.parquet")
+    _t2x = os.path.join(_GOLDENS, "t2", "extracted.parquet")
+    d["extract_line_dedup"] = _line_dedup_sql(f"""
+        SELECT url, extracted_text AS text FROM read_parquet('{_t1x}')
+        WHERE (SELECT count(*) FROM lineitem) < 20000
+        UNION ALL
+        SELECT url, extracted_text AS text FROM read_parquet('{_t2x}')
+        WHERE (SELECT count(*) FROM lineitem) >= 20000
+    """, "url")
     # forced-plan twins share their auto-plan counterpart's oracle —
     # identical semantics, different physical plan
     d["docs_near_dup_dist"] = d["docs_near_dup"]

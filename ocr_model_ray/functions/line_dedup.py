@@ -1,0 +1,231 @@
+"""Corpus-level duplicate-LINE removal (CCNet-style paragraph dedup).
+
+Engine extension (no reference counterpart): web corpora repeat whole
+lines/paragraphs across pages (navigation, footers, license boilerplate,
+mirrored articles). The CCNet recipe (Wenzek et al., 2020) hashes each
+paragraph and drops every occurrence of a paragraph seen in multiple
+documents; C4 does the same at the span level. This module implements
+that granularity of dedup — finer than document-level ``exact_dedup``,
+coarser than n-gram decontamination.
+
+Semantics (mirrored exactly by the SQL oracle):
+
+* a "line" is a ``\\n``-separated segment of ``text_col``;
+* lines shorter than ``min_len`` characters are NEVER counted or
+  removed (short separators/headings stay, empty lines stay);
+* a line appearing in >= ``min_docs`` DISTINCT documents is a
+  duplicate; ALL of its occurrences are removed (drop-all, the CCNet
+  choice — boilerplate is noise in every copy);
+* per document, surviving lines are re-joined with ``\\n`` in their
+  original order; a document whose every line is removed yields ``""``.
+
+Scale shape — two plans, pinned bit-equal by test:
+
+* ``broadcast`` (default): pass 1 streams the corpus once, emitting
+  per-batch PARTIAL counts of (line-hash -> distinct docs in batch) —
+  each row is one whole document, so in-batch distinct == in-doc
+  distinct and the partials sum exactly. ``bucketed_agg`` finishes the
+  count with one small exchange of 8-byte hash rows (never text).
+  The >=min_docs hash set sorts into a uint64 array and broadcasts via
+  ``ray.put`` (8 bytes/line); pass 2 streams the corpus a second time,
+  membership via ``np.searchsorted``. No text ever moves.
+* ``distributed``: for corpora whose duplicate-line set outgrows a
+  broadcast (10^12 pages -> billions of dup lines), lines explode to
+  (doc_id, pos, line) rows and semi-mark against the dup-hash Dataset
+  with ONE ``hash_bucket_join`` on the line hash, then ONE second
+  exchange re-buckets by doc_id and reassembles each document. Driver
+  holds nothing; exchange volume is 2x the text (the honest cost of
+  a no-driver-state plan).
+
+Hashing is ``pd.util.hash_array`` siphash (64-bit, process-stable, the
+same primitive the bucket exchanges use); the SQL oracle counts literal
+line strings — equivalent up to 64-bit collisions (~N^2/2^65).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+log = logging.getLogger("ocr_model_ray.line_dedup")
+
+
+def _explode_lines(t: pa.Table, text_col: str):
+    """Vectorized line split for one Arrow batch: returns
+    (lines_obj ndarray, parent row index ndarray, char lengths)."""
+    col = t[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern(col, "\n")
+    flat = pc.list_flatten(lists)
+    par = pc.list_parent_indices(lists).to_numpy().astype(np.int64)
+    lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
+    obj = flat.to_numpy(zero_copy_only=False)
+    return obj, par, lens
+
+
+def _hash_lines(obj: np.ndarray) -> np.ndarray:
+    if obj.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(obj, categorize=False).astype(np.uint64)
+
+
+def dup_line_counts(ds: rd.Dataset, text_col: str = "text",
+                    min_len: int = 15,
+                    num_buckets: int = 64) -> rd.Dataset:
+    """Distinct-document counts per line hash: Dataset of
+    (h:int64 [uint64 view], n_docs:int64) for lines >= ``min_len``
+    chars. Combiner pattern: per-batch distinct-(doc, hash) partials,
+    then one bucketed 8-byte-row exchange — text never shuffles."""
+    from .bucketed import bucketed_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        obj, par, lens = _explode_lines(t, text_col)
+        elig = lens >= min_len
+        h, p = _hash_lines(obj[elig]), par[elig]
+        if h.size == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # distinct (doc, hash) within the batch == within each doc,
+        # because one row IS one whole document
+        order = np.lexsort((h, p))
+        hs, ps = h[order], p[order]
+        first = np.ones(hs.size, dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1])
+        uh, counts = np.unique(hs[first], return_counts=True)
+        return pa.table({"h": pa.array(uh.view(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_agg(partials, "h", {"n_docs": ("n", "sum")},
+                        num_buckets=num_buckets)
+
+
+def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
+               text_col: str = "text", min_docs: int = 2,
+               min_len: int = 15, mode: str = "broadcast",
+               num_buckets: int = 64) -> rd.Dataset:
+    """Remove every line shared by >= ``min_docs`` documents.
+
+    Output: (id_col, text [rewritten], n_lines, n_removed) — one row
+    per input document, streaming. Plans per module docstring."""
+    counts = dup_line_counts(ds, text_col=text_col, min_len=min_len,
+                             num_buckets=num_buckets)
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        # the __dup marker is built HERE (not a second map) because a
+        # chained map_batches over all-empty blocks loses the schema
+        # (Ray returns schema None), which the join needs
+        if t.num_rows == 0 or "n_docs" not in t.column_names:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "__dup": pa.array([], pa.bool_())})
+        kept = t.filter(
+            pc.greater_equal(t["n_docs"], min_docs)).select(["h"])
+        return kept.append_column("__dup", pa.array(
+            np.ones(kept.num_rows, dtype=bool)))
+
+    dup_ds = counts.map_batches(only_dups, batch_format="pyarrow")
+
+    if mode == "distributed":
+        return _line_dedup_distributed(ds, dup_ds, id_col, text_col,
+                                       min_len, num_buckets)
+
+    dup_pdf = dup_ds.to_pandas()
+    if dup_pdf.empty or "h" not in dup_pdf.columns:
+        dup_sorted = np.empty(0, dtype=np.uint64)
+    else:
+        dup_sorted = np.sort(
+            dup_pdf["h"].to_numpy().view(np.uint64))
+    log.info("line_dedup: %d duplicate line hashes (broadcast %.1f MB)",
+             dup_sorted.size, dup_sorted.nbytes / 1e6)
+    ref = ray.put(dup_sorted)
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        dup = ray.get(ref)
+        obj, par, lens = _explode_lines(t, text_col)
+        h = _hash_lines(obj)
+        hit = lens >= min_len
+        if dup.size and h.size:
+            idx = np.searchsorted(dup, h)
+            np.minimum(idx, dup.size - 1, out=idx)
+            hit &= dup[idx] == h
+        else:
+            hit &= False
+        n_docs = len(t)
+        n_lines = np.bincount(par, minlength=n_docs)
+        n_removed = np.bincount(par[hit], minlength=n_docs)
+        keep = ~hit
+        kobj, kpar = obj[keep], par[keep]
+        starts = np.searchsorted(kpar, np.arange(n_docs))
+        ends = np.searchsorted(kpar, np.arange(n_docs), side="right")
+        texts = ["\n".join(kobj[s:e]) for s, e in zip(starts, ends)]
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            id_col: ids,
+            "text": pa.array(texts, pa.string()),
+            "n_lines": pa.array(n_lines.astype(np.int64)),
+            "n_removed": pa.array(n_removed.astype(np.int64)),
+        })
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def _line_dedup_distributed(ds: rd.Dataset, dup_ds: rd.Dataset,
+                            id_col: str, text_col: str, min_len: int,
+                            num_buckets: int) -> rd.Dataset:
+    """No-driver-state plan: explode -> semi-mark join on line hash ->
+    re-bucket by doc -> reassemble. Two text exchanges, zero driver
+    materialization (the dup-hash side never leaves the cluster)."""
+    from .bucketed import _bucket_ids
+    from .joins import hash_bucket_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        obj, par, lens = _explode_lines(t, text_col)
+        h = _hash_lines(obj)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        # par is non-decreasing (flatten order is doc-major), so each
+        # doc's first line sits at searchsorted(par, doc)
+        starts = np.searchsorted(par, np.arange(len(t)))
+        pos = np.arange(par.size, dtype=np.int64) - starts[par]
+        return pa.table({
+            id_col: pa.array(ids[par]),
+            "pos": pa.array(pos),
+            "line": pa.array(obj, pa.string()),
+            "h": pa.array(h.view(np.int64)),
+            "elig": pa.array(lens >= min_len),
+        })
+
+    lines = ds.map_batches(explode, batch_format="pyarrow")
+    marked = hash_bucket_join(lines, dup_ds, on="h", how="left",
+                              num_buckets=num_buckets)
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        return t.replace_schema_metadata(None).append_column(
+            "__db", _bucket_ids(t, [id_col], num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        hit = g["elig"].to_numpy() & g["__dup"].notna().to_numpy()
+        grp_all = g.groupby(id_col, sort=True)
+        n_lines = grp_all.size()
+        n_removed = (pd.Series(hit, index=g.index)
+                     .groupby(g[id_col], sort=True).sum())
+        kept = g[~hit]
+        texts = kept.groupby(id_col, sort=True)["line"].agg("\n".join)
+        out = pd.DataFrame({id_col: n_lines.index})
+        out["text"] = texts.reindex(n_lines.index).fillna("").to_numpy()
+        out["n_lines"] = n_lines.to_numpy().astype(np.int64)
+        out["n_removed"] = n_removed.to_numpy().astype(np.int64)
+        return out
+
+    return (marked.map_batches(tag_doc, batch_format="pyarrow")
+            .groupby("__db").map_groups(per_bucket,
+                                        batch_format="pandas"))
