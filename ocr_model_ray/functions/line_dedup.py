@@ -107,14 +107,27 @@ def dup_line_counts(ds: rd.Dataset, text_col: str = "text",
                         num_buckets=num_buckets)
 
 
+#: auto mode broadcasts the dup-hash set up to this many hashes
+#: (8 bytes each -> 400 MB in every worker's plasma view); above it,
+#: the no-driver-state distributed plan takes over. Measured at 1.25M
+#: docs / 47k dup hashes: broadcast 5.9 s vs distributed 34.8 s (the
+#: distributed plan pays two text exchanges), so broadcast wins
+#: whenever it fits.
+BROADCAST_MAX_HASHES = 50_000_000
+
+
 def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                text_col: str = "text", min_docs: int = 2,
-               min_len: int = 15, mode: str = "broadcast",
+               min_len: int = 15, mode: str = "auto",
                num_buckets: int = 64) -> rd.Dataset:
     """Remove every line shared by >= ``min_docs`` documents.
 
     Output: (id_col, text [rewritten], n_lines, n_removed) — one row
-    per input document, streaming. Plans per module docstring."""
+    per input document, streaming. ``mode``: 'auto' counts the dup-hash
+    set (8-byte rows, cheap) and broadcasts it when it fits
+    (``BROADCAST_MAX_HASHES``), else runs the distributed plan;
+    'broadcast'/'distributed' force a plan. Plans per module
+    docstring."""
     counts = dup_line_counts(ds, text_col=text_col, min_len=min_len,
                              num_buckets=num_buckets)
 
@@ -131,6 +144,16 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
             np.ones(kept.num_rows, dtype=bool)))
 
     dup_ds = counts.map_batches(only_dups, batch_format="pyarrow")
+
+    if mode == "auto":
+        # the dup set is 8-byte rows — materialize once (object store,
+        # not driver), count, and pick the plan the size can afford
+        dup_ds = dup_ds.materialize()
+        n_dup = dup_ds.count()
+        mode = ("broadcast" if n_dup <= BROADCAST_MAX_HASHES
+                else "distributed")
+        log.info("line_dedup auto: %d dup hashes -> %s plan",
+                 n_dup, mode)
 
     if mode == "distributed":
         return _line_dedup_distributed(ds, dup_ds, id_col, text_col,

@@ -226,6 +226,45 @@ def main() -> int:
                 WHERE cab >= 5
                 ORDER BY lift DESC, w1, w2 LIMIT 50"""),
     }
+
+    # duplicate-line removal: same 10-token wrap adapter + independent
+    # SQL replay as the docs_line_dedup oracle, forced DISTRIBUTED plan
+    # (explode -> semi-mark join -> re-bucket by doc) at volume
+    import pyarrow as _pa
+
+    def _wrap(t: _pa.Table) -> _pa.Table:
+        obj = t["text"].to_numpy(zero_copy_only=False)
+        out = ["\n".join(" ".join(toks[i:i + 10])
+                         for i in range(0, max(len(toks), 1), 10))
+               for toks in (s.split() for s in obj)]
+        return _pa.table({"doc_id": t["doc_id"].combine_chunks()
+                          if isinstance(t["doc_id"], _pa.ChunkedArray)
+                          else t["doc_id"],
+                          "text": _pa.array(out, _pa.string())})
+
+    def _run_line_dedup():
+        from ocr_model_ray.functions.line_dedup import line_dedup
+        wrapped = fresh().map_batches(_wrap, batch_format="pyarrow")
+        return line_dedup(wrapped, min_docs=2, min_len=15,
+                          mode="distributed").to_pandas()
+
+    import __ray_entry__ as _em
+    _wrap_src = f"""
+        SELECT doc_id, string_agg(
+                   array_to_string(toks[CAST(i AS BIGINT):
+                                        CAST(i + 9 AS BIGINT)], ' '),
+                   chr(10) ORDER BY i) AS text
+        FROM (SELECT doc_id,
+                     unnest(range(1, greatest(len(toks), 1) + 1, 10)) AS i,
+                     toks
+              FROM (SELECT doc_id, list_filter(string_split_regex(
+                        text, '{WS}'), x -> x <> '') AS toks
+                    FROM documents))
+        GROUP BY doc_id
+    """
+    ops["line_dedup"] = (_run_line_dedup,
+                         _em._line_dedup_sql(_wrap_src, "doc_id"))
+
     chosen = ops if args.ops == "all" else {
         k: v for k, v in ops.items() if k in args.ops.split(",")}
     for name, (fn, sql) in chosen.items():

@@ -105,6 +105,15 @@ def test_no_duplicates_corpus_passthrough():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_auto_mode_picks_distributed_above_cut(monkeypatch):
+    import ocr_model_ray.functions.line_dedup as m
+    monkeypatch.setattr(m, "BROADCAST_MAX_HASHES", 0)
+    out = (line_dedup(rd.from_pandas(_corpus()), min_docs=2, min_len=15)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_removed"].tolist() == [1, 1, 2, 0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dup_line_counts_distinct_doc_semantics():
     # same line 5x within ONE doc counts as 1 doc, not 5
     docs = pd.DataFrame({
