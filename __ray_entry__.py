@@ -366,6 +366,21 @@ def _extract_line_dedup(sf_dir: str):
     return line_dedup(ds, id_col="url", min_docs=2, min_len=15)
 
 
+def _docs_span_dedup(sf_dir: str):
+    """Duplicate-SPAN removal (Lee et al. 2022 substring dedup at
+    token-10-gram granularity): every token covered by a cross-doc
+    repeated 10-gram is cut."""
+    from ocr_model_ray.functions.span_dedup import span_dedup
+    return span_dedup(_docs(sf_dir), n=10, min_docs=2)
+
+
+def _docs_span_dedup_dist(sf_dir: str):
+    """Forced no-driver-state plan twin of docs_span_dedup."""
+    from ocr_model_ray.functions.span_dedup import span_dedup
+    return span_dedup(_docs(sf_dir), n=10, min_docs=2,
+                      mode="distributed")
+
+
 def _docs_sequence_pack(sf_dir: str):
     from ocr_model_ray.functions.packing import sequence_pack
     return sequence_pack(_docs(sf_dir), seq_len=256)
@@ -848,6 +863,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_stats": _docs_source_stats,
         "docs_hash_split": _docs_hash_split,
         "docs_decontaminate": _docs_decontaminate,
+        "docs_span_dedup": _docs_span_dedup,
+        "docs_span_dedup_dist": _docs_span_dedup_dist,
         "docs_line_dedup": _docs_line_dedup,
         "docs_line_dedup_dist": _docs_line_dedup_dist,
         "docs_line_dedup_summary": _docs_line_dedup_summary,
@@ -2137,6 +2154,46 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY doc_id
     """
     d["docs_line_dedup"] = _line_dedup_sql(_wrap_src, "doc_id")
+    # duplicate-span removal: the oracle counts literal 10-gram strings
+    # (engine: rolling 64-bit hashes — equivalent up to collisions) and
+    # replays tokenize -> dup grams -> coverage -> rejoin
+    d["docs_span_dedup"] = """
+        WITH tok AS (SELECT doc_id, list_filter(string_split_regex(
+                         text, '[ \t\n\r\f\v]+'), x -> x <> '') AS toks
+                     FROM documents),
+        g AS (SELECT doc_id, i, array_to_string(
+                  toks[CAST(i AS BIGINT):CAST(i + 9 AS BIGINT)],
+                  ' ') AS gram
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, greatest(
+                               len(toks) - 8, 1))) AS i
+                    FROM tok)
+              WHERE len(toks) >= 10),
+        dup AS (SELECT gram FROM (
+                    SELECT gram, count(DISTINCT doc_id) AS nd
+                    FROM g GROUP BY gram) WHERE nd >= 2),
+        hits AS (SELECT doc_id, i FROM g
+                 WHERE gram IN (SELECT gram FROM dup)),
+        tp AS (SELECT doc_id, unnest(toks) AS tokn,
+                      generate_subscripts(toks, 1) AS p FROM tok),
+        cover AS (SELECT DISTINCT t.doc_id, t.p FROM tp t
+                  JOIN hits h ON h.doc_id = t.doc_id
+                             AND t.p BETWEEN h.i AND h.i + 9),
+        kept AS (SELECT t.doc_id, t.tokn, t.p FROM tp t
+                 LEFT JOIN cover c ON c.doc_id = t.doc_id
+                                  AND c.p = t.p
+                 WHERE c.p IS NULL),
+        agg AS (SELECT doc_id,
+                       string_agg(tokn, ' ' ORDER BY p) AS text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+        SELECT tok.doc_id, coalesce(a.text, '') AS text,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(toks) - coalesce(a.n_kept, 0) AS BIGINT)
+                   AS n_removed
+        FROM tok LEFT JOIN agg a USING (doc_id)
+    """
+    d["docs_span_dedup_dist"] = d["docs_span_dedup"]
     d["docs_line_dedup_dist"] = d["docs_line_dedup"]
     d["docs_line_dedup_summary"] = f"""
         SELECT CAST(count(*) AS BIGINT) AS docs_total,

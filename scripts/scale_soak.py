@@ -265,10 +265,67 @@ def main() -> int:
     ops["line_dedup"] = (_run_line_dedup,
                          _em._line_dedup_sql(_wrap_src, "doc_id"))
 
+    def _run_span_dedup():
+        """Custom check (the gram-string SQL oracle OOMs DuckDB above
+        ~100k docs): replicas are token-salted bijections of the base
+        sf0.1 corpus, so within replica r gram equality <=> base gram
+        equality and NO gram crosses replicas — every output row must
+        equal the DuckDB-solved BASE expectation with tokens suffixed
+        xr and doc_id shifted r*n. Full 1.25M-row compare (ints and
+        texts), zero sampling."""
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        from ocr_model_ray.functions.span_dedup import span_dedup
+
+        t0 = time.time()
+        got = (span_dedup(fresh(), n=10, min_docs=2,
+                          mode="distributed")
+               .to_pandas().sort_values("doc_id")
+               .reset_index(drop=True))
+        sec = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        con = duckdb.connect()
+        con.sql("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.1/documents.parquet'")
+        base = (con.sql(_em.oracle_sql()["docs_span_dedup"]).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        nb = len(base)
+        ok = len(got) == nb * REPLICAS
+        if ok:
+            rep = got["doc_id"].to_numpy() // nb
+            base_id = got["doc_id"].to_numpy() % nb
+            order = np.lexsort((base_id, rep))
+            g = got.iloc[order].reset_index(drop=True)
+            exp_nt = np.tile(base["n_tokens"].to_numpy(), REPLICAS)
+            exp_nr = np.tile(base["n_removed"].to_numpy(), REPLICAS)
+            ok = (np.array_equal(g["n_tokens"].to_numpy(), exp_nt)
+                  and np.array_equal(g["n_removed"].to_numpy(), exp_nr))
+            if ok:
+                texts = g["text"].to_numpy()
+                for r in range(REPLICAS):
+                    exp_txt = base["text"].str.replace(
+                        r"(\S+)", rf"\1x{r}", regex=True).to_numpy()
+                    if not (texts[r * nb:(r + 1) * nb]
+                            == exp_txt).all():
+                        ok = False
+                        break
+        osec = round(time.time() - t0, 2)
+        print(json.dumps({"op": "span_dedup", "seconds": sec,
+                          "rows": len(got), "match": bool(ok),
+                          "oracle_seconds": osec,
+                          "check": "base-oracle x salted replicas"}),
+              flush=True)
+        return ok
+
     chosen = ops if args.ops == "all" else {
         k: v for k, v in ops.items() if k in args.ops.split(",")}
     for name, (fn, sql) in chosen.items():
         all_ok &= run(name, fn, sql)
+
+    if args.ops in ("all", "span_dedup"):
+        all_ok &= _run_span_dedup()
 
     # --- driver-pair ops: reuse the queries()/oracle_sql() twins
     # verbatim on the soak corpus (documents.parquet symlinks to the
