@@ -366,6 +366,48 @@ def _extract_line_dedup(sf_dir: str):
     return line_dedup(ds, id_col="url", min_docs=2, min_len=15)
 
 
+def _clean_inputs(sf_dir: str):
+    """Shared setup for the cleaning composite: eval grams from the
+    held-out split (doc_id % 50 == 0, as in docs_decontaminate), the
+    corpus stream = everything else, with lang kept for the filter."""
+    import os as _os
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ocr_model_ray.functions.decontam import ngram_set
+
+    full = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+
+    def _cut(want_eval: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            mask = (ids % 50 == 0) if want_eval else (ids % 50 != 0)
+            return batch.filter(pa.array(mask))
+        return f
+
+    evals = full.map_batches(_cut(True), batch_format="pyarrow") \
+                .to_pandas()
+    grams = ngram_set(evals["text"], n=8)
+    corpus = full.map_batches(_cut(False), batch_format="pyarrow")
+    return corpus, grams
+
+
+def _docs_clean_corpus(sf_dir: str):
+    """C4-style cleaning funnel -> kept doc_ids (quality -> lang ->
+    decontam -> exact dedup; one exchange total)."""
+    from ocr_model_ray.pipelines.clean import clean_corpus
+    corpus, grams = _clean_inputs(sf_dir)
+    return clean_corpus(corpus, grams)
+
+
+def _docs_clean_funnel(sf_dir: str):
+    """Per-stage attrition counts of the cleaning funnel (one row)."""
+    from ocr_model_ray.pipelines.clean import clean_funnel
+    corpus, grams = _clean_inputs(sf_dir)
+    return clean_funnel(corpus, grams)
+
+
 def _docs_span_dedup(sf_dir: str):
     """Duplicate-SPAN removal (Lee et al. 2022 substring dedup at
     token-10-gram granularity): every token covered by a cross-doc
@@ -863,6 +905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_stats": _docs_source_stats,
         "docs_hash_split": _docs_hash_split,
         "docs_decontaminate": _docs_decontaminate,
+        "docs_clean_corpus": _docs_clean_corpus,
+        "docs_clean_funnel": _docs_clean_funnel,
         "docs_span_dedup": _docs_span_dedup,
         "docs_span_dedup_dist": _docs_span_dedup_dist,
         "docs_line_dedup": _docs_line_dedup,
@@ -2194,6 +2238,49 @@ def oracle_sql() -> dict[str, str]:
         FROM tok LEFT JOIN agg a USING (doc_id)
     """
     d["docs_span_dedup_dist"] = d["docs_span_dedup"]
+    # C4-style cleaning composite: quality -> lang -> decontam ->
+    # exact dedup, every stage replayed in SQL
+    _clean_cte = """
+        WITH corpus AS (SELECT doc_id, text, lang FROM documents
+                        WHERE doc_id % 50 <> 0),
+        q AS (SELECT doc_id, text, lang,
+                     len(regexp_extract_all(text, '\\S+')) AS n_words,
+                     length(regexp_replace(text, '\\s+', '', 'g'))
+                         / greatest(len(regexp_extract_all(
+                               text, '\\S+')), 1) AS awl
+              FROM corpus),
+        f AS (SELECT doc_id, text FROM q
+              WHERE n_words >= 20 AND awl >= 3.0 AND awl <= 5.0
+                AND lang IN ('en', 'de', 'es', 'fr')),
+        tok AS (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents WHERE text IS NOT NULL),
+        pos AS (SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - 6)) AS i FROM tok),
+        eg AS (SELECT DISTINCT
+                      array_to_string(toks[CAST(i AS BIGINT):
+                                           CAST(i + 7 AS BIGINT)],
+                                      ' ') AS gram
+               FROM pos WHERE doc_id % 50 = 0),
+        contam AS (SELECT DISTINCT p.doc_id
+                   FROM pos p JOIN f USING (doc_id)
+                   WHERE array_to_string(p.toks[CAST(p.i AS BIGINT):
+                                                CAST(p.i + 7 AS BIGINT)],
+                                         ' ')
+                         IN (SELECT gram FROM eg)),
+        s AS (SELECT doc_id, text FROM f
+              WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        keep AS (SELECT md5(text) AS h,
+                        CAST(min(doc_id) AS BIGINT) AS doc_id
+                 FROM s GROUP BY md5(text))
+    """
+    d["docs_clean_corpus"] = _clean_cte + "SELECT doc_id FROM keep"
+    d["docs_clean_funnel"] = _clean_cte + """
+        SELECT CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_input,
+               CAST((SELECT count(*) FROM f) AS BIGINT) AS n_filtered,
+               CAST((SELECT count(*) FROM s) AS BIGINT) AS n_screened,
+               CAST((SELECT count(*) FROM keep) AS BIGINT) AS n_kept
+    """
     d["docs_line_dedup_dist"] = d["docs_line_dedup"]
     d["docs_line_dedup_summary"] = f"""
         SELECT CAST(count(*) AS BIGINT) AS docs_total,
