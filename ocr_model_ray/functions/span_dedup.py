@@ -35,11 +35,13 @@ Engine shape:
   cumsum (grams are doc-local, so one global cumsum per batch is
   correct) and rewrites each doc.
 * Pass 2 ``distributed`` (dup set too big to broadcast): gram-hit
-  candidate rows are (doc_id, pos, hash) — 24 bytes, NO text — inner
-  ``hash_bucket_join`` against the dup set confirms hits, a bucketed
-  list-agg folds them to one row per hit doc, and ONE text exchange
-  (left join docs x hit-lists, rewrite in ``post_merge``) rebuilds the
-  corpus. Driver holds nothing.
+  candidate rows are (doc_id, pos, hash) — 24 bytes, NO text — bloom
+  pre-screened (~1.5 bytes/key bit array; measured 150 -> 125 s at
+  1.25M docs / 81M gram rows, the win growing with the non-dup share)
+  then confirmed exactly by an inner ``hash_bucket_join`` against the
+  dup set, a bucketed list-agg folds hits to one row per hit doc, and
+  ONE text exchange (left join docs x hit-lists, rewrite in
+  ``post_merge``) rebuilds the corpus. Driver holds nothing.
 
 The SQL oracle counts literal gram strings where the engine counts
 rolling 64-bit hashes — equivalent up to collisions (~N^2/2^65), the
@@ -237,6 +239,11 @@ def _span_dedup_distributed(ds: rd.Dataset, dup_ds: rd.Dataset,
     from .bucketed import bucketed_agg
     from .joins import hash_bucket_join
 
+    # 8-byte hash rows, object-store resident: one materialization
+    # feeds the count, the bloom stream AND the join side (otherwise
+    # pass 1 re-executes for each consumer)
+    dup_ds = dup_ds.materialize()
+
     def gram_rows(t: pa.Table) -> pa.Table:
         obj, par = _token_stream(t, text_col)
         g, gpar, gpos, _ = _gram_hashes(obj, par, n)
@@ -248,6 +255,15 @@ def _span_dedup_distributed(ds: rd.Dataset, dup_ds: rd.Dataset,
         })
 
     grams = ds.map_batches(gram_rows, batch_format="pyarrow")
+    # bloom pre-filter (near-dup verify-join doctrine): most gram rows
+    # are NOT duplicates, so screen them with a ~1.5-byte/key bit
+    # array before the exchange — the join then ships ~hits + the FP
+    # tail instead of every gram row, and still confirms exactly
+    from .joins import bloom_from_dataset, bloom_semi_filter
+    n_dup = dup_ds.count()
+    if n_dup:
+        bf = bloom_from_dataset(dup_ds, "h", capacity=n_dup)
+        grams = bloom_semi_filter(grams, bf, on="h")
     hits = hash_bucket_join(grams, dup_ds, on="h",
                             num_buckets=num_buckets)
     # per-doc hit positions fold to ONE csv-string row per hit doc (a
