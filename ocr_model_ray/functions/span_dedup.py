@@ -236,7 +236,6 @@ def _span_dedup_distributed(ds: rd.Dataset, dup_ds: rd.Dataset,
     set in one hash join, fold to per-doc hit-position lists, then ONE
     text exchange rewrites (docs left-join hit lists, rebuild in the
     bucket task)."""
-    from .bucketed import bucketed_agg
     from .joins import hash_bucket_join
 
     # 8-byte hash rows, object-store resident: one materialization
@@ -264,35 +263,56 @@ def _span_dedup_distributed(ds: rd.Dataset, dup_ds: rd.Dataset,
     if n_dup:
         bf = bloom_from_dataset(dup_ds, "h", capacity=n_dup)
         grams = bloom_semi_filter(grams, bf, on="h")
-    hits = hash_bucket_join(grams, dup_ds, on="h",
-                            num_buckets=num_buckets)
-    # per-doc hit positions fold to ONE csv-string row per hit doc (a
+    # hit positions fold to csv-string rows per (doc, h-bucket) INSIDE
+    # the confirm join's bucket task (post_merge) — the per-doc merge
+    # completes inside the doc join below, so no standalone
+    # hitlist exchange runs at all. (A csv string because a
     # list<int64> column would not survive the join's union-schema
-    # padding; the string round-trips exactly)
-    hitlists = bucketed_agg(
-        hits, id_col,
-        {"hit_pos": ("i", lambda s: ",".join(map(str, s)))},
-        num_buckets=num_buckets)
+    # padding; the string round-trips exactly.)
+    def fold_hits(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, "i"]).to_pandas()
+        g = df.groupby(id_col, sort=False)["i"].agg(
+            lambda s: ",".join(map(str, s))).reset_index()
+        g.columns = [id_col, "hit_pos"]
+        # metadata-free: pandas schema metadata (a dict) trips Ray's
+        # sort-unify schema hash downstream
+        return pa.Table.from_pandas(
+            g, preserve_index=False).replace_schema_metadata(None)
+
+    hitlists = hash_bucket_join(grams, dup_ds, on="h",
+                                num_buckets=num_buckets,
+                                post_merge=fold_hits)
 
     def rewrite_bucket(t: pa.Table) -> pa.Table:
-        obj, par = _token_stream(t, text_col)
-        total = obj.size
-        hit_starts: list[np.ndarray] = []
+        # the join fans a doc out once per h-bucket that hit it —
+        # first fold the hit csv rows per doc, then rewrite each doc
+        # exactly once
+        ids_all = t[id_col].to_numpy(zero_copy_only=False)
+        first = pd.Series(np.arange(len(ids_all))) \
+            .groupby(ids_all, sort=False).first().to_numpy()
+        first.sort()
+        uniq = t.take(pa.array(first))
+        per_doc_hits: dict = {}
         if "hit_pos" in t.column_names:
-            doc_start = np.searchsorted(par, np.arange(t.num_rows))
             hps = t["hit_pos"].to_numpy(zero_copy_only=False)
-            for d, hp in enumerate(hps):
+            for did, hp in zip(ids_all, hps):
                 if isinstance(hp, str) and hp:
-                    hit_starts.append(
-                        np.array(hp.split(","), dtype=np.int64)
-                        + doc_start[d])
+                    per_doc_hits.setdefault(did, []).append(hp)
+        obj, par = _token_stream(uniq, text_col)
+        total = obj.size
+        doc_start = np.searchsorted(par, np.arange(uniq.num_rows))
+        uids = uniq[id_col].to_numpy(zero_copy_only=False)
+        hit_starts = [
+            np.array(",".join(per_doc_hits[did]).split(","),
+                     dtype=np.int64) + doc_start[d]
+            for d, did in enumerate(uids) if did in per_doc_hits]
         starts = (np.concatenate(hit_starts) if hit_starts
                   else np.empty(0, dtype=np.int64))
         covered = _covered_mask(total, starts, n)
-        ids = t[id_col]
+        ids = uniq[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        return _rebuild(ids, obj, par, covered, t.num_rows, id_col)
+        return _rebuild(ids, obj, par, covered, uniq.num_rows, id_col)
 
     joined = hash_bucket_join(
         ds, hitlists, on=id_col, how="left", num_buckets=num_buckets,
