@@ -229,46 +229,36 @@ def span_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     return ds.map_batches(rewrite, batch_format="pyarrow")
 
 
-def _span_dedup_distributed(ds: rd.Dataset, dup_ds: rd.Dataset,
-                            id_col: str, text_col: str, n: int,
-                            num_buckets: int) -> rd.Dataset:
-    """No-driver-state plan: 24-byte gram rows confirm against the dup
-    set in one hash join, fold to per-doc hit-position lists, then ONE
-    text exchange rewrites (docs left-join hit lists, rebuild in the
-    bucket task)."""
-    from .joins import hash_bucket_join
+def positional_hit_rewrite(ds: rd.Dataset, dup_ds: rd.Dataset,
+                           id_col: str, rows_fn, rewrite_fn,
+                           num_buckets: int = 64) -> rd.Dataset:
+    """Shared no-driver-state plan for positional dedup (span AND line
+    granularity): ``rows_fn`` explodes each batch to (id_col, i, h)
+    candidate rows — positions + hashes, NO text — which bloom
+    pre-screen (~1.5 bytes/key; near-dup verify-join doctrine) and
+    confirm exactly against ``dup_ds`` in one hash join whose bucket
+    task folds hit positions to csv rows per (doc, h-bucket); ONE text
+    exchange then left-joins docs x hit rows and ``rewrite_fn(uniq
+    batch, {id: positions ndarray})`` rebuilds each document once.
+
+    Exchange volume: candidate rows (bounded by hits + FP tail after
+    the bloom) + the corpus text once. The driver holds only the bloom
+    bit array."""
+    from .joins import (bloom_from_dataset, bloom_semi_filter,
+                        hash_bucket_join)
 
     # 8-byte hash rows, object-store resident: one materialization
     # feeds the count, the bloom stream AND the join side (otherwise
-    # pass 1 re-executes for each consumer)
+    # the counting pass re-executes for each consumer)
     dup_ds = dup_ds.materialize()
-
-    def gram_rows(t: pa.Table) -> pa.Table:
-        obj, par = _token_stream(t, text_col)
-        g, gpar, gpos, _ = _gram_hashes(obj, par, n)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        return pa.table({
-            id_col: pa.array(ids[gpar]),
-            "i": pa.array(gpos),
-            "h": pa.array(g.view(np.int64)),
-        })
-
-    grams = ds.map_batches(gram_rows, batch_format="pyarrow")
-    # bloom pre-filter (near-dup verify-join doctrine): most gram rows
-    # are NOT duplicates, so screen them with a ~1.5-byte/key bit
-    # array before the exchange — the join then ships ~hits + the FP
-    # tail instead of every gram row, and still confirms exactly
-    from .joins import bloom_from_dataset, bloom_semi_filter
+    rows = ds.map_batches(rows_fn, batch_format="pyarrow")
     n_dup = dup_ds.count()
     if n_dup:
         bf = bloom_from_dataset(dup_ds, "h", capacity=n_dup)
-        grams = bloom_semi_filter(grams, bf, on="h")
-    # hit positions fold to csv-string rows per (doc, h-bucket) INSIDE
-    # the confirm join's bucket task (post_merge) — the per-doc merge
-    # completes inside the doc join below, so no standalone
-    # hitlist exchange runs at all. (A csv string because a
-    # list<int64> column would not survive the join's union-schema
-    # padding; the string round-trips exactly.)
+        rows = bloom_semi_filter(rows, bf, on="h")
+
+    # csv strings because a list<int64> column would not survive the
+    # join's union-schema padding; the string round-trips exactly
     def fold_hits(t: pa.Table) -> pa.Table:
         df = t.select([id_col, "i"]).to_pandas()
         g = df.groupby(id_col, sort=False)["i"].agg(
@@ -279,14 +269,13 @@ def _span_dedup_distributed(ds: rd.Dataset, dup_ds: rd.Dataset,
         return pa.Table.from_pandas(
             g, preserve_index=False).replace_schema_metadata(None)
 
-    hitlists = hash_bucket_join(grams, dup_ds, on="h",
+    hitlists = hash_bucket_join(rows, dup_ds, on="h",
                                 num_buckets=num_buckets,
                                 post_merge=fold_hits)
 
     def rewrite_bucket(t: pa.Table) -> pa.Table:
         # the join fans a doc out once per h-bucket that hit it —
-        # first fold the hit csv rows per doc, then rewrite each doc
-        # exactly once
+        # fold the hit csv rows per doc, then rewrite each doc once
         ids_all = t[id_col].to_numpy(zero_copy_only=False)
         first = pd.Series(np.arange(len(ids_all))) \
             .groupby(ids_all, sort=False).first().to_numpy()
@@ -298,14 +287,40 @@ def _span_dedup_distributed(ds: rd.Dataset, dup_ds: rd.Dataset,
             for did, hp in zip(ids_all, hps):
                 if isinstance(hp, str) and hp:
                     per_doc_hits.setdefault(did, []).append(hp)
+        hits = {did: np.array(",".join(parts).split(","),
+                              dtype=np.int64)
+                for did, parts in per_doc_hits.items()}
+        return rewrite_fn(uniq, hits)
+
+    return hash_bucket_join(
+        ds, hitlists, on=id_col, how="left", num_buckets=num_buckets,
+        post_merge=rewrite_bucket)
+
+
+def _span_dedup_distributed(ds: rd.Dataset, dup_ds: rd.Dataset,
+                            id_col: str, text_col: str, n: int,
+                            num_buckets: int) -> rd.Dataset:
+    """Span-granularity instantiation of ``positional_hit_rewrite``:
+    candidate rows are gram (start, hash) pairs, the rewrite applies
+    the +1/-1 coverage cumsum."""
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        obj, par = _token_stream(t, text_col)
+        g, gpar, gpos, _ = _gram_hashes(obj, par, n)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[gpar]),
+            "i": pa.array(gpos),
+            "h": pa.array(g.view(np.int64)),
+        })
+
+    def rewrite(uniq: pa.Table, hits: dict) -> pa.Table:
         obj, par = _token_stream(uniq, text_col)
         total = obj.size
         doc_start = np.searchsorted(par, np.arange(uniq.num_rows))
         uids = uniq[id_col].to_numpy(zero_copy_only=False)
-        hit_starts = [
-            np.array(",".join(per_doc_hits[did]).split(","),
-                     dtype=np.int64) + doc_start[d]
-            for d, did in enumerate(uids) if did in per_doc_hits]
+        hit_starts = [hits[did] + doc_start[d]
+                      for d, did in enumerate(uids) if did in hits]
         starts = (np.concatenate(hit_starts) if hit_starts
                   else np.empty(0, dtype=np.int64))
         covered = _covered_mask(total, starts, n)
@@ -314,7 +329,5 @@ def _span_dedup_distributed(ds: rd.Dataset, dup_ds: rd.Dataset,
             ids = ids.combine_chunks()
         return _rebuild(ids, obj, par, covered, uniq.num_rows, id_col)
 
-    joined = hash_bucket_join(
-        ds, hitlists, on=id_col, how="left", num_buckets=num_buckets,
-        post_merge=rewrite_bucket)
-    return joined
+    return positional_hit_rewrite(ds, dup_ds, id_col, gram_rows,
+                                  rewrite, num_buckets)
