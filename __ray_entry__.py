@@ -286,28 +286,58 @@ def _docs_decontaminate(sf_dir: str):
     return contamination(corpus, grams, n=8)
 
 
+def wrap_tokens_batch(t, width: int = 10):
+    """Shared 10-token line wrap (Python side): one batch of
+    (doc_id, text) single-line token soups -> ``\\n``-separated
+    ``width``-token lines. ``wrap_sql`` is its SQL twin; keep the two
+    in lockstep — the soak script and the query suite both import
+    THESE so they verify the identical transform."""
+    import pyarrow as pa
+    obj = t["text"].to_numpy(zero_copy_only=False)
+    out = [
+        "\n".join(" ".join(toks[i:i + width])
+                  for i in range(0, max(len(toks), 1), width))
+        for toks in (s.split() for s in obj)
+    ]
+    return pa.table({
+        "doc_id": t["doc_id"].combine_chunks()
+        if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"],
+        "text": pa.array(out, pa.string())})
+
+
+def wrap_sql(source: str = "documents", width: int = 10) -> str:
+    """SQL twin of ``wrap_tokens_batch`` (DuckDB), parameterized on the
+    source relation. Token = ``\\S+`` run (whitespace-class split with
+    empties dropped), matching Python's ``str.split()``."""
+    return f"""
+        SELECT doc_id, string_agg(
+                   array_to_string(toks[CAST(i AS BIGINT):
+                                        CAST(i + {width - 1} AS BIGINT)], ' '),
+                   chr(10) ORDER BY i) AS text
+        FROM (SELECT doc_id,
+                     unnest(range(1, greatest(len(toks), 1) + 1,
+                                  {width})) AS i,
+                     toks
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(
+                               text, '[ \t\n\r\f\v]+'),
+                               x -> x <> '') AS toks
+                    FROM {source}))
+        GROUP BY doc_id
+    """
+
+
 def _docs_wrapped(sf_dir: str, width: int = 10):
     """Testdata adapter for line-granularity ops: the synthetic
     documents are single-line token soups, so wrap every ``width``
-    tokens into one ``\\n``-terminated line. The SQL oracle applies the
-    IDENTICAL wrap, so the line-dedup semantics stay independently
-    checked end-to-end. Adapter only — ``line_dedup`` itself consumes
-    any newline-structured text column."""
-    import pyarrow as pa
-
-    def wrap(t: pa.Table) -> pa.Table:
-        obj = t["text"].to_numpy(zero_copy_only=False)
-        out = [
-            "\n".join(" ".join(toks[i:i + width])
-                      for i in range(0, max(len(toks), 1), width))
-            for toks in (s.split() for s in obj)
-        ]
-        return pa.table({
-            "doc_id": t["doc_id"].combine_chunks()
-            if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"],
-            "text": pa.array(out, pa.string())})
-
-    return _docs(sf_dir).map_batches(wrap, batch_format="pyarrow")
+    tokens into one ``\\n``-terminated line (``wrap_tokens_batch``; the
+    SQL oracle applies the IDENTICAL ``wrap_sql``). Adapter only —
+    ``line_dedup`` itself consumes any newline-structured text
+    column."""
+    from functools import partial
+    return _docs(sf_dir).map_batches(partial(wrap_tokens_batch,
+                                             width=width),
+                                     batch_format="pyarrow")
 
 
 def _docs_line_dedup(sf_dir: str):
@@ -2182,21 +2212,7 @@ def oracle_sql() -> dict[str, str]:
     # line dedup: the wrap (10-token lines) and the dedup (drop every
     # line >=15 chars shared by >=2 docs) are both replayed in SQL, so
     # the whole transform is independently checked
-    _wrap_src = """
-        SELECT doc_id, string_agg(
-                   array_to_string(toks[CAST(i AS BIGINT):
-                                        CAST(i + 9 AS BIGINT)], ' '),
-                   chr(10) ORDER BY i) AS text
-        FROM (SELECT doc_id,
-                     unnest(range(1, greatest(len(toks), 1) + 1, 10)) AS i,
-                     toks
-              FROM (SELECT doc_id,
-                           list_filter(string_split_regex(
-                               text, '[ \t\n\r\f\v]+'),
-                               x -> x <> '') AS toks
-                    FROM documents))
-        GROUP BY doc_id
-    """
+    _wrap_src = wrap_sql("documents")
     d["docs_line_dedup"] = _line_dedup_sql(_wrap_src, "doc_id")
     # duplicate-span removal: the oracle counts literal 10-gram strings
     # (engine: rolling 64-bit hashes — equivalent up to collisions) and

@@ -218,12 +218,34 @@ def _line_dedup_distributed(ds: rd.Dataset, dup_ds: rd.Dataset,
         # doc's first line sits at searchsorted(par, doc)
         starts = np.searchsorted(par, np.arange(len(t)))
         pos = np.arange(par.size, dtype=np.int64) - starts[par]
+        out_ids = ids[par]
+        out_pos = pos
+        out_line = obj
+        out_h = h.view(np.int64)
+        out_elig = lens >= min_len
+        # a null-text doc explodes to ZERO line rows (split of null is
+        # a null list) — without a sentinel it would vanish from the
+        # output while the broadcast plan emits it as (text='',
+        # n_lines=0). One pos=-1 row per such doc keeps the plans
+        # bit-equal; per_bucket excludes pos<0 from every count.
+        missing = np.bincount(par, minlength=len(t)) == 0
+        if missing.any():
+            n_m = int(missing.sum())
+            out_ids = np.concatenate([out_ids, ids[missing]])
+            out_pos = np.concatenate(
+                [out_pos, np.full(n_m, -1, dtype=np.int64)])
+            out_line = np.concatenate(
+                [out_line, np.full(n_m, "", dtype=object)])
+            out_h = np.concatenate(
+                [out_h, np.zeros(n_m, dtype=np.int64)])
+            out_elig = np.concatenate(
+                [out_elig, np.zeros(n_m, dtype=bool)])
         return pa.table({
-            id_col: pa.array(ids[par]),
-            "pos": pa.array(pos),
-            "line": pa.array(obj, pa.string()),
-            "h": pa.array(h.view(np.int64)),
-            "elig": pa.array(lens >= min_len),
+            id_col: pa.array(out_ids),
+            "pos": pa.array(out_pos),
+            "line": pa.array(out_line, pa.string()),
+            "h": pa.array(out_h),
+            "elig": pa.array(out_elig),
         })
 
     lines = ds.map_batches(explode, batch_format="pyarrow")
@@ -236,12 +258,14 @@ def _line_dedup_distributed(ds: rd.Dataset, dup_ds: rd.Dataset,
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([id_col, "pos"], kind="mergesort")
+        real = g["pos"].to_numpy() >= 0  # pos=-1: null-text sentinel
         hit = g["elig"].to_numpy() & g["__dup"].notna().to_numpy()
-        grp_all = g.groupby(id_col, sort=True)
-        n_lines = grp_all.size()
+        ids_s = g[id_col]
+        n_lines = (pd.Series(real.astype(np.int64), index=g.index)
+                   .groupby(ids_s, sort=True).sum())
         n_removed = (pd.Series(hit, index=g.index)
-                     .groupby(g[id_col], sort=True).sum())
-        kept = g[~hit]
+                     .groupby(ids_s, sort=True).sum())
+        kept = g[~hit & real]
         texts = kept.groupby(id_col, sort=True)["line"].agg("\n".join)
         out = pd.DataFrame({id_col: n_lines.index})
         out["text"] = texts.reindex(n_lines.index).fillna("").to_numpy()

@@ -260,6 +260,14 @@ def positional_hit_rewrite(ds: rd.Dataset, dup_ds: rd.Dataset,
     # csv strings because a list<int64> column would not survive the
     # join's union-schema padding; the string round-trips exactly
     def fold_hits(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # typed empty: pandas' empty groupby-agg would type hit_pos
+            # int64 while non-empty buckets emit string — Arrow can't
+            # unify the two block schemas downstream. A bucket CAN be
+            # empty here: bloom false positives that the exact confirm
+            # join eliminates leave 0 merged rows.
+            return pa.table({id_col: t[id_col],
+                             "hit_pos": pa.array([], pa.string())})
         df = t.select([id_col, "i"]).to_pandas()
         g = df.groupby(id_col, sort=False)["i"].agg(
             lambda s: ",".join(map(str, s))).reset_index()

@@ -85,10 +85,14 @@ def clean_corpus(ds: rd.Dataset, eval_grams: set,
                  n: int = 8) -> rd.Dataset:
     """Kept doc_ids after the full funnel. Exact dedup's shuffle
     output (min doc_id per md5) is the result — one exchange total."""
-    from ocr_model_ray.functions.dedup_algos import exact_dedup
     filtered = quality_lang_filter(ds, min_words, min_awl, max_awl,
                                    langs)
     screened = decontam_drop(filtered, eval_grams, n=n)
+    return _kept_ids(screened)
+
+
+def _kept_ids(screened: rd.Dataset) -> rd.Dataset:
+    from ocr_model_ray.functions.dedup_algos import exact_dedup
     kept = exact_dedup(screened)
 
     def project(t: pa.Table) -> pa.Table:
@@ -107,9 +111,12 @@ def clean_funnel(ds: rd.Dataset, eval_grams: set,
     dedup counts (each a streaming count aggregate)."""
     filtered = quality_lang_filter(ds, min_words, min_awl, max_awl,
                                    langs)
-    screened = decontam_drop(filtered, eval_grams, n=n)
-    kept = clean_corpus(ds, eval_grams, min_words, min_awl, max_awl,
-                        langs, n)
+    # materialize the screened projection (doc_id+text post-filter)
+    # ONCE: the decontam stage is the funnel's most expensive scan, and
+    # both the n_screened count and the dedup consume its output —
+    # without this, each consumer re-executes quality+decontam.
+    screened = decontam_drop(filtered, eval_grams, n=n).materialize()
+    kept = _kept_ids(screened)
     return pd.DataFrame({
         "n_input": pd.Series([ds.count()], dtype="int64"),
         "n_filtered": pd.Series([filtered.count()], dtype="int64"),

@@ -227,20 +227,12 @@ def main() -> int:
                 ORDER BY lift DESC, w1, w2 LIMIT 50"""),
     }
 
-    # duplicate-line removal: same 10-token wrap adapter + independent
-    # SQL replay as the docs_line_dedup oracle, forced DISTRIBUTED plan
-    # (explode -> semi-mark join -> re-bucket by doc) at volume
-    import pyarrow as _pa
-
-    def _wrap(t: _pa.Table) -> _pa.Table:
-        obj = t["text"].to_numpy(zero_copy_only=False)
-        out = ["\n".join(" ".join(toks[i:i + 10])
-                         for i in range(0, max(len(toks), 1), 10))
-               for toks in (s.split() for s in obj)]
-        return _pa.table({"doc_id": t["doc_id"].combine_chunks()
-                          if isinstance(t["doc_id"], _pa.ChunkedArray)
-                          else t["doc_id"],
-                          "text": _pa.array(out, _pa.string())})
+    # duplicate-line removal: the wrap adapter and its SQL twin are
+    # IMPORTED from __ray_entry__ (single source of truth — the soak
+    # verifies the exact transform the query suite does), forced
+    # DISTRIBUTED plan (explode -> semi-mark join -> re-bucket by doc)
+    import __ray_entry__ as _em
+    _wrap = _em.wrap_tokens_batch
 
     def _run_line_dedup():
         from ocr_model_ray.functions.line_dedup import line_dedup
@@ -248,20 +240,7 @@ def main() -> int:
         return line_dedup(wrapped, min_docs=2, min_len=15,
                           mode="distributed").to_pandas()
 
-    import __ray_entry__ as _em
-    _wrap_src = f"""
-        SELECT doc_id, string_agg(
-                   array_to_string(toks[CAST(i AS BIGINT):
-                                        CAST(i + 9 AS BIGINT)], ' '),
-                   chr(10) ORDER BY i) AS text
-        FROM (SELECT doc_id,
-                     unnest(range(1, greatest(len(toks), 1) + 1, 10)) AS i,
-                     toks
-              FROM (SELECT doc_id, list_filter(string_split_regex(
-                        text, '{WS}'), x -> x <> '') AS toks
-                    FROM documents))
-        GROUP BY doc_id
-    """
+    _wrap_src = _em.wrap_sql("documents")
     ops["line_dedup"] = (_run_line_dedup,
                          _em._line_dedup_sql(_wrap_src, "doc_id"))
 
@@ -319,12 +298,13 @@ def main() -> int:
               flush=True)
         return ok
 
+    sel = set(args.ops.split(","))
     chosen = ops if args.ops == "all" else {
-        k: v for k, v in ops.items() if k in args.ops.split(",")}
+        k: v for k, v in ops.items() if k in sel}
     for name, (fn, sql) in chosen.items():
         all_ok &= run(name, fn, sql)
 
-    if args.ops in ("all", "span_dedup"):
+    if args.ops == "all" or "span_dedup" in sel:
         all_ok &= _run_span_dedup()
 
     # --- driver-pair ops: reuse the queries()/oracle_sql() twins
@@ -449,7 +429,7 @@ def main() -> int:
         return bool(ok), {"nodes": len(want),
                           "union_find_equal": bool(ok)}
 
-    if args.ops in ("all", "near_dup", "near_dup_clusters"):
+    if args.ops == "all" or sel & {"near_dup", "near_dup_clusters"}:
         from ocr_model_ray.functions.dedup_algos import (
             min_label_propagation, near_dup_pairs)
         pairs_holder = []

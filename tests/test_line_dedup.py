@@ -49,8 +49,6 @@ def test_semantics(mode):
 
 @pytest.mark.usefixtures("ray_session")
 def test_plans_pinned_equal_on_real_corpus():
-    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
-                           columns=["doc_id", "text"])
     # give the single-line corpus line structure (10-token wrap)
     import __ray_entry__ as em
     wrapped = em._docs_wrapped("/root/testdata/sf0.001")
@@ -61,7 +59,6 @@ def test_plans_pinned_equal_on_real_corpus():
     assert a["n_removed"].sum() > 0          # non-degenerate
     for col in ["doc_id", "text", "n_lines", "n_removed"]:
         assert (a[col].values == b[col].values).all(), col
-    del docs
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -111,6 +108,27 @@ def test_auto_mode_picks_distributed_above_cut(monkeypatch):
     out = (line_dedup(rd.from_pandas(_corpus()), min_docs=2, min_len=15)
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out["n_removed"].tolist() == [1, 1, 2, 0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("mode", ["broadcast", "distributed"])
+def test_null_text_doc_survives(mode):
+    # a NULL text splits to a null list -> zero line rows; the
+    # distributed plan must still emit the doc (pos=-1 sentinel),
+    # bit-equal to the broadcast plan: text='', n_lines=0
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": pd.array(
+            [f"{BOILER}\nkeep this unique line", None, BOILER],
+            dtype="string"),
+    })
+    out = (line_dedup(rd.from_pandas(docs), min_docs=2, min_len=15,
+                      mode=mode)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["text"].tolist() == ["keep this unique line", "", ""]
+    assert out["n_lines"].tolist() == [2, 0, 1]
+    assert out["n_removed"].tolist() == [1, 0, 1]
 
 
 @pytest.mark.usefixtures("ray_session")
