@@ -453,6 +453,163 @@ def _docs_span_dedup_dist(sf_dir: str):
                       mode="distributed")
 
 
+def synth_url_batch(t, id_col: str = "doc_id"):
+    """Deterministic synthetic url per doc (Python side) — the testdata
+    documents table has no url column, so the URL operators get one
+    derived purely from doc_id arithmetic. ``synth_url_sql`` is its SQL
+    twin; keep the two in lockstep. The variations exercise every
+    canonicalization rule: every doc_id ≡ 7 (mod 10) shares the
+    PREVIOUS doc's page (url dedup pairs), hosts are uppercased on
+    doc_id % 3 == 0, ':443' default ports appear on % 5 == 0, tracking
+    params on even ids, content params in shuffled order by parity,
+    fragments on % 6 == 0, and an empty path on base_id % 25 == 0."""
+    import pyarrow as pa
+    ids = t[id_col].to_numpy()
+    out = []
+    for d in ids.tolist():
+        base = d - (1 if d % 10 == 7 else 0)
+        hname = f"h{base % 37}.example.org"
+        host = hname.upper() if d % 3 == 0 else hname
+        port = ":443" if d % 5 == 0 else ""
+        path = "" if base % 25 == 0 else f"/p/doc-{base}"
+        parts = []
+        if d % 2 == 0:
+            parts.append("utm_source=rss")
+        if base % 4 == 0:
+            parts += ["b=2", "a=1"] if d % 2 == 1 else ["a=1", "b=2"]
+        query = "?" + "&".join(parts) if parts else ""
+        frag = "#sec-0" if d % 6 == 0 else ""
+        out.append(f"https://{host}{port}{path}{query}{frag}")
+    cols = {name: t[name] for name in t.column_names}
+    cols["url"] = pa.array(out, pa.string())
+    return pa.table(cols)
+
+
+def synth_url_sql(source: str = "documents") -> str:
+    """SQL twin of ``synth_url_batch`` (DuckDB): the same url string
+    built scalarly from doc_id, exposed as (documents.*, url)."""
+    return f"""
+        SELECT *,
+               'https://'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN upper('h' || (base_id % 37) || '.example.org')
+                       ELSE 'h' || (base_id % 37) || '.example.org' END
+               || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+               || CASE WHEN base_id % 25 = 0
+                       THEN '' ELSE '/p/doc-' || base_id END
+               || CASE
+                    WHEN doc_id % 2 = 0 AND base_id % 4 = 0
+                        THEN '?utm_source=rss&a=1&b=2'
+                    WHEN doc_id % 2 = 0 THEN '?utm_source=rss'
+                    WHEN base_id % 4 = 0 THEN '?b=2&a=1'
+                    ELSE '' END
+               || CASE WHEN doc_id % 6 = 0 THEN '#sec-0' ELSE '' END
+               AS url
+        FROM (SELECT *, doc_id - CASE WHEN doc_id % 10 = 7
+                                      THEN 1 ELSE 0 END AS base_id
+              FROM {source})
+    """
+
+
+def _canon_url_sql(url_expr: str = "url") -> str:
+    """SQL replay (DuckDB) of ``url_ops.canonicalize_series`` — an
+    INDEPENDENT string-level re-implementation of the five
+    canonicalization rules over ``url_expr``, so the oracle checks the
+    engine's regex pipeline, not its own arithmetic. Yields a scalar
+    expression usable in SELECT."""
+    base = f"regexp_extract({url_expr}, '^[^#]*')"
+    scheme = f"lower(regexp_extract({base}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
+    hostport = (f"lower(regexp_extract({base},"
+                f" '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1))")
+    path = (f"regexp_extract({base},"
+            f" '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)")
+    query = f"regexp_extract({base}, '\\?([^#]*)', 1)"
+    q2 = (f"coalesce(array_to_string(list_sort(list_filter("
+          f"string_split({query}, '&'), p -> p <> '' AND NOT "
+          f"regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$'))),"
+          f" '&'), '')")
+    return f"""
+        CASE WHEN NOT regexp_matches({url_expr},
+                 '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN NULL
+             ELSE {scheme} || '://'
+               || CASE WHEN {scheme} = 'http'
+                            AND {hostport} LIKE '%:80'
+                       THEN left({hostport}, len({hostport}) - 3)
+                       WHEN {scheme} = 'https'
+                            AND {hostport} LIKE '%:443'
+                       THEN left({hostport}, len({hostport}) - 4)
+                       ELSE {hostport} END
+               || CASE WHEN {path} = '' THEN '/' ELSE {path} END
+               || CASE WHEN {q2} = '' THEN '' ELSE '?' || {q2} END
+        END
+    """
+
+
+#: host blocklist for the url_host_filter query — arbitrary but fixed;
+#: both sides name these literally
+BLOCKED_HOSTS = ("h3.example.org", "h11.example.org")
+
+
+def _docs_urls(sf_dir: str):
+    return _docs(sf_dir).map_batches(synth_url_batch,
+                                     batch_format="pyarrow")
+
+
+def _url_canonicalize(sf_dir: str):
+    """Full-corpus canonicalization panel: (doc_id, canon_url). Pins
+    all five rules (case, ports, fragments, tracking params, param
+    sort, empty path) against an independent SQL replay."""
+    from ocr_model_ray.functions.url_ops import canonicalize_urls
+    ds = canonicalize_urls(_docs_urls(sf_dir))
+    return ds.map_batches(lambda df: df[["doc_id", "canon_url"]],
+                          batch_format="pandas")
+
+
+def _url_dedup(sf_dir: str):
+    """URL-level exact dedup (the C4 step): one row per distinct
+    canonical url with the kept (min) doc_id and the dup count."""
+    from ocr_model_ray.functions.url_ops import url_dedup
+    return url_dedup(_docs_urls(sf_dir))
+
+
+def _url_host_stats(sf_dir: str):
+    """Per-host corpus aggregates (RefinedWeb-style host pass):
+    (host, n_docs, total_chars)."""
+    import os
+    import ray.data as rd
+    from ocr_model_ray.functions.url_ops import host_stats
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "n_chars"])
+    with_urls = docs.map_batches(synth_url_batch,
+                                 batch_format="pyarrow")
+    return host_stats(with_urls,
+                      agg_cols={"total_chars": ("n_chars", "sum")})
+
+
+def _url_host_filter(sf_dir: str):
+    """Host-blocklist filter then per-lang survivor counts: the
+    broadcast-membership cut composed with a small group count."""
+    import os
+    import pandas as pd
+    import ray.data as rd
+    from ocr_model_ray.functions.url_ops import host_filter
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang"])
+    with_urls = docs.map_batches(synth_url_batch,
+                                 batch_format="pyarrow")
+    kept = host_filter(with_urls, BLOCKED_HOSTS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(
+            n=("doc_id", "size"))
+
+    p = kept.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (p.groupby("lang", as_index=False).agg(n_kept=("n", "sum"))
+           .sort_values("lang").reset_index(drop=True))
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out
+
+
 def _docs_sequence_pack(sf_dir: str):
     from ocr_model_ray.functions.packing import sequence_pack
     return sequence_pack(_docs(sf_dir), seq_len=256)
@@ -939,6 +1096,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean_funnel": _docs_clean_funnel,
         "docs_span_dedup": _docs_span_dedup,
         "docs_span_dedup_dist": _docs_span_dedup_dist,
+        "url_canonicalize": _url_canonicalize,
+        "url_dedup": _url_dedup,
+        "url_host_stats": _url_host_stats,
+        "url_host_filter": _url_host_filter,
         "docs_line_dedup": _docs_line_dedup,
         "docs_line_dedup_dist": _docs_line_dedup_dist,
         "docs_line_dedup_summary": _docs_line_dedup_summary,
@@ -2254,6 +2415,39 @@ def oracle_sql() -> dict[str, str]:
         FROM tok LEFT JOIN agg a USING (doc_id)
     """
     d["docs_span_dedup_dist"] = d["docs_span_dedup"]
+    # URL operators: the synthetic url (synth_url_sql twin) and the
+    # canonicalization (_canon_url_sql: an independent string-level
+    # replay of the five rules) are both re-derived in SQL, so the
+    # engine's whole regex pipeline is independently checked
+    _urls_src = synth_url_sql("documents")
+    d["url_canonicalize"] = f"""
+        SELECT doc_id, {_canon_url_sql('url')} AS canon_url
+        FROM ({_urls_src})
+    """
+    d["url_dedup"] = f"""
+        SELECT canon_url, min(doc_id) AS keep_id,
+               count(*) AS n_dupes
+        FROM (SELECT doc_id, {_canon_url_sql('url')} AS canon_url
+              FROM ({_urls_src}))
+        WHERE canon_url IS NOT NULL
+        GROUP BY canon_url
+    """
+    d["url_host_stats"] = f"""
+        SELECT lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1)) AS host,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM ({_urls_src})
+        GROUP BY host
+    """
+    d["url_host_filter"] = f"""
+        SELECT lang, count(*) AS n_kept
+        FROM ({_urls_src})
+        WHERE lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1))
+              NOT IN ('h3.example.org', 'h11.example.org')
+        GROUP BY lang
+    """
     # C4-style cleaning composite: quality -> lang -> decontam ->
     # exact dedup, every stage replayed in SQL
     _clean_cte = """

@@ -1,0 +1,185 @@
+"""URL operators for web-corpus pipelines: canonicalization, URL-level
+dedup, host aggregates, host blocklist filtering.
+
+Engine extension (no reference counterpart): web training corpora key
+pages by URL. C4 (Raffel et al., 2020) dedupes at exactly URL
+granularity; RefinedWeb/FineWeb filter against host blocklists and
+compute host-level quality statistics before any content-level pass.
+These operators provide that layer over any table with a url:string
+column (the BASELINE.json input_hint pages shape).
+
+Canonicalization rules — mirrored EXACTLY by the SQL oracle in
+``__ray_entry__.py`` (``_canon_url_sql``); change the two together:
+
+ 1. the fragment (first ``#`` onward) is dropped;
+ 2. scheme and host[:port] are lowercased; path/query case is kept;
+ 3. default ports are stripped (``:80`` for http, ``:443`` for https);
+ 4. an empty path becomes ``/``;
+ 5. query params are split on ``&``; empty params and tracking params
+    (``utm_*``, ``fbclid``, ``gclid``) are dropped; the remainder are
+    sorted bytewise and rejoined; an emptied query drops its ``?``.
+
+A url that does not parse as ``scheme://host...`` canonicalizes to
+NULL and is excluded from dedup/host aggregation (SQL NULL-key
+semantics; the exclusion is logged, never silent).
+
+Scale shape: every kernel is a per-batch pandas/regex vectorized
+transform (one ``str.extract`` over the batch; the query-param pass is
+an explode → sort → group-join over only the rows that HAVE a query).
+``url_dedup`` and ``host_stats`` route their wide step through
+``bucketed_agg`` — one bucketed exchange of (key, id) rows, vectorized
+per-bucket groupby, unbounded key domains welcome. The blocklist
+broadcasts once via ``ray.put`` (sorted array + ``np.searchsorted``
+membership), never per batch.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+log = logging.getLogger("ocr_model_ray.url_ops")
+
+#: scheme :// host[:port] path [? query]  (fragment already stripped)
+_URL_RE = re.compile(
+    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?")
+#: tracking params dropped by rule 5 (name match, with or without '=')
+_TRACKING_RE = re.compile(r"^(utm_[^=]*|fbclid|gclid)(=.*)?$")
+_HOST_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)")
+
+
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    """Vectorized canonical form per the module rules; NULL for
+    non-parsing urls (and for null input, like SQL)."""
+    urls = urls.astype("object")
+    base = urls.str.split("#", n=1).str[0]
+    ext = base.str.extract(_URL_RE)
+    scheme = ext[0].str.lower()
+    hostport = ext[1].str.lower()
+    path, query = ext[2], ext[3]
+    hostport = hostport.mask(
+        (scheme == "http") & hostport.str.endswith(":80", na=False),
+        hostport.str[:-3])
+    hostport = hostport.mask(
+        (scheme == "https") & hostport.str.endswith(":443", na=False),
+        hostport.str[:-4])
+    path = path.mask(path == "", "/")
+
+    q = query.fillna("")
+    q2 = pd.Series("", index=urls.index, dtype="object")
+    has_q = q != ""
+    if has_q.any():
+        parts = q[has_q].str.split("&").explode().rename("p")
+        parts = parts[(parts != "")
+                      & ~parts.str.match(_TRACKING_RE, na=False)]
+        if len(parts):
+            joined = (parts.reset_index()
+                      .sort_values(["index", "p"])
+                      .groupby("index", sort=False)["p"]
+                      .agg("&".join))
+            q2.update(joined)
+    return scheme + "://" + hostport + path + q2.mask(q2 != "", "?" + q2)
+
+
+def host_series(urls: pd.Series) -> pd.Series:
+    """Lowercased host (port stripped) per url; NULL when unparsable."""
+    return (urls.astype("object").str.extract(_HOST_RE)[0].str.lower())
+
+
+def canonicalize_urls(ds: rd.Dataset, url_col: str = "url",
+                      out_col: str = "canon_url") -> rd.Dataset:
+    """Append ``out_col`` with the canonical form of ``url_col``."""
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df[out_col] = canonicalize_series(df[url_col])
+        return df
+
+    return ds.map_batches(add, batch_format="pandas")
+
+
+def url_dedup(ds: rd.Dataset, url_col: str = "url",
+              id_col: str = "doc_id",
+              num_buckets: int = 64) -> rd.Dataset:
+    """URL-level exact dedup (the C4 step): group by canonical url,
+    keep the min id. Output: (canon_url, keep_id, n_dupes), one row per
+    distinct canonical url, streaming. Unparsable urls are dropped from
+    the key domain (logged per batch); one bucketed exchange of
+    (canon_url, id) rows total."""
+    from .bucketed import bucketed_agg
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        canon = canonicalize_series(df[url_col])
+        bad = int(canon.isna().sum())
+        if bad:
+            log.warning("url_dedup: dropped %d unparsable urls", bad)
+        keep = canon.notna().to_numpy()
+        return pd.DataFrame({
+            "canon_url": canon.to_numpy()[keep],
+            id_col: df[id_col].to_numpy()[keep]})
+
+    projected = ds.map_batches(project, batch_format="pandas")
+    return bucketed_agg(projected, "canon_url",
+                        {"keep_id": (id_col, "min"),
+                         "n_dupes": (id_col, "size")},
+                        num_buckets=num_buckets)
+
+
+def host_stats(ds: rd.Dataset, url_col: str = "url",
+               agg_cols: dict[str, tuple[str, str]] | None = None,
+               num_buckets: int = 64) -> rd.Dataset:
+    """Per-host aggregates (the RefinedWeb host-stats pass). Default
+    output: (host, n_docs); pass ``agg_cols`` in pandas NamedAgg form
+    to add metrics (e.g. ``{"total_chars": ("n_chars", "sum")}``).
+    Unparsable urls are excluded (logged). One bucketed exchange."""
+    from .bucketed import bucketed_agg
+    aggs = {"n_docs": (url_col, "size")}
+    aggs.update(agg_cols or {})
+    needed = sorted({c for c, _f in aggs.values()} - {url_col})
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        host = host_series(df[url_col])
+        bad = int(host.isna().sum())
+        if bad:
+            log.warning("host_stats: dropped %d unparsable urls", bad)
+        keep = host.notna().to_numpy()
+        out = pd.DataFrame({"host": host.to_numpy()[keep],
+                            url_col: df[url_col].to_numpy()[keep]})
+        for c in needed:
+            out[c] = df[c].to_numpy()[keep]
+        return out
+
+    projected = ds.map_batches(project, batch_format="pandas")
+    return bucketed_agg(projected, "host", aggs,
+                        num_buckets=num_buckets)
+
+
+def host_filter(ds: rd.Dataset, blocked: Iterable[str],
+                url_col: str = "url", keep: bool = False) -> rd.Dataset:
+    """Drop (or with ``keep=True``, retain only) rows whose host is in
+    ``blocked``. The list is sorted, broadcast ONCE via ``ray.put``,
+    and membership is a vectorized ``searchsorted`` per batch — a
+    million-host blocklist is ~30 MB in every worker's plasma view,
+    never re-shipped. Unparsable-url rows never match (host NULL), so
+    they pass a blocklist and fail an allowlist, like SQL ``IN``."""
+    arr = np.array(sorted(set(blocked)), dtype=object)
+    ref = ray.put(arr)
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        bl = ray.get(ref)
+        host = host_series(df[url_col])
+        if bl.size == 0:
+            hit = np.zeros(len(df), dtype=bool)
+        else:
+            h = host.fillna("").to_numpy()
+            idx = np.searchsorted(bl, h)
+            np.minimum(idx, bl.size - 1, out=idx)
+            hit = (bl[idx] == h) & host.notna().to_numpy()
+        return df[hit if keep else ~hit]
+
+    return ds.map_batches(cut, batch_format="pandas")

@@ -1,0 +1,145 @@
+"""URL operators (functions/url_ops.py): canonicalization rules on
+crafted edge cases, URL dedup semantics, host stats, blocklist
+filtering — plus the synth-url adapter's Python==SQL twin pin."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ocr_model_ray.functions.url_ops import (
+    canonicalize_series, canonicalize_urls, host_filter, host_series,
+    host_stats, url_dedup)
+
+
+def test_canonicalize_rules():
+    urls = pd.Series([
+        # case + default port + fragment
+        "HTTPS://Example.COM:443/Path#frag",
+        "http://host.org:80/a",
+        # non-default port kept
+        "http://host.org:8080/a",
+        # empty path -> '/'
+        "https://h.io",
+        "https://h.io?b=2&a=1",
+        # tracking params dropped, rest sorted, '?' kept
+        "https://h.io/p?utm_source=rss&b=2&fbclid=xyz&a=1",
+        # tracking-only query -> '?' dropped
+        "https://h.io/p?utm_campaign=x&gclid=1",
+        # fragment containing '?' must NOT be parsed as a query
+        "https://h.io/p#frag?notaquery=1",
+        # empty params ('&&') dropped; trailing '?' dropped
+        "https://h.io/p?&&a=1&",
+        "https://h.io/p?",
+        # path case preserved; utm_ bare name (no '=') dropped
+        "https://h.io/CaseKept?utm_x",
+        # malformed -> NULL
+        "notaurl",
+        None,
+    ])
+    s = canonicalize_series(urls)
+    got = s.where(s.notna(), None).tolist()
+    assert got == [
+        "https://example.com/Path",
+        "http://host.org/a",
+        "http://host.org:8080/a",
+        "https://h.io/",
+        "https://h.io/?a=1&b=2",
+        "https://h.io/p?a=1&b=2",
+        "https://h.io/p",
+        "https://h.io/p",
+        "https://h.io/p?a=1",
+        "https://h.io/p",
+        "https://h.io/CaseKept",
+        None,
+        None,
+    ]
+
+
+def test_host_series():
+    s = pd.Series(["HTTPS://Example.COM:8443/p", "http://h.io", "bad",
+                   None])
+    h = host_series(s)
+    assert h.where(h.notna(), None).tolist() == [
+        "example.com", "h.io", None, None]
+
+
+def _url_corpus():
+    return pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "url": [
+            "https://A.example.org:443/x?utm_source=a",   # dup of 2
+            "https://a.example.org/x",                    # dup of 1
+            "https://b.example.org/y?b=2&a=1",
+            "https://b.example.org/y?a=1&b=2",            # dup of 3
+            "not a url",                                   # dropped
+        ],
+        "n_chars": [10, 20, 30, 40, 50],
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_url_dedup():
+    out = (url_dedup(rd.from_pandas(_url_corpus()))
+           .to_pandas().sort_values("canon_url")
+           .reset_index(drop=True))
+    assert out["canon_url"].tolist() == [
+        "https://a.example.org/x", "https://b.example.org/y?a=1&b=2"]
+    assert out["keep_id"].tolist() == [1, 3]
+    assert out["n_dupes"].tolist() == [2, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_canonicalize_urls_appends_column():
+    ds = canonicalize_urls(rd.from_pandas(_url_corpus()))
+    df = ds.to_pandas()
+    assert "canon_url" in df.columns and "n_chars" in df.columns
+    assert df["canon_url"].isna().sum() == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_stats():
+    out = (host_stats(rd.from_pandas(_url_corpus()),
+                      agg_cols={"total_chars": ("n_chars", "sum")})
+           .to_pandas().sort_values("host").reset_index(drop=True))
+    assert out["host"].tolist() == ["a.example.org", "b.example.org"]
+    assert out["n_docs"].tolist() == [2, 2]
+    assert out["total_chars"].tolist() == [30, 70]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_filter_block_and_keep():
+    ds = rd.from_pandas(_url_corpus())
+    dropped = (host_filter(ds, ["a.example.org"])
+               .to_pandas().sort_values("doc_id"))
+    # unparsable-url row passes a blocklist (host NULL never matches)
+    assert dropped["doc_id"].tolist() == [3, 4, 5]
+    kept = (host_filter(ds, ["a.example.org"], keep=True)
+            .to_pandas().sort_values("doc_id"))
+    assert kept["doc_id"].tolist() == [1, 2]
+    # empty blocklist: everything passes
+    assert len(host_filter(ds, []).to_pandas()) == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_synth_url_python_equals_sql():
+    """The adapter twins (synth_url_batch / synth_url_sql) must build
+    the identical string — they are the queries' shared input."""
+    import duckdb
+    import __ray_entry__ as em
+    sf = "/root/testdata/sf0.001"
+    got = (em._docs_urls(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(
+        f"SELECT doc_id, url FROM ({em.synth_url_sql('documents')}) "
+        f"ORDER BY doc_id").df()
+    assert (got["url"].to_numpy() == want["url"].to_numpy()).all()
+    # and the synthetic corpus actually exercises the rules
+    assert got["url"].str.contains("#sec-0").any()
+    assert got["url"].str.contains("utm_source").any()
+    assert got["url"].str.contains(":443").any()
+    assert got["url"].str.contains("HTTPS://", regex=False).sum() == 0
+    assert got["url"].str.match(r"https://H\d+\.EXAMPLE\.ORG").any()
