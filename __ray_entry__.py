@@ -610,6 +610,42 @@ def _url_host_filter(sf_dir: str):
     return out
 
 
+def _events_latest_per_user(sf_dir: str):
+    """Latest event per user (the argmax-per-key reduce): one whole
+    row per user_id, winner by (ts, event_id) descending."""
+    import os
+    import ray.data as rd
+    from ocr_model_ray.functions.bucketed import bucketed_argmax
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "event_type", "value"])
+    return bucketed_argmax(ev, "user_id", "ts", tiebreak=["event_id"])
+
+
+def _url_latest_snapshot(sf_dir: str):
+    """Newest capture per canonical url (Common-Crawl snapshot-select
+    semantics): synth warc_ts = 2024-01-01 + doc_id minutes (SQL twin
+    inline in the oracle), winner by (warc_ts, doc_id) descending —
+    so for each dup pair the LATER capture survives, the opposite of
+    url_dedup's min-id keep."""
+    import pandas as pd
+    from ocr_model_ray.functions.bucketed import bucketed_argmax
+    from ocr_model_ray.functions.url_ops import canonicalize_urls
+
+    def add_ts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "canon_url": df["canon_url"],
+            "warc_ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(df["doc_id"].to_numpy() * 60, unit="s"),
+        })
+
+    ds = (canonicalize_urls(_docs_urls(sf_dir))
+          .map_batches(add_ts, batch_format="pandas"))
+    return bucketed_argmax(ds, "canon_url", "warc_ts",
+                           tiebreak=["doc_id"])
+
+
 def _docs_sequence_pack(sf_dir: str):
     from ocr_model_ray.functions.packing import sequence_pack
     return sequence_pack(_docs(sf_dir), seq_len=256)
@@ -1100,6 +1136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _url_dedup,
         "url_host_stats": _url_host_stats,
         "url_host_filter": _url_host_filter,
+        "url_latest_snapshot": _url_latest_snapshot,
+        "events_latest_per_user": _events_latest_per_user,
         "docs_line_dedup": _docs_line_dedup,
         "docs_line_dedup_dist": _docs_line_dedup_dist,
         "docs_line_dedup_summary": _docs_line_dedup_summary,
@@ -2447,6 +2485,26 @@ def oracle_sql() -> dict[str, str]:
                   '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1))
               NOT IN ('h3.example.org', 'h11.example.org')
         GROUP BY lang
+    """
+    d["url_latest_snapshot"] = f"""
+        SELECT doc_id, canon_url, warc_ts FROM (
+            SELECT doc_id,
+                   {_canon_url_sql('url')} AS canon_url,
+                   TIMESTAMP '2024-01-01'
+                       + to_minutes(CAST(doc_id AS BIGINT)) AS warc_ts,
+                   row_number() OVER (
+                       PARTITION BY {_canon_url_sql('url')}
+                       ORDER BY doc_id DESC) AS rn
+            FROM ({_urls_src}))
+        WHERE rn = 1
+    """
+    d["events_latest_per_user"] = """
+        SELECT user_id, event_id, ts, event_type, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+        WHERE rn = 1
     """
     # C4-style cleaning composite: quality -> lang -> decontam ->
     # exact dedup, every stage replayed in SQL

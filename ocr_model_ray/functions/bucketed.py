@@ -88,6 +88,47 @@ def bucketed_agg(ds: rd.Dataset, keys: str | Sequence[str],
                                        batch_format="pandas"))
 
 
+def bucketed_argmax(ds: rd.Dataset, keys: str | Sequence[str],
+                    order_by: str,
+                    tiebreak: Sequence[str] = (),
+                    largest: bool = True,
+                    num_buckets: int = 64) -> rd.Dataset:
+    """One WHOLE ROW per key: the row with the largest (``largest=
+    False``: smallest) ``order_by`` value — the latest-snapshot /
+    latest-event reduce (keep the newest Common-Crawl capture per url,
+    the last event per user). The same direction applies to the
+    ``tiebreak`` columns; pass a unique column there for a fully
+    deterministic winner (SQL twin: ``row_number() OVER (PARTITION BY
+    keys ORDER BY order_by DESC, tiebreak DESC) = 1``).
+
+    Per-key argmax is associative, so each block prunes to its own
+    per-key winner first (one vectorized sort + drop_duplicates) and
+    only ONE row per key per block enters the single bucketed exchange;
+    the per-bucket reduce is the identical prune. Hot keys cost one
+    linear pass, and the exchange volume is bounded by
+    ``distinct_keys x blocks`` rows, not the input."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    order_cols = [order_by, *tiebreak]
+    ascending = [not largest] * len(order_cols)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(order_cols, ascending=ascending,
+                               kind="mergesort")
+                .drop_duplicates(key_list, keep="first"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.replace_schema_metadata(None).append_column(
+            "__b", _bucket_ids(t, key_list, num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return prune(g).drop(columns="__b")
+
+    return (ds.map_batches(prune, batch_format="pandas")
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__b").map_groups(per_bucket,
+                                       batch_format="pandas"))
+
+
 def bucketed_distinct(ds: rd.Dataset, keys: str | Sequence[str],
                       num_buckets: int = 64) -> rd.Dataset:
     """DISTINCT ``keys`` (exact) with the same bucketed exchange —

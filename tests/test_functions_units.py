@@ -1190,3 +1190,51 @@ def test_similarity_and_salted_ops_empty_corpus_typed():
         {"event_type": pd.Series([], dtype="object")}))
     out = salted_group_count(zero_events, "event_type")
     assert list(out.columns) == ["event_type", "count"] and out.empty
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_argmax_semantics():
+    """Latest-per-key reduce: whole-row winner, deterministic ties via
+    tiebreak, largest=False for min, null order values lose."""
+    import ray.data as rd
+    from ocr_model_ray.functions.bucketed import bucketed_argmax
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "c"],
+        "ord": [1.0, 3.0, 3.0, 2.0, None, 5.0],
+        "id": [10, 11, 12, 20, 21, 30],
+        "payload": list("uvwxyz"),
+    })
+    out = (bucketed_argmax(rd.from_pandas(df), "k", "ord",
+                           tiebreak=["id"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # a: ord ties at 3.0 -> larger id (12) wins; b: null loses to 2.0
+    assert out["id"].tolist() == [12, 20, 30]
+    assert out["payload"].tolist() == ["w", "x", "z"]
+    lo = (bucketed_argmax(rd.from_pandas(df), "k", "ord",
+                          tiebreak=["id"], largest=False)
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    # largest=False: min ord wins; ties -> MIN id (direction shared)
+    assert lo["id"].tolist() == [10, 20, 30]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_argmax_partitioning_independent():
+    """The combiner prune must not change the winner across block
+    layouts: 1 block == 8 blocks on a key-scattered frame."""
+    import numpy as np
+    import ray.data as rd
+    from ocr_model_ray.functions.bucketed import bucketed_argmax
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 50, 500),
+        "ord": rng.randint(0, 1000, 500),
+        "id": np.arange(500),
+    })
+    a = (bucketed_argmax(rd.from_pandas(df), "k", "ord",
+                         tiebreak=["id"])
+         .to_pandas().sort_values("k").reset_index(drop=True))
+    b = (bucketed_argmax(rd.from_pandas(df).repartition(8), "k", "ord",
+                         tiebreak=["id"])
+         .to_pandas().sort_values("k").reset_index(drop=True))
+    assert (a[["k", "ord", "id"]].values
+            == b[["k", "ord", "id"]].values).all()
