@@ -313,7 +313,12 @@ def main() -> int:
     DRIVER_PAIR = ["docs_decontaminate", "docs_pii_scrub",
                    "docs_normalize", "docs_quality", "docs_token_count",
                    "docs_bpe_token_count", "docs_hash_split",
-                   "docs_weighted_sample", "docs_repetition"]
+                   "docs_weighted_sample", "docs_repetition",
+                   # url family: synth urls derive from doc_id alone,
+                   # so the (doc_id, text) soak corpus suffices; dedup
+                   # exercises canonicalize + the bucketed exchange,
+                   # latest_snapshot the argmax combiner, at volume
+                   "url_dedup", "url_latest_snapshot"]
     # (docs_group_tfidf needs the lang column the salted soak corpus
     # doesn't carry; its token-bucket exchange is covered by the
     # top_tokens/vocab ops above)
