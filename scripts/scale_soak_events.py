@@ -97,7 +97,10 @@ def main() -> int:
     names = ["events_user_stats", "events_sessions", "events_daily",
              "events_type_pivot", "events_top_users_per_type",
              "events_sliding_week", "events_type_counts_salted",
-             "events_props_stats", "events_rank_in_user"]
+             "events_props_stats", "events_rank_in_user",
+             # per-user output (one row each): the argmax combiner's
+             # exchange volume is the thing under test at this size
+             "events_latest_per_user"]
     if args.queries != "all":
         names = [n for n in names if n in args.queries.split(",")]
 
