@@ -610,6 +610,14 @@ def _url_host_filter(sf_dir: str):
     return out
 
 
+def _url_host_quality_filter(sf_dir: str):
+    """FineWeb-style host-level quality gate: drop every doc whose
+    host averages < 50 whitespace tokens per doc. Two streaming
+    passes + one broadcast; survivors as (doc_id, host)."""
+    from ocr_model_ray.functions.url_ops import host_quality_filter
+    return host_quality_filter(_docs_urls(sf_dir), min_mean_words=50.0)
+
+
 def _events_latest_per_user(sf_dir: str):
     """Latest event per user (the argmax-per-key reduce): one whole
     row per user_id, winner by (ts, event_id) descending."""
@@ -1137,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_host_stats": _url_host_stats,
         "url_host_filter": _url_host_filter,
         "url_latest_snapshot": _url_latest_snapshot,
+        "url_host_quality_filter": _url_host_quality_filter,
         "events_latest_per_user": _events_latest_per_user,
         "docs_line_dedup": _docs_line_dedup,
         "docs_line_dedup_dist": _docs_line_dedup_dist,
@@ -2497,6 +2506,21 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY doc_id DESC) AS rn
             FROM ({_urls_src}))
         WHERE rn = 1
+    """
+    d["url_host_quality_filter"] = f"""
+        WITH h AS (SELECT doc_id,
+                          lower(regexp_extract(url,
+                              '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)',
+                              1)) AS host,
+                          len(regexp_extract_all(text, '\\S+'))
+                              AS n_words
+                   FROM ({_urls_src})),
+        hs AS (SELECT host,
+                      sum(n_words) / count(*) AS mean_words
+               FROM h GROUP BY host)
+        SELECT h.doc_id, h.host
+        FROM h JOIN hs USING (host)
+        WHERE hs.mean_words >= 50.0
     """
     d["events_latest_per_user"] = """
         SELECT user_id, event_id, ts, event_type, value FROM (

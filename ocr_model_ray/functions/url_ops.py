@@ -159,6 +159,78 @@ def host_stats(ds: rd.Dataset, url_col: str = "url",
                         num_buckets=num_buckets)
 
 
+def host_quality_filter(ds: rd.Dataset, url_col: str = "url",
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        min_mean_words: float = 50.0,
+                        num_buckets: int = 64) -> rd.Dataset:
+    """Host-level quality gate (the FineWeb-style pass): drop EVERY
+    document from a host whose mean whitespace-token count per doc is
+    below ``min_mean_words``. Output: (id_col, host) of survivors.
+
+    Two passes over the corpus:
+
+    * pass 1 streams once, emitting per-batch per-host partials
+      (sum n_words, n docs — int-exact, the combiner), finished by one
+      ``bucketed_agg`` exchange of tiny int rows; the mean is an exact
+      int/int double division (bit-identical to the SQL oracle's).
+    * the PASSING host names collect and broadcast via ``ray.put``
+      (the good-host set is bounded by distinct hosts, ~30 B each —
+      fine to ~10^8 hosts; beyond that swap the broadcast for a
+      ``hash_bucket_join`` on host, same pass-2 seam).
+    * pass 2 streams again, keeping rows whose host is in the set
+      (vectorized searchsorted membership).
+
+    Unparsable urls have no host and never survive (SQL inner-join
+    semantics)."""
+    from .bucketed import bucketed_agg
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        host = host_series(df[url_col])
+        text = df[text_col]
+        stripped = text.str.strip()
+        n_words = stripped.str.split().str.len().fillna(0).astype(
+            "int64")
+        n_words[stripped == ""] = 0
+        g = pd.DataFrame({"host": host, "w": n_words})
+        g = g[host.notna().to_numpy()]
+        return g.groupby("host", as_index=False).agg(
+            w=("w", "sum"), n=("w", "size"))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    stats = bucketed_agg(partials, "host",
+                         {"w": ("w", "sum"), "n": ("n", "sum")},
+                         num_buckets=num_buckets)
+
+    def good_hosts(df: pd.DataFrame) -> pd.DataFrame:
+        ok = (df["w"].to_numpy() / df["n"].to_numpy()) >= min_mean_words
+        return df.loc[ok, ["host"]]
+
+    good = stats.map_batches(good_hosts,
+                             batch_format="pandas").to_pandas()
+    hosts = (np.sort(good["host"].to_numpy())
+             if not good.empty and "host" in good.columns
+             else np.empty(0, dtype=object))
+    log.info("host_quality_filter: %d hosts pass (broadcast %.1f KB)",
+             hosts.size, hosts.nbytes / 1e3)
+    ref = ray.put(hosts)
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        ok_hosts = ray.get(ref)
+        host = host_series(df[url_col])
+        if ok_hosts.size == 0:
+            keep = np.zeros(len(df), dtype=bool)
+        else:
+            h = host.fillna("").to_numpy()
+            idx = np.searchsorted(ok_hosts, h)
+            np.minimum(idx, ok_hosts.size - 1, out=idx)
+            keep = (ok_hosts[idx] == h) & host.notna().to_numpy()
+        return pd.DataFrame({id_col: df[id_col].to_numpy()[keep],
+                             "host": host.to_numpy()[keep]})
+
+    return ds.map_batches(cut, batch_format="pandas")
+
+
 def host_filter(ds: rd.Dataset, blocked: Iterable[str],
                 url_col: str = "url", keep: bool = False) -> rd.Dataset:
     """Drop (or with ``keep=True``, retain only) rows whose host is in

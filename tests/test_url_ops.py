@@ -143,3 +143,27 @@ def test_synth_url_python_equals_sql():
     assert got["url"].str.contains(":443").any()
     assert got["url"].str.contains("HTTPS://", regex=False).sum() == 0
     assert got["url"].str.match(r"https://H\d+\.EXAMPLE\.ORG").any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_quality_filter():
+    from ocr_model_ray.functions.url_ops import host_quality_filter
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "url": ["https://good.org/a", "https://good.org/b",
+                "https://bad.org/a", "https://bad.org/b",
+                "junk"],
+        "text": ["five words in this doc", "four words right here",
+                 "short", "tiny one", "plenty of words here too"],
+    })
+    out = (host_quality_filter(rd.from_pandas(docs),
+                               min_mean_words=4.0)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # good.org mean = 4.5 >= 4 -> kept; bad.org mean = 1.5 -> dropped;
+    # the unparsable-url doc has no host -> dropped regardless of text
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["host"].tolist() == ["good.org", "good.org"]
+    # threshold above every host: typed empty path
+    none = host_quality_filter(rd.from_pandas(docs),
+                               min_mean_words=99.0).to_pandas()
+    assert len(none) == 0
