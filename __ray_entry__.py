@@ -618,6 +618,37 @@ def _url_host_quality_filter(sf_dir: str):
     return host_quality_filter(_docs_urls(sf_dir), min_mean_words=50.0)
 
 
+def _url_crawl_diff(sf_dir: str):
+    """Two-crawl diff: old crawl = docs with doc_id % 7 != 0, new
+    crawl = doc_id % 5 != 0 with text revised ('... v2') on
+    doc_id % 3 == 0; unique synthetic url per doc; fingerprint =
+    md5(text). Statuses exercise all four classes."""
+    import pandas as pd
+    from ocr_model_ray.functions.text_stats import md5_hex
+    from ocr_model_ray.functions.url_ops import crawl_diff
+
+    def side(old: bool):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            d = df["doc_id"].to_numpy()
+            keep = (d % 7 != 0) if old else (d % 5 != 0)
+            df = df[keep]
+            d = d[keep]
+            text = df["text"]
+            if not old:
+                text = text.where(pd.Series(d % 3 != 0,
+                                            index=text.index),
+                                  text + " v2")
+            url = pd.Series(
+                ["https://h%d.example.org/p/doc-%d" % (i % 37, i)
+                 for i in d.tolist()], index=df.index)
+            return pd.DataFrame({"url": url, "fp": md5_hex(text)})
+        return f
+
+    old = _docs(sf_dir).map_batches(side(True), batch_format="pandas")
+    new = _docs(sf_dir).map_batches(side(False), batch_format="pandas")
+    return crawl_diff(old, new)
+
+
 def _events_latest_per_user(sf_dir: str):
     """Latest event per user (the argmax-per-key reduce): one whole
     row per user_id, winner by (ts, event_id) descending."""
@@ -1146,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_host_filter": _url_host_filter,
         "url_latest_snapshot": _url_latest_snapshot,
         "url_host_quality_filter": _url_host_quality_filter,
+        "url_crawl_diff": _url_crawl_diff,
         "events_latest_per_user": _events_latest_per_user,
         "docs_line_dedup": _docs_line_dedup,
         "docs_line_dedup_dist": _docs_line_dedup_dist,
@@ -2521,6 +2553,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.doc_id, h.host
         FROM h JOIN hs USING (host)
         WHERE hs.mean_words >= 50.0
+    """
+    d["url_crawl_diff"] = """
+        WITH o AS (SELECT 'https://h' || (doc_id % 37)
+                       || '.example.org/p/doc-' || doc_id AS url,
+                          md5(text) AS fp
+                   FROM documents WHERE doc_id % 7 <> 0),
+        n AS (SELECT 'https://h' || (doc_id % 37)
+                  || '.example.org/p/doc-' || doc_id AS url,
+                     md5(CASE WHEN doc_id % 3 = 0
+                              THEN text || ' v2' ELSE text END) AS fp
+              FROM documents WHERE doc_id % 5 <> 0)
+        SELECT coalesce(o.url, n.url) AS url,
+               CASE WHEN o.url IS NULL THEN 'new'
+                    WHEN n.url IS NULL THEN 'gone'
+                    WHEN o.fp = n.fp THEN 'same'
+                    ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN n ON o.url = n.url
     """
     d["events_latest_per_user"] = """
         SELECT user_id, event_id, ts, event_type, value FROM (

@@ -231,6 +231,47 @@ def host_quality_filter(ds: rd.Dataset, url_col: str = "url",
     return ds.map_batches(cut, batch_format="pandas")
 
 
+def crawl_diff(old: rd.Dataset, new: rd.Dataset, key: str = "url",
+               fp_col: str = "fp",
+               num_buckets: int = 64) -> rd.Dataset:
+    """Snapshot diff between two crawls of the same url space: one row
+    per url with status ``new`` (only in the new crawl), ``gone``
+    (only in the old), ``changed`` (both, fingerprints differ), or
+    ``same`` — the incremental-recrawl primitive (process only
+    new+changed, tombstone gone).
+
+    Inputs are (key, fp_col) streams — fp is any content fingerprint
+    (md5 of text, simhash, etc.); the key must be UNIQUE per crawl
+    (run ``url_dedup``/``bucketed_argmax`` upstream otherwise; with
+    duplicate keys the per-bucket outer merge would emit cross
+    products). One bucketed exchange of (key, fp) rows total — both
+    sides shuffle once through the shared ``hash_bucket_join``; texts
+    never move."""
+    from .joins import hash_bucket_join
+
+    def proj(side):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({key: df[key], side: df[fp_col]})
+        return f
+
+    o = old.map_batches(proj("__fp_old"), batch_format="pandas")
+    n = new.map_batches(proj("__fp_new"), batch_format="pandas")
+    joined = hash_bucket_join(o, n, on=key, how="outer",
+                              num_buckets=num_buckets)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        fo, fn = df["__fp_old"], df["__fp_new"]
+        status = np.where(
+            fo.isna(), "new",
+            np.where(fn.isna(), "gone",
+                     np.where(fo == fn, "same", "changed")))
+        return pd.DataFrame({key: df[key],
+                             "status": pd.array(status,
+                                                dtype="object")})
+
+    return joined.map_batches(classify, batch_format="pandas")
+
+
 def host_filter(ds: rd.Dataset, blocked: Iterable[str],
                 url_col: str = "url", keep: bool = False) -> rd.Dataset:
     """Drop (or with ``keep=True``, retain only) rows whose host is in

@@ -167,3 +167,16 @@ def test_host_quality_filter():
     none = host_quality_filter(rd.from_pandas(docs),
                                min_mean_words=99.0).to_pandas()
     assert len(none) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_diff_semantics():
+    from ocr_model_ray.functions.url_ops import crawl_diff
+    old = pd.DataFrame({"url": ["u1", "u2", "u3"],
+                        "fp": ["a", "b", "c"]})
+    new = pd.DataFrame({"url": ["u2", "u3", "u4"],
+                        "fp": ["b", "CHANGED", "d"]})
+    out = (crawl_diff(rd.from_pandas(old), rd.from_pandas(new))
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    assert out["url"].tolist() == ["u1", "u2", "u3", "u4"]
+    assert out["status"].tolist() == ["gone", "same", "changed", "new"]
