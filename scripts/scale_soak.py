@@ -318,7 +318,8 @@ def main() -> int:
                    # so the (doc_id, text) soak corpus suffices; dedup
                    # exercises canonicalize + the bucketed exchange,
                    # latest_snapshot the argmax combiner, at volume
-                   "url_dedup", "url_latest_snapshot"]
+                   "url_dedup", "url_latest_snapshot",
+                   "url_host_quality_filter", "url_crawl_diff"]
     # (docs_group_tfidf needs the lang column the salted soak corpus
     # doesn't carry; its token-bucket exchange is covered by the
     # top_tokens/vocab ops above)
