@@ -103,6 +103,42 @@ def _line_dedup_sql(source: str, id_col: str,
     """
 
 
+def _quality_tiers_sql() -> str:
+    """Independent SQL replay of functions/tiers.py semantics: exact
+    rank cuts (cut_q = min s with cum >= q*N, float64 compare) over
+    the clamped whitespace word count, tier = 1 + #cuts strictly
+    below the clamped score. Yields relation (doc_id, n_words, tier).
+    Arithmetic (clamp cap 4095, double casts, strict > at the cuts)
+    is shared verbatim with the engine."""
+    return """
+        WITH w AS (SELECT doc_id, text,
+                          CAST(len(regexp_extract_all(text, '\\S+'))
+                               AS BIGINT) AS n_words
+                   FROM documents),
+        cl AS (SELECT doc_id, text, n_words,
+                      least(n_words, 4095) AS s FROM w),
+        c AS (SELECT s, count(*) AS n FROM cl GROUP BY s),
+        cu AS (SELECT s, sum(n) OVER (ORDER BY s) AS cum,
+                      sum(n) OVER () AS total FROM c),
+        cuts AS (SELECT q, min(s) AS cut
+                 FROM (SELECT CAST(unnest([0.25, 0.5, 0.75]) AS DOUBLE)
+                              AS q) qs
+                 JOIN cu ON CAST(cu.cum AS DOUBLE)
+                            >= qs.q * CAST(cu.total AS DOUBLE)
+                 GROUP BY q),
+        cr AS (SELECT max(CASE WHEN q = 0.25 THEN cut END) AS c1,
+                      max(CASE WHEN q = 0.50 THEN cut END) AS c2,
+                      max(CASE WHEN q = 0.75 THEN cut END) AS c3
+               FROM cuts)
+        SELECT cl.doc_id, cl.text, cl.n_words,
+               CAST(1 + CASE WHEN cl.s > cr.c1 THEN 1 ELSE 0 END
+                      + CASE WHEN cl.s > cr.c2 THEN 1 ELSE 0 END
+                      + CASE WHEN cl.s > cr.c3 THEN 1 ELSE 0 END
+                    AS INTEGER) AS tier
+        FROM cl, cr
+    """
+
+
 def _tiered_golden_sql(select: str, relpath: str) -> str:
     """Oracle over a committed per-tier golden: the tier branch mirrors
     _tier_for via the registered lineitem view's row count."""
@@ -812,6 +848,32 @@ def _docs_quality(sf_dir: str):
     return _docs(sf_dir).map_batches(quality_batch, batch_format="pandas")
 
 
+def _docs_quality_tiers(sf_dir: str):
+    """Corpus-relative quality tiers (quartiles of the whitespace word
+    count): one exact streaming histogram pass derives the rank cuts,
+    a second pass labels each doc — no sort, no shuffle of text."""
+    from ocr_model_ray.functions.tiers import quality_tiers
+    return quality_tiers(_docs(sf_dir))
+
+
+def _docs_tier_stats(sf_dir: str):
+    """Per-tier doc/word totals over the quality_tiers labeling —
+    bounded key domain (4 tiers), per-block partials, driver finish."""
+    from ocr_model_ray.functions.tiers import quality_tiers, tier_stats
+    return tier_stats(quality_tiers(_docs(sf_dir)))
+
+
+def _docs_tier_sample(sf_dir: str):
+    """Stratified deterministic sample: 3 docs per quality tier,
+    ranked by (md5(text), doc_id); the md5 rides along in the label
+    pass so no text join is needed."""
+    from ocr_model_ray.functions.tiers import quality_tiers
+    from ocr_model_ray.functions.topk import grouped_topk
+    labeled = quality_tiers(_docs(sf_dir), with_hash=True)
+    out = grouped_topk(labeled, ["tier"], ["h", "doc_id"], k=3)
+    return out[["tier", "doc_id", "h"]]
+
+
 def _docs_pii_scrub(sf_dir: str):
     from ocr_model_ray.functions.text_stats import pii_scrub_batch
     return _docs(sf_dir).map_batches(pii_scrub_batch, batch_format="pandas")
@@ -1143,6 +1205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_count": _docs_token_count,
         "docs_bpe_token_count": _docs_bpe_token_count,
         "docs_quality": _docs_quality,
+        "docs_quality_tiers": _docs_quality_tiers,
+        "docs_tier_stats": _docs_tier_stats,
+        "docs_tier_sample": _docs_tier_sample,
         "docs_pii_scrub": _docs_pii_scrub,
         "docs_normalize": _docs_normalize,
         "docs_top_tokens": _docs_top_tokens,
@@ -2047,6 +2112,23 @@ def oracle_sql() -> dict[str, str]:
                         ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s'))
                         AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "docs_quality_tiers": f"""
+            SELECT doc_id, n_words, tier FROM ({_quality_tiers_sql()})
+        """,
+        "docs_tier_stats": f"""
+            SELECT tier,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS total_words,
+                   CAST(sum(n_words) AS DOUBLE) / count(*) AS mean_words
+            FROM ({_quality_tiers_sql()})
+            GROUP BY tier
+        """,
+        "docs_tier_sample": f"""
+            SELECT tier, doc_id, md5(text) AS h
+            FROM ({_quality_tiers_sql()})
+            QUALIFY row_number() OVER (
+                PARTITION BY tier ORDER BY md5(text), doc_id) <= 3
         """,
         "docs_quality": """
             SELECT doc_id,
