@@ -73,12 +73,40 @@ def _sf_branch_golden_sql(select: str, base: str) -> str:
 
 
 def _line_dedup_sql(source: str, id_col: str,
-                    min_len: int = 15, min_docs: int = 2) -> str:
+                    min_len: int = 15, min_docs: int = 2,
+                    scope_col: str | None = None) -> str:
     """Independent SQL replay of functions/line_dedup.py semantics
     over any (id, text) source relation: drop every line of >=min_len
     chars shared by >=min_docs distinct docs, rejoin survivors in
     order (SQL counts literal line strings where the engine counts
-    64-bit siphashes — equivalent up to hash collisions)."""
+    64-bit siphashes — equivalent up to hash collisions). With
+    ``scope_col``, 'duplicate' means within documents sharing the
+    scope value (engine: scope hash folded into the line hash)."""
+    if scope_col is not None:
+        return f"""
+        WITH src AS ({source}),
+        ls AS (SELECT {id_col} AS did, {scope_col} AS scope,
+                      string_split(text, chr(10)) AS arr FROM src),
+        lines AS (SELECT did, scope, unnest(arr) AS line,
+                         generate_subscripts(arr, 1) AS pos FROM ls),
+        dup AS (SELECT scope, line FROM (
+                    SELECT scope, line, count(DISTINCT did) AS nd
+                    FROM lines WHERE length(line) >= {min_len}
+                    GROUP BY scope, line)
+                WHERE nd >= {min_docs}),
+        marked AS (SELECT l.did, l.line, l.pos,
+                          (length(l.line) >= {min_len} AND
+                           d.line IS NOT NULL) AS hit
+                   FROM lines l LEFT JOIN dup d
+                     ON d.scope = l.scope AND d.line = l.line)
+        SELECT did AS {id_col},
+               coalesce(string_agg(CASE WHEN hit THEN NULL ELSE line END,
+                                   chr(10) ORDER BY pos), '') AS text,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed
+        FROM marked GROUP BY did
+    """
     return f"""
         WITH src AS ({source}),
         ls AS (SELECT {id_col} AS did,
@@ -322,12 +350,14 @@ def _docs_decontaminate(sf_dir: str):
     return contamination(corpus, grams, n=8)
 
 
-def wrap_tokens_batch(t, width: int = 10):
+def wrap_tokens_batch(t, width: int = 10, keep: tuple = ()):
     """Shared 10-token line wrap (Python side): one batch of
     (doc_id, text) single-line token soups -> ``\\n``-separated
     ``width``-token lines. ``wrap_sql`` is its SQL twin; keep the two
     in lockstep — the soak script and the query suite both import
-    THESE so they verify the identical transform."""
+    THESE so they verify the identical transform. ``keep`` lists extra
+    columns carried through row-aligned (e.g. source for scoped
+    dedup)."""
     import pyarrow as pa
     obj = t["text"].to_numpy(zero_copy_only=False)
     out = [
@@ -335,26 +365,35 @@ def wrap_tokens_batch(t, width: int = 10):
                   for i in range(0, max(len(toks), 1), width))
         for toks in (s.split() for s in obj)
     ]
-    return pa.table({
+    cols = {
         "doc_id": t["doc_id"].combine_chunks()
         if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"],
-        "text": pa.array(out, pa.string())})
+        "text": pa.array(out, pa.string())}
+    for c in keep:
+        col = t[c]
+        cols[c] = (col.combine_chunks()
+                   if isinstance(col, pa.ChunkedArray) else col)
+    return pa.table(cols)
 
 
-def wrap_sql(source: str = "documents", width: int = 10) -> str:
+def wrap_sql(source: str = "documents", width: int = 10,
+             keep: tuple = ()) -> str:
     """SQL twin of ``wrap_tokens_batch`` (DuckDB), parameterized on the
     source relation. Token = ``\\S+`` run (whitespace-class split with
-    empties dropped), matching Python's ``str.split()``."""
+    empties dropped), matching Python's ``str.split()``. ``keep``
+    columns must be constant per doc_id (carried with max())."""
+    keep_out = "".join(f", max({c}) AS {c}" for c in keep)
+    keep_in = "".join(f", {c}" for c in keep)
     return f"""
-        SELECT doc_id, string_agg(
+        SELECT doc_id{keep_out}, string_agg(
                    array_to_string(toks[CAST(i AS BIGINT):
                                         CAST(i + {width - 1} AS BIGINT)], ' '),
                    chr(10) ORDER BY i) AS text
-        FROM (SELECT doc_id,
+        FROM (SELECT doc_id{keep_in},
                      unnest(range(1, greatest(len(toks), 1) + 1,
                                   {width})) AS i,
                      toks
-              FROM (SELECT doc_id,
+              FROM (SELECT doc_id{keep_in},
                            list_filter(string_split_regex(
                                text, '[ \t\n\r\f\v]+'),
                                x -> x <> '') AS toks
@@ -388,6 +427,26 @@ def _docs_line_dedup_dist(sf_dir: str):
     from ocr_model_ray.functions.line_dedup import line_dedup
     return line_dedup(_docs_wrapped(sf_dir), min_docs=2, min_len=15,
                       mode="distributed")
+
+
+def _docs_line_dedup_by_source(sf_dir: str):
+    """RefinedWeb-style per-source boilerplate removal: a line is a
+    duplicate only when it repeats across >=2 docs of the SAME source
+    (cross-source repeats survive). Same plans as line_dedup — the
+    scope hash is folded into the line hash, nothing else changes."""
+    import os
+    from functools import partial
+
+    import ray.data as rd
+
+    from ocr_model_ray.functions.line_dedup import line_dedup
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "source"])
+    wrapped = docs.map_batches(partial(wrap_tokens_batch,
+                                       keep=("source",)),
+                               batch_format="pyarrow")
+    return line_dedup(wrapped, min_docs=2, min_len=15,
+                      scope_col="source")
 
 
 def _docs_line_dedup_summary(sf_dir: str):
@@ -1246,6 +1305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": _events_latest_per_user,
         "docs_line_dedup": _docs_line_dedup,
         "docs_line_dedup_dist": _docs_line_dedup_dist,
+        "docs_line_dedup_by_source": _docs_line_dedup_by_source,
         "docs_line_dedup_summary": _docs_line_dedup_summary,
         "extract_line_dedup": _extract_line_dedup,
         "docs_sequence_pack": _docs_sequence_pack,
@@ -2536,6 +2596,9 @@ def oracle_sql() -> dict[str, str]:
     # the whole transform is independently checked
     _wrap_src = wrap_sql("documents")
     d["docs_line_dedup"] = _line_dedup_sql(_wrap_src, "doc_id")
+    d["docs_line_dedup_by_source"] = _line_dedup_sql(
+        wrap_sql("documents", keep=("source",)), "doc_id",
+        scope_col="source")
     # duplicate-span removal: the oracle counts literal 10-gram strings
     # (engine: rolling 64-bit hashes — equivalent up to collisions) and
     # replays tokenize -> dup grams -> coverage -> rejoin

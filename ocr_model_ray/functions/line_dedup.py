@@ -76,19 +76,50 @@ def _hash_lines(obj: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(obj, categorize=False).astype(np.uint64)
 
 
+#: odd multiplier (splitmix64's golden-ratio constant) mixing the
+#: scope hash into the line hash — the product wraps mod 2^64, so the
+#: combined key is as collision-resistant as the inputs
+_SCOPE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _scope_hashes(t: pa.Table, scope_col: str) -> np.ndarray:
+    """Per-ROW scope hashes (uint64) for one batch; nulls hash as ''."""
+    col = t[scope_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = pc.fill_null(col, "").to_numpy(zero_copy_only=False)
+    if vals.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(vals, categorize=False).astype(np.uint64)
+
+
+def _combine_scope(h: np.ndarray, hs_rows: np.ndarray,
+                   par: np.ndarray) -> np.ndarray:
+    """Fold each line's parent-row scope hash into its line hash, so
+    'duplicate' means duplicate WITHIN a scope (e.g. per source/host);
+    everything downstream (counting, broadcast set, joins) is
+    unchanged — the key is just finer."""
+    return h ^ (hs_rows[par] * _SCOPE_MIX)
+
+
 def dup_line_counts(ds: rd.Dataset, text_col: str = "text",
                     min_len: int = 15,
-                    num_buckets: int = 64) -> rd.Dataset:
+                    num_buckets: int = 64,
+                    scope_col: str | None = None) -> rd.Dataset:
     """Distinct-document counts per line hash: Dataset of
     (h:int64 [uint64 view], n_docs:int64) for lines >= ``min_len``
     chars. Combiner pattern: per-batch distinct-(doc, hash) partials,
-    then one bucketed 8-byte-row exchange — text never shuffles."""
+    then one bucketed 8-byte-row exchange — text never shuffles.
+    With ``scope_col``, the key is (scope, line) — a line counts as
+    duplicated only within documents sharing the scope value."""
     from .bucketed import bucketed_agg
 
     def partial(t: pa.Table) -> pa.Table:
         obj, par, lens = _explode_lines(t, text_col)
         elig = lens >= min_len
         h, p = _hash_lines(obj[elig]), par[elig]
+        if scope_col is not None and h.size:
+            h = _combine_scope(h, _scope_hashes(t, scope_col), p)
         if h.size == 0:
             return pa.table({"h": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
@@ -119,7 +150,8 @@ BROADCAST_MAX_HASHES = 50_000_000
 def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                text_col: str = "text", min_docs: int = 2,
                min_len: int = 15, mode: str = "auto",
-               num_buckets: int = 64) -> rd.Dataset:
+               num_buckets: int = 64,
+               scope_col: str | None = None) -> rd.Dataset:
     """Remove every line shared by >= ``min_docs`` documents.
 
     Output: (id_col, text [rewritten], n_lines, n_removed) — one row
@@ -127,9 +159,13 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     set (8-byte rows, cheap) and broadcasts it when it fits
     (``BROADCAST_MAX_HASHES``), else runs the distributed plan;
     'broadcast'/'distributed' force a plan. Plans per module
-    docstring."""
+    docstring. ``scope_col`` narrows 'duplicate' to within-scope
+    (RefinedWeb-style per-host boilerplate removal: a disclaimer
+    repeated across one site's pages dies, the same sentence appearing
+    once on each of two sites survives)."""
     counts = dup_line_counts(ds, text_col=text_col, min_len=min_len,
-                             num_buckets=num_buckets)
+                             num_buckets=num_buckets,
+                             scope_col=scope_col)
 
     def only_dups(t: pa.Table) -> pa.Table:
         # the __dup marker is built HERE (not a second map) because a
@@ -157,7 +193,8 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
 
     if mode == "distributed":
         return _line_dedup_distributed(ds, dup_ds, id_col, text_col,
-                                       min_len, num_buckets)
+                                       min_len, num_buckets,
+                                       scope_col=scope_col)
 
     dup_pdf = dup_ds.to_pandas()
     if dup_pdf.empty or "h" not in dup_pdf.columns:
@@ -173,6 +210,8 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
         dup = ray.get(ref)
         obj, par, lens = _explode_lines(t, text_col)
         h = _hash_lines(obj)
+        if scope_col is not None and h.size:
+            h = _combine_scope(h, _scope_hashes(t, scope_col), par)
         hit = lens >= min_len
         if dup.size and h.size:
             idx = np.searchsorted(dup, h)
@@ -203,7 +242,8 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
 
 def _line_dedup_distributed(ds: rd.Dataset, dup_ds: rd.Dataset,
                             id_col: str, text_col: str, min_len: int,
-                            num_buckets: int) -> rd.Dataset:
+                            num_buckets: int,
+                            scope_col: str | None = None) -> rd.Dataset:
     """No-driver-state plan: explode -> semi-mark join on line hash ->
     re-bucket by doc -> reassemble. Two text exchanges, zero driver
     materialization (the dup-hash side never leaves the cluster)."""
@@ -213,6 +253,8 @@ def _line_dedup_distributed(ds: rd.Dataset, dup_ds: rd.Dataset,
     def explode(t: pa.Table) -> pa.Table:
         obj, par, lens = _explode_lines(t, text_col)
         h = _hash_lines(obj)
+        if scope_col is not None and h.size:
+            h = _combine_scope(h, _scope_hashes(t, scope_col), par)
         ids = t[id_col].to_numpy(zero_copy_only=False)
         # par is non-decreasing (flatten order is doc-major), so each
         # doc's first line sits at searchsorted(par, doc)

@@ -140,3 +140,30 @@ def test_dup_line_counts_distinct_doc_semantics():
     })
     counts = dup_line_counts(rd.from_pandas(docs), min_len=15).to_pandas()
     assert sorted(counts["n_docs"].tolist()) == [1, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("mode", ["broadcast", "distributed"])
+def test_scope_col_per_source_semantics(mode):
+    # the boilerplate repeats within source A (dies) AND once on each
+    # of A and B (survives there: cross-source repeats are not
+    # within-scope duplicates)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "source": ["A", "A", "B"],
+        "text": [f"{BOILER}\nunique alpha line of text",
+                 f"{BOILER}\nunique beta line of text",
+                 f"{BOILER}\nunique gamma line of text"],
+    })
+    out = (line_dedup(rd.from_pandas(docs), min_docs=2, min_len=15,
+                      mode=mode, scope_col="source")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["text"].tolist() == ["unique alpha line of text",
+                                    "unique beta line of text",
+                                    f"{BOILER}\nunique gamma line of text"]
+    assert out["n_removed"].tolist() == [1, 1, 0]
+    # without the scope, all three copies die
+    flat = (line_dedup(rd.from_pandas(docs), min_docs=2, min_len=15,
+                       mode=mode)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert flat["n_removed"].tolist() == [1, 1, 1]
