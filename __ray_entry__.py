@@ -933,6 +933,30 @@ def _docs_tier_sample(sf_dir: str):
     return out[["tier", "doc_id", "h"]]
 
 
+def _docs_src(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "source"])
+
+
+def _docs_source_mix_weights(sf_dir: str):
+    """Domain-mixture weights toward a uniform target: per-block
+    (source, docs, tokens) partials -> one bucketed exchange -> tiny
+    per-source frame with token_share and weight."""
+    from ocr_model_ray.functions.mixing import source_mix_weights
+    return source_mix_weights(_docs_src(sf_dir))
+
+
+def _docs_mix_rebalance(sf_dir: str):
+    """Realize the uniform-target mixing weights as a deterministic
+    content-hash downsample (keep iff md5(text)[:8] < floor(min(w,1)
+    * 2^32)); weights ride the closure as a few ints per source."""
+    from ocr_model_ray.functions.mixing import (mix_rebalance,
+                                                source_mix_weights)
+    docs = _docs_src(sf_dir)
+    return mix_rebalance(docs, source_mix_weights(docs))
+
+
 def _docs_pii_scrub(sf_dir: str):
     from ocr_model_ray.functions.text_stats import pii_scrub_batch
     return _docs(sf_dir).map_batches(pii_scrub_batch, batch_format="pandas")
@@ -1267,6 +1291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_tiers": _docs_quality_tiers,
         "docs_tier_stats": _docs_tier_stats,
         "docs_tier_sample": _docs_tier_sample,
+        "docs_source_mix_weights": _docs_source_mix_weights,
+        "docs_mix_rebalance": _docs_mix_rebalance,
         "docs_pii_scrub": _docs_pii_scrub,
         "docs_normalize": _docs_normalize,
         "docs_top_tokens": _docs_top_tokens,
@@ -2189,6 +2215,47 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_quality_tiers_sql()})
             QUALIFY row_number() OVER (
                 PARTITION BY tier ORDER BY md5(text), doc_id) <= 3
+        """,
+        # mixing weights: op order on doubles shared verbatim with
+        # functions/mixing.py ((1.0/ns) / (n_tokens_double/total))
+        "docs_source_mix_weights": """
+            WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                              CAST(sum(coalesce(len(regexp_extract_all(
+                                   text, '\\S+')), 0)) AS BIGINT)
+                                  AS n_tokens
+                       FROM documents GROUP BY source),
+            t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+                         count(*) AS ns FROM s)
+            SELECT source, n_docs, n_tokens,
+                   CAST(n_tokens AS DOUBLE) / t.total AS token_share,
+                   CASE WHEN n_tokens = 0 THEN 0.0
+                        ELSE (1.0 / t.ns)
+                             / (CAST(n_tokens AS DOUBLE) / t.total)
+                   END AS weight
+            FROM s, t
+        """,
+        "docs_mix_rebalance": """
+            WITH s AS (SELECT source,
+                              CAST(sum(coalesce(len(regexp_extract_all(
+                                   text, '\\S+')), 0)) AS BIGINT)
+                                  AS n_tokens
+                       FROM documents GROUP BY source),
+            t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+                         count(*) AS ns FROM s),
+            w AS (SELECT source,
+                         CASE WHEN n_tokens = 0 THEN 0.0
+                              ELSE (1.0 / t.ns)
+                                   / (CAST(n_tokens AS DOUBLE) / t.total)
+                         END AS weight
+                  FROM s, t),
+            thr AS (SELECT source,
+                           CAST(floor(least(weight, 1.0) * 4294967296.0)
+                                AS BIGINT) AS cut
+                    FROM w)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN thr USING (source)
+            WHERE CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT)
+                  < thr.cut
         """,
         "docs_quality": """
             SELECT doc_id,

@@ -244,6 +244,37 @@ def main() -> int:
     ops["line_dedup"] = (_run_line_dedup,
                          _em._line_dedup_sql(_wrap_src, "doc_id"))
 
+    def _run_line_dedup_by_source():
+        """Scoped (per-source) variant at volume: a synthetic
+        source = 's<doc_id % 500>' splits each replica's dup groups
+        across 500 scopes; forced distributed plan."""
+        import pyarrow as pa
+        from ocr_model_ray.functions.line_dedup import line_dedup
+
+        def add_source(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            src = ["s" + str(i % 500)
+                   for i in ids.to_numpy(zero_copy_only=False)]
+            return t.append_column("source", pa.array(src, pa.string()))
+
+        from functools import partial
+        wrapped = (fresh().map_batches(add_source, batch_format="pyarrow")
+                   .map_batches(partial(_wrap, keep=("source",)),
+                                batch_format="pyarrow"))
+        return line_dedup(wrapped, min_docs=2, min_len=15,
+                          mode="distributed",
+                          scope_col="source").to_pandas()
+
+    _src_rel = ("(SELECT doc_id, text, "
+                "'s' || CAST(doc_id % 500 AS VARCHAR) AS source "
+                "FROM documents)")
+    ops["line_dedup_by_source"] = (
+        _run_line_dedup_by_source,
+        _em._line_dedup_sql(_em.wrap_sql(_src_rel, keep=("source",)),
+                            "doc_id", scope_col="source"))
+
     def _run_span_dedup():
         """Custom check (the gram-string SQL oracle OOMs DuckDB above
         ~100k docs): replicas are token-salted bijections of the base
@@ -319,7 +350,12 @@ def main() -> int:
                    # exercises canonicalize + the bucketed exchange,
                    # latest_snapshot the argmax combiner, at volume
                    "url_dedup", "url_latest_snapshot",
-                   "url_host_quality_filter", "url_crawl_diff"]
+                   "url_host_quality_filter", "url_crawl_diff",
+                   # quality tiers: the histogram cuts + label passes
+                   # need only (doc_id, text); at 1.25M docs the cut
+                   # derivation still collects <=4096 counters
+                   "docs_quality_tiers", "docs_tier_stats",
+                   "docs_tier_sample"]
     # (docs_group_tfidf needs the lang column the salted soak corpus
     # doesn't carry; its token-bucket exchange is covered by the
     # top_tokens/vocab ops above)
