@@ -957,6 +957,13 @@ def _docs_mix_rebalance(sf_dir: str):
     return mix_rebalance(docs, source_mix_weights(docs))
 
 
+def _docs_posting_lists(sf_dir: str):
+    """Inverted-index build: distinct (doc, token) pairs bucketed by
+    token hash, df resolved and band-filtered inside each bucket."""
+    from ocr_model_ray.functions.inverted_index import inverted_postings
+    return inverted_postings(_docs(sf_dir), min_df=2, max_df=390)
+
+
 def _docs_pii_scrub(sf_dir: str):
     from ocr_model_ray.functions.text_stats import pii_scrub_batch
     return _docs(sf_dir).map_batches(pii_scrub_batch, batch_format="pandas")
@@ -1293,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tier_sample": _docs_tier_sample,
         "docs_source_mix_weights": _docs_source_mix_weights,
         "docs_mix_rebalance": _docs_mix_rebalance,
+        "docs_posting_lists": _docs_posting_lists,
         "docs_pii_scrub": _docs_pii_scrub,
         "docs_normalize": _docs_normalize,
         "docs_top_tokens": _docs_top_tokens,
@@ -2215,6 +2223,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_quality_tiers_sql()})
             QUALIFY row_number() OVER (
                 PARTITION BY tier ORDER BY md5(text), doc_id) <= 3
+        """,
+        # inverted-index build: distinct (doc, token) pairs, global
+        # df per token, df band [2, 390] filters stop-tokens
+        "docs_posting_lists": f"""
+            WITH tok AS (SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id, unnest(list_filter(
+                        string_split_regex(text, '[ \t\n\r\f\v]+'),
+                        x -> x <> '')) AS token
+                    FROM documents)),
+            d AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                  FROM tok GROUP BY token)
+            SELECT t.token, d.df, t.doc_id
+            FROM tok t JOIN d USING (token)
+            WHERE d.df BETWEEN 2 AND 390
         """,
         # mixing weights: op order on doubles shared verbatim with
         # functions/mixing.py ((1.0/ns) / (n_tokens_double/total))
