@@ -939,6 +939,13 @@ def _docs_src(sf_dir: str):
                            columns=["doc_id", "text", "source"])
 
 
+def _docs_length_percent_rank(sf_dir: str):
+    """Exact global PERCENT_RANK by clamped word count from the
+    bounded integer histogram — the no-sort global window."""
+    from ocr_model_ray.functions.tiers import length_percent_rank
+    return length_percent_rank(_docs(sf_dir))
+
+
 def _docs_source_mix_weights(sf_dir: str):
     """Domain-mixture weights toward a uniform target: per-block
     (source, docs, tokens) partials -> one bucketed exchange -> tiny
@@ -1301,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_mix_weights": _docs_source_mix_weights,
         "docs_mix_rebalance": _docs_mix_rebalance,
         "docs_posting_lists": _docs_posting_lists,
+        "docs_length_percent_rank": _docs_length_percent_rank,
         "docs_pii_scrub": _docs_pii_scrub,
         "docs_normalize": _docs_normalize,
         "docs_top_tokens": _docs_top_tokens,
@@ -2223,6 +2231,17 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_quality_tiers_sql()})
             QUALIFY row_number() OVER (
                 PARTITION BY tier ORDER BY md5(text), doc_id) <= 3
+        """,
+        # exact global window: PERCENT_RANK over the clamped word
+        # count; peer ties share the rank (engine: histogram ranks)
+        "docs_length_percent_rank": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+'))
+                        AS BIGINT) AS n_words,
+                   percent_rank() OVER (
+                       ORDER BY least(CAST(len(regexp_extract_all(
+                           text, '\\S+')) AS BIGINT), 4095)) AS pr
+            FROM documents
         """,
         # inverted-index build: distinct (doc, token) pairs, global
         # df per token, df band [2, 390] filters stop-tokens

@@ -136,6 +136,67 @@ def quality_tiers(ds: rd.Dataset, id_col: str = "doc_id",
     return ds.map_batches(label, batch_format="pyarrow")
 
 
+def length_percent_rank(ds: rd.Dataset, id_col: str = "doc_id",
+                        text_col: str = "text", cap: int = SCORE_CAP,
+                        mode: str = "auto") -> rd.Dataset:
+    """Exact global SQL PERCENT_RANK() of every doc by (clamped) word
+    count — the window function that naively needs a full sort of the
+    corpus, computed instead from the same bounded integer histogram
+    as the tier cuts: peer-first rank(s) = cum_before(s), so
+    ``pr = cum_before(clamp(score)) / (N - 1)`` (0.0 when N <= 1).
+    Docs above ``cap`` share the top peer group (the documented clamp
+    trade-off). One histogram pass + one label pass; no sort.
+
+    Output: (id_col, n_words:int64 [unclamped], pr:float64)."""
+    from .dedup_algos import _resolve_mode
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = np.minimum(_word_counts(t, text_col), cap)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table({"s": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    if _resolve_mode(ds, mode) == "local":
+        merged = partials.to_pandas()
+        if merged.empty or "s" not in merged.columns:
+            merged = pd.DataFrame({"s": [], "n": []})
+        merged = merged.groupby("s", as_index=False)["n"].sum()
+    else:
+        from ray.data.aggregate import Sum
+        merged = (partials.groupby("s")
+                  .aggregate(Sum("n", alias_name="n")).to_pandas())
+    cum_before = np.zeros(cap + 1, dtype=np.float64)
+    total = 0
+    if not merged.empty:
+        merged = merged.sort_values("s")
+        sv = merged["s"].to_numpy()
+        nv = merged["n"].to_numpy()
+        total = int(nv.sum())
+        cb = np.concatenate([[0], np.cumsum(nv)[:-1]])
+        cum_before[sv] = cb
+        # propagate: scores between observed values rank above all
+        # smaller observed scores (no such docs exist, but keep the
+        # array monotone for safety)
+        cum_before = np.maximum.accumulate(cum_before)
+    denom = float(total - 1)
+
+    def label(t: pa.Table) -> pa.Table:
+        n = _word_counts(t, text_col)
+        s = np.minimum(n, cap)
+        pr = (cum_before[s] / denom if total > 1
+              else np.zeros(len(n), dtype=np.float64))
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({id_col: ids,
+                         "n_words": pa.array(n),
+                         "pr": pa.array(pr, pa.float64())})
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
 def tier_stats(tiers: rd.Dataset) -> pd.DataFrame:
     """Per-tier corpus stats over a quality_tiers output: (tier,
     n_docs, total_words, mean_words). Bounded key domain (<= 4 tiers)

@@ -95,3 +95,32 @@ def test_null_text_counts_zero(ray_session):
     out = (quality_tiers(rd.from_pandas(df)).to_pandas()
            .sort_values("doc_id"))
     assert list(out["n_words"]) == [0, 3]
+
+
+def test_percent_rank_ties_share_rank(ray_session):
+    from ocr_model_ray.functions.tiers import length_percent_rank
+    # scores [2, 2, 5, 9]: peer-first ranks 0,0,2,3 over N-1=3
+    out = (length_percent_rank(_docs_ds([2, 2, 5, 9], 2)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    np.testing.assert_array_equal(out["pr"],
+                                  [0.0, 0.0, 2 / 3, 3 / 3])
+
+
+def test_percent_rank_single_and_empty(ray_session):
+    from ocr_model_ray.functions.tiers import length_percent_rank
+    one = length_percent_rank(_docs_ds([7])).to_pandas()
+    assert one["pr"].tolist() == [0.0]
+    empty = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.array([], dtype="int64"),
+        "text": pd.array([], dtype="string")}))
+    assert len(length_percent_rank(empty).to_pandas()) == 0
+
+
+def test_percent_rank_partitioning_independence(ray_session):
+    from ocr_model_ray.functions.tiers import length_percent_rank
+    words = list(np.random.default_rng(3).integers(0, 50, size=120))
+    a = (length_percent_rank(_docs_ds(words, 1)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (length_percent_rank(_docs_ds(words, 8)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
