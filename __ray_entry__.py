@@ -939,6 +939,14 @@ def _docs_src(sf_dir: str):
                            columns=["doc_id", "text", "source"])
 
 
+def _docs_gopher_flags(sf_dir: str):
+    """Gopher rule panel (word-count/word-length/alpha/symbol/stopword
+    rules + combined keep) — stateless vectorized map."""
+    from ocr_model_ray.functions.text_stats import gopher_flags_batch
+    return _docs(sf_dir).map_batches(gopher_flags_batch,
+                                     batch_format="pandas")
+
+
 def _docs_length_percent_rank(sf_dir: str):
     """Exact global PERCENT_RANK by clamped word count from the
     bounded integer histogram — the no-sort global window."""
@@ -1309,6 +1317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mix_rebalance": _docs_mix_rebalance,
         "docs_posting_lists": _docs_posting_lists,
         "docs_length_percent_rank": _docs_length_percent_rank,
+        "docs_gopher_flags": _docs_gopher_flags,
         "docs_pii_scrub": _docs_pii_scrub,
         "docs_normalize": _docs_normalize,
         "docs_top_tokens": _docs_top_tokens,
@@ -2231,6 +2240,53 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_quality_tiers_sql()})
             QUALIFY row_number() OVER (
                 PARTITION BY tier ORDER BY md5(text), doc_id) <= 3
+        """,
+        # Gopher rule panel: same double divisions (int->double cast
+        # then divide by greatest(n,1)) as gopher_flags_batch
+        "docs_gopher_flags": """
+            WITH base AS (SELECT doc_id, coalesce(text, '') AS text
+                          FROM documents),
+            w AS (SELECT doc_id, text,
+                         list_filter(string_split_regex(text,
+                             '[ \t\n\r\f\v]+'), x -> x <> '') AS toks
+                  FROM base),
+            m AS (SELECT doc_id,
+                         CAST(len(toks) AS BIGINT) AS n_words,
+                         CAST(coalesce(list_sum(list_transform(toks,
+                              x -> length(x))), 0) AS BIGINT) AS total_chars,
+                         CAST(len(list_filter(toks, x ->
+                              regexp_matches(x, '[A-Za-z]')))
+                              AS BIGINT) AS n_alpha,
+                         CAST(len(regexp_extract_all(text, '#'))
+                              + len(regexp_extract_all(text, '\\.\\.\\.'))
+                              AS BIGINT) AS n_sym,
+                         CAST(len(list_intersect(list_distinct(toks),
+                              ['the','and','of','to','in','a','is','for']))
+                              AS BIGINT) AS n_stopwords
+                  FROM w),
+            f AS (SELECT doc_id, n_words,
+                         CAST(total_chars AS DOUBLE)
+                             / greatest(n_words, 1) AS mean_word_len,
+                         CAST(n_alpha AS DOUBLE)
+                             / greatest(n_words, 1) AS alpha_word_frac,
+                         CAST(n_sym AS DOUBLE)
+                             / greatest(n_words, 1) AS symbol_word_ratio,
+                         n_stopwords
+                  FROM m),
+            x AS (SELECT *,
+                         (n_words >= 50 AND n_words <= 100000) AS r_count,
+                         (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                             AS r_wlen,
+                         alpha_word_frac >= 0.8 AS r_alpha,
+                         symbol_word_ratio <= 0.1 AS r_symbol,
+                         n_stopwords >= 2 AS r_stop
+                  FROM f)
+            SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+                   symbol_word_ratio, n_stopwords,
+                   r_count, r_wlen, r_alpha, r_symbol, r_stop,
+                   (r_count AND r_wlen AND r_alpha AND r_symbol
+                    AND r_stop) AS keep
+            FROM x
         """,
         # exact global window: PERCENT_RANK over the clamped word
         # count; peer ties share the rank (engine: histogram ranks)

@@ -182,6 +182,61 @@ def repetition_batch(df: pd.DataFrame,
     })
 
 
+#: small fixed English stopword probe shared with the SQL oracle
+#: (Gopher requires >= 2 distinct "stop words" present)
+GOPHER_STOPWORDS = ("the", "and", "of", "to", "in", "a", "is", "for")
+
+
+def gopher_flags_batch(df: pd.DataFrame,
+                       text_col: str = "text") -> pd.DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1) not already covered
+    by quality/repetition: word-count bounds, mean-word-length bounds,
+    alphabetic-word fraction, symbol-to-word ratio, stopword presence —
+    plus the combined ``keep`` verdict. Null text is treated as ''
+    (both sides coalesce), so every row gets a concrete verdict.
+
+    Rules (flags are True when the rule PASSES):
+      r_count:  50 <= n_words <= 100000
+      r_wlen:   3.0 <= mean word length <= 10.0
+      r_alpha:  >= 0.8 of words contain an ASCII letter
+      r_symbol: (#'#' + #'...') / n_words <= 0.1
+      r_stop:   >= 2 distinct probe stopwords present as tokens
+    """
+    text = df[text_col].fillna("")
+    words = text.str.strip().str.split()
+    n_words = words.str.len().fillna(0).astype("int64")
+    n_words[text.str.strip() == ""] = 0
+    denom = n_words.clip(lower=1)
+    total_chars = words.map(lambda ws: sum(len(w) for w in ws)
+                            if isinstance(ws, list) else 0)
+    mean_wlen = total_chars / denom
+    alpha_re = re.compile(r"[A-Za-z]")
+    n_alpha = words.map(lambda ws: sum(1 for w in ws if alpha_re.search(w))
+                        if isinstance(ws, list) else 0)
+    alpha_frac = n_alpha / denom
+    n_sym = (text.str.count("#") + text.str.count(r"\.\.\.")).astype("int64")
+    sym_ratio = n_sym / denom
+    stop = set(GOPHER_STOPWORDS)
+    n_stop = words.map(lambda ws: len(stop & set(ws))
+                       if isinstance(ws, list) else 0).astype("int64")
+    r_count = (n_words >= 50) & (n_words <= 100000)
+    r_wlen = (mean_wlen >= 3.0) & (mean_wlen <= 10.0)
+    r_alpha = alpha_frac >= 0.8
+    r_symbol = sym_ratio <= 0.1
+    r_stop = n_stop >= 2
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].astype("int64"),
+        "n_words": n_words,
+        "mean_word_len": mean_wlen,
+        "alpha_word_frac": alpha_frac,
+        "symbol_word_ratio": sym_ratio,
+        "n_stopwords": n_stop,
+        "r_count": r_count, "r_wlen": r_wlen, "r_alpha": r_alpha,
+        "r_symbol": r_symbol, "r_stop": r_stop,
+        "keep": r_count & r_wlen & r_alpha & r_symbol & r_stop,
+    })
+
+
 class LangIdWorker:
     """Actor-pool language-ID (stopword-hit heuristic). State (compiled
     token pattern, stopword tables) built once per actor."""

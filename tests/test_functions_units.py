@@ -1238,3 +1238,26 @@ def test_bucketed_argmax_partitioning_independent():
          .to_pandas().sort_values("k").reset_index(drop=True))
     assert (a[["k", "ord", "id"]].values
             == b[["k", "ord", "id"]].values).all()
+
+
+def test_gopher_flags_rules():
+    import pandas as pd
+
+    from ocr_model_ray.functions.text_stats import gopher_flags_batch
+    good = " ".join(["the and of to word123"] * 12)  # 60 words, stopwords
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [good,
+                 "short doc",                      # fails r_count
+                 " ".join(["####"] * 60),           # fails alpha+symbol+stop
+                 None],                             # '' -> fails r_count
+    })
+    out = gopher_flags_batch(df)
+    assert out["keep"].tolist() == [True, False, False, False]
+    assert out.loc[1, "r_count"] == False  # noqa: E712
+    assert out.loc[2, "r_alpha"] == False  # noqa: E712
+    assert out.loc[2, "r_symbol"] == False  # noqa: E712
+    assert out.loc[2, "r_stop"] == False  # noqa: E712
+    assert out.loc[3, "n_words"] == 0
+    # mean word len of good doc: (3+3+2+2+7)/5 = 3.4 -> passes
+    assert abs(out.loc[0, "mean_word_len"] - 3.4) < 1e-12
