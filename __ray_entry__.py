@@ -939,6 +939,20 @@ def _docs_src(sf_dir: str):
                            columns=["doc_id", "text", "source"])
 
 
+def _docs_source_vocab(sf_dir: str):
+    """Per-source distinct-token counts through one pair-bucketed
+    exchange (the per-domain vocabulary size panel)."""
+    from ocr_model_ray.functions.corpus_stats import source_vocab
+    return source_vocab(_docs_src(sf_dir))
+
+
+def _docs_doc_tfidf(sf_dir: str):
+    """Per-doc top-2 tf-idf terms: token-bucketed df join + doc-
+    bucketed top-k, streaming end to end."""
+    from ocr_model_ray.functions.corpus_stats import doc_top_tfidf
+    return doc_top_tfidf(_docs(sf_dir), k=2)
+
+
 def _docs_gopher_flags(sf_dir: str):
     """Gopher rule panel (word-count/word-length/alpha/symbol/stopword
     rules + combined keep) — stateless vectorized map."""
@@ -1318,6 +1332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_posting_lists": _docs_posting_lists,
         "docs_length_percent_rank": _docs_length_percent_rank,
         "docs_gopher_flags": _docs_gopher_flags,
+        "docs_source_vocab": _docs_source_vocab,
+        "docs_doc_tfidf": _docs_doc_tfidf,
         "docs_pii_scrub": _docs_pii_scrub,
         "docs_normalize": _docs_normalize,
         "docs_top_tokens": _docs_top_tokens,
@@ -2240,6 +2256,36 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_quality_tiers_sql()})
             QUALIFY row_number() OVER (
                 PARTITION BY tier ORDER BY md5(text), doc_id) <= 3
+        """,
+        # per-doc tf-idf lift: same double op order as doc_top_tfidf
+        # ((tf*1.0)*N)/df; ties broken token-ascending
+        "docs_doc_tfidf": """
+            WITH tok AS (SELECT doc_id, unnest(list_filter(
+                             string_split_regex(text,
+                                 '[ \t\n\r\f\v]+'),
+                             x -> x <> '')) AS token
+                         FROM documents),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            d AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                  FROM tf GROUP BY token),
+            nd AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.token, tf.tf, d.df,
+                         (tf.tf * 1.0 * nd.n) / d.df AS score
+                  FROM tf JOIN d USING (token), nd)
+            SELECT doc_id, token, tf, df, score FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, token ASC) AS rn FROM s)
+            WHERE rn <= 2
+        """,
+        "docs_source_vocab": """
+            SELECT source, CAST(count(DISTINCT token) AS BIGINT)
+                       AS n_distinct_tokens
+            FROM (SELECT source, unnest(list_filter(string_split_regex(
+                      text, '[ \t\n\r\f\v]+'), x -> x <> '')) AS token
+                  FROM documents)
+            GROUP BY source
         """,
         # Gopher rule panel: same double divisions (int->double cast
         # then divide by greatest(n,1)) as gopher_flags_batch

@@ -912,3 +912,129 @@ def group_tfidf(ds: rd.Dataset, group_col: str = "lang", k: int = 10,
         return _empty_tfidf
     out["n"] = out["n"].astype("int64")
     return out[[group_col, "token", "n", "score"]]
+
+
+def source_vocab(ds: rd.Dataset, source_col: str = "source",
+                 text_col: str = "text",
+                 num_buckets: int = 64) -> pd.DataFrame:
+    """Exact distinct-token count per source (per-domain vocabulary):
+    per-block-distinct (source, token) pairs go through ONE bucketed
+    exchange keyed on the pair; each pair lives in exactly one bucket,
+    so per-bucket distinct counts sum exactly — the driver merges one
+    tiny (source, n) row per (bucket x source). The high-cardinality
+    side (tokens) never groups globally."""
+    from .bucketed import _bucket_ids
+
+    def pairs(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(t[text_col], WS_SPLIT)
+        flat = pc.list_flatten(lists)
+        par = pc.list_parent_indices(lists).to_numpy().astype(np.int64)
+        tok = flat.to_numpy(zero_copy_only=False)
+        src_col = t[source_col]
+        if isinstance(src_col, pa.ChunkedArray):
+            src_col = src_col.combine_chunks()
+        src = src_col.to_numpy(zero_copy_only=False)
+        keep = tok != ""
+        df = pd.DataFrame({source_col: src[par[keep]],
+                           "token": tok[keep]}).drop_duplicates()
+        tbl = pa.table({source_col: pa.array(df[source_col].to_numpy(),
+                                             pa.string()),
+                        "token": pa.array(df["token"].to_numpy(),
+                                          pa.string())})
+        return tbl.append_column(
+            "__b", _bucket_ids(tbl, [source_col, "token"], num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates([source_col, "token"])
+        out = d.groupby(source_col, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    parts = (ds.map_batches(pairs, batch_format="pyarrow")
+             .groupby("__b").map_groups(per_bucket,
+                                        batch_format="pandas"))
+    pdf = parts.to_pandas()
+    if pdf.empty or source_col not in pdf.columns:
+        return pd.DataFrame({source_col: pd.Series([], dtype="object"),
+                             "n_distinct_tokens": pd.Series([],
+                                                            dtype="int64")})
+    out = (pdf.groupby(source_col, as_index=False)["n"].sum()
+           .rename(columns={"n": "n_distinct_tokens"}))
+    out["n_distinct_tokens"] = out["n_distinct_tokens"].astype("int64")
+    return out
+
+
+def doc_top_tfidf(ds: rd.Dataset, k: int = 2, id_col: str = "doc_id",
+                  text_col: str = "text", num_buckets: int = 64,
+                  n_docs: int | None = None) -> rd.Dataset:
+    """Top-k tf-idf terms PER DOCUMENT (keyword extraction):
+    ``score = tf * N / df`` (lift form, shared with group_tfidf; no
+    log so the doubles replay exactly in SQL). Fully streaming: the
+    (doc, token, tf) triples take ONE token-bucketed join against the
+    token dfs, then ONE doc-bucketed reduce does the per-doc top-k —
+    no per-doc frame ever collects on the driver (unlike grouped_topk,
+    whose driver merge holds k x groups rows).
+
+    Output Dataset: (id_col, token, tf:int64, df:int64,
+    score:float64), <=k rows per doc, ties broken token-ascending."""
+    from .bucketed import _bucket_ids, bucketed_agg
+    from .joins import hash_bucket_join
+
+    if n_docs is None:
+        n_docs = ds.count()
+    n_f = float(n_docs)
+
+    def triples(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(t[text_col], WS_SPLIT)
+        flat = pc.list_flatten(lists)
+        par = pc.list_parent_indices(lists).to_numpy().astype(np.int64)
+        tok = flat.to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = tok != ""
+        df = (pd.DataFrame({id_col: ids[par[keep]], "token": tok[keep]})
+              .groupby([id_col, "token"], as_index=False, sort=False)
+              .size().rename(columns={"size": "tf"}))
+        return pa.table({id_col: pa.array(df[id_col].to_numpy(),
+                                          pa.int64()),
+                         "token": pa.array(df["token"].to_numpy(),
+                                           pa.string()),
+                         "tf": pa.array(df["tf"].to_numpy()
+                                        .astype(np.int64))})
+
+    trip = ds.map_batches(triples, batch_format="pyarrow")
+
+    def ones(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "token" not in t.column_names:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"token": t["token"],
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    # df(token) = #docs containing it == #triple rows per token
+    dfs = bucketed_agg(trip.map_batches(ones, batch_format="pyarrow"),
+                       "token", {"df": ("n", "sum")},
+                       num_buckets=num_buckets)
+    joined = hash_bucket_join(trip, dfs, on="token", how="inner",
+                              num_buckets=num_buckets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = tf * 1.0 * n_f / dfv  # same op order as the oracle
+        t = t.append_column("score", pa.array(score, pa.float64()))
+        return t.replace_schema_metadata(None).append_column(
+            "__db", _bucket_ids(t, [id_col], num_buckets))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values([id_col, "score", "token"],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+               .groupby(id_col, sort=False).head(k))
+        cols = [id_col, "token", "tf", "df", "score"]
+        out = out[cols].copy()
+        out["tf"] = out["tf"].astype("int64")
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    return (joined.map_batches(tag, batch_format="pyarrow")
+            .groupby("__db").map_groups(per_bucket,
+                                        batch_format="pandas"))

@@ -355,7 +355,8 @@ def main() -> int:
                    # need only (doc_id, text); at 1.25M docs the cut
                    # derivation still collects <=4096 counters
                    "docs_quality_tiers", "docs_tier_stats",
-                   "docs_tier_sample"]
+                   "docs_tier_sample", "docs_length_percent_rank",
+                   "docs_gopher_flags", "docs_posting_lists"]
     # (docs_group_tfidf needs the lang column the salted soak corpus
     # doesn't carry; its token-bucket exchange is covered by the
     # top_tokens/vocab ops above)

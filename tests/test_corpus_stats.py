@@ -296,3 +296,53 @@ def test_corpus_ops_empty_corpus_typed_results():
             ["w1", "w2", "n_pair", "lift"]
         assert list(group_tfidf(ds, mode="distributed").columns) == \
             ["lang", "token", "n", "score"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_vocab_exact():
+    import ray.data as rd
+
+    from ocr_model_ray.functions.corpus_stats import source_vocab
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "source": ["a", "a", "b"],
+        "text": ["x y x", "y z", "x q"],
+    })
+    out = (source_vocab(rd.from_pandas(df).repartition(2))
+           .sort_values("source").reset_index(drop=True))
+    assert out["source"].tolist() == ["a", "b"]
+    assert out["n_distinct_tokens"].tolist() == [3, 2]  # a:{x,y,z} b:{x,q}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_top_tfidf_hand_computed():
+    import ray.data as rd
+
+    from ocr_model_ray.functions.corpus_stats import doc_top_tfidf
+    # N=2 docs. doc0: rare rare common -> tf(rare)=2 df=1 score=4;
+    # tf(common)=1 df=2 score=1. doc1: common only -> score 1.
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["rare rare common", "common common"],
+    })
+    out = (doc_top_tfidf(rd.from_pandas(df), k=1).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["token"].tolist() == ["rare", "common"]
+    assert out["score"].tolist() == [4.0, 2.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_top_tfidf_partitioning_independence():
+    import ray.data as rd
+
+    from ocr_model_ray.functions.corpus_stats import doc_top_tfidf
+    rows = [{"doc_id": i,
+             "text": f"tok{i % 5} tok{i % 5} tok{i % 11} shared word"}
+            for i in range(60)]
+    a = (doc_top_tfidf(rd.from_pandas(pd.DataFrame(rows)).repartition(1),
+                       k=2).to_pandas()
+         .sort_values(["doc_id", "token"]).reset_index(drop=True))
+    b = (doc_top_tfidf(rd.from_pandas(pd.DataFrame(rows)).repartition(8),
+                       k=2).to_pandas()
+         .sort_values(["doc_id", "token"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
