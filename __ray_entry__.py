@@ -953,6 +953,59 @@ def _docs_doc_tfidf(sf_dir: str):
     return doc_top_tfidf(_docs(sf_dir), k=2)
 
 
+def _docs_tier_lang_pivot(sf_dir: str):
+    """Tier x lang pivot: quality-tier cuts from the histogram pass,
+    then one streaming pass emits per-batch (lang, 4 tier-count cols)
+    partials — the shuffle moves one 5-int row per (lang, batch)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_model_ray.functions.bucketed import bucketed_agg
+    from ocr_model_ray.functions.tiers import (SCORE_CAP, _word_counts,
+                                               word_count_cuts)
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+    cuts = word_count_cuts(docs)
+    tiers = [1, 2, 3, 4]
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = np.minimum(_word_counts(t, "text"), SCORE_CAP)
+        tier = np.ones(len(s), dtype=np.int64)
+        for c in cuts:
+            tier += (s > c)
+        lang = t["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        lv = lang.to_numpy(zero_copy_only=False)
+        if lv.size == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             **{f"n_t{k}": pa.array([], pa.int64())
+                                for k in tiers}})
+        u, inv = np.unique(lv, return_inverse=True)
+        cols = {"lang": pa.array(u, pa.string())}
+        for k in tiers:
+            cols[f"n_t{k}"] = pa.array(
+                np.bincount(inv, weights=(tier == k)).astype(np.int64))
+        return pa.table(cols)
+
+    out = (bucketed_agg(docs.map_batches(partial, batch_format="pyarrow",
+                                         batch_size=None),
+                        "lang",
+                        {f"n_t{k}": (f"n_t{k}", "sum") for k in tiers},
+                        num_buckets=8)
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    if out.empty or "lang" not in out.columns:
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             **{f"n_t{k}": pd.Series([], dtype="int64")
+                                for k in tiers}})
+    for k in tiers:
+        out[f"n_t{k}"] = out[f"n_t{k}"].astype("int64")
+    return out
+
+
 def _docs_gopher_flags(sf_dir: str):
     """Gopher rule panel (word-count/word-length/alpha/symbol/stopword
     rules + combined keep) — stateless vectorized map."""
@@ -1334,6 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_flags": _docs_gopher_flags,
         "docs_source_vocab": _docs_source_vocab,
         "docs_doc_tfidf": _docs_doc_tfidf,
+        "docs_tier_lang_pivot": _docs_tier_lang_pivot,
         "docs_pii_scrub": _docs_pii_scrub,
         "docs_normalize": _docs_normalize,
         "docs_top_tokens": _docs_top_tokens,
@@ -2256,6 +2310,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_quality_tiers_sql()})
             QUALIFY row_number() OVER (
                 PARTITION BY tier ORDER BY md5(text), doc_id) <= 3
+        """,
+        "docs_tier_lang_pivot": f"""
+            SELECT d.lang,
+                   CAST(sum(CASE WHEN q.tier = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_t1,
+                   CAST(sum(CASE WHEN q.tier = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_t2,
+                   CAST(sum(CASE WHEN q.tier = 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_t3,
+                   CAST(sum(CASE WHEN q.tier = 4 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_t4
+            FROM ({_quality_tiers_sql()}) q
+            JOIN documents d USING (doc_id)
+            GROUP BY d.lang
         """,
         # per-doc tf-idf lift: same double op order as doc_top_tfidf
         # ((tf*1.0)*N)/df; ties broken token-ascending
