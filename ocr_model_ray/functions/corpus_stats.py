@@ -975,9 +975,15 @@ def doc_top_tfidf(ds: rd.Dataset, k: int = 2, id_col: str = "doc_id",
     whose driver merge holds k x groups rows).
 
     Output Dataset: (id_col, token, tf:int64, df:int64,
-    score:float64), <=k rows per doc, ties broken token-ascending."""
-    from .bucketed import _bucket_ids, bucketed_agg
-    from .joins import hash_bucket_join
+    score:float64), <=k rows per doc, ties broken token-ascending.
+
+    Plan: exactly TWO exchanges, the minimum for a (token-global,
+    doc-local) computation. A (doc, token) triple is globally unique
+    (a doc lives whole in one block), so df(token) = the row count of
+    its token inside the token-hash bucket — no separate df aggregate,
+    no join. The second exchange re-buckets scored rows by doc for the
+    per-doc top-k."""
+    from .bucketed import _bucket_ids
 
     if n_docs is None:
         n_docs = ds.count()
@@ -1000,31 +1006,31 @@ def doc_top_tfidf(ds: rd.Dataset, k: int = 2, id_col: str = "doc_id",
                          "tf": pa.array(df["tf"].to_numpy()
                                         .astype(np.int64))})
 
-    trip = ds.map_batches(triples, batch_format="pyarrow")
+    def tag_token(t: pa.Table) -> pa.Table:
+        return t.replace_schema_metadata(None).append_column(
+            "__b", _bucket_ids(t, ["token"], num_buckets))
 
-    def ones(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "token" not in t.column_names:
-            return pa.table({"token": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        return pa.table({"token": t["token"],
-                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+    def score_in_token_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # all of a token's (globally unique) triples are in this
+        # bucket, so its row count IS df
+        dfv = (g.groupby("token")["tf"].transform("size")
+               .to_numpy().astype(np.float64))
+        tf = g["tf"].to_numpy().astype(np.float64)
+        out = g[[id_col, "token", "tf"]].copy()
+        out["df"] = dfv.astype(np.int64)
+        out["score"] = tf * 1.0 * n_f / dfv  # same op order as oracle
+        return out
 
-    # df(token) = #docs containing it == #triple rows per token
-    dfs = bucketed_agg(trip.map_batches(ones, batch_format="pyarrow"),
-                       "token", {"df": ("n", "sum")},
-                       num_buckets=num_buckets)
-    joined = hash_bucket_join(trip, dfs, on="token", how="inner",
-                              num_buckets=num_buckets)
+    scored = (ds.map_batches(triples, batch_format="pyarrow")
+              .map_batches(tag_token, batch_format="pyarrow")
+              .groupby("__b").map_groups(score_in_token_bucket,
+                                         batch_format="pandas"))
 
-    def tag(t: pa.Table) -> pa.Table:
-        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
-        score = tf * 1.0 * n_f / dfv  # same op order as the oracle
-        t = t.append_column("score", pa.array(score, pa.float64()))
+    def tag_doc(t: pa.Table) -> pa.Table:
         return t.replace_schema_metadata(None).append_column(
             "__db", _bucket_ids(t, [id_col], num_buckets))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_doc_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = (g.sort_values([id_col, "score", "token"],
                              ascending=[True, False, True],
                              kind="mergesort")
@@ -1035,6 +1041,6 @@ def doc_top_tfidf(ds: rd.Dataset, k: int = 2, id_col: str = "doc_id",
         out["df"] = out["df"].astype("int64")
         return out
 
-    return (joined.map_batches(tag, batch_format="pyarrow")
-            .groupby("__db").map_groups(per_bucket,
+    return (scored.map_batches(tag_doc, batch_format="pyarrow")
+            .groupby("__db").map_groups(per_doc_bucket,
                                         batch_format="pandas"))
