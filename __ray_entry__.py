@@ -1144,6 +1144,27 @@ def _docs_near_dup(sf_dir: str):
     return near_dup_pairs(_docs(sf_dir), threshold=0.8)
 
 
+def _docs_minhash_ingest(sf_dir: str):
+    """Cross-run near-dup via the persistent MinHash index: even docs
+    ingest as run A (index build), odd docs as run B; returned pairs
+    are band-collision candidates A x B confirmed by the exact-Jaccard
+    verify join over both runs' texts."""
+    import tempfile
+
+    from ocr_model_ray.state.minhash_index import (minhash_ingest,
+                                                   minhash_ingest_verified)
+    docs = _docs(sf_dir)
+    idx = tempfile.mkdtemp(prefix="mh_index_")
+    run_a = docs.map_batches(lambda df: df[df["doc_id"] % 2 == 0],
+                             batch_format="pandas")
+    run_b = docs.map_batches(lambda df: df[df["doc_id"] % 2 == 1],
+                             batch_format="pandas")
+    # consume run A fully so its band rows are on disk before B reads
+    minhash_ingest(run_a, idx, "runA").materialize()
+    cand = minhash_ingest(run_b, idx, "runB")
+    return minhash_ingest_verified(docs, cand, threshold=0.8)
+
+
 def _docs_bigram_lift(sf_dir: str):
     from ocr_model_ray.functions.corpus_stats import bigram_lift
     return bigram_lift(_docs(sf_dir), k=50, min_count=5)
@@ -1397,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": _docs_simhash,
         "docs_fingerprint": _docs_fingerprint,
         "docs_near_dup": _docs_near_dup,
+        "docs_minhash_ingest": _docs_minhash_ingest,
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "docs_freq_score": _docs_freq_score,
         "docs_bigram_lift": _docs_bigram_lift,
@@ -2663,6 +2685,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.doc_id = doc_b
             WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        # cross-run near-dup (even=run A, odd=run B): the hash-keyed
+        # near-pair golden expands to ALL doc pairs of each text pair
+        # (the index does not collapse exact dups), parity-mixed only;
+        # exact-dup edges are all mixed-parity identical-text pairs
+        "docs_minhash_ingest": f"""
+            SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                   greatest(a.doc_id, b.doc_id) AS doc_b, g.jaccard
+            FROM read_parquet('{os.path.join(_GOLDENS, "near_dup_pairs_by_hash.parquet")}') g
+            JOIN documents a ON md5(a.text) = g.ha
+            JOIN documents b ON md5(b.text) = g.hb
+            WHERE (a.doc_id % 2) <> (b.doc_id % 2)
+            UNION ALL
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 1.0 AS jaccard
+            FROM documents x JOIN documents y
+              ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id
+            WHERE (x.doc_id % 2) <> (y.doc_id % 2)
         """,
         # near pairs (distinct texts) come from the hash-keyed golden;
         # exact-dup (rep, member, 1.0) edges derive in pure SQL from

@@ -1,0 +1,88 @@
+"""Unit tests for state/minhash_index.py — the cross-run near-dup
+index: candidate correctness, run idempotency, torn-part tolerance."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ocr_model_ray.state.minhash_index import (minhash_ingest,
+                                               minhash_ingest_verified)
+
+BASE = ("the quick brown fox jumps over the lazy dog again and again "
+        "while the rain falls softly on the quiet gray town")
+
+
+def _docs(rows):
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def _corpus():
+    # 0 and 2: near-identical (one word differs); 1: unrelated
+    # 3: exact copy of 0
+    return [
+        {"doc_id": 0, "text": BASE},
+        {"doc_id": 1, "text": ("completely different content about "
+                               "satellites orbit telemetry and ground "
+                               "station antenna alignment procedures "
+                               "during long polar nights in winter")},
+        {"doc_id": 2, "text": BASE.replace("gray", "blue")},
+        {"doc_id": 3, "text": BASE},
+    ]
+
+
+def test_cross_run_pairs(ray_session, tmp_path):
+    idx = str(tmp_path / "mh")
+    rows = _corpus()
+    run_a = _docs(rows[:2])        # docs 0, 1
+    run_b = _docs(rows[2:])        # docs 2, 3
+    minhash_ingest(run_a, idx, "a").materialize()
+    cand = minhash_ingest(run_b, idx, "b")
+    corpus = _docs(rows)
+    out = (minhash_ingest_verified(corpus, cand, threshold=0.8)
+           .to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    # cross-run: (0,2) near pair, (0,3) exact pair; (2,3) is within-B
+    # and (0,1) within-A -> excluded
+    assert list(zip(out["doc_a"], out["doc_b"])) == [(0, 2), (0, 3)]
+    assert out.loc[1, "jaccard"] == 1.0
+    assert out.loc[0, "jaccard"] >= 0.8
+
+
+def test_rerun_same_run_id_idempotent(ray_session, tmp_path):
+    idx = str(tmp_path / "mh")
+    rows = _corpus()
+    minhash_ingest(_docs(rows[:2]), idx, "a").materialize()
+    first = (minhash_ingest(_docs(rows[2:]), idx, "b").to_pandas()
+             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    # a retry with the SAME run id excludes its own prior parts:
+    # identical candidates, no self-pairs from the first attempt
+    second = (minhash_ingest(_docs(rows[2:]), idx, "b").to_pandas()
+              .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(first, second)
+
+
+def test_new_run_sees_all_prior(ray_session, tmp_path):
+    idx = str(tmp_path / "mh")
+    rows = _corpus()
+    minhash_ingest(_docs(rows[:1]), idx, "a").materialize()   # doc 0
+    minhash_ingest(_docs(rows[1:2]), idx, "b").materialize()  # doc 1
+    cand = (minhash_ingest(_docs(rows[3:]), idx, "c")         # doc 3
+            .to_pandas())
+    # doc 3 == doc 0 exactly: candidate against run a's index rows
+    assert (0, 3) in set(zip(cand["doc_a"], cand["doc_b"]))
+
+
+def test_torn_tmp_parts_ignored(ray_session, tmp_path):
+    idx = str(tmp_path / "mh")
+    rows = _corpus()
+    minhash_ingest(_docs(rows[:2]), idx, "a").materialize()
+    # simulate a killed ingest: a torn .tmp part in one bucket
+    bdir = next(os.path.join(idx, d) for d in os.listdir(idx)
+                if d.startswith("bucket="))
+    open(os.path.join(bdir, "ingest_dead.parquet.tmp"), "w").write("x")
+    cand = minhash_ingest(_docs(rows[3:]), idx, "c").to_pandas()
+    assert (0, 3) in set(zip(cand["doc_a"], cand["doc_b"]))
