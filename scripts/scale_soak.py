@@ -275,6 +275,54 @@ def main() -> int:
         _em._line_dedup_sql(_em.wrap_sql(_src_rel, keep=("source",)),
                             "doc_id", scope_col="source"))
 
+    def _add_source(t):
+        import pyarrow as pa
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        src = ["s" + str(i % 500)
+               for i in ids.to_numpy(zero_copy_only=False)]
+        return t.append_column("source", pa.array(src, pa.string()))
+
+    def _run_source_vocab():
+        from ocr_model_ray.functions.corpus_stats import source_vocab
+        return source_vocab(
+            fresh().map_batches(_add_source, batch_format="pyarrow"))
+
+    ops["source_vocab"] = (
+        _run_source_vocab,
+        f"""SELECT 's' || CAST(doc_id % 500 AS VARCHAR) AS source,
+                   CAST(count(DISTINCT token) AS BIGINT)
+                       AS n_distinct_tokens
+            FROM (SELECT doc_id, unnest(list_filter(string_split_regex(
+                      text, '{WS}'), x -> x <> '')) AS token
+                  FROM documents)
+            GROUP BY 1""")
+
+    def _run_mix_weights():
+        from ocr_model_ray.functions.mixing import source_mix_weights
+        return source_mix_weights(
+            fresh().map_batches(_add_source, batch_format="pyarrow"))
+
+    ops["source_mix_weights"] = (
+        _run_mix_weights,
+        """WITH base AS (SELECT doc_id, text,
+                    's' || CAST(doc_id % 500 AS VARCHAR) AS source
+                FROM documents),
+        s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(coalesce(len(regexp_extract_all(
+                          text, '\\S+')), 0)) AS BIGINT) AS n_tokens
+              FROM base GROUP BY source),
+        t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+                     count(*) AS ns FROM s)
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / t.total AS token_share,
+               CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE (1.0 / t.ns)
+                         / (CAST(n_tokens AS DOUBLE) / t.total)
+               END AS weight
+        FROM s, t""")
+
     def _run_span_dedup():
         """Custom check (the gram-string SQL oracle OOMs DuckDB above
         ~100k docs): replicas are token-salted bijections of the base
@@ -329,11 +377,87 @@ def main() -> int:
               flush=True)
         return ok
 
+    def _run_minhash_ingest():
+        """Cross-run ingest at volume vs the one-shot operator: even
+        docs ingest as run A, odd as run B; the ingest's verified
+        cross pairs, normalized to text-hash pairs, must equal the
+        one-shot near_dup_pairs' near pairs restricted to mixed
+        parity, with bit-equal Jaccards; exact cross pairs must count
+        exactly what DuckDB's md5 self-join says."""
+        import tempfile
+
+        import numpy as np
+        import pandas as pd
+        from ocr_model_ray.functions.dedup_algos import near_dup_pairs
+        from ocr_model_ray.state.minhash_index import (
+            minhash_ingest, minhash_ingest_verified)
+
+        t0 = time.time()
+        idx = tempfile.mkdtemp(prefix="mh_soak_")
+        run_a = fresh().map_batches(
+            lambda df: df[df["doc_id"] % 2 == 0], batch_format="pandas")
+        run_b = fresh().map_batches(
+            lambda df: df[df["doc_id"] % 2 == 1], batch_format="pandas")
+        minhash_ingest(run_a, idx, "a").materialize()
+        cand = minhash_ingest(run_b, idx, "b")
+        got = (minhash_ingest_verified(fresh(), cand, threshold=0.8)
+               .to_pandas())
+        sec = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        import duckdb
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{corpus}/part_*.parquet')")
+        h = con.sql("SELECT doc_id, md5(text) AS h FROM documents").df()
+        hmap = dict(zip(h["doc_id"], h["h"]))
+        n_exact_want = con.sql(
+            """SELECT count(*) FROM documents x JOIN documents y
+               ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id
+               WHERE (x.doc_id % 2) <> (y.doc_id % 2)""").fetchone()[0]
+        near_got = got[got["jaccard"] < 1.0]
+        n_exact_got = int((got["jaccard"] == 1.0).sum())
+        # one-shot near pairs, mixed parity, hash-normalized
+        want = near_dup_pairs(fresh(), threshold=0.8)
+        if not isinstance(want, pd.DataFrame):
+            want = want.to_pandas()
+        want = want[(want["jaccard"] < 1.0)
+                    & ((want["doc_a"] % 2) != (want["doc_b"] % 2))]
+        def hkey(df):
+            ha = df["doc_a"].map(hmap)
+            hb = df["doc_b"].map(hmap)
+            return set(map(tuple, np.sort(
+                np.stack([ha.to_numpy(), hb.to_numpy()], axis=1),
+                axis=1)))
+        ok = hkey(near_got) == hkey(want)
+        # jaccard values per hash pair bit-equal
+        if ok and len(near_got):
+            jg = {tuple(sorted((hmap[a], hmap[b]))): j for a, b, j in
+                  zip(near_got["doc_a"], near_got["doc_b"],
+                      near_got["jaccard"])}
+            jw = {tuple(sorted((hmap[a], hmap[b]))): j for a, b, j in
+                  zip(want["doc_a"], want["doc_b"], want["jaccard"])}
+            ok = all(jg[k] == jw[k] for k in jw)
+        ok = ok and (n_exact_got == n_exact_want)
+        osec = round(time.time() - t0, 2)
+        print(json.dumps({"op": "minhash_ingest", "seconds": sec,
+                          "rows": len(got), "match": bool(ok),
+                          "n_exact": n_exact_got,
+                          "n_near": len(near_got),
+                          "oracle_seconds": osec,
+                          "check": "one-shot near_dup x parity + "
+                                   "DuckDB exact count"}),
+              flush=True)
+        return ok
+
     sel = set(args.ops.split(","))
     chosen = ops if args.ops == "all" else {
         k: v for k, v in ops.items() if k in sel}
     for name, (fn, sql) in chosen.items():
         all_ok &= run(name, fn, sql)
+
+    if args.ops == "all" or "minhash_ingest" in sel:
+        all_ok &= _run_minhash_ingest()
 
     if args.ops == "all" or "span_dedup" in sel:
         all_ok &= _run_span_dedup()
@@ -356,7 +480,8 @@ def main() -> int:
                    # derivation still collects <=4096 counters
                    "docs_quality_tiers", "docs_tier_stats",
                    "docs_tier_sample", "docs_length_percent_rank",
-                   "docs_gopher_flags", "docs_posting_lists"]
+                   "docs_gopher_flags", "docs_posting_lists",
+                   "docs_doc_tfidf"]
     # (docs_group_tfidf needs the lang column the salted soak corpus
     # doesn't carry; its token-bucket exchange is covered by the
     # top_tokens/vocab ops above)
