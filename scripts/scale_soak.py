@@ -411,43 +411,67 @@ def main() -> int:
                 f"read_parquet('{corpus}/part_*.parquet')")
         h = con.sql("SELECT doc_id, md5(text) AS h FROM documents").df()
         hmap = dict(zip(h["doc_id"], h["h"]))
-        n_exact_want = con.sql(
-            """SELECT count(*) FROM documents x JOIN documents y
-               ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id
-               WHERE (x.doc_id % 2) <> (y.doc_id % 2)""").fetchone()[0]
-        near_got = got[got["jaccard"] < 1.0]
-        n_exact_got = int((got["jaccard"] == 1.0).sum())
-        # one-shot near pairs, mixed parity, hash-normalized
-        want = near_dup_pairs(fresh(), threshold=0.8)
-        if not isinstance(want, pd.DataFrame):
-            want = want.to_pandas()
-        want = want[(want["jaccard"] < 1.0)
-                    & ((want["doc_a"] % 2) != (want["doc_b"] % 2))]
+        # per text-hash: which parities (runs) its docs span, and size
+        par = h.assign(p=h["doc_id"] % 2)
+        pset = par.groupby("h")["p"].agg(set).to_dict()
+        gsize = par.groupby(["h", "p"]).size().to_dict()
+
+        def mixed_possible(ha, hb):
+            # exists (a in group(ha), b in group(hb)) of opposite parity
+            if ha == hb:
+                return len(pset[ha]) == 2
+            return (0 in pset[ha] and 1 in pset[hb]) or \
+                   (1 in pset[ha] and 0 in pset[hb])
+
+        def n_mixed(ha, hb):
+            if ha == hb:
+                return gsize.get((ha, 0), 0) * gsize.get((ha, 1), 0)
+            return (gsize.get((ha, 0), 0) * gsize.get((hb, 1), 0)
+                    + gsize.get((ha, 1), 0) * gsize.get((hb, 0), 0))
+
         def hkey(df):
             ha = df["doc_a"].map(hmap)
             hb = df["doc_b"].map(hmap)
-            return set(map(tuple, np.sort(
+            return list(map(tuple, np.sort(
                 np.stack([ha.to_numpy(), hb.to_numpy()], axis=1),
                 axis=1)))
-        ok = hkey(near_got) == hkey(want)
-        # jaccard values per hash pair bit-equal
-        if ok and len(near_got):
-            jg = {tuple(sorted((hmap[a], hmap[b]))): j for a, b, j in
-                  zip(near_got["doc_a"], near_got["doc_b"],
-                      near_got["jaccard"])}
-            jw = {tuple(sorted((hmap[a], hmap[b]))): j for a, b, j in
-                  zip(want["doc_a"], want["doc_b"], want["jaccard"])}
-            ok = all(jg[k] == jw[k] for k in jw)
-        ok = ok and (n_exact_got == n_exact_want)
+
+        got_keys = hkey(got)
+        got_set = set(got_keys)
+        # expected: every one-shot pair's hash pair that CAN cross
+        # runs, plus the exact groups that span both runs
+        want = near_dup_pairs(fresh(), threshold=0.8)
+        if not isinstance(want, pd.DataFrame):
+            want = want.to_pandas()
+        jw = {}
+        for a, b, j in zip(want["doc_a"], want["doc_b"],
+                           want["jaccard"]):
+            jw[tuple(sorted((hmap[a], hmap[b])))] = j
+        want_set = {k for k in jw if mixed_possible(*k)}
+        ok = got_set == want_set
+        # ingest emits EVERY mixed-parity member combo per hash pair
+        if ok:
+            from collections import Counter
+            cnt = Counter(got_keys)
+            ok = all(cnt[k] == n_mixed(*k) for k in want_set)
+        # jaccard values bit-equal per hash pair
+        if ok:
+            jg = {k: j for k, j in zip(got_keys, got["jaccard"])}
+            ok = all(jg[k] == jw[k] for k in want_set)
         osec = round(time.time() - t0, 2)
         print(json.dumps({"op": "minhash_ingest", "seconds": sec,
                           "rows": len(got), "match": bool(ok),
-                          "n_exact": n_exact_got,
-                          "n_near": len(near_got),
+                          "hash_pairs": len(want_set),
                           "oracle_seconds": osec,
-                          "check": "one-shot near_dup x parity + "
-                                   "DuckDB exact count"}),
+                          "check": "one-shot near_dup hash pairs x "
+                                   "run-crossing expansion"}),
               flush=True)
+        if not ok:
+            print(json.dumps({
+                "minhash_debug": {
+                    "got_only": list(map(list, got_set - want_set))[:5],
+                    "want_only": list(map(list, want_set - got_set))[:5],
+                }}), flush=True)
         return ok
 
     sel = set(args.ops.split(","))
