@@ -1039,6 +1039,16 @@ def _docs_mix_rebalance(sf_dir: str):
     return mix_rebalance(docs, source_mix_weights(docs))
 
 
+def _docs_mix_oversample(sf_dir: str):
+    """Oversampling rebalance: weight>1 sources repeat docs floor(w)
+    times plus a fractional content-hash keep; copy index column."""
+    from ocr_model_ray.functions.mixing import (mix_rebalance,
+                                                source_mix_weights)
+    docs = _docs_src(sf_dir)
+    return mix_rebalance(docs, source_mix_weights(docs),
+                         oversample=True)
+
+
 def _docs_posting_lists(sf_dir: str):
     """Inverted-index build: distinct (doc, token) pairs bucketed by
     token hash, df resolved and band-filtered inside each bucket."""
@@ -1403,6 +1413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tier_sample": _docs_tier_sample,
         "docs_source_mix_weights": _docs_source_mix_weights,
         "docs_mix_rebalance": _docs_mix_rebalance,
+        "docs_mix_oversample": _docs_mix_oversample,
         "docs_posting_lists": _docs_posting_lists,
         "docs_length_percent_rank": _docs_length_percent_rank,
         "docs_gopher_flags": _docs_gopher_flags,
@@ -2434,6 +2445,36 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY least(CAST(len(regexp_extract_all(
                            text, '\\S+')) AS BIGINT), 4095)) AS pr
             FROM documents
+        """,
+        "docs_mix_oversample": """
+            WITH s AS (SELECT source,
+                              CAST(sum(coalesce(len(regexp_extract_all(
+                                   text, '\\S+')), 0)) AS BIGINT)
+                                  AS n_tokens
+                       FROM documents GROUP BY source),
+            t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+                         count(*) AS ns FROM s),
+            w AS (SELECT source,
+                         CASE WHEN n_tokens = 0 THEN 0.0
+                              ELSE (1.0 / t.ns)
+                                   / (CAST(n_tokens AS DOUBLE) / t.total)
+                         END AS weight
+                  FROM s, t),
+            b AS (SELECT source, CAST(floor(weight) AS BIGINT) AS nb,
+                         CAST(floor((weight - floor(weight))
+                                    * 4294967296.0) AS BIGINT) AS ft
+                  FROM w),
+            d AS (SELECT doc_id, source,
+                         CAST(('0x' || substr(md5(text), 1, 8))
+                              AS BIGINT) AS hv
+                  FROM documents),
+            cnt AS (SELECT d.doc_id, d.source,
+                           b.nb + CASE WHEN d.hv < b.ft
+                                       THEN 1 ELSE 0 END AS copies
+                    FROM d JOIN b USING (source))
+            SELECT doc_id, source, CAST(u.i AS BIGINT) AS copy
+            FROM cnt, LATERAL unnest(generate_series(
+                0, CAST(copies AS BIGINT) - 1)) AS u(i)
         """,
         # inverted-index build: distinct (doc, token) pairs, global
         # df per token, df band [2, 390] filters stop-tokens

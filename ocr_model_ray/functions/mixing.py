@@ -97,15 +97,32 @@ def source_mix_weights(ds: rd.Dataset, target: dict | None = None,
 
 def mix_rebalance(ds: rd.Dataset, weights: pd.DataFrame,
                   id_col: str = "doc_id", source_col: str = "source",
-                  text_col: str = "text") -> rd.Dataset:
-    """Deterministic downsample realizing mixing weights: keep a doc
-    of source s iff ``int(md5(text)[:8], 16) < floor(min(weight_s, 1)
-    * 2^32)``. Weights frame comes from ``source_mix_weights``; the
-    per-source thresholds (a few ints) ride the task closure. Output:
-    (id_col, source_col) of kept docs, streaming."""
+                  text_col: str = "text",
+                  oversample: bool = False) -> rd.Dataset:
+    """Deterministic sampling realizing mixing weights.
+
+    Downsample (default): keep a doc of source s iff
+    ``int(md5(text)[:8], 16) < floor(min(weight_s, 1) * 2^32)``
+    (weights > 1 keep everything). Output: (id_col, source_col).
+
+    With ``oversample=True``, weights > 1 REPEAT documents (epoch-style
+    upsampling): a doc of weight w appears ``floor(w)`` times plus one
+    more iff its hash passes the fractional part —
+    ``int(md5(text)[:8], 16) < floor((w - floor(w)) * 2^32)``. Output
+    gains a ``copy`` column (0-based repeat index) so downstream
+    shuffles can distinguish the repeats.
+
+    Weights frame comes from ``source_mix_weights``; per-source ints
+    ride the task closure. Streaming either way."""
     from .text_stats import md5_hex
 
-    thr = {
+    base = {s: int(np.floor(float(w)))
+            for s, w in zip(weights[source_col], weights["weight"])}
+    frac_thr = {
+        s: int(np.floor((float(w) - np.floor(float(w))) * 4294967296.0))
+        for s, w in zip(weights[source_col], weights["weight"])
+    }
+    down_thr = {
         s: int(np.floor(min(float(w), 1.0) * 4294967296.0))
         for s, w in zip(weights[source_col], weights["weight"])
     }
@@ -113,7 +130,7 @@ def mix_rebalance(ds: rd.Dataset, weights: pd.DataFrame,
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         hx = md5_hex(df[text_col]).str[:8]
         h = hx.map(lambda v: int(v, 16) if isinstance(v, str) else None)
-        t = df[source_col].map(lambda s: thr.get(s, 0))
+        t = df[source_col].map(lambda s: down_thr.get(s, 0))
         mask = pd.Series(
             [hv is not None and hv < tv for hv, tv in zip(h, t)],
             index=df.index)
@@ -121,4 +138,21 @@ def mix_rebalance(ds: rd.Dataset, weights: pd.DataFrame,
         out[id_col] = out[id_col].astype("int64")
         return out
 
-    return ds.map_batches(keep, batch_format="pandas")
+    def repeat(df: pd.DataFrame) -> pd.DataFrame:
+        hx = md5_hex(df[text_col]).str[:8]
+        h = hx.map(lambda v: int(v, 16) if isinstance(v, str) else None)
+        nb = df[source_col].map(lambda s: base.get(s, 0)).to_numpy()
+        ft = df[source_col].map(lambda s: frac_thr.get(s, 0))
+        extra = np.array(
+            [hv is not None and hv < tv for hv, tv in zip(h, ft)])
+        copies = (nb + extra).astype(np.int64)
+        ids = np.repeat(df[id_col].to_numpy().astype(np.int64), copies)
+        srcs = np.repeat(df[source_col].to_numpy(), copies)
+        starts = np.concatenate([[0], np.cumsum(copies)[:-1]])
+        copy_idx = (np.arange(int(copies.sum()), dtype=np.int64)
+                    - np.repeat(starts, copies))
+        return pd.DataFrame({id_col: ids, source_col: srcs,
+                             "copy": copy_idx})
+
+    return ds.map_batches(repeat if oversample else keep,
+                          batch_format="pandas")

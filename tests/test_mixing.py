@@ -90,3 +90,30 @@ def test_empty_corpus(ray_session):
     assert len(w) == 0
     assert list(w.columns) == ["source", "n_docs", "n_tokens",
                                "token_share", "weight"]
+
+
+def test_oversample_repeats_and_fraction(ray_session):
+    # force weights: source a weight 2.5 -> 2 or 3 copies per doc;
+    # source b weight 0.0 -> zero copies
+    ds = _corpus(2)
+    w = pd.DataFrame({"source": ["a", "b"], "weight": [2.5, 0.0]})
+    out = (mix_rebalance(ds, w, oversample=True).to_pandas()
+           .sort_values(["doc_id", "copy"]).reset_index(drop=True))
+    assert set(out["source"]) == {"a"}
+    per_doc = out.groupby("doc_id")["copy"].agg(["size", "max"])
+    assert per_doc["size"].isin([2, 3]).all()
+    # copy indices are 0..n-1 per doc
+    assert (per_doc["max"] == per_doc["size"] - 1).all()
+    # deterministic: same output on re-run
+    again = (mix_rebalance(_corpus(4), w, oversample=True).to_pandas()
+             .sort_values(["doc_id", "copy"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, again)
+
+
+def test_oversample_integer_weight_exact(ray_session):
+    ds = _corpus()
+    w = pd.DataFrame({"source": ["a", "b"], "weight": [2.0, 1.0]})
+    out = mix_rebalance(ds, w, oversample=True).to_pandas()
+    n = out.groupby("doc_id").size()
+    assert (n.loc[[0, 1, 2]] == 2).all()   # source a docs
+    assert n.loc[3] == 1                   # source b doc
