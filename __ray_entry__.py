@@ -1341,6 +1341,111 @@ def _emb_near_dup_clusters(sf_dir: str):
     return out.rename(columns={"doc_id": "vec_id"})
 
 
+def synth_edges_batch(t, id_col: str = "doc_id"):
+    """Deterministic synthetic host-link edges per doc — the testdata
+    documents table has no link column, so the link-graph operators get
+    edges derived purely from doc_id arithmetic (same doctrine as
+    synth_url_batch; ``synth_edges_sql`` is the SQL twin). Each doc on
+    host h{doc_id % 37} links to 1 + doc_id % 4 destination hosts
+    h{(doc_id*7 + j*11 + 3) % 37} — a skewed, self-loop-containing
+    graph (several (src, dst) pairs repeat across docs, some j collide
+    with the source host), exercising distinct-edge reduction."""
+    import numpy as np
+    import pyarrow as pa
+    ids = t[id_col].to_numpy().astype(np.int64)
+    counts = 1 + (ids % 4)
+    rep = np.repeat(ids, counts)
+    ends = np.cumsum(counts)
+    j = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) \
+        - np.repeat(ends - counts, counts)
+    srcs = rep % 37
+    dsts = (rep * 7 + j * 11 + 3) % 37
+    return pa.table({
+        "doc_id": pa.array(rep),
+        "src_host": pa.array([f"h{s}.example.org" for s in srcs.tolist()]),
+        "dst_host": pa.array([f"h{d}.example.org" for d in dsts.tolist()]),
+    })
+
+
+def synth_edges_sql(source: str = "documents") -> str:
+    """SQL twin of ``synth_edges_batch`` (DuckDB lateral unnest)."""
+    return f"""
+        SELECT doc_id,
+               'h' || (doc_id % 37) || '.example.org' AS src_host,
+               'h' || ((doc_id * 7 + j * 11 + 3) % 37) || '.example.org'
+                   AS dst_host
+        FROM {source}, UNNEST(generate_series(0, doc_id % 4)) AS t(j)
+    """
+
+
+def _docs_edges(sf_dir: str):
+    import ray.data as rd
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    return docs.map_batches(synth_edges_batch, batch_format="pyarrow")
+
+
+def _web_host_graph(sf_dir: str):
+    """Host-level link-graph aggregation: (src_host, dst_host,
+    n_links) over the synthesized edge stream."""
+    from ocr_model_ray.functions.link_graph import host_graph
+    import pandas as pd
+    out = host_graph(_docs_edges(sf_dir)).to_pandas()
+    return out.astype({"n_links": "int64"})
+
+
+def _web_host_inlinks(sf_dir: str):
+    """Per-host in-link stats: total in-links + distinct linking
+    hosts (the host-quality-prior input)."""
+    from ocr_model_ray.functions.link_graph import host_inlinks
+    out = host_inlinks(_docs_edges(sf_dir)).to_pandas()
+    return out.astype({"n_links": "int64", "n_src_hosts": "int64"})
+
+
+def _web_host_pagerank(sf_dir: str, mode: str = "auto"):
+    """Fixed-point PageRank over the host graph (5 iterations,
+    bit-exact vs the oracle's BIGINT replay — link_graph docstring)."""
+    from ocr_model_ray.functions.link_graph import pagerank_hosts
+    return pagerank_hosts(_docs_edges(sf_dir), iters=5, mode=mode)
+
+
+def _web_host_pagerank_dist(sf_dir: str):
+    """Forced-distributed twin: the Dataset-resident iteration plan
+    the 10^12-doc story depends on, gate-checked at every sf."""
+    return _web_host_pagerank(sf_dir, mode="distributed")
+
+
+def _extract_links(sf_dir: str):
+    """Real href/anchor extraction over the Common-Crawl-shaped pages
+    fixture corpus: (url, link_no, href, dst_url, anchor) per <a> in
+    every sniffed-HTML payload. The oracle re-derives the same rows
+    with DuckDB's RE2 regexp over the same parquet — engine regex scan
+    and SQL replay are independent implementations of the frozen
+    link-scan spec (link_graph.LINK_RE)."""
+    from ocr_model_ray.functions.link_graph import extract_links
+    from ocr_model_ray.sources.pages import read_pages
+    pages = read_pages(_fixture_dir(_tier_for(sf_dir)),
+                       columns=["url", "html"])
+    return extract_links(pages)
+
+
+def _tiered_pages_sql(select: str, where: str = "TRUE") -> str:
+    """Oracle body over the per-tier pages fixture parquet (same tier
+    switch as _tiered_golden_sql, keyed on the lineitem view).
+    ``where`` filters rows BEFORE the projection runs (DuckDB pushes
+    the filter under the select list — required when the projection
+    would error on filtered-out rows, e.g. decode() on non-UTF-8)."""
+    t1 = _fixture_dir("t1")
+    t2 = _fixture_dir("t2")
+    return f"""
+        SELECT {select} FROM read_parquet('{t1}/pages-*.parquet')
+        WHERE ((SELECT count(*) FROM lineitem) < 20000) AND ({where})
+        UNION ALL
+        SELECT {select} FROM read_parquet('{t2}/pages-*.parquet')
+        WHERE ((SELECT count(*) FROM lineitem) >= 20000) AND ({where})
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_model_ray.pipelines import relational as rel
     return {
@@ -1456,6 +1561,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_latest_snapshot": _url_latest_snapshot,
         "url_host_quality_filter": _url_host_quality_filter,
         "url_crawl_diff": _url_crawl_diff,
+        "web_host_graph": _web_host_graph,
+        "web_host_inlinks": _web_host_inlinks,
+        "web_host_pagerank": _web_host_pagerank,
+        "web_host_pagerank_dist": _web_host_pagerank_dist,
+        "extract_links": _extract_links,
         "events_latest_per_user": _events_latest_per_user,
         "docs_line_dedup": _docs_line_dedup,
         "docs_line_dedup_dist": _docs_line_dedup_dist,
@@ -3073,6 +3183,83 @@ def oracle_sql() -> dict[str, str]:
                     WHEN o.fp = n.fp THEN 'same'
                     ELSE 'changed' END AS status
         FROM o FULL OUTER JOIN n ON o.url = n.url
+    """
+    # Web link graph over the synthesized edge stream (synth_edges_sql
+    # is the batch generator's SQL twin)
+    _edges_src = synth_edges_sql("documents")
+    d["web_host_graph"] = f"""
+        SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        FROM ({_edges_src}) GROUP BY src_host, dst_host
+    """
+    d["web_host_inlinks"] = f"""
+        SELECT dst_host, CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+        FROM ({_edges_src}) GROUP BY dst_host
+    """
+    # fixed-point PageRank: the BIGINT replay of link_graph's frozen
+    # integer update rule, iterations unrolled as CTEs (bit-exact —
+    # every step is integer floor-division and order-free integer sum)
+    _pr_iters = 5
+    _pr_ctes = [f"""
+        e AS (SELECT DISTINCT src_host, dst_host FROM ({_edges_src})),
+        hosts AS (SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM e
+            UNION ALL SELECT dst_host FROM e)),
+        nn AS (SELECT count(*) AS n FROM hosts),
+        outdeg AS (SELECT src_host, count(*) AS d FROM e GROUP BY 1),
+        r0 AS (SELECT host, 1000000000000 // (SELECT n FROM nn) AS r
+               FROM hosts)"""]
+    for _i in range(1, _pr_iters + 1):
+        _pr_ctes.append(f"""
+        s{_i} AS (SELECT e.dst_host AS host, SUM(r.r // o.d) AS insum
+                  FROM e JOIN r{_i - 1} r ON r.host = e.src_host
+                  JOIN outdeg o ON o.src_host = e.src_host
+                  GROUP BY e.dst_host),
+        r{_i} AS (SELECT h.host,
+                     (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+                     + (85 * COALESCE(s.insum, 0)) // 100 AS r
+                  FROM hosts h LEFT JOIN s{_i} s ON s.host = h.host)""")
+    d["web_host_pagerank"] = f"""
+        WITH {','.join(_pr_ctes)}
+        SELECT host, CAST(r AS BIGINT) AS rank_fp,
+               CAST(r AS BIGINT) / 1000000000000.0 AS rank
+        FROM r{_pr_iters}
+    """
+    d["web_host_pagerank_dist"] = d["web_host_pagerank"]
+    # href/anchor link scan: DuckDB RE2 replay of link_graph.LINK_RE
+    # over the same pages parquet. The prefix predicate (the magic-
+    # number sniff's HTML case) runs via try_cast's escaped blob
+    # representation so decode() only ever sees the kept rows, which
+    # are valid UTF-8 starting with '<' — corpus invariant pinned by
+    # tests/test_link_graph.py's sniff assertion.
+    _link_pat = r'(?is)<a\s[^>]*?href="([^"]*)"[^>]*>(.*?)</a>'
+    d["extract_links"] = f"""
+        WITH pages AS (
+            {_tiered_pages_sql(
+                "url, decode(html) AS doc",
+                "try_cast(html AS VARCHAR) LIKE '<%'")}
+        ),
+        hp AS (SELECT url,
+                      regexp_extract_all(doc, '{_link_pat}', 1) AS hrefs,
+                      regexp_extract_all(doc, '{_link_pat}', 2) AS anchors
+               FROM pages),
+        m AS (SELECT url, i - 1 AS link_no, hrefs[i] AS href,
+                     anchors[i] AS anchor
+              FROM hp, UNNEST(generate_series(1, len(hrefs))) AS t(i))
+        SELECT url, CAST(link_no AS BIGINT) AS link_no, href,
+               CASE WHEN regexp_matches(href,
+                        '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN href
+                    WHEN href LIKE '//%' THEN
+                        regexp_extract(url,
+                            '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)
+                        || ':' || href
+                    WHEN href LIKE '/%' THEN
+                        regexp_extract(url,
+                            '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*')
+                        || href
+                    ELSE NULL END AS dst_url,
+               anchor
+        FROM m
     """
     d["events_latest_per_user"] = """
         SELECT user_id, event_id, ts, event_type, value FROM (

@@ -1,0 +1,282 @@
+"""Web link-graph operators: href/anchor extraction from raw HTML
+pages, host-level graph aggregation, in-link statistics, and
+fixed-point PageRank.
+
+The reference repo has no link-graph stage (its corpus is
+document-per-file, ``worker/document_processor.py``) — these are the
+web-scale training-data additions the task brief lists for the
+Common-Crawl-shaped pages table (BASELINE.json ``input_hint``): link
+graphs drive host-quality priors (Common Crawl's harmonic-centrality
+ranking, RefinedWeb's URL filtering) and anchor text is retrieval /
+training signal. Repo doctrine throughout: vectorized per-batch
+kernels, one bucketed exchange per wide step, per-iteration state is
+O(hosts) — never O(docs) — and a 'local' plan collapses the exchanges
+for provably small inputs.
+
+PageRank runs in FIXED-POINT int64 (``SCALE`` = 10^12): every step is
+integer arithmetic (floor divisions and order-free integer sums), so
+the result is bit-identical across partitionings AND to the DuckDB
+oracle's BIGINT replay — float PageRank differs in the last ulp by
+summation order, which the driver's value-hash gate would flag.
+The frozen update rule (both sides implement exactly this):
+
+    r0(h)      = SCALE // N                      for every host h
+    contrib(e) = r(src) // outdeg(src)           per distinct edge e
+    r'(h)      = (DAMP_COMP * SCALE) // (100 * N)
+                 + (DAMP * sum_e->h contrib(e)) // 100
+
+Dangling-host mass is dropped (ranks need not sum to SCALE) — a
+deterministic, documented spec choice shared with the oracle.
+"""
+from __future__ import annotations
+
+import logging
+import re
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .dedup_algos import _resolve_mode
+
+log = logging.getLogger(__name__)
+
+#: frozen link-scan spec (shared semantics with the SQL oracle's RE2
+#: pattern): double-quoted href anywhere in the <a> tag, anchor = raw
+#: inner markup up to the first </a>, case-insensitive, dot matches
+#: newlines. Entities are NOT unescaped and nested <a> are not handled
+#: — the scan is the crawler-style regex pass, not the DOM parse.
+LINK_RE = re.compile(r'<a\s[^>]*?href="([^"]*)"[^>]*>(.*?)</a>',
+                     re.IGNORECASE | re.DOTALL)
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+_ORIGIN_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*")
+
+#: PageRank fixed-point scale and damping (percent)
+SCALE = 10 ** 12
+DAMP = 85
+
+
+def resolve_href(src_url: str, href: str) -> Optional[str]:
+    """Frozen absolutization subset (shared with the SQL twin):
+    absolute URLs pass through, root-relative ('/path') joins the
+    source origin, protocol-relative ('//host/p') takes the source
+    scheme; everything else (relative paths, mailto:, fragments,
+    empty) resolves to None — a crawler queue wants unambiguous
+    targets, and path-relative resolution needs the full RFC 3986
+    merge that neither side implements."""
+    if _SCHEME_RE.match(href):
+        return href
+    m = _ORIGIN_RE.match(src_url)
+    if m is None:
+        return None
+    if href.startswith("//"):
+        return m.group(0).split("://", 1)[0] + ":" + href
+    if href.startswith("/"):
+        return m.group(0) + href
+    return None
+
+
+def scan_links(doc: str) -> list[tuple[str, str]]:
+    """All (href, anchor) pairs in one decoded HTML document."""
+    return LINK_RE.findall(doc)
+
+
+def extract_links(pages: rd.Dataset, url_col: str = "url",
+                  html_col: str = "html") -> rd.Dataset:
+    """(url, link_no, href, dst_url, anchor) per <a href> in every
+    text/html page (magic-number sniff — non-HTML payloads yield no
+    rows). ``link_no`` is the 0-based match ordinal within the page.
+
+    The per-row work is one C-regex scan over the decoded payload —
+    the same shape as the md5/simhash kernels: per-document string
+    work where the C call IS the vectorization. Output is ~links
+    rows; the payload column dies at this stage boundary."""
+    from ..spec import decode_text, sniff_mime
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        urls: list[str] = []
+        nos: list[int] = []
+        hrefs: list[str] = []
+        dsts: list[Optional[str]] = []
+        anchors: list[str] = []
+        for url, payload in zip(df[url_col].tolist(),
+                                df[html_col].tolist()):
+            if payload is None or sniff_mime(bytes(payload)) != "text/html":
+                continue
+            doc = decode_text(bytes(payload))
+            for no, (href, anchor) in enumerate(scan_links(doc)):
+                urls.append(url)
+                nos.append(no)
+                hrefs.append(href)
+                dsts.append(resolve_href(url, href))
+                anchors.append(anchor)
+        return pd.DataFrame({
+            "url": pd.Series(urls, dtype="object"),
+            "link_no": pd.Series(nos, dtype="int64"),
+            "href": pd.Series(hrefs, dtype="object"),
+            "dst_url": pd.Series(dsts, dtype="object"),
+            "anchor": pd.Series(anchors, dtype="object")})
+
+    return pages.map_batches(per_batch, batch_format="pandas")
+
+
+def host_graph(edges: rd.Dataset, src: str = "src_host",
+               dst: str = "dst_host",
+               num_buckets: int = 64) -> rd.Dataset:
+    """Host-level edge aggregation: (src_host, dst_host, n_links) —
+    one bucketed exchange on the composite key (hot host pairs cost a
+    linear pandas groupby inside their bucket, never per-key Python)."""
+    from .bucketed import bucketed_agg
+    return bucketed_agg(edges, [src, dst], {"n_links": (src, "size")},
+                        num_buckets=num_buckets)
+
+
+def host_inlinks(edges: rd.Dataset, src: str = "src_host",
+                 dst: str = "dst_host",
+                 num_buckets: int = 64) -> rd.Dataset:
+    """Per-destination-host in-link stats: total links + distinct
+    linking hosts. One exchange on dst — every (dst, *) row lands in
+    one bucket, so the per-bucket ``nunique`` is complete."""
+    from .bucketed import bucketed_agg
+    return bucketed_agg(edges, dst,
+                        {"n_links": (src, "size"),
+                         "n_src_hosts": (src, "nunique")},
+                        num_buckets=num_buckets)
+
+
+def _pagerank_frame(edges: pd.DataFrame, iters: int,
+                    src: str, dst: str) -> pd.DataFrame:
+    """Single-frame fixed-point PageRank (the local plan and the
+    per-test reference for the distributed twin). Pure int64 numpy."""
+    e = edges[[src, dst]].drop_duplicates()
+    hosts = pd.unique(pd.concat([e[src], e[dst]], ignore_index=True))
+    hosts = np.sort(hosts.astype(object))
+    n = len(hosts)
+    if n == 0:
+        return pd.DataFrame({"host": pd.Series([], dtype="object"),
+                             "rank_fp": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="float64")})
+    idx = pd.Index(hosts)
+    si = idx.get_indexer(e[src]).astype(np.int64)
+    di = idx.get_indexer(e[dst]).astype(np.int64)
+    outdeg = np.zeros(n, dtype=np.int64)
+    np.add.at(outdeg, si, 1)
+    teleport = np.int64((15 * SCALE) // (100 * n))
+    r = np.full(n, SCALE // n, dtype=np.int64)
+    for _ in range(iters):
+        contrib = r[si] // outdeg[si]
+        insum = np.zeros(n, dtype=np.int64)
+        np.add.at(insum, di, contrib)
+        r = teleport + (DAMP * insum) // 100
+    return pd.DataFrame({"host": hosts, "rank_fp": r,
+                         "rank": r / float(SCALE)})
+
+
+def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
+                   src: str = "src_host", dst: str = "dst_host",
+                   num_buckets: int = 32,
+                   mode: str = "auto") -> rd.Dataset:
+    """Fixed-point PageRank over the host graph (module docstring for
+    the frozen update rule). Output: (host, rank_fp, rank).
+
+    Distributed plan (``mode='distributed'``, the 10^12-doc shape):
+    the distinct edge set and the host universe each cost one bucketed
+    exchange once; every iteration is then
+
+        ranks ⋈ edges on src  (hash-bucket join, contrib in the
+                               bucket task)
+        -> bucketed sum by dst
+        -> hosts ⋈ insum LEFT (teleport + damp in the bucket task)
+
+    i.e. per-iteration state is one O(hosts) Dataset — the same
+    Dataset-resident iteration doctrine as
+    ``dedup_algos._label_prop_ray``. Integer arithmetic makes the
+    result independent of bucket count and batch boundaries."""
+    if _resolve_mode(edges, mode) == "local":
+        def proj(df: pd.DataFrame) -> pd.DataFrame:
+            return df[[src, dst]]
+        frame = edges.map_batches(proj, batch_format="pandas").to_pandas()
+        if frame.empty:
+            frame = pd.DataFrame({src: pd.Series([], dtype="object"),
+                                  dst: pd.Series([], dtype="object")})
+        return rd.from_pandas(_pagerank_frame(frame, iters, src, dst))
+
+    from .bucketed import bucketed_agg, bucketed_distinct
+    from .joins import hash_bucket_join
+
+    dedges = bucketed_distinct(
+        edges.map_batches(lambda t: t.select([src, dst]),
+                          batch_format="pyarrow"),
+        [src, dst], ).materialize()
+
+    def one_side(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"host": t[col].cast(pa.string())})
+        return f
+
+    hosts = bucketed_distinct(
+        dedges.map_batches(one_side(src), batch_format="pyarrow")
+        .union(dedges.map_batches(one_side(dst), batch_format="pyarrow")),
+        ["host"]).materialize()
+    n = hosts.count()
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "host": pd.Series([], dtype="object"),
+            "rank_fp": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="float64")}))
+    teleport = (15 * SCALE) // (100 * n)
+    r0 = SCALE // n
+
+    # outdeg joins into the edge set ONCE; iterations reuse the result
+    outdeg = bucketed_agg(dedges, src, {"outdeg": (dst, "size")},
+                          num_buckets=num_buckets)
+    edges_wd = hash_bucket_join(dedges, outdeg, on=src,
+                                num_buckets=num_buckets).materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": t["host"],
+            "r": pa.array(np.full(t.num_rows, r0, dtype=np.int64))})
+
+    ranks = hosts.map_batches(seed, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        def as_src(t: pa.Table) -> pa.Table:
+            return pa.table({src: t["host"], "r": t["r"]})
+
+        def contrib_in_bucket(t: pa.Table) -> pa.Table:
+            r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({dst: t[dst], "contrib": pa.array(r // d)})
+
+        joined = hash_bucket_join(
+            edges_wd, ranks.map_batches(as_src, batch_format="pyarrow"),
+            on=src, num_buckets=num_buckets,
+            post_merge=contrib_in_bucket)
+        insum = bucketed_agg(joined, dst, {"insum": ("contrib", "sum")},
+                             num_buckets=num_buckets)
+
+        def renamed(t: pa.Table) -> pa.Table:
+            return pa.table({"host": t[dst], "insum": t["insum"]})
+
+        def finish(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            s = (pc.fill_null(t["insum"], 0).cast(pa.int64())
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+            return pa.table({"host": t["host"],
+                             "r": pa.array(teleport + (DAMP * s) // 100)})
+
+        ranks = hash_bucket_join(
+            hosts, insum.map_batches(renamed, batch_format="pyarrow"),
+            on="host", how="left", num_buckets=num_buckets,
+            post_merge=finish).materialize()
+
+    def out(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy()
+        return pa.table({"host": t["host"], "rank_fp": r,
+                         "rank": pa.array(r / float(SCALE))})
+
+    return ranks.map_batches(out, batch_format="pyarrow")

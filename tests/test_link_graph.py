@@ -1,0 +1,185 @@
+"""Link-graph operators: href scan spec, resolution rules, host
+aggregation, and fixed-point PageRank (local == distributed, integer
+invariants, oracle-simplification corpus pin)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ocr_model_ray.functions.link_graph import (
+    SCALE, _pagerank_frame, extract_links, host_graph, host_inlinks,
+    pagerank_hosts, resolve_href, scan_links)
+
+
+# ---------------------------------------------------------------------------
+# href scan + resolution (the frozen spec both engine and oracle follow)
+# ---------------------------------------------------------------------------
+def test_scan_links_basic():
+    doc = ('<a href="/a">one</a> x <A HREF="/up">caps href not matched'
+           '</a> <a class="z" href="/b">t<b>w</b>o</a>')
+    got = scan_links(doc)
+    # case-insensitive tag, href anywhere in the tag, raw inner markup
+    assert ("/a", "one") in got
+    assert ("/b", "t<b>w</b>o") in got
+    # HREF= (attr name capitalized) matches via (?i)
+    assert ("/up", "caps href not matched") in got
+
+
+def test_scan_links_unclosed_anchor_not_emitted():
+    # truncated page: the open <a> has no </a> -> no match (the regex
+    # and a parser that emits on endtag agree on truncated prefixes)
+    assert scan_links('<p>x</p><a href="/cut">dangling tex') == []
+
+
+def test_scan_links_single_quoted_href_not_matched():
+    # frozen spec: double-quoted href only (shared with the RE2 twin)
+    assert scan_links("<a href='/sq'>x</a>") == []
+
+
+def test_resolve_href_rules():
+    src = "https://h1.example.org:8080/p/doc-1?x=1"
+    assert resolve_href(src, "https://other.org/z") == "https://other.org/z"
+    assert resolve_href(src, "/rooted") == \
+        "https://h1.example.org:8080/rooted"
+    assert resolve_href(src, "//cdn.org/lib.js") == "https://cdn.org/lib.js"
+    assert resolve_href(src, "relative/path") is None
+    assert resolve_href(src, "mailto:x@y.z") is None
+    assert resolve_href(src, "") is None
+    assert resolve_href("not a url", "/x") is None
+
+
+# ---------------------------------------------------------------------------
+# corpus invariant pinning the extract_links oracle simplification
+# ---------------------------------------------------------------------------
+def test_fixture_html_rows_are_utf8_lt_prefixed(
+        ray_session, t1_pages_dir, t2_pages_dir):
+    """The DuckDB oracle keeps rows via first-byte == '<' (try_cast's
+    escaped blob form leaves printable ASCII like '<' unescaped) and
+    decodes kept rows with decode(); the engine keeps rows via
+    sniff_mime == text/html and decodes via the utf-8-first fallback
+    chain. Equivalence holds because every fixture payload that sniffs
+    HTML starts with b'<' (no leading whitespace) and is valid UTF-8
+    (decode() == decode_text()) — assert exactly that."""
+    from ocr_model_ray.sources.pages import read_pages
+    from ocr_model_ray.spec import sniff_mime
+    n_html = 0
+    for d in (t1_pages_dir, t2_pages_dir):
+        rows = read_pages(d, columns=["url", "html"]).take_all()
+        for r in rows:
+            payload = bytes(r["html"])
+            is_html = sniff_mime(payload) == "text/html"
+            starts_lt = payload[:1] == b"<"
+            assert is_html == starts_lt, r["url"]
+            if is_html:
+                n_html += 1
+                # strict: raises on invalid UTF-8 (a truncated page cut
+                # mid-multibyte-char would crash the oracle's decode())
+                payload.decode("utf-8")
+    assert n_html > 10
+
+
+def test_extract_links_over_fixture_pages(ray_session, t1_pages_dir):
+    from ocr_model_ray.sources.pages import read_pages
+    out = extract_links(
+        read_pages(t1_pages_dir, columns=["url", "html"])).to_pandas()
+    assert {"url", "link_no", "href", "dst_url", "anchor"} <= set(out.columns)
+    assert len(out) > 50
+    # every fixture href is root-relative -> resolves onto the source
+    # origin; link_no is a dense 0..k-1 per url
+    assert (out["dst_url"].str.startswith("https://fixture.test/")).all()
+    per_url = out.groupby("url")["link_no"]
+    assert (per_url.min() == 0).all()
+    assert (per_url.max() + 1 == per_url.size()).all()
+
+
+# ---------------------------------------------------------------------------
+# host aggregation + PageRank
+# ---------------------------------------------------------------------------
+def _edges_frame(n_docs: int = 500) -> pd.DataFrame:
+    ids = np.arange(n_docs, dtype=np.int64)
+    counts = 1 + (ids % 4)
+    rep = np.repeat(ids, counts)
+    ends = np.cumsum(counts)
+    j = np.arange(int(ends[-1]), dtype=np.int64) \
+        - np.repeat(ends - counts, counts)
+    return pd.DataFrame({
+        "src_host": [f"h{v}" for v in (rep % 37).tolist()],
+        "dst_host": [f"h{v}" for v in ((rep * 7 + j * 11 + 3) % 37).tolist()]})
+
+
+def test_host_graph_and_inlinks_match_pandas(ray_session):
+    edges = _edges_frame()
+    ds = rd.from_pandas(edges).repartition(7)
+    g = host_graph(ds).to_pandas().sort_values(
+        ["src_host", "dst_host"]).reset_index(drop=True)
+    want = (edges.groupby(["src_host", "dst_host"], as_index=False)
+            .agg(n_links=("src_host", "size"))
+            .sort_values(["src_host", "dst_host"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(g.astype({"n_links": "int64"}), want)
+
+    il = host_inlinks(ds).to_pandas().sort_values(
+        "dst_host").reset_index(drop=True)
+    want_il = (edges.groupby("dst_host", as_index=False)
+               .agg(n_links=("src_host", "size"),
+                    n_src_hosts=("src_host", "nunique"))
+               .sort_values("dst_host").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        il.astype({"n_links": "int64", "n_src_hosts": "int64"}), want_il)
+
+
+def test_pagerank_local_equals_distributed(ray_session):
+    edges = _edges_frame()
+    local = pagerank_hosts(rd.from_pandas(edges), iters=5,
+                           mode="local").to_pandas()
+    dist = pagerank_hosts(rd.from_pandas(edges).repartition(9), iters=5,
+                          mode="distributed").to_pandas()
+    local = local.sort_values("host").reset_index(drop=True)
+    dist = dist.sort_values("host").reset_index(drop=True)
+    # integer fixed-point: BIT-equal across plans and partitionings
+    assert local["rank_fp"].tolist() == dist["rank_fp"].tolist()
+    assert local["host"].tolist() == dist["host"].tolist()
+    assert np.array_equal(local["rank"].to_numpy().view("int64"),
+                          dist["rank"].to_numpy().view("int64"))
+
+
+def test_pagerank_integer_invariants(ray_session):
+    edges = _edges_frame()
+    out = _pagerank_frame(edges, iters=5, src="src_host", dst="dst_host")
+    n = out["host"].nunique()
+    teleport = (15 * SCALE) // (100 * n)
+    # every host gets at least the teleport mass; total mass never
+    # exceeds the initial SCALE (floor divisions only ever leak mass)
+    assert (out["rank_fp"] >= teleport).all()
+    assert out["rank_fp"].sum() <= SCALE
+    # a well-linked hub outranks the teleport floor
+    assert out["rank_fp"].max() > 2 * teleport
+
+
+def test_pagerank_sink_host_gets_teleport_only(ray_session):
+    # star graph: every spoke links to the hub; spokes have no in-links
+    edges = pd.DataFrame({"src_host": [f"s{i}" for i in range(10)],
+                          "dst_host": ["hub"] * 10})
+    out = _pagerank_frame(edges, iters=3, src="src_host", dst="dst_host")
+    n = 11
+    teleport = (15 * SCALE) // (100 * n)
+    spokes = out[out["host"] != "hub"]
+    assert (spokes["rank_fp"] == teleport).all()
+    hub = int(out.loc[out["host"] == "hub", "rank_fp"].iloc[0])
+    # hub absorbs every spoke's damped contribution
+    assert hub == teleport + (85 * (10 * (teleport // 1))) // 100
+
+
+def test_pagerank_empty_and_single_edge(ray_session):
+    empty = pagerank_hosts(rd.from_pandas(pd.DataFrame({
+        "src_host": pd.Series([], dtype="object"),
+        "dst_host": pd.Series([], dtype="object")})), mode="local")
+    assert empty.to_pandas().empty
+
+    one = _pagerank_frame(pd.DataFrame({"src_host": ["a"],
+                                        "dst_host": ["b"]}),
+                          iters=2, src="src_host", dst="dst_host")
+    assert set(one["host"]) == {"a", "b"}
+    assert (one["rank_fp"] > 0).all()
