@@ -1429,6 +1429,27 @@ def _extract_links(sf_dir: str):
     return extract_links(pages)
 
 
+def _docs_importance_weights(sf_dir: str):
+    """DSIR-style importance weights (hashed word-bigram features,
+    target = non-English docs): two streaming passes — a combiner
+    counts pass folding to two 256-long int64 arrays, then a scoring
+    pass against the broadcast arrays (functions/importance.py)."""
+    import ray.data as rd
+    from ocr_model_ray.functions.importance import (
+        importance_bucket_counts, importance_weights)
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+    s, t = importance_bucket_counts(docs)
+    return importance_weights(docs, s, t)
+
+
+def _docs_importance_resample(sf_dir: str):
+    """Deterministic importance resample: md5-uniform acceptance under
+    min(1, rate*weight) — the DSIR selection step, shuffle-free."""
+    from ocr_model_ray.functions.importance import importance_resample
+    return importance_resample(_docs_importance_weights(sf_dir), rate=0.5)
+
+
 def _tiered_pages_sql(select: str, where: str = "TRUE") -> str:
     """Oracle body over the per-tier pages fixture parquet (same tier
     switch as _tiered_golden_sql, keyed on the lineitem view).
@@ -1561,6 +1582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_latest_snapshot": _url_latest_snapshot,
         "url_host_quality_filter": _url_host_quality_filter,
         "url_crawl_diff": _url_crawl_diff,
+        "docs_importance_weights": _docs_importance_weights,
+        "docs_importance_resample": _docs_importance_resample,
         "web_host_graph": _web_host_graph,
         "web_host_inlinks": _web_host_inlinks,
         "web_host_pagerank": _web_host_pagerank,
@@ -3183,6 +3206,52 @@ def oracle_sql() -> dict[str, str]:
                     WHEN o.fp = n.fp THEN 'same'
                     ELSE 'changed' END AS status
         FROM o FULL OUTER JOIN n ON o.url = n.url
+    """
+    # DSIR-style importance weights: the oracle recomputes the hashed
+    # bigram buckets, the source/target bucket counts, and the
+    # ratio-of-linear-estimators weight — integer sums end-to-end, one
+    # float expression per doc written as the engine writes it
+    _imp_cte = """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(regexp_split_to_array(text,
+                       '[ \t\n\r\f\v]+'), w -> w <> '') AS t
+            FROM documents WHERE text IS NOT NULL),
+        occ AS (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 4))
+                        AS INTEGER) % 256 AS b
+            FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 2),
+        bc AS (
+            SELECT b, count(*) AS s_n,
+                   sum(CASE WHEN lang IS NOT NULL AND lang <> 'en'
+                            THEN 1 ELSE 0 END) AS t_n
+            FROM occ GROUP BY b),
+        tot AS (SELECT sum(s_n) AS s_tot, sum(t_n) AS t_tot FROM bc),
+        per_doc AS (
+            SELECT occ.doc_id, sum(bc.t_n) AS num, sum(bc.s_n) AS den
+            FROM occ JOIN bc USING (b) GROUP BY occ.doc_id),
+        weights AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(p.num, 0) AS BIGINT) AS num,
+                   CAST(coalesce(p.den, 0) AS BIGINT) AS den,
+                   CASE WHEN p.den IS NULL OR p.den = 0 THEN NULL
+                        ELSE (CAST(p.num AS DOUBLE) / CAST(p.den AS DOUBLE))
+                             * ((SELECT CAST(s_tot AS DOUBLE) FROM tot)
+                                / (SELECT CAST(t_tot AS DOUBLE) FROM tot))
+                   END AS weight
+            FROM documents d LEFT JOIN per_doc p USING (doc_id))
+    """
+    d["docs_importance_weights"] = _imp_cte + """
+        SELECT doc_id, num, den, weight FROM weights
+    """
+    d["docs_importance_resample"] = _imp_cte + """
+        SELECT doc_id, weight FROM weights
+        WHERE weight IS NOT NULL
+          AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 1000000
+              < floor(least(1.0, 0.5 * weight) * 1000000)
     """
     # Web link graph over the synthesized edge stream (synth_edges_sql
     # is the batch generator's SQL twin)
