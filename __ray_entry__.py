@@ -1429,6 +1429,44 @@ def _extract_links(sf_dir: str):
     return extract_links(pages)
 
 
+def _web_anchor_index(sf_dir: str):
+    """Anchor-text index over the REAL extracted links (the web-search
+    / retrieval signal): per resolved target url — total references,
+    distinct referring pages, and the most-common anchor text (ties
+    broken by the lexicographically LARGEST anchor, the same
+    deterministic rule both sides order by). Composition: link scan ->
+    two bucketed aggregates -> per-key argmax -> hash-bucket join."""
+    import pandas as pd
+    import pyarrow as pa
+    from ocr_model_ray.functions.bucketed import (bucketed_agg,
+                                                  bucketed_argmax)
+    from ocr_model_ray.functions.joins import hash_bucket_join
+    from ocr_model_ray.functions.link_graph import extract_links
+    from ocr_model_ray.sources.pages import read_pages
+
+    links = extract_links(read_pages(_fixture_dir(_tier_for(sf_dir)),
+                                     columns=["url", "html"]))
+    links = links.map_batches(
+        lambda t: t.filter(pa.compute.is_valid(t["dst_url"])),
+        batch_format="pyarrow").materialize()
+
+    per_dst = bucketed_agg(links, "dst_url",
+                           {"n_refs": ("url", "size"),
+                            "n_pages": ("url", "nunique")})
+    per_anchor = bucketed_agg(links, ["dst_url", "anchor"],
+                              {"n": ("url", "size")})
+    top = bucketed_argmax(per_anchor, "dst_url", order_by="n",
+                          tiebreak=["anchor"], largest=True)
+    top = top.map_batches(
+        lambda t: pa.table({"dst_url": t["dst_url"],
+                            "top_anchor": t["anchor"],
+                            "top_anchor_n": t["n"]}),
+        batch_format="pyarrow")
+    out = hash_bucket_join(per_dst, top, on="dst_url").to_pandas()
+    return out.astype({"n_refs": "int64", "n_pages": "int64",
+                       "top_anchor_n": "int64"})
+
+
 def _docs_importance_weights(sf_dir: str):
     """DSIR-style importance weights (hashed word-bigram features,
     target = non-English docs): two streaming passes — a combiner
@@ -1589,6 +1627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_pagerank": _web_host_pagerank,
         "web_host_pagerank_dist": _web_host_pagerank_dist,
         "extract_links": _extract_links,
+        "web_anchor_index": _web_anchor_index,
         "events_latest_per_user": _events_latest_per_user,
         "docs_line_dedup": _docs_line_dedup,
         "docs_line_dedup_dist": _docs_line_dedup_dist,
@@ -3329,6 +3368,29 @@ def oracle_sql() -> dict[str, str]:
                     ELSE NULL END AS dst_url,
                anchor
         FROM m
+    """
+    # anchor index: the extract_links replay re-aggregated in SQL;
+    # the top anchor uses the identical (count DESC, anchor DESC) rule
+    d["web_anchor_index"] = f"""
+        WITH links AS ({d['extract_links']}),
+        l AS (SELECT * FROM links WHERE dst_url IS NOT NULL),
+        per_dst AS (
+            SELECT dst_url, CAST(count(*) AS BIGINT) AS n_refs,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_pages
+            FROM l GROUP BY dst_url),
+        per_anchor AS (
+            SELECT dst_url, anchor, CAST(count(*) AS BIGINT) AS n
+            FROM l GROUP BY dst_url, anchor),
+        top AS (
+            SELECT dst_url, anchor AS top_anchor, n AS top_anchor_n
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY dst_url
+                      ORDER BY n DESC, anchor DESC) AS rn
+                  FROM per_anchor)
+            WHERE rn = 1)
+        SELECT p.dst_url, p.n_refs, p.n_pages,
+               t.top_anchor, t.top_anchor_n
+        FROM per_dst p JOIN top t USING (dst_url)
     """
     d["events_latest_per_user"] = """
         SELECT user_id, event_id, ts, event_type, value FROM (

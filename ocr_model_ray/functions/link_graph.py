@@ -96,7 +96,7 @@ def extract_links(pages: rd.Dataset, url_col: str = "url",
     rows; the payload column dies at this stage boundary."""
     from ..spec import decode_text, sniff_mime
 
-    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def per_batch(df: pd.DataFrame) -> pa.Table:
         urls: list[str] = []
         nos: list[int] = []
         hrefs: list[str] = []
@@ -113,12 +113,15 @@ def extract_links(pages: rd.Dataset, url_col: str = "url",
                 hrefs.append(href)
                 dsts.append(resolve_href(url, href))
                 anchors.append(anchor)
-        return pd.DataFrame({
-            "url": pd.Series(urls, dtype="object"),
-            "link_no": pd.Series(nos, dtype="int64"),
-            "href": pd.Series(hrefs, dtype="object"),
-            "dst_url": pd.Series(dsts, dtype="object"),
-            "anchor": pd.Series(anchors, dtype="object")})
+        # typed arrow output (repo doctrine): all-empty batches keep
+        # the schema, so downstream collects/joins never see
+        # schema-less blocks and Ray's size estimator stays quiet
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "link_no": pa.array(nos, pa.int64()),
+            "href": pa.array(hrefs, pa.string()),
+            "dst_url": pa.array(dsts, pa.string()),
+            "anchor": pa.array(anchors, pa.string())})
 
     return pages.map_batches(per_batch, batch_format="pandas")
 
