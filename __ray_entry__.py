@@ -1404,8 +1404,22 @@ def _web_host_inlinks(sf_dir: str):
 
 def _web_host_pagerank(sf_dir: str, mode: str = "auto"):
     """Fixed-point PageRank over the host graph (5 iterations,
-    bit-exact vs the oracle's BIGINT replay — link_graph docstring)."""
+    bit-exact vs the oracle's BIGINT replay — link_graph docstring).
+
+    The synthesized edge stream hides the parquet size hint behind a
+    map_batches, so 'auto' is resolved here from the INPUT table's
+    on-disk bytes (the same provably-small rule as
+    dedup_algos._resolve_mode) instead of inside the operator."""
+    from ocr_model_ray.functions.dedup_algos import SMALL_INPUT_BYTES
     from ocr_model_ray.functions.link_graph import pagerank_hosts
+    from ocr_model_ray.pipelines.relational import _table_bytes
+    if mode == "auto":
+        try:
+            small = _table_bytes(os.path.join(
+                sf_dir, "documents.parquet")) < SMALL_INPUT_BYTES
+        except OSError:
+            small = False
+        mode = "local" if small else "distributed"
     return pagerank_hosts(_docs_edges(sf_dir), iters=5, mode=mode)
 
 

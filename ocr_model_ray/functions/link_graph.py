@@ -210,10 +210,21 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
     from .bucketed import bucketed_agg, bucketed_distinct
     from .joins import hash_bucket_join
 
+    def _compact(ds: rd.Dataset, rows: int) -> rd.Dataset:
+        """Coalesce (no shuffle) a just-materialized iteration-state
+        Dataset to O(rows) blocks. Groupby outputs inherit Ray's
+        default ~200 shuffle partitions regardless of size, and every
+        subsequent exchange costs O(map_blocks x reduce_partitions)
+        boundary objects — 15+ shuffles per PageRank run turned a
+        37-host graph into thousands of tiny tasks before this."""
+        nb = max(1, min(num_buckets, rows // 500_000 + 1))
+        return ds.repartition(nb).materialize()
+
     dedges = bucketed_distinct(
         edges.map_batches(lambda t: t.select([src, dst]),
                           batch_format="pyarrow"),
         [src, dst], ).materialize()
+    dedges = _compact(dedges, dedges.count())
 
     def one_side(col: str):
         def f(t: pa.Table) -> pa.Table:
@@ -225,6 +236,7 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
         .union(dedges.map_batches(one_side(dst), batch_format="pyarrow")),
         ["host"]).materialize()
     n = hosts.count()
+    hosts = _compact(hosts, n)
     if n == 0:
         return rd.from_pandas(pd.DataFrame({
             "host": pd.Series([], dtype="object"),
@@ -238,6 +250,7 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
                           num_buckets=num_buckets)
     edges_wd = hash_bucket_join(dedges, outdeg, on=src,
                                 num_buckets=num_buckets).materialize()
+    edges_wd = _compact(edges_wd, edges_wd.count())
 
     def seed(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -272,10 +285,10 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
             return pa.table({"host": t["host"],
                              "r": pa.array(teleport + (DAMP * s) // 100)})
 
-        ranks = hash_bucket_join(
+        ranks = _compact(hash_bucket_join(
             hosts, insum.map_batches(renamed, batch_format="pyarrow"),
             on="host", how="left", num_buckets=num_buckets,
-            post_merge=finish).materialize()
+            post_merge=finish).materialize(), n)
 
     def out(t: pa.Table) -> pa.Table:
         r = t["r"].to_numpy()
