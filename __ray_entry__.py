@@ -1481,6 +1481,46 @@ def _web_anchor_index(sf_dir: str):
                        "top_anchor_n": "int64"})
 
 
+def _web_mirror_hosts(sf_dir: str):
+    """Mirror-host detection: host pairs whose content-key sets overlap
+    (url_ops.host_mirror_pairs). The synthesized assignment plants true
+    mirrors — every doc lives on host h{doc_id%37}; EVEN docs are
+    additionally served from m{doc_id%37}, so each m_k's set is a
+    proper subset of h_k's (J around 0.5) while cross-k overlap is
+    zero (texts are unique). SQL twin replays the assignment and the
+    exact set-Jaccard."""
+    import pandas as pd
+    import ray.data as rd
+    from ocr_model_ray.functions.text_stats import md5_hex
+    from ocr_model_ray.functions.url_ops import host_mirror_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        h = md5_hex(df["text"])
+        base = pd.DataFrame({"host": ("h" + (ids % 37).astype(str)),
+                             "h": h})
+        even = ids % 2 == 0
+        mirror = pd.DataFrame({
+            "host": ("m" + (ids[even] % 37).astype(str)),
+            "h": h[even]})
+        return pd.concat([base, mirror], ignore_index=True)
+
+    ds = docs.map_batches(assign, batch_format="pandas")
+    out = host_mirror_pairs(ds, threshold=0.3).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"host_a": pd.Series([], dtype="object"),
+                             "host_b": pd.Series([], dtype="object"),
+                             "n_inter": pd.Series([], dtype="int64"),
+                             "n_a": pd.Series([], dtype="int64"),
+                             "n_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return out.astype({"n_inter": "int64", "n_a": "int64",
+                       "n_b": "int64"})
+
+
 def _docs_importance_weights(sf_dir: str):
     """DSIR-style importance weights (hashed word-bigram features,
     target = non-English docs): two streaming passes — a combiner
@@ -1642,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_pagerank_dist": _web_host_pagerank_dist,
         "extract_links": _extract_links,
         "web_anchor_index": _web_anchor_index,
+        "web_mirror_hosts": _web_mirror_hosts,
         "events_latest_per_user": _events_latest_per_user,
         "docs_line_dedup": _docs_line_dedup,
         "docs_line_dedup_dist": _docs_line_dedup_dist,
@@ -3259,6 +3300,32 @@ def oracle_sql() -> dict[str, str]:
                     WHEN o.fp = n.fp THEN 'same'
                     ELSE 'changed' END AS status
         FROM o FULL OUTER JOIN n ON o.url = n.url
+    """
+    # mirror-host detection: exact content-set Jaccard per host pair,
+    # assignment + arithmetic replayed scalarly
+    d["web_mirror_hosts"] = """
+        WITH assign AS (
+            SELECT 'h' || (doc_id % 37) AS host, md5(text) AS h
+            FROM documents
+            UNION ALL
+            SELECT 'm' || (doc_id % 37) AS host, md5(text) AS h
+            FROM documents WHERE doc_id % 2 = 0),
+        hosts AS (SELECT DISTINCT host, h FROM assign),
+        sizes AS (SELECT host, count(*) AS n FROM hosts GROUP BY host),
+        inter AS (SELECT a.host AS host_a, b.host AS host_b,
+                         CAST(count(*) AS BIGINT) AS n_inter
+                  FROM hosts a JOIN hosts b
+                    ON a.h = b.h AND a.host < b.host
+                  GROUP BY 1, 2)
+        SELECT i.host_a, i.host_b, i.n_inter,
+               CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+               CAST(i.n_inter AS DOUBLE)
+                   / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.host = i.host_a
+        JOIN sizes sb ON sb.host = i.host_b
+        WHERE CAST(i.n_inter AS DOUBLE)
+                  / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.3
     """
     # DSIR-style importance weights: the oracle recomputes the hashed
     # bigram buckets, the source/target bucket counts, and the

@@ -345,6 +345,23 @@ def hash_bucket_join(left: rd.Dataset, right: rd.Dataset,
     # 10x on the q10 post-join groupby). Typed empties throughout (no
     # schema-less blocks).
     def _merge_group(g: pa.Table) -> pa.Table:
+        # coerce to the planned tagged schema: Ray never applies UDFs
+        # to EMPTY blocks, so zero-column empties from an upstream
+        # shuffle's empty reduce partitions sail through _tag untyped;
+        # schema unification then NULL-types any column a one-sided
+        # bucket only saw as padding, and acero rejects null-typed join
+        # fields. Casting per field is value-safe: a column with real
+        # values always unifies to its real type, never to null.
+        tagged = pa.schema(list(union_schema)
+                           + [pa.field("__side", pa.string())])
+        cols = []
+        for f in tagged:
+            if (f.name in g.schema.names
+                    and not pa.types.is_null(g[f.name].type)):
+                cols.append(g[f.name].cast(f.type))
+            else:
+                cols.append(pa.nulls(g.num_rows, f.type))
+        g = pa.Table.from_arrays(cols, schema=tagged)
         lmask = pc.equal(g["__side"], "l")
         lf = g.filter(lmask).select(lnames)
         rf = g.filter(pc.invert(lmask)).select(rnames)

@@ -296,3 +296,140 @@ def host_filter(ds: rd.Dataset, blocked: Iterable[str],
         return df[hit if keep else ~hit]
 
     return ds.map_batches(cut, batch_format="pandas")
+
+
+def host_mirror_pairs(ds: rd.Dataset, host_col: str = "host",
+                      key_col: str = "h", threshold: float = 0.3,
+                      num_buckets: int = 64,
+                      max_hosts_per_key: int | None = None) -> rd.Dataset:
+    """Mirror-host detection: host pairs whose CONTENT-KEY SETS overlap
+    with Jaccard >= ``threshold`` (Common Crawl drops mirror sites this
+    way — two hosts serving largely identical documents).
+
+    Input: any (host, key) stream where ``key`` identifies a piece of
+    content (md5 of the page text, a simhash, a canonical-url hash).
+    Exact set semantics end-to-end:
+
+      distinct (host, key)  — one bucketed exchange
+      -> group by key, pair the hosts sharing it (vectorized sort +
+         triangle indices per group, the _pairs_in_frame shape)
+      -> per-pair intersection counts — one bucketed exchange
+      -> per-host set sizes — one bucketed exchange on the same stream
+      -> sizes join in, J = i / (n_a + n_b - i)  (one float division,
+         bit-exact vs the SQL twin)
+
+    A key shared by k hosts yields k(k-1)/2 pair rows — boilerplate
+    texts ("404 not found") can make k huge at web scale. The guard is
+    OPT-IN (``max_hosts_per_key``): keys above the cap are dropped
+    whole and the drop is LOGGED (never silent); the default (None)
+    keeps exact semantics so the oracle comparison stays equality.
+    Output: (host_a, host_b, n_inter, n_a, n_b, jaccard)."""
+    import pyarrow as pa
+
+    from .bucketed import bucketed_agg, bucketed_distinct
+    from .joins import hash_bucket_join
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"host": t[host_col].cast(pa.string()),
+                         "k": t[key_col]})
+
+    pairs_src = bucketed_distinct(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        ["host", "k"]).materialize()
+
+    sizes = bucketed_agg(pairs_src, "host", {"n": ("k", "size")},
+                         num_buckets=num_buckets)
+
+    def add_kb(df: pd.DataFrame) -> pd.DataFrame:
+        kb = pd.util.hash_array(df["k"].to_numpy()) % num_buckets
+        return df.assign(__kb=kb.astype(np.int32))
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["host"].to_numpy(),
+                            g["k"].to_numpy().astype(str)))
+        ks = g["k"].to_numpy().astype(str)[order]
+        hs = g["host"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        ends = np.r_[starts[1:], len(ks)]
+        out_a, out_b = [], []
+        n_dropped = 0
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            if max_hosts_per_key is not None and n > max_hosts_per_key:
+                n_dropped += 1
+                continue
+            iu = np.triu_indices(n, k=1)
+            out_a.append(hs[s:e][iu[0]])
+            out_b.append(hs[s:e][iu[1]])
+        if n_dropped:
+            log.warning("host_mirror_pairs: %d keys above "
+                        "max_hosts_per_key=%s dropped whole",
+                        n_dropped, max_hosts_per_key)
+        import pyarrow as pa
+        if not out_a:
+            # typed arrow empty: an object-dtype empty pandas frame
+            # becomes arrow `null` type and poisons the downstream join
+            return pa.table({"host_a": pa.array([], pa.string()),
+                             "host_b": pa.array([], pa.string())})
+        return pa.table({"host_a": pa.array(np.concatenate(out_a)),
+                         "host_b": pa.array(np.concatenate(out_b))})
+
+    pair_rows = (pairs_src.map_batches(add_kb, batch_format="pandas")
+                 .groupby("__kb")
+                 .map_groups(pairs_in_group, batch_format="pandas"))
+    inter = bucketed_agg(pair_rows, ["host_a", "host_b"],
+                         {"n_inter": ("host_a", "size")},
+                         num_buckets=num_buckets)
+
+    def typed_inter(df: pd.DataFrame):
+        import pyarrow as pa
+        # empty reduce partitions emit schema-less pandas blocks; the
+        # arrow join downstream would infer `null` for their columns
+        if df.empty or "host_a" not in df.columns:
+            return pa.table({"host_a": pa.array([], pa.string()),
+                             "host_b": pa.array([], pa.string()),
+                             "n_inter": pa.array([], pa.int64())})
+        return pa.table({
+            "host_a": pa.array(df["host_a"], pa.string()),
+            "host_b": pa.array(df["host_b"], pa.string()),
+            "n_inter": pa.array(df["n_inter"].astype("int64"))})
+
+    inter = inter.map_batches(typed_inter,
+                              batch_format="pandas").materialize()
+    if inter.count() == 0:
+        import pyarrow as pa
+        return rd.from_arrow(pa.table({
+            "host_a": pa.array([], pa.string()),
+            "host_b": pa.array([], pa.string()),
+            "n_inter": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+
+    def size_as(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({col: t["host"],
+                             f"n_{col[-1]}": t["n"].cast(pa.int64())})
+        return f
+
+    with_a = hash_bucket_join(
+        inter, sizes.map_batches(size_as("host_a"), batch_format="pyarrow"),
+        on="host_a", num_buckets=num_buckets)
+    with_ab = hash_bucket_join(
+        with_a, sizes.map_batches(size_as("host_b"), batch_format="pyarrow"),
+        on="host_b", num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t["n_inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = i.astype(np.float64) / (na + nb - i).astype(np.float64)
+        out = pa.table({"host_a": t["host_a"], "host_b": t["host_b"],
+                        "n_inter": pa.array(i), "n_a": pa.array(na),
+                        "n_b": pa.array(nb), "jaccard": pa.array(j)})
+        return out.filter(pa.compute.greater_equal(out["jaccard"],
+                                                   threshold))
+
+    return with_ab.map_batches(finish, batch_format="pyarrow")

@@ -180,3 +180,54 @@ def test_crawl_diff_semantics():
            .to_pandas().sort_values("url").reset_index(drop=True))
     assert out["url"].tolist() == ["u1", "u2", "u3", "u4"]
     assert out["status"].tolist() == ["gone", "same", "changed", "new"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_mirror_pairs_exact_jaccard():
+    from ocr_model_ray.functions.url_ops import host_mirror_pairs
+    # hostA = {k1..k4}; hostB = {k1,k2} (J=0.5); hostC = {k9} disjoint
+    rows = pd.DataFrame({
+        "host": ["A"] * 4 + ["B", "B", "C"],
+        "h": ["k1", "k2", "k3", "k4", "k1", "k2", "k9"]})
+    out = host_mirror_pairs(rd.from_pandas(rows),
+                            threshold=0.3).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["host_a"], r["host_b"]) == ("A", "B")
+    assert (r["n_inter"], r["n_a"], r["n_b"]) == (2, 4, 2)
+    assert r["jaccard"] == 0.5
+    # threshold above the overlap: empty
+    assert host_mirror_pairs(rd.from_pandas(rows),
+                             threshold=0.6).to_pandas().empty
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_mirror_pairs_partition_independent_and_dedup():
+    from ocr_model_ray.functions.url_ops import host_mirror_pairs
+    # duplicate (host, key) rows must not inflate intersection counts
+    rows = pd.DataFrame({
+        "host": ["A", "A", "A", "B", "B", "B"],
+        "h": ["k1", "k1", "k2", "k1", "k1", "k3"]})
+    for parts in (1, 5):
+        out = host_mirror_pairs(rd.from_pandas(rows).repartition(parts),
+                                threshold=0.0).to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0]["n_inter"] == 1
+        assert out.iloc[0]["n_a"] == 2 and out.iloc[0]["n_b"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_mirror_pairs_hot_key_cap_logged():
+    from ocr_model_ray.functions.url_ops import host_mirror_pairs
+    # one boilerplate key shared by 10 hosts + one true mirror pair
+    rows = pd.DataFrame({
+        "host": [f"s{i}" for i in range(10)] + ["X", "X", "Y", "Y"],
+        "h": ["boiler"] * 10 + ["k1", "k2", "k1", "k2"]})
+    capped = host_mirror_pairs(rd.from_pandas(rows), threshold=0.0,
+                               max_hosts_per_key=5).to_pandas()
+    # the boilerplate key is dropped WHOLE; the X-Y pair survives
+    assert len(capped) == 1
+    assert (capped.iloc[0]["host_a"], capped.iloc[0]["host_b"]) == ("X", "Y")
+    full = host_mirror_pairs(rd.from_pandas(rows),
+                             threshold=0.0).to_pandas()
+    assert len(full) == 45 + 1  # C(10,2) boilerplate pairs + X-Y
