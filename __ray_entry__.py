@@ -1481,6 +1481,66 @@ def _web_anchor_index(sf_dir: str):
                        "top_anchor_n": "int64"})
 
 
+def _component_edges(sf_dir: str):
+    """Synthetic multi-component host graph: 4 disjoint families (the
+    family id is baked into the host name, so components are plural by
+    construction); within family f, h{f}-{doc_id%9} links to
+    h{f}-{(doc_id*5+j)%9} for j in 0..doc_id%3."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    def batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        counts = 1 + (ids % 3)
+        rep = np.repeat(ids, counts)
+        ends = np.cumsum(counts)
+        j = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) \
+            - np.repeat(ends - counts, counts)
+        fam = rep % 4
+        s = rep % 9
+        d = (rep * 5 + j) % 9
+        return pa.table({
+            "src_host": pa.array([f"h{f}-{v}" for f, v in
+                                  zip(fam.tolist(), s.tolist())]),
+            "dst_host": pa.array([f"h{f}-{v}" for f, v in
+                                  zip(fam.tolist(), d.tolist())])})
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    return docs.map_batches(batch, batch_format="pyarrow")
+
+
+_COMPONENT_EDGES_SQL = """
+    SELECT 'h' || (doc_id % 4) || '-' || (doc_id % 9) AS src_host,
+           'h' || (doc_id % 4) || '-' || ((doc_id * 5 + j) % 9)
+               AS dst_host
+    FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS t(j)
+"""
+
+
+def _web_host_components(sf_dir: str, mode: str = "auto"):
+    """Connected components of the undirected host graph (site
+    families): component id = lexicographically smallest member."""
+    from ocr_model_ray.functions.dedup_algos import SMALL_INPUT_BYTES
+    from ocr_model_ray.functions.link_graph import host_components
+    from ocr_model_ray.pipelines.relational import _table_bytes
+    if mode == "auto":
+        try:
+            small = _table_bytes(os.path.join(
+                sf_dir, "documents.parquet")) < SMALL_INPUT_BYTES
+        except OSError:
+            small = False
+        mode = "local" if small else "distributed"
+    return host_components(_component_edges(sf_dir), mode=mode)
+
+
+def _web_host_components_dist(sf_dir: str):
+    """Forced-distributed twin: string min-label propagation with
+    Dataset-resident labels, gate-checked at every sf."""
+    return _web_host_components(sf_dir, mode="distributed")
+
+
 def _web_mirror_hosts(sf_dir: str):
     """Mirror-host detection: host pairs whose content-key sets overlap
     (url_ops.host_mirror_pairs). The synthesized assignment plants true
@@ -1683,6 +1743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _extract_links,
         "web_anchor_index": _web_anchor_index,
         "web_mirror_hosts": _web_mirror_hosts,
+        "web_host_components": _web_host_components,
+        "web_host_components_dist": _web_host_components_dist,
         "events_latest_per_user": _events_latest_per_user,
         "docs_line_dedup": _docs_line_dedup,
         "docs_line_dedup_dist": _docs_line_dedup_dist,
@@ -3301,6 +3363,21 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'changed' END AS status
         FROM o FULL OUTER JOIN n ON o.url = n.url
     """
+    # host connected components: recursive-CTE reachability closure,
+    # component = min member host (same oracle shape as the doc-level
+    # near-dup clusters)
+    d["web_host_components"] = f"""
+        WITH RECURSIVE base AS ({_COMPONENT_EDGES_SQL}),
+        e AS (SELECT DISTINCT src_host AS a, dst_host AS b FROM base
+              UNION SELECT dst_host, src_host FROM base),
+        reach(node, label) AS (
+            SELECT a, a FROM e
+            UNION
+            SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node)
+        SELECT node AS host, min(label) AS component
+        FROM reach GROUP BY node
+    """
+    d["web_host_components_dist"] = d["web_host_components"]
     # mirror-host detection: exact content-set Jaccard per host pair,
     # assignment + arithmetic replayed scalarly
     d["web_mirror_hosts"] = """

@@ -296,3 +296,145 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
                          "rank": pa.array(r / float(SCALE))})
 
     return ranks.map_batches(out, batch_format="pyarrow")
+
+
+def _components_frame(edges: pd.DataFrame, src: str,
+                      dst: str) -> pd.DataFrame:
+    """Single-frame connected components (local plan + the reference
+    for the distributed twin): union-find over factorized hosts,
+    component id = lexicographically smallest member host."""
+    hosts = pd.unique(pd.concat([edges[src], edges[dst]],
+                                ignore_index=True))
+    hosts = np.sort(hosts.astype(object))
+    if len(hosts) == 0:
+        return pd.DataFrame({"host": pd.Series([], dtype="object"),
+                             "component": pd.Series([], dtype="object")})
+    idx = pd.Index(hosts)
+    a = idx.get_indexer(edges[src]).astype(np.int64)
+    b = idx.get_indexer(edges[dst]).astype(np.int64)
+    parent = np.arange(len(hosts), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in zip(a.tolist(), b.tolist()):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            # union by smaller index => root IS the min member (hosts
+            # are sorted), no second pass needed
+            if ri < rj:
+                parent[rj] = ri
+            else:
+                parent[ri] = rj
+    roots = np.array([find(i) for i in range(len(hosts))])
+    return pd.DataFrame({"host": hosts, "component": hosts[roots]})
+
+
+def host_components(edges: rd.Dataset, src: str = "src_host",
+                    dst: str = "dst_host", num_buckets: int = 32,
+                    rounds_cap: int = 64,
+                    mode: str = "auto") -> rd.Dataset:
+    """Connected components of the (undirected) host graph: (host,
+    component) where component = lexicographically smallest host in
+    the component — site families / mirror clusters at host
+    granularity.
+
+    Distributed plan: STRING min-label propagation, the same
+    Dataset-resident round shape as ``dedup_algos._label_prop_ray``
+    (labels never collect; one join + one bucketed min per round; a
+    changed-count aggregate terminates) — min over strings is as
+    order-free as min over ints, so the result is partitioning-
+    invariant and equal to the local union-find."""
+    if _resolve_mode(edges, mode) == "local":
+        def proj(df: pd.DataFrame) -> pd.DataFrame:
+            return df[[src, dst]]
+        frame = edges.map_batches(proj, batch_format="pandas").to_pandas()
+        if frame.empty:
+            frame = pd.DataFrame({src: pd.Series([], dtype="object"),
+                                  dst: pd.Series([], dtype="object")})
+        return rd.from_pandas(_components_frame(frame, src, dst))
+
+    from .bucketed import bucketed_agg, bucketed_distinct
+    from .joins import hash_bucket_join
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = t[src].cast(pa.string())
+        d = t[dst].cast(pa.string())
+        return pa.concat_tables([pa.table({"src": s, "dst": d}),
+                                 pa.table({"src": d, "dst": s})])
+
+    dedges = bucketed_distinct(
+        edges.map_batches(sym, batch_format="pyarrow"), ["src", "dst"],
+    ).materialize()
+    n_edges = dedges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({
+            "host": pa.array([], pa.string()),
+            "component": pa.array([], pa.string())}))
+    dedges = dedges.repartition(
+        max(1, min(num_buckets, n_edges // 500_000 + 1))).materialize()
+
+    labels = bucketed_distinct(
+        dedges.map_batches(lambda t: pa.table({"node": t["src"]}),
+                           batch_format="pyarrow"),
+        ["node"]).materialize()
+    n = labels.count()
+    labels = (labels.repartition(max(1, min(num_buckets,
+                                            n // 500_000 + 1)))
+              .map_batches(lambda t: pa.table({"node": t["node"],
+                                               "label": t["node"]}),
+                           batch_format="pyarrow").materialize())
+
+    # message rows carry a MAX-sentinel self label (pandas' object-min
+    # can't skip None; "￿" sorts above any IDNA hostname — they
+    # are ASCII/punycode — mirroring _label_prop_ray's _LP_NO_SELF int)
+    no_self = "￿"
+
+    def as_msg(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["dst"],
+                         "label": t["label"].cast(pa.string()),
+                         "selfl": pa.array([no_self] * t.num_rows,
+                                           pa.string())})
+
+    def as_self(t: pa.Table) -> pa.Table:
+        lab = t["label"].cast(pa.string())
+        return pa.table({"node": t["node"], "label": lab, "selfl": lab})
+
+    def lab_as_src(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["src" if c == "node" else c for c in t.column_names])
+
+    def changed_count(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        c = pc.sum(pc.less(t["label"], t["old"])).as_py() or 0
+        return pa.table({"n": pa.array([int(c)], pa.int64())})
+
+    for _ in range(rounds_cap):
+        msgs = hash_bucket_join(
+            dedges, labels.map_batches(lab_as_src, batch_format="pyarrow"),
+            on="src", num_buckets=num_buckets,
+        ).map_batches(as_msg, batch_format="pyarrow")
+        selfm = labels.map_batches(as_self, batch_format="pyarrow")
+        # min over strings per node; `old` = the self label (messages
+        # carry null selfl, which pandas min skips)
+        agg = bucketed_agg(msgs.union(selfm), "node",
+                           {"label": ("label", "min"),
+                            "old": ("selfl", "min")},
+                           num_buckets=num_buckets).materialize()
+        changed = int(agg.map_batches(
+            changed_count, batch_format="pyarrow").sum("n") or 0)
+        # agg is already materialized; the projection is a lazy view
+        labels = agg.select_columns(["node", "label"])
+        if changed == 0:
+            break
+    else:
+        log.warning("host_components: rounds_cap=%d hit before "
+                    "convergence", rounds_cap)
+
+    return labels.map_batches(
+        lambda t: pa.table({"host": t["node"],
+                            "component": t["label"].cast(pa.string())}),
+        batch_format="pyarrow")

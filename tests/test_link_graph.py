@@ -183,3 +183,58 @@ def test_pagerank_empty_and_single_edge(ray_session):
                           iters=2, src="src_host", dst="dst_host")
     assert set(one["host"]) == {"a", "b"}
     assert (one["rank_fp"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+def _component_edges_frame() -> pd.DataFrame:
+    # 3 families: {a0,a1,a2} chained, {b0,b1} pair, {c0} self-loop
+    return pd.DataFrame({
+        "src_host": ["a1", "a2", "b0", "c0", "a1"],
+        "dst_host": ["a0", "a1", "b1", "c0", "a2"]})
+
+
+def test_host_components_local_union_find(ray_session):
+    from ocr_model_ray.functions.link_graph import host_components
+    out = host_components(rd.from_pandas(_component_edges_frame()),
+                          mode="local").to_pandas()
+    comp = dict(zip(out["host"], out["component"]))
+    assert comp == {"a0": "a0", "a1": "a0", "a2": "a0",
+                    "b0": "b0", "b1": "b0", "c0": "c0"}
+
+
+def test_host_components_local_equals_distributed(ray_session):
+    from ocr_model_ray.functions.link_graph import host_components
+    edges = _component_edges_frame()
+    local = host_components(rd.from_pandas(edges),
+                            mode="local").to_pandas()
+    dist = host_components(rd.from_pandas(edges).repartition(4),
+                           mode="distributed").to_pandas()
+    local = local.sort_values("host").reset_index(drop=True)
+    dist = dist.sort_values("host").reset_index(drop=True)
+    assert local["host"].tolist() == dist["host"].tolist()
+    assert local["component"].tolist() == dist["component"].tolist()
+
+
+def test_host_components_chain_converges(ray_session):
+    from ocr_model_ray.functions.link_graph import host_components
+    # a 5-hop chain needs multiple propagation rounds (min label moves
+    # one hop per round); kept short — each distributed round costs a
+    # few fixed-cost shuffles under the 4-CPU test session
+    edges = pd.DataFrame({
+        "src_host": [f"n{i:02d}" for i in range(5)],
+        "dst_host": [f"n{i+1:02d}" for i in range(5)]})
+    out = host_components(rd.from_pandas(edges),
+                          mode="distributed").to_pandas()
+    assert (out["component"] == "n00").all()
+    assert len(out) == 6
+
+
+def test_host_components_empty(ray_session):
+    from ocr_model_ray.functions.link_graph import host_components
+    empty = pd.DataFrame({"src_host": pd.Series([], dtype="object"),
+                          "dst_host": pd.Series([], dtype="object")})
+    for mode in ("local", "distributed"):
+        assert host_components(rd.from_pandas(empty),
+                               mode=mode).to_pandas().empty
