@@ -1360,8 +1360,9 @@ def synth_edges_batch(t, id_col: str = "doc_id"):
         - np.repeat(ends - counts, counts)
     srcs = rep % 37
     dsts = (rep * 7 + j * 11 + 3) % 37
+    # no doc_id column: every consumer aggregates at host granularity,
+    # so the id would only pad the bucketed exchanges
     return pa.table({
-        "doc_id": pa.array(rep),
         "src_host": pa.array([f"h{s}.example.org" for s in srcs.tolist()]),
         "dst_host": pa.array([f"h{d}.example.org" for d in dsts.tolist()]),
     })
@@ -1402,25 +1403,30 @@ def _web_host_inlinks(sf_dir: str):
     return out.astype({"n_links": "int64", "n_src_hosts": "int64"})
 
 
+def _resolve_entry_mode(sf_dir: str, mode: str,
+                        table: str = "documents") -> str:
+    """Resolve 'auto' from the INPUT table's on-disk bytes (the same
+    provably-small rule as dedup_algos._resolve_mode). Needed when a
+    synthesizing map_batches hides the parquet size hint from the
+    operator's own auto-resolution; unknowable sizes go distributed."""
+    if mode != "auto":
+        return mode
+    from ocr_model_ray.functions.dedup_algos import SMALL_INPUT_BYTES
+    from ocr_model_ray.pipelines.relational import _table_bytes
+    try:
+        small = _table_bytes(os.path.join(
+            sf_dir, f"{table}.parquet")) < SMALL_INPUT_BYTES
+    except OSError:
+        small = False
+    return "local" if small else "distributed"
+
+
 def _web_host_pagerank(sf_dir: str, mode: str = "auto"):
     """Fixed-point PageRank over the host graph (5 iterations,
-    bit-exact vs the oracle's BIGINT replay — link_graph docstring).
-
-    The synthesized edge stream hides the parquet size hint behind a
-    map_batches, so 'auto' is resolved here from the INPUT table's
-    on-disk bytes (the same provably-small rule as
-    dedup_algos._resolve_mode) instead of inside the operator."""
-    from ocr_model_ray.functions.dedup_algos import SMALL_INPUT_BYTES
+    bit-exact vs the oracle's BIGINT replay — link_graph docstring)."""
     from ocr_model_ray.functions.link_graph import pagerank_hosts
-    from ocr_model_ray.pipelines.relational import _table_bytes
-    if mode == "auto":
-        try:
-            small = _table_bytes(os.path.join(
-                sf_dir, "documents.parquet")) < SMALL_INPUT_BYTES
-        except OSError:
-            small = False
-        mode = "local" if small else "distributed"
-    return pagerank_hosts(_docs_edges(sf_dir), iters=5, mode=mode)
+    return pagerank_hosts(_docs_edges(sf_dir), iters=5,
+                          mode=_resolve_entry_mode(sf_dir, mode))
 
 
 def _web_host_pagerank_dist(sf_dir: str):
@@ -1522,17 +1528,9 @@ _COMPONENT_EDGES_SQL = """
 def _web_host_components(sf_dir: str, mode: str = "auto"):
     """Connected components of the undirected host graph (site
     families): component id = lexicographically smallest member."""
-    from ocr_model_ray.functions.dedup_algos import SMALL_INPUT_BYTES
     from ocr_model_ray.functions.link_graph import host_components
-    from ocr_model_ray.pipelines.relational import _table_bytes
-    if mode == "auto":
-        try:
-            small = _table_bytes(os.path.join(
-                sf_dir, "documents.parquet")) < SMALL_INPUT_BYTES
-        except OSError:
-            small = False
-        mode = "local" if small else "distributed"
-    return host_components(_component_edges(sf_dir), mode=mode)
+    return host_components(_component_edges(sf_dir),
+                           mode=_resolve_entry_mode(sf_dir, mode))
 
 
 def _web_host_components_dist(sf_dir: str):
@@ -3515,6 +3513,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, CAST(link_no AS BIGINT) AS link_no, href,
                CASE WHEN regexp_matches(href,
                         '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN href
+                    -- scheme-less source urls resolve to NULL like the
+                    -- engine (regexp_extract would return '' not NULL)
+                    WHEN NOT regexp_matches(url,
+                        '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN NULL
                     WHEN href LIKE '//%' THEN
                         regexp_extract(url,
                             '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)

@@ -48,7 +48,10 @@ log = logging.getLogger(__name__)
 #: inner markup up to the first </a>, case-insensitive, dot matches
 #: newlines. Entities are NOT unescaped and nested <a> are not handled
 #: — the scan is the crawler-style regex pass, not the DOM parse.
-LINK_RE = re.compile(r'<a\s[^>]*?href="([^"]*)"[^>]*>(.*?)</a>',
+#: the whitespace class is spelled out as RE2's ASCII \s ([\t\n\f\r ]):
+#: Python's \s would also match U+00A0/U+0085 etc. and silently diverge
+#: from the DuckDB twin on exotic-whitespace markup
+LINK_RE = re.compile(r'<a[\t\n\f\r ][^>]*?href="([^"]*)"[^>]*>(.*?)</a>',
                      re.IGNORECASE | re.DOTALL)
 
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
@@ -57,6 +60,17 @@ _ORIGIN_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*")
 #: PageRank fixed-point scale and damping (percent)
 SCALE = 10 ** 12
 DAMP = 85
+
+
+def _compact(ds: rd.Dataset, rows: int, num_buckets: int) -> rd.Dataset:
+    """Coalesce (no shuffle) a just-materialized iteration-state
+    Dataset to O(rows) blocks. Groupby outputs inherit Ray's default
+    ~200 shuffle partitions regardless of size, and every subsequent
+    exchange costs O(map_blocks x reduce_partitions) boundary objects
+    — 15+ shuffles per PageRank run turned a 37-host graph into
+    thousands of tiny tasks before this policy existed."""
+    nb = max(1, min(num_buckets, rows // 500_000 + 1))
+    return ds.repartition(nb).materialize()
 
 
 def resolve_href(src_url: str, href: str) -> Optional[str]:
@@ -210,21 +224,11 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
     from .bucketed import bucketed_agg, bucketed_distinct
     from .joins import hash_bucket_join
 
-    def _compact(ds: rd.Dataset, rows: int) -> rd.Dataset:
-        """Coalesce (no shuffle) a just-materialized iteration-state
-        Dataset to O(rows) blocks. Groupby outputs inherit Ray's
-        default ~200 shuffle partitions regardless of size, and every
-        subsequent exchange costs O(map_blocks x reduce_partitions)
-        boundary objects — 15+ shuffles per PageRank run turned a
-        37-host graph into thousands of tiny tasks before this."""
-        nb = max(1, min(num_buckets, rows // 500_000 + 1))
-        return ds.repartition(nb).materialize()
-
     dedges = bucketed_distinct(
         edges.map_batches(lambda t: t.select([src, dst]),
                           batch_format="pyarrow"),
         [src, dst], ).materialize()
-    dedges = _compact(dedges, dedges.count())
+    dedges = _compact(dedges, dedges.count(), num_buckets)
 
     def one_side(col: str):
         def f(t: pa.Table) -> pa.Table:
@@ -236,7 +240,7 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
         .union(dedges.map_batches(one_side(dst), batch_format="pyarrow")),
         ["host"]).materialize()
     n = hosts.count()
-    hosts = _compact(hosts, n)
+    hosts = _compact(hosts, n, num_buckets)
     if n == 0:
         return rd.from_pandas(pd.DataFrame({
             "host": pd.Series([], dtype="object"),
@@ -250,7 +254,7 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
                           num_buckets=num_buckets)
     edges_wd = hash_bucket_join(dedges, outdeg, on=src,
                                 num_buckets=num_buckets).materialize()
-    edges_wd = _compact(edges_wd, edges_wd.count())
+    edges_wd = _compact(edges_wd, edges_wd.count(), num_buckets)
 
     def seed(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -288,7 +292,7 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
         ranks = _compact(hash_bucket_join(
             hosts, insum.map_batches(renamed, batch_format="pyarrow"),
             on="host", how="left", num_buckets=num_buckets,
-            post_merge=finish).materialize(), n)
+            post_merge=finish).materialize(), n, num_buckets)
 
     def out(t: pa.Table) -> pa.Table:
         r = t["r"].to_numpy()
@@ -335,7 +339,7 @@ def _components_frame(edges: pd.DataFrame, src: str,
 
 def host_components(edges: rd.Dataset, src: str = "src_host",
                     dst: str = "dst_host", num_buckets: int = 32,
-                    rounds_cap: int = 64,
+                    rounds_cap: int | None = None,
                     mode: str = "auto") -> rd.Dataset:
     """Connected components of the (undirected) host graph: (host,
     component) where component = lexicographically smallest host in
@@ -347,7 +351,10 @@ def host_components(edges: rd.Dataset, src: str = "src_host",
     (labels never collect; one join + one bucketed min per round; a
     changed-count aggregate terminates) — min over strings is as
     order-free as min over ints, so the result is partitioning-
-    invariant and equal to the local union-find."""
+    invariant and equal to the local union-find. ``rounds_cap``
+    defaults to n_nodes + 1 — the worst-case diameter bound, so the
+    default ALWAYS converges (the sibling min_label_propagation rule);
+    pass a smaller cap only as an explicit latency/exactness trade."""
     if _resolve_mode(edges, mode) == "local":
         def proj(df: pd.DataFrame) -> pd.DataFrame:
             return df[[src, dst]]
@@ -374,23 +381,23 @@ def host_components(edges: rd.Dataset, src: str = "src_host",
         return rd.from_arrow(pa.table({
             "host": pa.array([], pa.string()),
             "component": pa.array([], pa.string())}))
-    dedges = dedges.repartition(
-        max(1, min(num_buckets, n_edges // 500_000 + 1))).materialize()
+    dedges = _compact(dedges, n_edges, num_buckets)
 
     labels = bucketed_distinct(
         dedges.map_batches(lambda t: pa.table({"node": t["src"]}),
                            batch_format="pyarrow"),
         ["node"]).materialize()
     n = labels.count()
-    labels = (labels.repartition(max(1, min(num_buckets,
-                                            n // 500_000 + 1)))
+    labels = (_compact(labels, n, num_buckets)
               .map_batches(lambda t: pa.table({"node": t["node"],
                                                "label": t["node"]}),
                            batch_format="pyarrow").materialize())
 
-    # message rows carry a MAX-sentinel self label (pandas' object-min
-    # can't skip None; "￿" sorts above any IDNA hostname — they
-    # are ASCII/punycode — mirroring _label_prop_ray's _LP_NO_SELF int)
+    # message rows carry a MAX-sentinel self label (U+FFFF, mirroring
+    # _label_prop_ray's _LP_NO_SELF int): pandas' object-dtype groupby
+    # min cannot skip None, so the sentinel must SORT ABOVE every real
+    # label — true for IDNA hostnames (ASCII/punycode); a non-BMP
+    # label would violate the invariant, hence the hostname domain note
     no_self = "￿"
 
     def as_msg(t: pa.Table) -> pa.Table:
@@ -412,7 +419,8 @@ def host_components(edges: rd.Dataset, src: str = "src_host",
         c = pc.sum(pc.less(t["label"], t["old"])).as_py() or 0
         return pa.table({"n": pa.array([int(c)], pa.int64())})
 
-    for _ in range(rounds_cap):
+    cap = rounds_cap if rounds_cap is not None else n + 1
+    for _ in range(cap):
         msgs = hash_bucket_join(
             dedges, labels.map_batches(lab_as_src, batch_format="pyarrow"),
             on="src", num_buckets=num_buckets,
@@ -432,7 +440,7 @@ def host_components(edges: rd.Dataset, src: str = "src_host",
             break
     else:
         log.warning("host_components: rounds_cap=%d hit before "
-                    "convergence", rounds_cap)
+                    "convergence", cap)
 
     return labels.map_batches(
         lambda t: pa.table({"host": t["node"],

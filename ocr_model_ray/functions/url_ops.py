@@ -330,8 +330,14 @@ def host_mirror_pairs(ds: rd.Dataset, host_col: str = "host",
     from .joins import hash_bucket_join
 
     def proj(t: pa.Table) -> pa.Table:
-        return pa.table({"host": t[host_col].cast(pa.string()),
-                         "k": t[key_col]})
+        import pyarrow.compute as pc
+        # NULL keys (e.g. md5 of a NULL text) identify nothing — drop
+        # them BEFORE pairing: the SQL twin's equijoin never matches
+        # NULLs, and a stringified None would otherwise form a bogus
+        # shared-'None' group pairing unrelated hosts
+        out = pa.table({"host": t[host_col].cast(pa.string()),
+                        "k": t[key_col]})
+        return out.filter(pc.is_valid(out["k"]))
 
     pairs_src = bucketed_distinct(
         ds.map_batches(proj, batch_format="pyarrow"),
