@@ -1464,11 +1464,13 @@ def _web_anchor_index(sf_dir: str):
     from ocr_model_ray.functions.link_graph import extract_links
     from ocr_model_ray.sources.pages import read_pages
 
+    from ocr_model_ray.functions.link_graph import _compact
     links = extract_links(read_pages(_fixture_dir(_tier_for(sf_dir)),
                                      columns=["url", "html"]))
     links = links.map_batches(
         lambda t: t.filter(pa.compute.is_valid(t["dst_url"])),
         batch_format="pyarrow").materialize()
+    links = _compact(links, links.count(), 64)
 
     per_dst = bucketed_agg(links, "dst_url",
                            {"n_refs": ("url", "size"),

@@ -342,6 +342,12 @@ def host_mirror_pairs(ds: rd.Dataset, host_col: str = "host",
     pairs_src = bucketed_distinct(
         ds.map_batches(proj, batch_format="pyarrow"),
         ["host", "k"]).materialize()
+    # coalesce the distinct stream before the fan of downstream
+    # shuffles (link_graph._compact rationale: groupby outputs inherit
+    # ~200 partitions regardless of size and every later exchange pays
+    # O(map_blocks x reduce_partitions))
+    from .link_graph import _compact
+    pairs_src = _compact(pairs_src, pairs_src.count(), num_buckets)
 
     sizes = bucketed_agg(pairs_src, "host", {"n": ("k", "size")},
                          num_buckets=num_buckets)
