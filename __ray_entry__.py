@@ -822,6 +822,50 @@ def _docs_repetition(sf_dir: str):
     return _docs(sf_dir).map_batches(repetition_batch, batch_format="pandas")
 
 
+def _extract_content_ratio(sf_dir: str):
+    """Boilerplate-strip yield per page: extracted main-content chars
+    against the raw payload size (the Readability-style signal a crawl
+    quality dashboard tracks). Composition: extraction summary joined
+    back to the pages table's payload bytes on url — a hash-bucket
+    join of two streams; ONE float division per row, bit-exact vs the
+    oracle (golden char_count x octet_length over the same parquet)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ocr_model_ray.functions.joins import hash_bucket_join
+    from ocr_model_ray.pipelines.extract_pipeline import (
+        ExtractConfig, extract_pipeline)
+    from ocr_model_ray.sources.pages import read_pages
+
+    fix = _fixture_dir(_tier_for(sf_dir))
+    summary = extract_pipeline(fix, ExtractConfig(emit="summary")) \
+        .map_batches(lambda t: t.select(["url", "char_count"]),
+                     batch_format="pyarrow")
+
+    def page_bytes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"],
+            "page_bytes": pc.cast(pc.binary_length(t["html"]),
+                                  pa.int64())})
+
+    pages = read_pages(fix, columns=["url", "html"]) \
+        .map_batches(page_bytes, batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+        c = t["char_count"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = t["page_bytes"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "url": t["url"], "content_chars": pa.array(c),
+            "page_bytes": pa.array(b),
+            "content_ratio": pa.array(c.astype(np.float64)
+                                      / b.astype(np.float64))})
+
+    return hash_bucket_join(summary, pages, on="url") \
+        .map_batches(finish, batch_format="pyarrow")
+
+
 def _extract_source_panel(sf_dir: str):
     """Per-source extraction panel over the Common-Crawl-shaped corpus:
     group the extracted summary by the url's first path segment (the
@@ -1771,6 +1815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_needs_review": _extract_needs_review,
         "extract_captures_panel": _extract_captures_panel,
         "extract_source_panel": _extract_source_panel,
+        "extract_content_ratio": _extract_content_ratio,
     }
 
 
@@ -3362,6 +3407,19 @@ def oracle_sql() -> dict[str, str]:
                     WHEN o.fp = n.fp THEN 'same'
                     ELSE 'changed' END AS status
         FROM o FULL OUTER JOIN n ON o.url = n.url
+    """
+    # boilerplate-strip yield: the golden char_count (extraction
+    # parity already pinned by extract_flagship) against the raw
+    # payload bytes from the SAME pages parquet
+    _g_cc = _tiered_golden_sql("url, char_count", "extracted.parquet")
+    _p_len = _tiered_pages_sql("url, octet_length(html) AS page_bytes")
+    d["extract_content_ratio"] = f"""
+        WITH g AS ({_g_cc}), p AS ({_p_len})
+        SELECT g.url, CAST(g.char_count AS BIGINT) AS content_chars,
+               CAST(p.page_bytes AS BIGINT) AS page_bytes,
+               CAST(g.char_count AS DOUBLE)
+                   / CAST(p.page_bytes AS DOUBLE) AS content_ratio
+        FROM g JOIN p USING (url)
     """
     # host connected components: recursive-CTE reachability closure,
     # component = min member host (same oracle shape as the doc-level
