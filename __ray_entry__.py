@@ -1533,6 +1533,55 @@ def _web_anchor_index(sf_dir: str):
                        "top_anchor_n": "int64"})
 
 
+def _web_pagerank_ingest(sf_dir: str):
+    """Cross-run PageRank: the edge stream arrives as TWO crawl
+    ingests (even / odd docs) into a persistent link-graph index
+    (state/linkgraph_index.py — crash-safe parts + compaction
+    manifest); PageRank then runs over the accumulated UNION graph.
+    Distinct-edge semantics make the result equal to the one-shot
+    oracle regardless of how the ingests split the stream — the
+    cross-run lifecycle is what's under test."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    from ocr_model_ray.functions.link_graph import pagerank_hosts
+    from ocr_model_ray.state.linkgraph_index import (compact_linkgraph,
+                                                     linkgraph_ingest,
+                                                     read_linkgraph)
+
+    idx = tempfile.mkdtemp(prefix="lg_idx_")
+    try:
+        edges = _docs_edges(sf_dir)
+
+        # split by a deterministic edge attribute (src/dst hash parity)
+        def split(parity: int):
+            def f(t: pa.Table) -> pa.Table:
+                import numpy as np
+                import pandas as pd
+                key = (pd.Series(t["src_host"].to_pandas()) + "\x00"
+                       + pd.Series(t["dst_host"].to_pandas()))
+                h = pd.util.hash_array(key.to_numpy()) % 2
+                return t.filter(pa.array(h == parity))
+            return f
+
+        linkgraph_ingest(edges.map_batches(split(0),
+                                           batch_format="pyarrow"),
+                         idx, "crawl_a")
+        linkgraph_ingest(edges.map_batches(split(1),
+                                           batch_format="pyarrow"),
+                         idx, "crawl_b")
+        compact_linkgraph(idx)
+        union = read_linkgraph(idx).map_batches(
+            lambda t: t.select(["src_host", "dst_host"]),
+            batch_format="pyarrow")
+        return pagerank_hosts(union, iters=5,
+                              mode=_resolve_entry_mode(sf_dir, "auto")
+                              ).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 def _component_edges(sf_dir: str):
     """Synthetic multi-component host graph: 4 disjoint families (the
     family id is baked into the host name, so components are plural by
@@ -1789,6 +1838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_mirror_hosts": _web_mirror_hosts,
         "web_host_components": _web_host_components,
         "web_host_components_dist": _web_host_components_dist,
+        "web_pagerank_ingest": _web_pagerank_ingest,
         "events_latest_per_user": _events_latest_per_user,
         "docs_line_dedup": _docs_line_dedup,
         "docs_line_dedup_dist": _docs_line_dedup_dist,
@@ -3550,6 +3600,9 @@ def oracle_sql() -> dict[str, str]:
         FROM r{_pr_iters}
     """
     d["web_host_pagerank_dist"] = d["web_host_pagerank"]
+    # cross-run ingest reconstructs the SAME distinct-edge graph, so
+    # the one-shot replay is the exact oracle
+    d["web_pagerank_ingest"] = d["web_host_pagerank"]
     # href/anchor link scan: DuckDB RE2 replay of link_graph.LINK_RE
     # over the same pages parquet. The prefix predicate (the magic-
     # number sniff's HTML case) runs via try_cast's escaped blob
