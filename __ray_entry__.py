@@ -1473,6 +1473,19 @@ def _web_host_pagerank(sf_dir: str, mode: str = "auto"):
                           mode=_resolve_entry_mode(sf_dir, mode))
 
 
+def _web_host_pagerank_weighted(sf_dir: str):
+    """Weighted fixed-point PageRank: the host graph's accumulated
+    link counts are the edge weights (contrib = (r·w)//W, computed
+    overflow-safely — link_graph._pagerank_frame docstring). Eats the
+    host_graph aggregation's output directly, the same stream the
+    persistent link-graph index serves."""
+    from ocr_model_ray.functions.link_graph import (host_graph,
+                                                    pagerank_hosts)
+    g = host_graph(_docs_edges(sf_dir))
+    return pagerank_hosts(g, iters=5, weight_col="n_links",
+                          mode=_resolve_entry_mode(sf_dir, "auto"))
+
+
 def _web_host_pagerank_dist(sf_dir: str):
     """Forced-distributed twin: the Dataset-resident iteration plan
     the 10^12-doc story depends on, gate-checked at every sf."""
@@ -1833,6 +1846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_inlinks": _web_host_inlinks,
         "web_host_pagerank": _web_host_pagerank,
         "web_host_pagerank_dist": _web_host_pagerank_dist,
+        "web_host_pagerank_weighted": _web_host_pagerank_weighted,
         "extract_links": _extract_links,
         "web_anchor_index": _web_anchor_index,
         "web_mirror_hosts": _web_mirror_hosts,
@@ -3603,6 +3617,36 @@ def oracle_sql() -> dict[str, str]:
     # cross-run ingest reconstructs the SAME distinct-edge graph, so
     # the one-shot replay is the exact oracle
     d["web_pagerank_ingest"] = d["web_host_pagerank"]
+    # weighted variant: contrib = (r·w)//W via the overflow-safe split
+    # (r//W)·w + ((r%W)·w)//W — BIGINT end-to-end like the unweighted
+    _prw_ctes = [f"""
+        e AS (SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS w
+              FROM ({_edges_src}) GROUP BY src_host, dst_host),
+        hosts AS (SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM e
+            UNION ALL SELECT dst_host FROM e)),
+        nn AS (SELECT count(*) AS n FROM hosts),
+        outw AS (SELECT src_host, SUM(w) AS d FROM e GROUP BY 1),
+        r0 AS (SELECT host, 1000000000000 // (SELECT n FROM nn) AS r
+               FROM hosts)"""]
+    for _i in range(1, _pr_iters + 1):
+        _prw_ctes.append(f"""
+        s{_i} AS (SELECT e.dst_host AS host,
+                         SUM((r.r // o.d) * e.w
+                             + ((r.r % o.d) * e.w) // o.d) AS insum
+                  FROM e JOIN r{_i - 1} r ON r.host = e.src_host
+                  JOIN outw o ON o.src_host = e.src_host
+                  GROUP BY e.dst_host),
+        r{_i} AS (SELECT h.host,
+                     (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+                     + (85 * COALESCE(s.insum, 0)) // 100 AS r
+                  FROM hosts h LEFT JOIN s{_i} s ON s.host = h.host)""")
+    d["web_host_pagerank_weighted"] = f"""
+        WITH {','.join(_prw_ctes)}
+        SELECT host, CAST(r AS BIGINT) AS rank_fp,
+               CAST(r AS BIGINT) / 1000000000000.0 AS rank
+        FROM r{_pr_iters}
+    """
     # href/anchor link scan: DuckDB RE2 replay of link_graph.LINK_RE
     # over the same pages parquet. The prefix predicate (the magic-
     # number sniff's HTML case) runs via try_cast's escaped blob

@@ -165,10 +165,22 @@ def host_inlinks(edges: rd.Dataset, src: str = "src_host",
 
 
 def _pagerank_frame(edges: pd.DataFrame, iters: int,
-                    src: str, dst: str) -> pd.DataFrame:
+                    src: str, dst: str,
+                    weight_col: str | None = None) -> pd.DataFrame:
     """Single-frame fixed-point PageRank (the local plan and the
-    per-test reference for the distributed twin). Pure int64 numpy."""
-    e = edges[[src, dst]].drop_duplicates()
+    per-test reference for the distributed twin). Pure int64 numpy.
+
+    With ``weight_col``: weighted rule — contrib(e) = (r(src) · w(e))
+    // W(src) where W = Σ w over src's out-edges, computed OVERFLOW-
+    SAFELY as ``(r//W)·w + ((r%W)·w)//W`` (exact identity; safe while
+    max W · max w < 2^63)."""
+    if weight_col is None:
+        e = edges[[src, dst]].drop_duplicates()
+        w = np.ones(len(e), dtype=np.int64)
+    else:
+        e = (edges.groupby([src, dst], as_index=False)
+             .agg(__w=(weight_col, "sum")))
+        w = e["__w"].to_numpy().astype(np.int64)
     hosts = pd.unique(pd.concat([e[src], e[dst]], ignore_index=True))
     hosts = np.sort(hosts.astype(object))
     n = len(hosts)
@@ -179,12 +191,13 @@ def _pagerank_frame(edges: pd.DataFrame, iters: int,
     idx = pd.Index(hosts)
     si = idx.get_indexer(e[src]).astype(np.int64)
     di = idx.get_indexer(e[dst]).astype(np.int64)
-    outdeg = np.zeros(n, dtype=np.int64)
-    np.add.at(outdeg, si, 1)
+    outw = np.zeros(n, dtype=np.int64)
+    np.add.at(outw, si, w)
     teleport = np.int64((15 * SCALE) // (100 * n))
     r = np.full(n, SCALE // n, dtype=np.int64)
     for _ in range(iters):
-        contrib = r[si] // outdeg[si]
+        q, s = r[si] // outw[si], r[si] % outw[si]
+        contrib = q * w + (s * w) // outw[si]
         insum = np.zeros(n, dtype=np.int64)
         np.add.at(insum, di, contrib)
         r = teleport + (DAMP * insum) // 100
@@ -195,6 +208,7 @@ def _pagerank_frame(edges: pd.DataFrame, iters: int,
 def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
                    src: str = "src_host", dst: str = "dst_host",
                    num_buckets: int = 32,
+                   weight_col: str | None = None,
                    mode: str = "auto") -> rd.Dataset:
     """Fixed-point PageRank over the host graph (module docstring for
     the frozen update rule). Output: (host, rank_fp, rank).
@@ -212,22 +226,36 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
     Dataset-resident iteration doctrine as
     ``dedup_algos._label_prop_ray``. Integer arithmetic makes the
     result independent of bucket count and batch boundaries."""
+    cols = [src, dst] + ([weight_col] if weight_col else [])
     if _resolve_mode(edges, mode) == "local":
         def proj(df: pd.DataFrame) -> pd.DataFrame:
-            return df[[src, dst]]
+            return df[cols]
         frame = edges.map_batches(proj, batch_format="pandas").to_pandas()
         if frame.empty:
-            frame = pd.DataFrame({src: pd.Series([], dtype="object"),
-                                  dst: pd.Series([], dtype="object")})
-        return rd.from_pandas(_pagerank_frame(frame, iters, src, dst))
+            frame = pd.DataFrame({c: pd.Series([], dtype="object")
+                                  for c in cols})
+        return rd.from_pandas(_pagerank_frame(frame, iters, src, dst,
+                                              weight_col=weight_col))
 
     from .bucketed import bucketed_agg, bucketed_distinct
     from .joins import hash_bucket_join
 
-    dedges = bucketed_distinct(
-        edges.map_batches(lambda t: t.select([src, dst]),
-                          batch_format="pyarrow"),
-        [src, dst], ).materialize()
+    if weight_col is None:
+        dedges = bucketed_distinct(
+            edges.map_batches(lambda t: t.select([src, dst]),
+                              batch_format="pyarrow"),
+            [src, dst], ).materialize()
+    else:
+        # weighted graph: one bucketed aggregation replaces the
+        # distinct (duplicate pairs SUM their weights)
+        def keep_w(t: pa.Table) -> pa.Table:
+            return pa.table({src: t[src], dst: t[dst],
+                             "__w": t[weight_col].cast(pa.int64())})
+
+        dedges = bucketed_agg(
+            edges.map_batches(keep_w, batch_format="pyarrow"),
+            [src, dst], {"__w": ("__w", "sum")},
+            num_buckets=num_buckets).materialize()
     dedges = _compact(dedges, dedges.count(), num_buckets)
 
     def one_side(col: str):
@@ -249,9 +277,14 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
     teleport = (15 * SCALE) // (100 * n)
     r0 = SCALE // n
 
-    # outdeg joins into the edge set ONCE; iterations reuse the result
-    outdeg = bucketed_agg(dedges, src, {"outdeg": (dst, "size")},
-                          num_buckets=num_buckets)
+    # out-mass joins into the edge set ONCE; iterations reuse the
+    # result (unweighted: out-degree; weighted: Σ w per src)
+    if weight_col is None:
+        outdeg = bucketed_agg(dedges, src, {"outdeg": (dst, "size")},
+                              num_buckets=num_buckets)
+    else:
+        outdeg = bucketed_agg(dedges, src, {"outdeg": ("__w", "sum")},
+                              num_buckets=num_buckets)
     edges_wd = hash_bucket_join(dedges, outdeg, on=src,
                                 num_buckets=num_buckets).materialize()
     edges_wd = _compact(edges_wd, edges_wd.count(), num_buckets)
@@ -270,7 +303,14 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
         def contrib_in_bucket(t: pa.Table) -> pa.Table:
             r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
             d = t["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table({dst: t[dst], "contrib": pa.array(r // d)})
+            if weight_col is None:
+                c = r // d
+            else:
+                w = t["__w"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                # exact (r·w)//W without int64 overflow (frame twin)
+                c = (r // d) * w + ((r % d) * w) // d
+            return pa.table({dst: t[dst], "contrib": pa.array(c)})
 
         joined = hash_bucket_join(
             edges_wd, ranks.map_batches(as_src, batch_format="pyarrow"),

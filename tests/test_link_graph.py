@@ -238,3 +238,55 @@ def test_host_components_empty(ray_session):
     for mode in ("local", "distributed"):
         assert host_components(rd.from_pandas(empty),
                                mode=mode).to_pandas().empty
+
+
+def test_pagerank_weighted_local_equals_distributed(ray_session):
+    from ocr_model_ray.functions.link_graph import pagerank_hosts
+    rng = np.random.RandomState(3)
+    edges = pd.DataFrame({
+        "src_host": [f"h{v}" for v in rng.randint(0, 23, 400)],
+        "dst_host": [f"h{v}" for v in rng.randint(0, 23, 400)],
+        "w": rng.randint(1, 9, 400).astype("int64")})
+    local = pagerank_hosts(rd.from_pandas(edges), iters=5,
+                           weight_col="w", mode="local").to_pandas()
+    dist = pagerank_hosts(rd.from_pandas(edges).repartition(7), iters=5,
+                          weight_col="w",
+                          mode="distributed").to_pandas()
+    local = local.sort_values("host").reset_index(drop=True)
+    dist = dist.sort_values("host").reset_index(drop=True)
+    assert local["rank_fp"].tolist() == dist["rank_fp"].tolist()
+    assert local["host"].tolist() == dist["host"].tolist()
+
+
+def test_pagerank_weighted_semantics():
+    from ocr_model_ray.functions.link_graph import _pagerank_frame
+    # host 'a' sends 9x more weight to 'big' than to 'small'
+    edges = pd.DataFrame({"src_host": ["a", "a"],
+                          "dst_host": ["big", "small"],
+                          "w": pd.Series([9, 1], dtype="int64")})
+    out = _pagerank_frame(edges, iters=1, src="src_host",
+                          dst="dst_host", weight_col="w") \
+        .set_index("host")["rank_fp"]
+    assert out["big"] > out["small"]
+    # unit weights == unweighted rule, bit for bit
+    edges1 = edges.assign(w=pd.Series([1, 1], dtype="int64"))
+    w1 = _pagerank_frame(edges1, iters=3, src="src_host",
+                         dst="dst_host", weight_col="w")
+    uw = _pagerank_frame(edges1[["src_host", "dst_host"]], iters=3,
+                         src="src_host", dst="dst_host")
+    assert w1["rank_fp"].tolist() == uw["rank_fp"].tolist()
+
+
+def test_pagerank_weighted_duplicate_pairs_sum():
+    from ocr_model_ray.functions.link_graph import _pagerank_frame
+    # the same (src, dst) pair appearing twice must behave as one
+    # edge with summed weight
+    twice = pd.DataFrame({"src_host": ["a", "a", "a"],
+                          "dst_host": ["b", "b", "c"],
+                          "w": pd.Series([2, 3, 5], dtype="int64")})
+    once = pd.DataFrame({"src_host": ["a", "a"],
+                         "dst_host": ["b", "c"],
+                         "w": pd.Series([5, 5], dtype="int64")})
+    a = _pagerank_frame(twice, 3, "src_host", "dst_host", "w")
+    b = _pagerank_frame(once, 3, "src_host", "dst_host", "w")
+    assert a["rank_fp"].tolist() == b["rank_fp"].tolist()
