@@ -1486,6 +1486,81 @@ def _web_host_pagerank_weighted(sf_dir: str):
                           mode=_resolve_entry_mode(sf_dir, "auto"))
 
 
+def _gate_edges(sf_dir: str):
+    """Skewed synthetic host graph for the prior gate (the regular
+    synth_edges graph is symmetric — every host ranks identically, so
+    no threshold would discriminate): destinations follow quadratic
+    residues mod 37, concentrating in-mass on the 19 QR hosts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    def batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        counts = 1 + (ids % 4)
+        rep = np.repeat(ids, counts)
+        ends = np.cumsum(counts)
+        j = np.arange(int(ends[-1]) if len(ends) else 0,
+                      dtype=np.int64) - np.repeat(ends - counts, counts)
+        srcs = rep % 37
+        dsts = (rep * rep + j) % 37
+        return pa.table({
+            "src_host": pa.array([f"h{v}.example.org"
+                                  for v in srcs.tolist()]),
+            "dst_host": pa.array([f"h{v}.example.org"
+                                  for v in dsts.tolist()])})
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"])
+    return docs.map_batches(batch, batch_format="pyarrow")
+
+
+_GATE_EDGES_SQL = """
+    SELECT 'h' || (doc_id % 37) || '.example.org' AS src_host,
+           'h' || ((doc_id * doc_id + j) % 37) || '.example.org'
+               AS dst_host
+    FROM documents, UNNEST(generate_series(0, doc_id % 4)) AS t(j)
+"""
+
+
+def _web_prior_gate(sf_dir: str):
+    """Host-prior corpus gate (the RefinedWeb-style composition):
+    PageRank over a skewed host graph -> hosts at or above the initial
+    mass (SCALE // n) become the keep-set (an O(hosts) broadcast, same
+    doctrine as the blocklist) -> the document stream filters on its
+    host -> tiny per-lang survivor counts. Shows the graph signal
+    feeding a corpus pass; every step integer/exact."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ocr_model_ray.functions.bucketed import bucketed_agg
+    from ocr_model_ray.functions.joins import broadcast_semi_filter
+    from ocr_model_ray.functions.link_graph import SCALE, pagerank_hosts
+
+    ranks = pagerank_hosts(
+        _gate_edges(sf_dir), iters=5,
+        mode=_resolve_entry_mode(sf_dir, "auto")).to_pandas()
+    n = len(ranks)
+    keep = ranks.loc[ranks["rank_fp"] >= SCALE // n, "host"].to_numpy()
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang"])
+
+    def add_host(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        return df.assign(host=[f"h{v}.example.org"
+                               for v in (ids % 37).tolist()])
+
+    with_host = docs.map_batches(add_host, batch_format="pandas")
+    kept = broadcast_semi_filter(with_host, keep, on="host")
+    out = bucketed_agg(kept, "lang",
+                       {"n_kept": ("doc_id", "size")}).to_pandas()
+    if out.empty or "lang" not in out.columns:
+        return pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "n_kept": pd.Series([], dtype="int64")})
+    return out[["lang", "n_kept"]].astype({"n_kept": "int64"})
+
+
 def _web_host_pagerank_dist(sf_dir: str):
     """Forced-distributed twin: the Dataset-resident iteration plan
     the 10^12-doc story depends on, gate-checked at every sf."""
@@ -1847,6 +1922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_pagerank": _web_host_pagerank,
         "web_host_pagerank_dist": _web_host_pagerank_dist,
         "web_host_pagerank_weighted": _web_host_pagerank_weighted,
+        "web_prior_gate": _web_prior_gate,
         "extract_links": _extract_links,
         "web_anchor_index": _web_anchor_index,
         "web_mirror_hosts": _web_mirror_hosts,
@@ -3646,6 +3722,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT host, CAST(r AS BIGINT) AS rank_fp,
                CAST(r AS BIGINT) / 1000000000000.0 AS rank
         FROM r{_pr_iters}
+    """
+    # host-prior gate: PageRank over the SKEWED gate graph; keep hosts
+    # at/above the initial mass, count surviving docs per lang (a
+    # doc's host = its synthesized src host)
+    _prg_ctes = [_pr_ctes[0].replace(_edges_src, _GATE_EDGES_SQL)] + [
+        c for c in _pr_ctes[1:]]
+    d["web_prior_gate"] = f"""
+        WITH {','.join(_prg_ctes)},
+        keep AS (SELECT host FROM r{_pr_iters}
+                 WHERE r >= 1000000000000 // (SELECT n FROM nn))
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+        FROM documents d
+        JOIN keep k ON k.host = 'h' || (d.doc_id % 37) || '.example.org'
+        GROUP BY d.lang
     """
     # href/anchor link scan: DuckDB RE2 replay of link_graph.LINK_RE
     # over the same pages parquet. The prefix predicate (the magic-
