@@ -291,10 +291,28 @@ def _extract_needs_review(sf_dir: str):
         batch_format="pyarrow")
 
 
-def _docs(sf_dir: str):
+def _read_sized(sf_dir: str, fname: str, columns=None):
+    """Size-aware parquet read: ~32MB of file per block, floor 8
+    (keeps parallelism at the sf0.01 gate), cap 2048. Ray's default
+    block fan (2 x CPUs = 64 here) is right for big tables but makes
+    every downstream sort exchange pay O(map_blocks x
+    reduce_partitions) boundary objects on a sub-MB table — the
+    distributed-plan twins were spending seconds shuffling 64 nearly
+    empty blocks. At 10^12 rows the same policy yields thousands of
+    blocks, which is what the exchange wants."""
     import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"])
+    path = os.path.join(sf_dir, fname)
+    try:
+        nb = max(8, min(2048, os.path.getsize(path) // (32 << 20) + 8))
+    except OSError:
+        nb = None
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=nb)
+
+
+def _docs(sf_dir: str):
+    return _read_sized(sf_dir, "documents.parquet",
+                       columns=["doc_id", "text"])
 
 
 def _docs_sample(sf_dir: str):
@@ -313,7 +331,7 @@ def _docs_weighted_sample(sf_dir: str):
 def _docs_group_tfidf(sf_dir: str):
     import ray.data as rd
     from ocr_model_ray.functions.corpus_stats import group_tfidf
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_sized(sf_dir, "documents.parquet",
                          columns=["text", "lang"])
     return group_tfidf(ds, group_col="lang", k=10)
 
@@ -440,7 +458,7 @@ def _docs_line_dedup_by_source(sf_dir: str):
     import ray.data as rd
 
     from ocr_model_ray.functions.line_dedup import line_dedup
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_sized(sf_dir, "documents.parquet",
                            columns=["doc_id", "text", "source"])
     wrapped = docs.map_batches(partial(wrap_tokens_batch,
                                        keep=("source",)),
@@ -501,8 +519,8 @@ def _clean_inputs(sf_dir: str):
     import ray.data as rd
     from ocr_model_ray.functions.decontam import ngram_set
 
-    full = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text", "lang"])
+    full = _read_sized(sf_dir, "documents.parquet",
+                       columns=["doc_id", "text", "lang"])
 
     def _cut(want_eval: bool):
         def f(batch: pa.Table) -> pa.Table:
@@ -673,7 +691,7 @@ def _url_host_stats(sf_dir: str):
     import os
     import ray.data as rd
     from ocr_model_ray.functions.url_ops import host_stats
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_sized(sf_dir, "documents.parquet",
                            columns=["doc_id", "n_chars"])
     with_urls = docs.map_batches(synth_url_batch,
                                  batch_format="pyarrow")
@@ -688,7 +706,7 @@ def _url_host_filter(sf_dir: str):
     import pandas as pd
     import ray.data as rd
     from ocr_model_ray.functions.url_ops import host_filter
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_sized(sf_dir, "documents.parquet",
                            columns=["doc_id", "lang"])
     with_urls = docs.map_batches(synth_url_batch,
                                  batch_format="pyarrow")
@@ -750,9 +768,9 @@ def _events_latest_per_user(sf_dir: str):
     import os
     import ray.data as rd
     from ocr_model_ray.functions.bucketed import bucketed_argmax
-    ev = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "event_id", "ts", "event_type", "value"])
+    ev = _read_sized(sf_dir, "events.parquet",
+                     columns=["user_id", "event_id", "ts", "event_type",
+                              "value"])
     return bucketed_argmax(ev, "user_id", "ts", tiebreak=["event_id"])
 
 
@@ -812,7 +830,7 @@ def _docs_pack_summary(sf_dir: str):
 def _docs_sequence_pack_by_source(sf_dir: str):
     import ray.data as rd
     from ocr_model_ray.functions.packing import grouped_sequence_pack
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = _read_sized(sf_dir, "documents.parquet",
                          columns=["doc_id", "text", "source"])
     return grouped_sequence_pack(ds, group_col="source", seq_len=256)
 
@@ -923,7 +941,7 @@ def _docs_source_stats(sf_dir: str):
             n=("tok", "size"), tok_sum=("tok", "sum"),
             char_sum=("chars", "sum"))
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_sized(sf_dir, "documents.parquet",
                            columns=["source", "text", "n_chars"])
     p = (docs.map_batches(partial, batch_format="pandas").to_pandas()
          .groupby("source", as_index=False).sum())
@@ -979,7 +997,7 @@ def _docs_tier_sample(sf_dir: str):
 
 def _docs_src(sf_dir: str):
     import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    return _read_sized(sf_dir, "documents.parquet",
                            columns=["doc_id", "text", "source"])
 
 
@@ -1010,7 +1028,7 @@ def _docs_tier_lang_pivot(sf_dir: str):
     from ocr_model_ray.functions.tiers import (SCORE_CAP, _word_counts,
                                                word_count_cuts)
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_sized(sf_dir, "documents.parquet",
                            columns=["doc_id", "text", "lang"])
     cuts = word_count_cuts(docs)
     tiers = [1, 2, 3, 4]
@@ -1120,7 +1138,7 @@ def _docs_sample_per_lang(sf_dir: str):
     from ocr_model_ray.functions.text_stats import md5_hex
     from ocr_model_ray.functions.topk import grouped_topk
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_sized(sf_dir, "documents.parquet",
                            columns=["doc_id", "text", "lang"])
 
     def add_rank_key(df):
@@ -1137,7 +1155,7 @@ def _lineitem_price_quantiles(sf_dir: str):
     shared bin rule). One streaming pass; no sort, no map_groups."""
     import ray.data as rd
     from ocr_model_ray.functions.corpus_stats import approx_quantiles
-    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+    li = _read_sized(sf_dir, "lineitem.parquet",
                          columns=["l_extendedprice"])
     return approx_quantiles(li, "l_extendedprice", lo=0.0, hi=102400.0,
                             nbins=256)
@@ -1148,7 +1166,7 @@ def _lineitem_quantiles_by_flag(sf_dir: str):
     group contributes nbins int64 counters regardless of its size."""
     import ray.data as rd
     from ocr_model_ray.functions.corpus_stats import grouped_approx_quantiles
-    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+    li = _read_sized(sf_dir, "lineitem.parquet",
                          columns=["l_returnflag", "l_extendedprice"])
     return grouped_approx_quantiles(li, "l_returnflag", "l_extendedprice",
                                     lo=0.0, hi=102400.0, nbins=256)
@@ -1157,7 +1175,7 @@ def _lineitem_quantiles_by_flag(sf_dir: str):
 def _orders_price_histogram(sf_dir: str):
     import ray.data as rd
     from ocr_model_ray.functions.corpus_stats import numeric_histogram
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+    orders = _read_sized(sf_dir, "orders.parquet",
                              columns=["o_totalprice"])
     return numeric_histogram(orders, "o_totalprice", lo=0.0, hi=500000.0,
                              nbins=20)
@@ -1322,7 +1340,7 @@ def _docs_decontaminate_bloom(sf_dir: str):
 
 def _emb(sf_dir: str):
     import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _read_sized(sf_dir, "embeddings.parquet")
 
 
 def _emb_queries(sf_dir: str, n: int = 10):
@@ -1425,7 +1443,7 @@ def synth_edges_sql(source: str = "documents") -> str:
 
 def _docs_edges(sf_dir: str):
     import ray.data as rd
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_sized(sf_dir, "documents.parquet",
                            columns=["doc_id"])
     return docs.map_batches(synth_edges_batch, batch_format="pyarrow")
 
@@ -1510,7 +1528,7 @@ def _gate_edges(sf_dir: str):
             "dst_host": pa.array([f"h{v}.example.org"
                                   for v in dsts.tolist()])})
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_sized(sf_dir, "documents.parquet",
                            columns=["doc_id"])
     return docs.map_batches(batch, batch_format="pyarrow")
 
@@ -1543,7 +1561,7 @@ def _web_prior_gate(sf_dir: str):
     n = len(ranks)
     keep = ranks.loc[ranks["rank_fp"] >= SCALE // n, "host"].to_numpy()
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_sized(sf_dir, "documents.parquet",
                            columns=["doc_id", "lang"])
 
     def add_host(df: pd.DataFrame) -> pd.DataFrame:
@@ -1689,13 +1707,16 @@ def _component_edges(sf_dir: str):
         fam = rep % 4
         s = rep % 9
         d = (rep * 5 + j) % 9
-        return pa.table({
-            "src_host": pa.array([f"h{f}-{v}" for f, v in
-                                  zip(fam.tolist(), s.tolist())]),
-            "dst_host": pa.array([f"h{f}-{v}" for f, v in
-                                  zip(fam.tolist(), d.tolist())])})
+        # vectorized "h{fam}-{n}": single digits each, so one char
+        # lookup per field instead of a Python f-string per row
+        digits = np.array(list("0123456789"))
+        def hosts(nums):
+            return np.char.add(np.char.add(
+                np.char.add("h", digits[fam]), "-"), digits[nums])
+        return pa.table({"src_host": pa.array(hosts(s)),
+                         "dst_host": pa.array(hosts(d))})
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_sized(sf_dir, "documents.parquet",
                            columns=["doc_id"])
     return docs.map_batches(batch, batch_format="pyarrow")
 
@@ -1735,7 +1756,7 @@ def _web_mirror_hosts(sf_dir: str):
     from ocr_model_ray.functions.text_stats import md5_hex
     from ocr_model_ray.functions.url_ops import host_mirror_pairs
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_sized(sf_dir, "documents.parquet",
                            columns=["doc_id", "text"])
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
@@ -1770,7 +1791,7 @@ def _docs_importance_weights(sf_dir: str):
     import ray.data as rd
     from ocr_model_ray.functions.importance import (
         importance_bucket_counts, importance_weights)
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _read_sized(sf_dir, "documents.parquet",
                            columns=["doc_id", "text", "lang"])
     s, t = importance_bucket_counts(docs)
     return importance_weights(docs, s, t)

@@ -468,10 +468,18 @@ def host_components(edges: rd.Dataset, src: str = "src_host",
         selfm = labels.map_batches(as_self, batch_format="pyarrow")
         # min over strings per node; `old` = the self label (messages
         # carry null selfl, which pandas min skips)
+        # fuse the round's compaction into the same execution: the
+        # groupby's map_groups output inherits ~200 shuffle partitions
+        # regardless of size, and without the repartition BOTH the
+        # changed-count pass and the next round's join exchange pay
+        # O(label_blocks x reduce_partitions) boundary objects — the
+        # PageRank iteration-state policy (_compact), applied in-plan
+        nb = max(1, min(num_buckets, n // 500_000 + 1))
         agg = bucketed_agg(msgs.union(selfm), "node",
                            {"label": ("label", "min"),
                             "old": ("selfl", "min")},
-                           num_buckets=num_buckets).materialize()
+                           num_buckets=num_buckets
+                           ).repartition(nb).materialize()
         changed = int(agg.map_batches(
             changed_count, batch_format="pyarrow").sum("n") or 0)
         # agg is already materialized; the projection is a lazy view
