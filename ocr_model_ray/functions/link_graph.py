@@ -256,7 +256,8 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
             edges.map_batches(keep_w, batch_format="pyarrow"),
             [src, dst], {"__w": ("__w", "sum")},
             num_buckets=num_buckets).materialize()
-    dedges = _compact(dedges, dedges.count(), num_buckets)
+    n_edges = dedges.count()
+    dedges = _compact(dedges, n_edges, num_buckets)
 
     def one_side(col: str):
         def f(t: pa.Table) -> pa.Table:
@@ -285,9 +286,12 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
     else:
         outdeg = bucketed_agg(dedges, src, {"outdeg": ("__w", "sum")},
                               num_buckets=num_buckets)
+    # fuse the compaction into the join's execution: edge count is
+    # already known from dedges, so the repartition rides the same plan
+    nb_e = max(1, min(num_buckets, n_edges // 500_000 + 1))
     edges_wd = hash_bucket_join(dedges, outdeg, on=src,
-                                num_buckets=num_buckets).materialize()
-    edges_wd = _compact(edges_wd, edges_wd.count(), num_buckets)
+                                num_buckets=num_buckets
+                                ).repartition(nb_e).materialize()
 
     def seed(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -329,10 +333,12 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
             return pa.table({"host": t["host"],
                              "r": pa.array(teleport + (DAMP * s) // 100)})
 
-        ranks = _compact(hash_bucket_join(
+        # compaction fused into the iteration's one execution
+        nb_r = max(1, min(num_buckets, n // 500_000 + 1))
+        ranks = hash_bucket_join(
             hosts, insum.map_batches(renamed, batch_format="pyarrow"),
             on="host", how="left", num_buckets=num_buckets,
-            post_merge=finish).materialize(), n, num_buckets)
+            post_merge=finish).repartition(nb_r).materialize()
 
     def out(t: pa.Table) -> pa.Table:
         r = t["r"].to_numpy()
