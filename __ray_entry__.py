@@ -1783,6 +1783,53 @@ def _web_mirror_hosts(sf_dir: str):
                        "n_b": "int64"})
 
 
+def _warc_roundtrip(sf_dir: str):
+    """WARC container round-trip: synthesize a CC-layout .warc.gz shard
+    set from the documents table (url/ts derived from doc_id, payload
+    = utf-8 text), read it back through the streaming WarcDatasource,
+    and report per-record (url, payload byte length, capture epoch).
+    The SQL twin replays the synthesis directly over documents.parquet
+    — a fully independent oracle for the reader's framing, payload
+    extraction and date parsing."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from ocr_model_ray.sources.warc import read_warc, write_warc_dir
+
+    docs = _read_sized(sf_dir, "documents.parquet",
+                       columns=["doc_id", "text"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = t["doc_id"].cast(pa.int64())
+        url = pc.binary_join_element_wise(
+            "https://example.com/doc/", pc.cast(ids, pa.string()), "")
+        ts = pc.add(ids, 1700000000).cast(pa.timestamp("s")) \
+            .cast(pa.timestamp("us"))
+        body = pc.cast(pc.fill_null(t["text"], ""), pa.large_binary())
+        return pa.table({"url": url, "warc_ts": ts, "html": body})
+
+    out_dir = tempfile.mkdtemp(prefix="warc_rt_")
+    try:
+        write_warc_dir(docs.map_batches(to_pages, batch_format="pyarrow"),
+                       out_dir).materialize()
+
+        def report(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "url": t["url"],
+                "n_bytes": pc.binary_length(t["html"]).cast(pa.int64()),
+                "warc_epoch": t["warc_ts"].cast(pa.timestamp("s"))
+                .cast(pa.int64())})
+
+        return read_warc(out_dir).map_batches(
+            report, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def _docs_importance_weights(sf_dir: str):
     """DSIR-style importance weights (hashed word-bigram features,
     target = non-English docs): two streaming passes — a combiner
@@ -1947,6 +1994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _extract_links,
         "web_anchor_index": _web_anchor_index,
         "web_mirror_hosts": _web_mirror_hosts,
+        "warc_roundtrip": _warc_roundtrip,
         "web_host_components": _web_host_components,
         "web_host_components_dist": _web_host_components_dist,
         "web_pagerank_ingest": _web_pagerank_ingest,
@@ -3622,6 +3670,17 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.host = i.host_b
         WHERE CAST(i.n_inter AS DOUBLE)
                   / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.3
+    """
+    # WARC round-trip: replays the url/ts synthesis and the utf-8
+    # payload byte length straight off documents.parquet — fully
+    # independent of the WARC writer AND reader under test
+    d["warc_roundtrip"] = """
+        SELECT 'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+                   AS url,
+               CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+                   AS n_bytes,
+               CAST(doc_id + 1700000000 AS BIGINT) AS warc_epoch
+        FROM documents
     """
     # DSIR-style importance weights: the oracle recomputes the hashed
     # bigram buckets, the source/target bucket counts, and the

@@ -1,0 +1,292 @@
+"""WARC source/sink: the Common-Crawl container for the pages corpus.
+
+The engine's canonical input is the Parquet pages table
+(url, warc_ts, html — BASELINE.json input_hint), but the raw crawl
+itself is served as WARC (ISO 28500): a sequence of records, each a
+header block (``WARC/1.0`` + name:value lines), a CRLF blank line, a
+``Content-Length``-delimited body, and a CRLF CRLF terminator.
+Common Crawl compresses each record as its OWN gzip member and
+concatenates the members into one ``.warc.gz`` — so a reader can
+stream the file start-to-finish with an ordinary multi-member gzip
+decoder, and a writer can parallelize record compression freely.
+
+This module closes the loop from raw crawl to pages table:
+
+- ``read_warc(paths)`` — a streaming ``FileBasedDatasource``: one read
+  task per WARC file (the CC shard layout: ~1 GB files, thousands per
+  crawl), records parsed incrementally off the decompressed stream
+  (never the whole file in memory), yielded as Arrow batches with the
+  pages-table schema ``url:string, warc_ts:timestamp[us],
+  html:large_binary``. Ray's streaming executor pipelines the parse
+  into downstream ``map_batches`` with backpressure, so
+  ``read_warc -> extraction`` runs end-to-end without a staging copy.
+- ``warc_bytes(batch)`` / ``write_warc(path, rows)`` — deterministic
+  writer (fixed gzip mtime, record ids derived from url+date, LF-free
+  header layout): byte-identical output for identical input, which is
+  what the round-trip tests pin.
+- ``write_warc_dir(ds, out_dir)`` — the distributed sink: each block
+  becomes one ``.warc.gz`` part named by the md5 of its record ids,
+  so a re-run of the same partitioning overwrites parts in place
+  instead of duplicating them.
+
+Reference note: the reference ingests loose local files through its
+storage manager (worker/storage_manager.py:64-69) and has no crawl
+container; WARC is the web-corpus equivalent surface for this
+engine's input shape, built from the public spec only.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+from datetime import datetime, timezone
+from typing import Iterator, List, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+
+CRLF = b"\r\n"
+
+#: record batching for the reader: flush a batch at either bound
+_BATCH_RECORDS = 512
+_BATCH_BYTES = 32 << 20
+
+#: WARC-Types whose payload is a page body we ingest
+_PAGE_TYPES = (b"response", b"resource", b"conversion")
+
+_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us")),
+    ("html", pa.large_binary()),
+])
+
+
+# ---------------------------------------------------------------- writer
+
+def _iso(ts) -> str:
+    """WARC-Date (UTC, second precision — the CC convention)."""
+    if isinstance(ts, (int, np.integer)):
+        dt = datetime.fromtimestamp(int(ts), tz=timezone.utc)
+    elif isinstance(ts, datetime):
+        dt = ts if ts.tzinfo else ts.replace(tzinfo=timezone.utc)
+    else:  # numpy datetime64 / pandas Timestamp
+        dt = datetime.fromtimestamp(
+            int(np.datetime64(ts, "s").astype("int64")), tz=timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def record_bytes(url: str, ts, payload: bytes) -> bytes:
+    """One uncompressed WARC response record, deterministic: the
+    record id is the md5 of (url, date) formatted as a urn:uuid, and
+    the HTTP head is a fixed 200/text-html envelope."""
+    date = _iso(ts)
+    h = hashlib.md5(f"{url}\x00{date}".encode()).hexdigest()
+    rid = f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}>"
+    http_head = (b"HTTP/1.1 200 OK" + CRLF +
+                 b"Content-Type: text/html; charset=utf-8" + CRLF +
+                 b"Content-Length: " + str(len(payload)).encode() + CRLF +
+                 CRLF)
+    block = http_head + payload
+    head = (b"WARC/1.0" + CRLF +
+            b"WARC-Type: response" + CRLF +
+            b"WARC-Record-ID: " + rid.encode() + CRLF +
+            b"WARC-Date: " + date.encode() + CRLF +
+            b"WARC-Target-URI: " + url.encode() + CRLF +
+            b"Content-Type: application/http; msgtype=response" + CRLF +
+            b"Content-Length: " + str(len(block)).encode() + CRLF +
+            CRLF)
+    return head + block + CRLF + CRLF
+
+
+def warc_bytes(urls: Sequence[str], tss: Sequence, payloads: Sequence[bytes],
+               per_record_gzip: bool = True) -> bytes:
+    """The ``.warc.gz`` bytes for a batch of pages: one gzip member per
+    record (mtime pinned to 0 so identical input is byte-identical
+    output), concatenated — the CC layout."""
+    parts = []
+    for url, ts, payload in zip(urls, tss, payloads):
+        rec = record_bytes(url, ts, payload if payload is not None else b"")
+        parts.append(gzip.compress(rec, mtime=0) if per_record_gzip else rec)
+    return b"".join(parts)
+
+
+def write_warc(path: str, urls: Sequence[str], tss: Sequence,
+               payloads: Sequence[bytes]) -> int:
+    """Write one ``.warc.gz`` (or plain ``.warc`` if the path has no
+    .gz suffix) locally; returns the record count."""
+    data = warc_bytes(urls, tss, payloads,
+                      per_record_gzip=path.endswith(".gz"))
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(urls)
+
+
+def write_warc_dir(ds, out_dir: str,
+                   url_col: str = "url", ts_col: str = "warc_ts",
+                   payload_col: str = "html"):
+    """Distributed WARC sink: one ``.warc.gz`` part per block, named
+    ``part-<md5 of the block's record ids>.warc.gz`` — content-derived,
+    so re-running the same partitioning overwrites rather than
+    duplicates (the export-store convention). Returns a Dataset of
+    (path, n_records) receipts."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def per_block(t: pa.Table) -> pa.Table:
+        urls = t[url_col].to_pylist()
+        tss = t[ts_col].to_pylist()
+        payloads = t[payload_col].to_pylist()
+        data = warc_bytes(urls, tss, payloads)
+        tag = hashlib.md5("\x00".join(urls).encode()).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{tag}.warc.gz")
+        with open(path, "wb") as f:
+            f.write(data)
+        return pa.table({"path": pa.array([path]),
+                         "n_records": pa.array([len(urls)], pa.int64())})
+
+    return ds.map_batches(per_block, batch_format="pyarrow",
+                          batch_size=None)
+
+
+# ---------------------------------------------------------------- reader
+
+def _iter_records(read, path: str):
+    """Incremental record iterator over a decompressed WARC stream:
+    (headers dict, body bytes) pairs. Never holds more than one record
+    plus one read chunk in memory."""
+    buf = bytearray()
+
+    def fill() -> bool:
+        chunk = read(1 << 20)
+        if not chunk:
+            return False
+        buf.extend(chunk)
+        return True
+
+    def read_line() -> bytes:
+        while True:
+            i = buf.find(b"\n")
+            if i >= 0:
+                line = bytes(buf[:i + 1])
+                del buf[:i + 1]
+                return line
+            if not fill():
+                line = bytes(buf)
+                del buf[:]
+                return line
+
+    while True:
+        line = read_line()
+        while line and line.strip() == b"":  # inter-record blank lines
+            line = read_line()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            raise ValueError(
+                f"{path}: expected a WARC/ version line, got "
+                f"{line[:40]!r}")
+        headers: dict = {}
+        while True:
+            line = read_line()
+            if line in (CRLF, b"\n"):
+                break
+            if not line:
+                raise ValueError(f"{path}: truncated record header")
+            k, sep, v = line.partition(b":")
+            if not sep:
+                raise ValueError(
+                    f"{path}: malformed header line {line[:60]!r}")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            n = int(headers[b"content-length"])
+        except KeyError:
+            raise ValueError(f"{path}: record without Content-Length")
+        while len(buf) < n:
+            if not fill():
+                raise ValueError(
+                    f"{path}: truncated record body "
+                    f"({len(buf)}/{n} bytes)")
+        body = bytes(buf[:n])
+        del buf[:n]
+        yield headers, body
+
+
+def _http_payload(body: bytes) -> bytes:
+    """Split the HTTP envelope off an application/http block."""
+    i = body.find(b"\r\n\r\n")
+    return body[i + 4:] if i >= 0 else body
+
+
+def _parse_date(raw: bytes) -> int:
+    """WARC-Date -> int64 epoch microseconds (the pages-table
+    timestamp unit)."""
+    s = raw.decode("ascii", "replace").strip()
+    if s.endswith("Z"):
+        s = s[:-1] + "+00:00"
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
+try:  # pragma: no cover - import guard exercised by tests
+    from ray.data.datasource.file_based_datasource import FileBasedDatasource
+except ImportError:  # pragma: no cover
+    FileBasedDatasource = object
+
+
+class WarcDatasource(FileBasedDatasource):
+    """Streaming WARC reader: one task per file; Ray decompresses the
+    ``.gz`` transparently (arrow's gzip stream handles CC's
+    concatenated members); records batch into the pages-table schema.
+
+    Only page-bearing records (response / resource / conversion) are
+    emitted; request/metadata/warcinfo records are skipped. A
+    malformed or truncated file fails ITS read task with the path in
+    the error — the standard Ray Data retry/visibility path — rather
+    than yielding silently short data."""
+
+    _FILE_EXTENSIONS = ["warc", "warc.gz", "gz"]
+
+    def _read_stream(self, f, path: str) -> Iterator[pa.Table]:
+        urls: List[str] = []
+        tss: List[int] = []
+        payloads: List[bytes] = []
+        nbytes = 0
+
+        def flush() -> pa.Table:
+            nonlocal urls, tss, payloads, nbytes
+            t = pa.table({
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(payloads, pa.large_binary())})
+            urls, tss, payloads, nbytes = [], [], [], 0
+            return t
+
+        for headers, body in _iter_records(f.read, path):
+            if headers.get(b"warc-type", b"") not in _PAGE_TYPES:
+                continue
+            url = headers.get(b"warc-target-uri", b"").decode(
+                "utf-8", "replace").strip("<>")
+            ctype = headers.get(b"content-type", b"")
+            payload = (_http_payload(body)
+                       if ctype.startswith(b"application/http") else body)
+            urls.append(url)
+            tss.append(_parse_date(headers.get(b"warc-date", b"1970-01-01T00:00:00Z")))
+            payloads.append(payload)
+            nbytes += len(payload)
+            if len(urls) >= _BATCH_RECORDS or nbytes >= _BATCH_BYTES:
+                yield flush()
+        if urls:
+            yield flush()
+
+
+def read_warc(paths: Union[str, Sequence[str]], **kwargs):
+    """Read WARC shard(s) into the pages-table shape
+    (url, warc_ts, html). ``paths`` is a file, a list of files, or a
+    directory of ``.warc[.gz]`` shards; pass ``override_num_blocks``
+    etc. through ``kwargs`` like any Ray read."""
+    import ray.data as rd
+
+    return rd.read_datasource(WarcDatasource(paths), **kwargs)

@@ -1,0 +1,174 @@
+"""WARC source/sink: round-trip, CC-layout compatibility, error
+surfaces, and the read_warc -> extraction integration."""
+
+import gzip
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ocr_model_ray.sources.warc import (
+    _iter_records, read_warc, record_bytes, warc_bytes, write_warc,
+    write_warc_dir)
+
+
+def _pages(n=7):
+    urls = [f"https://example.com/doc/{i}" for i in range(n)]
+    tss = [1700000000 + i * 3600 for i in range(n)]
+    payloads = [f"<html><body><p>doc {i} body</p></body></html>"
+                .encode() for i in range(n)]
+    return urls, tss, payloads
+
+
+def test_roundtrip_gz(tmp_path):
+    urls, tss, payloads = _pages()
+    path = str(tmp_path / "shard.warc.gz")
+    assert write_warc(path, urls, tss, payloads) == len(urls)
+    out = read_warc(path).to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(out.columns) == ["url", "warc_ts", "html"]
+    assert out["url"].tolist() == sorted(urls)
+    got = dict(zip(out["url"], out["html"]))
+    for u, p in zip(urls, payloads):
+        assert got[u] == p
+    # timestamps land in epoch-us as timestamp[us]
+    ts = dict(zip(out["url"], out["warc_ts"]))
+    import pandas as pd
+    for u, t in zip(urls, tss):
+        assert ts[u] == pd.Timestamp(t, unit="s")
+
+
+def test_roundtrip_plain_warc(tmp_path):
+    urls, tss, payloads = _pages(3)
+    path = str(tmp_path / "shard.warc")
+    write_warc(path, urls, tss, payloads)
+    out = read_warc(path).to_pandas()
+    assert len(out) == 3
+
+
+def test_writer_deterministic():
+    urls, tss, payloads = _pages(4)
+    assert warc_bytes(urls, tss, payloads) == warc_bytes(urls, tss, payloads)
+
+
+def test_per_record_gzip_members(tmp_path):
+    """CC layout: each record its own gzip member — a decoder that
+    stops at the first member sees exactly one record."""
+    urls, tss, payloads = _pages(3)
+    data = warc_bytes(urls, tss, payloads)
+    f = gzip.GzipFile(fileobj=__import__("io").BytesIO(data))
+    first = f.read()  # python gzip reads ALL members; check framing
+    assert first.count(b"WARC/1.0") == 3
+    # member boundaries: the raw stream has 3 gzip magic headers
+    assert data.count(b"\x1f\x8b\x08") == 3
+
+
+def test_non_page_records_skipped(tmp_path):
+    urls, tss, payloads = _pages(2)
+    rec = record_bytes(urls[0], tss[0], payloads[0])
+    warcinfo = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+                b"Content-Length: 5\r\n\r\nhello\r\n\r\n")
+    request = (b"WARC/1.0\r\nWARC-Type: request\r\n"
+               b"WARC-Target-URI: " + urls[1].encode() + b"\r\n"
+               b"Content-Length: 0\r\n\r\n\r\n\r\n")
+    path = str(tmp_path / "mixed.warc")
+    with open(path, "wb") as f:
+        f.write(warcinfo + rec + request)
+    out = read_warc(path).to_pandas()
+    assert out["url"].tolist() == [urls[0]]
+
+
+def test_truncated_body_raises(tmp_path):
+    urls, tss, payloads = _pages(1)
+    rec = record_bytes(urls[0], tss[0], payloads[0])
+    path = str(tmp_path / "trunc.warc")
+    with open(path, "wb") as f:
+        f.write(rec[:len(rec) - 30])
+    with pytest.raises(Exception, match="truncated|trunc.warc"):
+        read_warc(path).materialize()
+
+
+def test_garbage_header_raises(tmp_path):
+    path = str(tmp_path / "bad.warc")
+    with open(path, "wb") as f:
+        f.write(b"NOT-A-WARC\r\n\r\n")
+    with pytest.raises(Exception, match="WARC"):
+        read_warc(path).materialize()
+
+
+def test_iter_records_incremental():
+    """Parser behaves with a 1-byte read function (stream framing
+    never depends on chunk boundaries)."""
+    urls, tss, payloads = _pages(2)
+    data = record_bytes(urls[0], tss[0], payloads[0]) + \
+        record_bytes(urls[1], tss[1], payloads[1])
+    pos = [0]
+
+    def read1(_n):
+        if pos[0] >= len(data):
+            return b""
+        b = data[pos[0]:pos[0] + 1]
+        pos[0] += 1
+        return b
+
+    recs = list(_iter_records(read1, "mem"))
+    assert len(recs) == 2
+    assert recs[0][0][b"warc-target-uri"].decode() == urls[0]
+
+
+def test_write_warc_dir_sink(tmp_path):
+    urls, tss, payloads = _pages(6)
+    import pandas as pd
+    ds = rd.from_pandas(pd.DataFrame({
+        "url": urls,
+        "warc_ts": pd.to_datetime(tss, unit="s"),
+        "html": payloads})).repartition(2)
+    out_dir = str(tmp_path / "warcs")
+    receipts = write_warc_dir(ds, out_dir).to_pandas()
+    assert receipts["n_records"].sum() == 6
+    assert len(receipts) == 2
+    back = read_warc(out_dir).to_pandas()
+    assert sorted(back["url"]) == sorted(urls)
+    # content-derived part names: re-running the same blocks overwrites
+    receipts2 = write_warc_dir(ds, out_dir).to_pandas()
+    assert sorted(receipts2["path"]) == sorted(receipts["path"])
+    assert len(os.listdir(out_dir)) == 2
+
+
+def test_warc_to_extraction_matches_parquet_path(tmp_path):
+    """read_warc feeds the extraction pipeline with byte-identical
+    html -> identical extracted text vs the parquet pages path."""
+    from ocr_model_ray.stages.extract import ExtractWorker
+
+    urls, tss, _ = _pages(4)
+    payloads = [
+        (f"<html><head><title>t{i}</title></head><body>"
+         f"<div><p>Main content paragraph {i} with enough words to "
+         f"score as body text in the block classifier.</p></div>"
+         f"<div><a href='/x'>nav</a></div></body></html>").encode()
+        for i in range(4)]
+    path = str(tmp_path / "pages.warc.gz")
+    write_warc(path, urls, tss, payloads)
+
+    via_warc = (read_warc(path)
+                .map_batches(ExtractWorker, concurrency=1,
+                             batch_format="pyarrow")
+                .to_pandas().sort_values("url").reset_index(drop=True))
+
+    import pandas as pd
+    pq = str(tmp_path / "pages.parquet")
+    pa_tbl = pa.table({
+        "url": pa.array(urls),
+        "warc_ts": pa.array(
+            pd.to_datetime(tss, unit="s"), pa.timestamp("us")),
+        "html": pa.array(payloads, pa.large_binary())})
+    import pyarrow.parquet as pqw
+    pqw.write_table(pa_tbl, pq)
+    via_pq = (rd.read_parquet(pq)
+              .map_batches(ExtractWorker, concurrency=1,
+                           batch_format="pyarrow")
+              .to_pandas().sort_values("url").reset_index(drop=True))
+
+    assert via_warc["extracted_text"].tolist() == \
+        via_pq["extracted_text"].tolist()
+    assert (via_warc["extracted_text"].str.len() > 0).all()
