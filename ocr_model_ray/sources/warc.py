@@ -75,37 +75,48 @@ def _iso(ts) -> str:
     return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
-def record_bytes(url: str, ts, payload: bytes) -> bytes:
-    """One uncompressed WARC response record, deterministic: the
-    record id is the md5 of (url, date) formatted as a urn:uuid, and
-    the HTTP head is a fixed 200/text-html envelope."""
+def record_bytes(url: str, ts, payload: bytes,
+                 warc_type: str = "response") -> bytes:
+    """One uncompressed WARC record, deterministic: the record id is
+    the md5 of (url, date) formatted as a urn:uuid. ``response``
+    records wrap the payload in a fixed 200/text-html HTTP envelope
+    (the crawl shape); ``conversion`` records carry the bare payload
+    as text/plain (the WET extracted-text shape)."""
     date = _iso(ts)
     h = hashlib.md5(f"{url}\x00{date}".encode()).hexdigest()
     rid = f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}>"
-    http_head = (b"HTTP/1.1 200 OK" + CRLF +
-                 b"Content-Type: text/html; charset=utf-8" + CRLF +
-                 b"Content-Length: " + str(len(payload)).encode() + CRLF +
-                 CRLF)
-    block = http_head + payload
+    if warc_type == "response":
+        http_head = (b"HTTP/1.1 200 OK" + CRLF +
+                     b"Content-Type: text/html; charset=utf-8" + CRLF +
+                     b"Content-Length: " + str(len(payload)).encode() +
+                     CRLF + CRLF)
+        block = http_head + payload
+        ctype = b"application/http; msgtype=response"
+    else:
+        block = payload
+        ctype = b"text/plain"
     head = (b"WARC/1.0" + CRLF +
-            b"WARC-Type: response" + CRLF +
+            b"WARC-Type: " + warc_type.encode() + CRLF +
             b"WARC-Record-ID: " + rid.encode() + CRLF +
             b"WARC-Date: " + date.encode() + CRLF +
             b"WARC-Target-URI: " + url.encode() + CRLF +
-            b"Content-Type: application/http; msgtype=response" + CRLF +
+            b"Content-Type: " + ctype + CRLF +
             b"Content-Length: " + str(len(block)).encode() + CRLF +
             CRLF)
     return head + block + CRLF + CRLF
 
 
 def warc_bytes(urls: Sequence[str], tss: Sequence, payloads: Sequence[bytes],
-               per_record_gzip: bool = True) -> bytes:
+               per_record_gzip: bool = True,
+               warc_type: str = "response") -> bytes:
     """The ``.warc.gz`` bytes for a batch of pages: one gzip member per
     record (mtime pinned to 0 so identical input is byte-identical
     output), concatenated — the CC layout."""
     parts = []
     for url, ts, payload in zip(urls, tss, payloads):
-        rec = record_bytes(url, ts, payload if payload is not None else b"")
+        rec = record_bytes(url, ts,
+                           payload if payload is not None else b"",
+                           warc_type=warc_type)
         parts.append(gzip.compress(rec, mtime=0) if per_record_gzip else rec)
     return b"".join(parts)
 
@@ -123,7 +134,8 @@ def write_warc(path: str, urls: Sequence[str], tss: Sequence,
 
 def write_warc_dir(ds, out_dir: str,
                    url_col: str = "url", ts_col: str = "warc_ts",
-                   payload_col: str = "html"):
+                   payload_col: str = "html",
+                   warc_type: str = "response"):
     """Distributed WARC sink: one ``.warc.gz`` part per block, named
     ``part-<md5 of the block's record ids>.warc.gz`` — content-derived,
     so re-running the same partitioning overwrites rather than
@@ -135,9 +147,14 @@ def write_warc_dir(ds, out_dir: str,
 
     def per_block(t: pa.Table) -> pa.Table:
         urls = t[url_col].to_pylist()
-        tss = t[ts_col].to_pylist()
-        payloads = t[payload_col].to_pylist()
-        data = warc_bytes(urls, tss, payloads)
+        # streams without a capture time (e.g. extraction output) get
+        # the epoch — WARC-Date is mandatory in the record header
+        tss = (t[ts_col].to_pylist() if ts_col in t.column_names
+               else [0] * t.num_rows)
+        payloads = [p if isinstance(p, bytes) else
+                    ("" if p is None else p).encode()
+                    for p in t[payload_col].to_pylist()]
+        data = warc_bytes(urls, tss, payloads, warc_type=warc_type)
         tag = hashlib.md5("\x00".join(urls).encode()).hexdigest()[:16]
         path = os.path.join(out_dir, f"part-{tag}.warc.gz")
         with open(path, "wb") as f:
@@ -147,6 +164,19 @@ def write_warc_dir(ds, out_dir: str,
 
     return ds.map_batches(per_block, batch_format="pyarrow",
                           batch_size=None)
+
+
+def write_wet_dir(extracted, out_dir: str,
+                  url_col: str = "url", ts_col: str = "warc_ts",
+                  text_col: str = "extracted_text"):
+    """WET-style sink: the extraction output's text as ``conversion``
+    records (text/plain) — the Common-Crawl extracted-text companion
+    format. ``read_warc`` ingests conversion records too, so
+    extraction output round-trips: extract -> WET -> read_warc yields
+    (url, warc_ts, html=text-bytes)."""
+    return write_warc_dir(extracted, out_dir, url_col=url_col,
+                          ts_col=ts_col, payload_col=text_col,
+                          warc_type="conversion")
 
 
 # ---------------------------------------------------------------- reader

@@ -172,3 +172,86 @@ def test_warc_to_extraction_matches_parquet_path(tmp_path):
     assert via_warc["extracted_text"].tolist() == \
         via_pq["extracted_text"].tolist()
     assert (via_warc["extracted_text"].str.len() > 0).all()
+
+
+def test_wet_sink_roundtrip(tmp_path):
+    """extract -> WET (conversion records) -> read_warc recovers the
+    extracted text bytes per url."""
+    from ocr_model_ray.sources.warc import write_wet_dir
+    import pandas as pd
+    texts = [f"extracted body {i}" for i in range(5)]
+    ds = rd.from_pandas(pd.DataFrame({
+        "url": [f"https://e.com/{i}" for i in range(5)],
+        "extracted_text": texts}))
+    out_dir = str(tmp_path / "wet")
+    receipts = write_wet_dir(ds, out_dir).to_pandas()
+    assert receipts["n_records"].sum() == 5
+    back = read_warc(out_dir).to_pandas().sort_values("url")
+    assert [b.decode() for b in back["html"]] == texts
+    # conversion records: payload is bare text, no HTTP envelope
+    raw = gzip.decompress(
+        open(os.path.join(out_dir, os.listdir(out_dir)[0]), "rb")
+        .read().split(b"\x1f\x8b")[1].join([b"\x1f\x8b", b""]))
+    assert b"WARC-Type: conversion" in raw
+    assert b"HTTP/1.1" not in raw
+
+
+def test_read_pages_dispatches_warc(tmp_path):
+    """read_pages detects a WARC directory and yields the pages-table
+    schema, so the whole extraction pipeline ingests a crawl dir."""
+    from ocr_model_ray.sources.pages import read_pages
+    urls, tss, payloads = _pages(4)
+    d = tmp_path / "crawl"
+    d.mkdir()
+    write_warc(str(d / "shard-0.warc.gz"), urls[:2], tss[:2], payloads[:2])
+    write_warc(str(d / "shard-1.warc.gz"), urls[2:], tss[2:], payloads[2:])
+    out = read_pages(str(d)).to_pandas().sort_values("url")
+    assert list(out.columns) == ["url", "html"]
+    assert out["url"].tolist() == sorted(urls)
+    # full column set on request
+    out3 = read_pages(str(d), columns=["url", "warc_ts", "html"]).to_pandas()
+    assert list(out3.columns) == ["url", "warc_ts", "html"]
+
+
+def test_run_resumable_over_warc_matches_parquet(tmp_path):
+    """The job driver's pipeline over a WARC crawl directory equals the
+    same corpus via parquet — per-url byte-identical extracted text."""
+    import pandas as pd
+    import pyarrow.parquet as pqw
+    from ocr_model_ray.pipelines.checkpoint import run_resumable
+    from ocr_model_ray.pipelines.extract_pipeline import ExtractConfig
+
+    urls, tss, _ = _pages(6)
+    payloads = [
+        (f"<html><body><p>Body paragraph {i} long enough to be kept "
+         f"as main content by the scorer.</p></body></html>").encode()
+        for i in range(6)]
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    write_warc(str(crawl / "shard.warc.gz"), urls, tss, payloads)
+
+    pq_dir = tmp_path / "pages_pq"
+    pq_dir.mkdir()
+    pqw.write_table(pa.table({
+        "url": pa.array(urls),
+        "warc_ts": pa.array(pd.to_datetime(tss, unit="s"),
+                            pa.timestamp("us")),
+        "html": pa.array(payloads, pa.large_binary())}),
+        str(pq_dir / "pages-0.parquet"))
+
+    cfg = ExtractConfig(emit="summary")
+    run_resumable(str(crawl), str(tmp_path / "out_warc"), cfg,
+                  num_partitions=2)
+    run_resumable(str(pq_dir), str(tmp_path / "out_pq"), cfg,
+                  num_partitions=2)
+
+    def load(d):
+        import glob
+        fs = glob.glob(str(tmp_path / d / "data" / "**" / "*.parquet"),
+                       recursive=True)
+        return (pd.concat([pqw.read_table(f).to_pandas() for f in fs])
+                .sort_values("url").reset_index(drop=True))
+
+    a, b = load("out_warc"), load("out_pq")
+    assert a["url"].tolist() == b["url"].tolist() == sorted(urls)
+    assert a["extracted_text"].tolist() == b["extracted_text"].tolist()
