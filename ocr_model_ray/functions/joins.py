@@ -379,3 +379,68 @@ def hash_bucket_join(left: rd.Dataset, right: rd.Dataset,
     both = lt.union(rt)
     return both.groupby("__bucket").map_groups(_merge_group,
                                                batch_format="pyarrow")
+
+
+def hash_bucket_semi(left: rd.Dataset, right: rd.Dataset,
+                     on: str, num_buckets: int = 32,
+                     anti: bool = False) -> rd.Dataset:
+    """Exact bucketed semi (``anti=True``: anti) filter: keep left rows
+    whose key appears (does not appear) in ``right`` — WITHOUT a join.
+
+    Exists because the bucket JOIN's acero merge rejects nested
+    non-key payload (list/struct columns — e.g. the full extraction
+    layout), and a semi filter doesn't need a merge at all: both sides
+    take the one key-hash exchange, and each bucket task filters its
+    left rows with ``is_in`` over the bucket's right keys — any left
+    schema passes through untouched, left rows are never duplicated
+    by right-side multiplicity, and the filter is exact (the Bloom
+    variant ``bloom_semi_filter`` trades false positives for no
+    shuffle on the left). Single key column; right is projected to
+    the key before the exchange."""
+    left_schema = _arrow_schema(left)
+    if on not in left_schema.names:
+        raise ValueError(f"left has no column {on!r}")
+    key_type = left_schema.field(on).type
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        return (batch.replace_schema_metadata(None)
+                .append_column("__bucket",
+                               _bucket_of(batch, [on], num_buckets))
+                .append_column("__side",
+                               pa.array(["l"] * batch.num_rows)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        # right-side rows carry ONLY the key, padded to the left's
+        # column set with nulls so the union's blocks unify
+        kb = pa.table({on: batch[on].cast(key_type)})
+        cols = [kb[on] if f.name == on else pa.nulls(batch.num_rows,
+                                                     f.type)
+                for f in left_schema]
+        b = pa.Table.from_arrays(cols, schema=left_schema)
+        return (b.append_column("__bucket",
+                                _bucket_of(kb, [on], num_buckets))
+                .append_column("__side",
+                               pa.array(["r"] * batch.num_rows)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if "__side" not in g.schema.names or g.num_rows == 0:
+            # untyped empty reduce partitions (the _merge_group caveat)
+            return left_schema.empty_table()
+        rmask = pc.equal(g["__side"], "r")
+        wanted = g.filter(rmask)[on]
+        lf = g.filter(pc.invert(rmask)).drop_columns(
+            ["__bucket", "__side"])
+        if len(wanted) == 0:
+            keep = pa.array([anti] * lf.num_rows, pa.bool_())
+        else:
+            keep = pc.fill_null(
+                pc.is_in(lf[on], value_set=wanted.combine_chunks()),
+                False)
+            if anti:
+                keep = pc.invert(keep)
+        return lf.filter(keep)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    return lt.union(rt).groupby("__bucket").map_groups(
+        per_bucket, batch_format="pyarrow")

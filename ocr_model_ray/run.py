@@ -31,6 +31,10 @@ def main(argv=None) -> int:
                     help="override the profile's per-document page cap")
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore existing manifests and reprocess everything")
+    ap.add_argument("--prior", default=None,
+                    help="prior snapshot's output dir: run incrementally, "
+                         "re-extracting only changed/new pages and carrying "
+                         "unchanged rows over (pipelines/incremental.py)")
     ap.add_argument("--exports", action="store_true",
                     help="also write csv/txt/json/xml renderings")
     ap.add_argument("--side-tables", action="store_true",
@@ -60,9 +64,14 @@ def main(argv=None) -> int:
         shutil.rmtree(args.output, ignore_errors=True)
 
     t0 = time.monotonic()
-    record = run_resumable(args.input, args.output, cfg,
-                           num_partitions=args.partitions,
-                           drop_nested=(cfg.emit == "summary"))
+    if args.prior:
+        from ocr_model_ray.pipelines.incremental import run_incremental
+        record = run_incremental(args.input, args.prior, args.output,
+                                 cfg, num_partitions=args.partitions)
+    else:
+        record = run_resumable(args.input, args.output, cfg,
+                               num_partitions=args.partitions,
+                               drop_nested=(cfg.emit == "summary"))
     record["driver_wall_s"] = round(time.monotonic() - t0, 3)
     record["profile"] = args.profile
 

@@ -1,0 +1,153 @@
+"""Incremental snapshot extraction: carries unchanged rows, re-extracts
+changed/new ones, output equals a full re-extraction."""
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ocr_model_ray.pipelines.checkpoint import run_resumable
+from ocr_model_ray.pipelines.extract_pipeline import ExtractConfig
+from ocr_model_ray.pipelines.incremental import run_incremental
+
+
+def _html(i, rev=0):
+    return (f"<html><body><p>Document {i} revision {rev} with a body "
+            f"paragraph long enough to be kept as main content by the "
+            f"block scorer in every revision.</p></body></html>"
+            ).encode()
+
+
+def _write_pages(path, rows):
+    pq.write_table(pa.table({
+        "url": pa.array([r[0] for r in rows]),
+        "warc_ts": pa.array(
+            pd.to_datetime([1700000000 + i for i in range(len(rows))],
+                           unit="s"), pa.timestamp("us")),
+        "html": pa.array([r[1] for r in rows], pa.large_binary())}),
+        path)
+
+
+def _load(out_dir):
+    fs = glob.glob(os.path.join(out_dir, "data", "**", "*.parquet"),
+                   recursive=True)
+    return (pd.concat([pq.read_table(f).to_pandas() for f in fs])
+            .drop(columns=["part_id"], errors="ignore")
+            .sort_values("url").reset_index(drop=True))
+
+
+def test_incremental_equals_full_reextraction(tmp_path):
+    urls = [f"https://inc.example/{i}" for i in range(12)]
+    v1 = [(u, _html(i)) for i, u in enumerate(urls)]
+    # v2: drop 2 urls, change 3 docs, add 2 new urls, keep 7
+    v2 = ([(u, _html(i, rev=1)) for i, u in enumerate(urls[:3])] +
+          [(u, _html(i)) for i, u in enumerate(urls) if 3 <= i < 10] +
+          [(f"https://inc.example/new{j}", _html(100 + j))
+           for j in range(2)])
+
+    d1 = tmp_path / "pages_v1"
+    d2 = tmp_path / "pages_v2"
+    d1.mkdir(), d2.mkdir()
+    _write_pages(str(d1 / "pages.parquet"), v1)
+    _write_pages(str(d2 / "pages.parquet"), v2)
+
+    cfg = ExtractConfig(emit="summary")
+    run_resumable(str(d1), str(tmp_path / "out_v1"), cfg,
+                  num_partitions=4)
+
+    rec = run_incremental(str(d2), str(tmp_path / "out_v1"),
+                          str(tmp_path / "out_v2"), cfg,
+                          num_partitions=4)
+    # verdict split: 7 unchanged carried; 3 changed + 2 new extracted
+    assert rec["rows_written"] == 12
+    assert rec["rows_carried"] == 7
+    assert rec["rows_extracted"] == 5
+
+    run_resumable(str(d2), str(tmp_path / "out_full"), cfg,
+                  num_partitions=4)
+
+    inc, full = _load(str(tmp_path / "out_v2")), \
+        _load(str(tmp_path / "out_full"))
+    assert inc["url"].tolist() == full["url"].tolist()
+    for col in full.columns:
+        assert inc[col].tolist() == full[col].tolist(), col
+    # dropped urls are gone, new urls present
+    assert urls[10] not in set(inc["url"])
+    assert "https://inc.example/new0" in set(inc["url"])
+
+
+def test_incremental_all_unchanged_extracts_nothing(tmp_path):
+    rows = [(f"https://inc.example/{i}", _html(i)) for i in range(5)]
+    d = tmp_path / "pages"
+    d.mkdir()
+    _write_pages(str(d / "pages.parquet"), rows)
+    cfg = ExtractConfig(emit="summary")
+    run_resumable(str(d), str(tmp_path / "o1"), cfg, num_partitions=2)
+    rec = run_incremental(str(d), str(tmp_path / "o1"),
+                          str(tmp_path / "o2"), cfg, num_partitions=2)
+    assert rec["rows_carried"] == 5
+    assert rec["rows_extracted"] == 0
+    assert _load(str(tmp_path / "o1")).equals(_load(str(tmp_path / "o2")))
+
+
+def test_incremental_schema_mismatch_raises(tmp_path):
+    import pytest
+    rows = [(f"https://inc.example/{i}", _html(i)) for i in range(3)]
+    d = tmp_path / "pages"
+    d.mkdir()
+    _write_pages(str(d / "pages.parquet"), rows)
+    run_resumable(str(d), str(tmp_path / "o1"),
+                  ExtractConfig(emit="summary"), num_partitions=2)
+    with pytest.raises(ValueError, match="emit"):
+        run_incremental(str(d), str(tmp_path / "o1"),
+                        str(tmp_path / "o2"),
+                        ExtractConfig(emit="full"), num_partitions=2)
+
+
+def test_hash_bucket_semi_exact_and_nested():
+    """hash_bucket_semi: exact membership, anti mode, nested payload
+    columns pass through, right-side duplicates don't multiply rows."""
+    import ray.data as rd
+    from ocr_model_ray.functions.joins import hash_bucket_semi
+
+    left = rd.from_arrow(pa.table({
+        "url": [f"u{i}" for i in range(10)],
+        "pages": pa.array([[{"n": i}] for i in range(10)],
+                          pa.list_(pa.struct([("n", pa.int32())]))),
+        "x": list(range(10))}))
+    right = rd.from_arrow(pa.table({
+        "url": ["u1", "u3", "u3", "u3", "u7", "unknown"]}))
+
+    kept = hash_bucket_semi(left, right, on="url").to_pandas()
+    assert sorted(kept["url"]) == ["u1", "u3", "u7"]
+    assert kept.loc[kept["url"] == "u3", "pages"].iloc[0][0]["n"] == 3
+
+    anti = hash_bucket_semi(left, right, on="url", anti=True).to_pandas()
+    assert sorted(anti["url"]) == sorted(
+        f"u{i}" for i in range(10) if i not in (1, 3, 7))
+
+    # empty right: semi keeps nothing, anti keeps everything
+    empty = rd.from_arrow(pa.table({"url": pa.array([], pa.string())}))
+    assert len(hash_bucket_semi(left, empty, on="url").to_pandas()) == 0
+    assert len(hash_bucket_semi(left, empty, on="url",
+                                anti=True).to_pandas()) == 10
+
+
+def test_incremental_full_emit_nested_columns(tmp_path):
+    """The carry path handles the full nested layout (the schema the
+    default profile writes)."""
+    rows = [(f"https://inc.example/{i}", _html(i)) for i in range(4)]
+    d = tmp_path / "pages"
+    d.mkdir()
+    _write_pages(str(d / "pages.parquet"), rows)
+    cfg = ExtractConfig(emit="full")
+    run_resumable(str(d), str(tmp_path / "o1"), cfg, num_partitions=2,
+                  drop_nested=False)
+    rec = run_incremental(str(d), str(tmp_path / "o1"),
+                          str(tmp_path / "o2"), cfg, num_partitions=2)
+    assert rec["rows_carried"] == 4 and rec["rows_extracted"] == 0
+    a, b = _load(str(tmp_path / "o1")), _load(str(tmp_path / "o2"))
+    assert a["url"].tolist() == b["url"].tolist()
+    assert a["extracted_text"].tolist() == b["extracted_text"].tolist()
