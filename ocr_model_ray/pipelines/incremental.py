@@ -6,16 +6,18 @@ pages are byte-identical — re-running the expensive extraction stage
 over the unchanged mass is pure waste. ``run_incremental`` processes
 snapshot N+1 against snapshot N's extraction output:
 
-    new crawl ──derive──► (url, html, content_hash, ...)
-                                 │ one hash-bucket join on url with the
-                                 │ prior output's (url, content_hash)
-                                 │ narrow index (16-48 B rows)
+    new crawl ──derive──► NARROW (url, content_hash) stream
+                                 │ one FULL OUTER hash-bucket join with
+                                 │ the prior output's (url, hash) index
+                                 │ — only 16-48 B rows ever shuffle
+                 verdict per url: carry / extract / drop
             ┌────────────────────┴───────────────────┐
-       changed / new urls                   unchanged urls
-            │                                        │
-       ExtractWorker (the expensive        prior FULL rows join in by
-       stage runs on the CHANGE RATE,      url — one exchange of prior
-       not the corpus)                     rows, no re-extraction
+     extract set (changed+new)            drop set (changed+gone)
+            │ broadcast semi filter              │ broadcast ANTI filter
+            │ over a re-read of the crawl        │ over the prior rows
+       ExtractWorker (the expensive        carried rows stream parquet
+       stage runs on the CHANGE RATE,      -> writer, no exchange, no
+       not the corpus)                     re-extraction
             └───────────────── union ───────────────┘
                         partitioned write + manifests
 
@@ -25,14 +27,18 @@ url means the carried prior row is byte-identical to what
 re-extraction would produce (pinned by test: incremental output ==
 full re-extraction output, per url).
 
-Scale shape: payloads cross exactly ONE exchange (the verdict join,
-where carried rows drop their payload in the bucket task); prior rows
-cross one; the extraction actor pool — the dominant cost at real OCR
-weights — runs on the changed subset only. The prior index is NEVER a
-driver-side set (a 10^12-url broadcast is impossible); both semi
-joins are the bucketed exchange from ``functions/joins.py``. Output
-urls are exactly the NEW snapshot's urls: pages that disappeared from
-the crawl drop out, new ones appear, changed ones are fresh.
+Scale shape: NO payload ever crosses an exchange in the default plan —
+the only shuffle is the narrow verdict join; the new crawl is read
+twice (hash pass + filtered extract pass: a second column-pruned
+parquet/WARC read is far cheaper than shuffling payload blocks, the
+measured difference on the soak corpus is 2x end-to-end), and prior
+rows stream read->filter->write. The url filter sets broadcast
+exactly below a 5M-url cut (~250 MB object-store copy); above it both
+sides fall back to the exact bucketed semi filter
+(``joins.hash_bucket_semi``) — at 10^10 changed urls a broadcast is
+impossible and ONE payload exchange is the honest cost. Output urls
+are exactly the NEW snapshot's urls: pages that disappeared from the
+crawl drop out, new ones appear, changed ones are fresh.
 
 Reference seam: the reference's result cache
 (worker/cache.py:34-88) reuses extraction results WITHIN a job by
@@ -53,8 +59,9 @@ import ray.data as rd
 from ..state import manifest as mf
 from .extract_pipeline import ExtractConfig, extract_pipeline
 
-#: columns the verdict join keeps for the extraction side
-_PAGE_COLS = ["url", "html", "content_hash", "mime", "size_bytes"]
+#: above this many filter urls, broadcast turns into the exact
+#: bucketed semi exchange (tests monkeypatch this to force that path)
+BROADCAST_CUT = 5_000_000
 
 
 def _data_root(out_dir: str) -> str:
@@ -76,48 +83,75 @@ def run_incremental(paths: str | Sequence[str], prior_dir: str,
     The new output must be schema-compatible with the prior run: use
     the same ``cfg.emit`` the prior run used (asserted before the
     union). Returns a metrics record with the carry/extract split."""
-    from ..functions.joins import hash_bucket_join
+    from ..functions.joins import (broadcast_semi_filter,
+                                   hash_bucket_join, hash_bucket_semi)
     from .extract_pipeline import derived_pages
 
     cfg = cfg or ExtractConfig()
     t0 = time.monotonic()
     prior_data = os.path.join(prior_dir, mf.DATA_DIR)
 
-    pages = derived_pages(paths, num_blocks=cfg.num_blocks)
-
+    # -------- phase 1: NARROW verdict join (no payload in any
+    # exchange). The new crawl is read+hashed once (a streaming map —
+    # derive needs the payload, but only 16-48 B (url, hash) rows
+    # enter the exchange); a FULL OUTER join against the prior index
+    # classifies every url on either side.
+    new_idx = derived_pages(paths, num_blocks=cfg.num_blocks) \
+        .map_batches(lambda t: t.select(["url", "content_hash"]),
+                     batch_format="pyarrow")
     prior_idx = rd.read_parquet(prior_data,
                                 columns=["url", "content_hash"])
 
-    def verdict(t):
-        # prior hash rides in as content_hash_r (suffix join); equal ->
-        # carry. Carried rows drop the payload RIGHT HERE, inside the
-        # bucket task, so unchanged bytes never leave the exchange.
-        # The join hands Arrow or pandas depending on the bucket path.
+    def classify(t):
+        # status: 0 carry (both sides, equal hash) / 1 extract (new
+        # side, no or different prior) / 2 drop (prior side only, or
+        # superseded by a changed page)
         import pyarrow.compute as pc
         if isinstance(t, pd.DataFrame):
             t = pa.Table.from_pandas(t, preserve_index=False)
-        carry = pc.fill_null(
-            pc.equal(t["content_hash"], t["content_hash_r"]), False)
-        html = pc.if_else(carry,
-                          pa.nulls(t.num_rows, t.schema.field("html").type),
-                          t["html"])
-        cols = {c: (html if c == "html" else t[c]) for c in _PAGE_COLS}
-        cols["__carry"] = carry
-        return pa.table(cols)
+        new_p = pc.is_valid(t["content_hash"])
+        old_p = pc.is_valid(t["content_hash_r"])
+        carry = pc.and_(pc.and_(new_p, old_p),
+                        pc.fill_null(pc.equal(t["content_hash"],
+                                              t["content_hash_r"]),
+                                     False))
+        status = pc.if_else(
+            carry, pa.scalar(0, pa.int8()),
+            pc.if_else(new_p, pa.scalar(1, pa.int8()),
+                       pa.scalar(2, pa.int8())))
+        return pa.table({"url": t["url"], "status": status})
 
-    # materialized once: both branches below consume it, and without
-    # the pin each branch would re-run the whole verdict join. Its
-    # volume is bounded — changed pages with payload (the change rate
-    # x corpus) plus bare urls for the carried mass — and the object
-    # store spills it rather than holding it in heap.
-    judged = hash_bucket_join(
-        pages, prior_idx, on="url", how="left",
-        num_buckets=num_buckets, post_merge=verdict).materialize()
+    verdict = hash_bucket_join(
+        new_idx, prior_idx, on="url", how="outer",
+        num_buckets=num_buckets, post_merge=classify).materialize()
 
-    changed = judged.filter(expr="__carry == False") \
-        .drop_columns(["__carry"])
-    carried_urls = judged.filter(expr="__carry == True") \
+    n_carried = verdict.filter(expr="status == 0").count()
+    extract_urls = verdict.filter(expr="status == 1") \
         .select_columns(["url"])
+    n_extract = extract_urls.count()
+    # prior rows to DROP = changed urls (status 1 with a prior row —
+    # conservatively all status-1: a brand-new url simply isn't in the
+    # prior, so anti-filtering it is a no-op) + gone urls (status 2)
+    drop_urls = verdict.filter(expr="status != 0").select_columns(["url"])
+    n_drop = drop_urls.count()
+
+    # -------- phase 2: the changed pages re-read + filter. Below the
+    # cut the changed-url set broadcasts EXACTLY (one object-store
+    # copy, ~50 B/url -> ~250 MB at the cut) and NO payload ever
+    # enters an exchange; above it, the payload stream takes ONE
+    # bucketed semi exchange (still only to co-locate with the url
+    # set — at a 10^10-url change set a broadcast is impossible).
+    pages = derived_pages(paths, num_blocks=cfg.num_blocks)
+    if n_extract <= BROADCAST_CUT:
+        keys = pa.concat_arrays([
+            b["url"].combine_chunks().cast(pa.string())
+            for b in extract_urls.iter_batches(batch_format="pyarrow",
+                                               batch_size=None)]
+            or [pa.array([], pa.string())])
+        changed = broadcast_semi_filter(pages, keys, on="url")
+    else:  # pragma: no cover - exercised via forced-cut test
+        changed = hash_bucket_semi(pages, extract_urls, on="url",
+                                   num_buckets=num_buckets)
 
     # the expensive stage: extraction over the changed subset only
     from ..stages.extract import ExtractWorker
@@ -132,15 +166,29 @@ def run_incremental(paths: str | Sequence[str], prior_dir: str,
     else:
         fresh = changed.map_batches(ExtractWorker(**ctor), **kwargs)
 
-    # hive layout puts part_id in the path, not the file schema; it
-    # rides in as a column and gets recomputed for the merged write.
-    # The carry is a SEMI filter, not a join — the full-emit layout
-    # columns are nested (list<struct>), which the bucket join's acero
-    # merge rejects, and a filter passes any schema through untouched.
-    from ..functions.joins import hash_bucket_semi
+    # -------- phase 3: carry the prior rows forward. The DROP set
+    # (changed + gone) is the small side of a realistic snapshot
+    # delta, so below the cut the carry is an exact broadcast ANTI
+    # filter — prior rows stream straight from parquet to the writer
+    # with no exchange. Above it, one bucketed SEMI exchange against
+    # the carried urls (a filter, not a join — the full-emit layout
+    # columns are nested, which the bucket join's acero merge
+    # rejects). hive part_id rides in from the path and is recomputed
+    # for the merged write.
     prior_full = rd.read_parquet(prior_data).drop_columns(["part_id"])
-    carried = hash_bucket_semi(prior_full, carried_urls, on="url",
-                               num_buckets=num_buckets)
+    if n_drop <= BROADCAST_CUT:
+        drop_keys = pa.concat_arrays([
+            b["url"].combine_chunks().cast(pa.string())
+            for b in drop_urls.iter_batches(batch_format="pyarrow",
+                                            batch_size=None)]
+            or [pa.array([], pa.string())])
+        carried = broadcast_semi_filter(prior_full, drop_keys,
+                                        on="url", anti=True)
+    else:  # pragma: no cover - exercised via forced-cut test
+        carried_urls = verdict.filter(expr="status == 0") \
+            .select_columns(["url"])
+        carried = hash_bucket_semi(prior_full, carried_urls, on="url",
+                                   num_buckets=num_buckets)
 
     # schema compatibility from METADATA, not Dataset.schema() (which
     # would execute the lazy joins): the prior run's file schema vs
@@ -188,7 +236,6 @@ def run_incremental(paths: str | Sequence[str], prior_dir: str,
             mf.commit_manifest(out_dir, pid, input_files=None, **facts)
             written.append(pid)
 
-    n_carried = carried_urls.count()
     wall = round(time.monotonic() - t0, 3)
     record = {
         "mode": "incremental",

@@ -151,3 +151,29 @@ def test_incremental_full_emit_nested_columns(tmp_path):
     a, b = _load(str(tmp_path / "o1")), _load(str(tmp_path / "o2"))
     assert a["url"].tolist() == b["url"].tolist()
     assert a["extracted_text"].tolist() == b["extracted_text"].tolist()
+
+
+def test_incremental_bucketed_fallback_paths(tmp_path, monkeypatch):
+    """BROADCAST_CUT=0 forces both exchange fallbacks (hash_bucket_semi
+    for the changed pages AND the carried prior rows); output still
+    equals the full re-extraction."""
+    import ocr_model_ray.pipelines.incremental as inc
+    monkeypatch.setattr(inc, "BROADCAST_CUT", 0)
+
+    urls = [f"https://inc.example/{i}" for i in range(8)]
+    v1 = [(u, _html(i)) for i, u in enumerate(urls)]
+    v2 = ([(u, _html(i, rev=1)) for i, u in enumerate(urls[:2])] +
+          [(u, _html(i)) for i, u in enumerate(urls) if i >= 2])
+    d1, d2 = tmp_path / "p1", tmp_path / "p2"
+    d1.mkdir(), d2.mkdir()
+    _write_pages(str(d1 / "pages.parquet"), v1)
+    _write_pages(str(d2 / "pages.parquet"), v2)
+    cfg = ExtractConfig(emit="summary")
+    run_resumable(str(d1), str(tmp_path / "o1"), cfg, num_partitions=2)
+    rec = run_incremental(str(d2), str(tmp_path / "o1"),
+                          str(tmp_path / "o2"), cfg, num_partitions=2)
+    assert rec["rows_carried"] == 6 and rec["rows_extracted"] == 2
+    run_resumable(str(d2), str(tmp_path / "of"), cfg, num_partitions=2)
+    a, b = _load(str(tmp_path / "o2")), _load(str(tmp_path / "of"))
+    assert a["url"].tolist() == b["url"].tolist()
+    assert a["extracted_text"].tolist() == b["extracted_text"].tolist()
