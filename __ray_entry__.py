@@ -1927,6 +1927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_median": rel.order_price_median,
         "events_session_ids": rel.events_session_ids,
         "customers_without_orders": rel.customers_without_orders,
+        "customers_with_orders_semi": rel.customers_with_orders_semi,
         # documents: dedup + text analysis
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_deterministic_sample": _docs_sample,
@@ -2674,6 +2675,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate < TIMESTAMP '1995-07-01')
+        """,
+        "customers_with_orders_semi": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate < TIMESTAMP '1995-07-01')
+            ORDER BY c_custkey
         """,
         "docs_exact_dedup": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dupes

@@ -646,6 +646,35 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
+def customers_with_orders_semi(sf_dir: str) -> pd.DataFrame:
+    """Exact bucketed semi join (``joins.hash_bucket_semi`` — the one
+    key-hash exchange, per-bucket ``is_in``): customers WITH at least
+    one H1-1995 order. ``customers_without_orders`` is the broadcast
+    twin; this entry forces the EXCHANGE plan so the driver gate
+    verifies the shuffle path itself (order multiplicity must not
+    multiply customer rows — SQL twin is EXISTS, not a join)."""
+    import pyarrow.dataset as pads
+
+    from ..functions.joins import hash_bucket_semi
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey"],
+                   filter=pads.field("o_orderdate")
+                   < pd.Timestamp("1995-07-01"))
+
+    def as_ckey(t: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": t["o_custkey"]})
+
+    out = hash_bucket_semi(
+        cust, orders.map_batches(as_ckey, batch_format="pyarrow"),
+        on="c_custkey").to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                            "c_name": pd.Series([], dtype="object"),
+                            "c_mktsegment": pd.Series([], dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def events_top_users_per_type(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """Per-event-type top-k users by event count (windowed rank shape):
     partial (type,user) counts per batch -> grouped sum -> per-type
