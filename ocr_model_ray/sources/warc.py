@@ -272,12 +272,23 @@ class WarcDatasource(FileBasedDatasource):
     concatenated members); records batch into the pages-table schema.
 
     Only page-bearing records (response / resource / conversion) are
-    emitted; request/metadata/warcinfo records are skipped. A
-    malformed or truncated file fails ITS read task with the path in
-    the error — the standard Ray Data retry/visibility path — rather
-    than yielding silently short data."""
+    emitted; request/metadata/warcinfo records are skipped.
+
+    ``errors``: ``"fail"`` (default) — a malformed or truncated file
+    fails ITS read task with the path in the error, the standard Ray
+    Data retry/visibility path. ``"skip"`` — the damaged TAIL of the
+    file is dropped with a loud warning (real crawls contain damaged
+    shards); records parsed before the fault are kept. Framing cannot
+    resync past a corrupt header inside a decompressed stream, so the
+    skip unit is the file remainder, never a silent partial record."""
 
     _FILE_EXTENSIONS = ["warc", "warc.gz", "gz"]
+
+    def __init__(self, paths, errors: str = "fail", **kwargs):
+        if errors not in ("fail", "skip"):
+            raise ValueError(f"errors must be fail|skip, got {errors!r}")
+        self._errors = errors
+        super().__init__(paths, **kwargs)
 
     def _read_stream(self, f, path: str) -> Iterator[pa.Table]:
         urls: List[str] = []
@@ -294,7 +305,20 @@ class WarcDatasource(FileBasedDatasource):
             urls, tss, payloads, nbytes = [], [], [], 0
             return t
 
-        for headers, body in _iter_records(f.read, path):
+        records = _iter_records(f.read, path)
+        while True:
+            try:
+                headers, body = next(records)
+            except StopIteration:
+                break
+            except ValueError:
+                if self._errors == "fail":
+                    raise
+                import logging
+                logging.getLogger(__name__).warning(
+                    "read_warc(errors='skip'): dropping damaged tail "
+                    "of %s", path, exc_info=True)
+                break
             if headers.get(b"warc-type", b"") not in _PAGE_TYPES:
                 continue
             url = headers.get(b"warc-target-uri", b"").decode(
@@ -312,11 +336,15 @@ class WarcDatasource(FileBasedDatasource):
             yield flush()
 
 
-def read_warc(paths: Union[str, Sequence[str]], **kwargs):
+def read_warc(paths: Union[str, Sequence[str]], errors: str = "fail",
+              **kwargs):
     """Read WARC shard(s) into the pages-table shape
     (url, warc_ts, html). ``paths`` is a file, a list of files, or a
     directory of ``.warc[.gz]`` shards; pass ``override_num_blocks``
-    etc. through ``kwargs`` like any Ray read."""
+    etc. through ``kwargs`` like any Ray read. ``errors="skip"``
+    drops a damaged file tail with a warning instead of failing the
+    read task (see WarcDatasource)."""
     import ray.data as rd
 
-    return rd.read_datasource(WarcDatasource(paths), **kwargs)
+    return rd.read_datasource(WarcDatasource(paths, errors=errors),
+                              **kwargs)

@@ -255,3 +255,18 @@ def test_run_resumable_over_warc_matches_parquet(tmp_path):
     a, b = load("out_warc"), load("out_pq")
     assert a["url"].tolist() == b["url"].tolist() == sorted(urls)
     assert a["extracted_text"].tolist() == b["extracted_text"].tolist()
+
+
+def test_errors_skip_keeps_good_prefix(tmp_path):
+    """errors='skip' keeps records parsed before a damaged tail and
+    logs instead of failing; the default still raises."""
+    urls, tss, payloads = _pages(3)
+    good = b"".join(record_bytes(u, t, p)
+                    for u, t, p in zip(urls[:2], tss[:2], payloads[:2]))
+    path = str(tmp_path / "damaged.warc")
+    with open(path, "wb") as f:
+        f.write(good + b"GARBAGE-NOT-A-RECORD\r\nmore junk")
+    with pytest.raises(Exception, match="WARC"):
+        read_warc(path).materialize()
+    out = read_warc(path, errors="skip").to_pandas()
+    assert sorted(out["url"]) == sorted(urls[:2])
