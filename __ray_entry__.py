@@ -328,6 +328,18 @@ def _docs_weighted_sample(sf_dir: str):
                                      batch_size=None)
 
 
+def _docs_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval for a fixed 3-term query: two streaming
+    passes (stats fold, broadcast-scalar scoring + block-local top-k),
+    zero shuffles (inverted_index.bm25_topk). The SQL twin writes the
+    Lucene-shaped score as one LITERAL expression per term in the same
+    order, so the float compare is bit-exact."""
+    from ocr_model_ray.functions.inverted_index import bm25_topk
+    docs = _read_sized(sf_dir, "documents.parquet",
+                       columns=["doc_id", "text"])
+    return bm25_topk(docs, ["hash", "merge", "window"], k=10)
+
+
 def _docs_group_tfidf(sf_dir: str):
     import ray.data as rd
     from ocr_model_ray.functions.corpus_stats import group_tfidf
@@ -1933,6 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_deterministic_sample": _docs_sample,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_group_tfidf": _docs_group_tfidf,
+        "docs_bm25_topk": _docs_bm25_topk,
         "docs_token_count": _docs_token_count,
         "docs_bpe_token_count": _docs_bpe_token_count,
         "docs_quality": _docs_quality,
@@ -2692,6 +2705,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text
             FROM documents
             WHERE CAST(('0x' || substr(md5(text), 1, 1)) AS INTEGER) < 4
+        """,
+        "docs_bm25_topk": """
+            -- BM25 (Lucene idf) for query terms hash/merge/window,
+            -- written as ONE literal expression per term in the same
+            -- order and with the same literal subexpressions the
+            -- engine evaluates ((1.2 + 1.0) numerator, 1.2*(1 - 0.75
+            -- + 0.75*dl/avgdl) denominator) so every float op matches
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text,
+                           '[ \t\n\r\f\v]+'), w -> w <> '') AS t
+                FROM documents WHERE text IS NOT NULL),
+            lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                      FROM lens),
+            tf AS (SELECT doc_id, u.w AS term,
+                          CAST(count(*) AS DOUBLE) AS tf
+                   FROM toks, UNNEST(t) AS u(w)
+                   WHERE u.w IN ('hash', 'merge', 'window')
+                   GROUP BY 1, 2),
+            piv AS (SELECT doc_id,
+                    coalesce(max(CASE WHEN term='hash' THEN tf END), 0)
+                        AS tf0,
+                    coalesce(max(CASE WHEN term='merge' THEN tf END), 0)
+                        AS tf1,
+                    coalesce(max(CASE WHEN term='window' THEN tf END), 0)
+                        AS tf2
+                    FROM tf GROUP BY doc_id),
+            dfs AS (SELECT
+                (SELECT count(DISTINCT doc_id) FROM tf
+                 WHERE term='hash') AS df0,
+                (SELECT count(DISTINCT doc_id) FROM tf
+                 WHERE term='merge') AS df1,
+                (SELECT count(DISTINCT doc_id) FROM tf
+                 WHERE term='window') AS df2)
+            SELECT p.doc_id,
+                (CASE WHEN tf0 > 0 THEN
+                    ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
+                    * tf0 * (1.2 + 1.0)
+                    / (tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+                 ELSE 0.0 END
+                 + CASE WHEN tf1 > 0 THEN
+                    ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
+                    * tf1 * (1.2 + 1.0)
+                    / (tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+                 ELSE 0.0 END)
+                 + CASE WHEN tf2 > 0 THEN
+                    ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
+                    * tf2 * (1.2 + 1.0)
+                    / (tf2 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+                 ELSE 0.0 END AS score
+            FROM piv p
+            JOIN lens USING (doc_id)
+            CROSS JOIN stats CROSS JOIN dfs
+            ORDER BY score DESC, p.doc_id
+            LIMIT 10
         """,
         "docs_group_tfidf": """
             -- tf-idf lift: tf * n_groups / df, same eval order as the

@@ -93,3 +93,114 @@ def inverted_postings(ds: rd.Dataset, min_df: int = 2,
     pairs = ds.map_batches(explode, batch_format="pyarrow")
     return (pairs.groupby("__b")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def bm25_stats(ds: rd.Dataset, terms, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Corpus statistics for BM25 over ``terms``: (N, total_len,
+    df_per_term) folded from per-block partials — one streaming pass,
+    a k+2-number reduce on the driver, nothing else leaves the
+    workers. NULL-text docs are excluded from N and the length sum
+    (the SQL twin's WHERE text IS NOT NULL)."""
+    terms = list(terms)
+    term_arr = pa.array(terms, pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        valid = pc.is_valid(texts)
+        texts = texts.filter(valid)
+        lists = pc.split_pattern_regex(texts, WS_SPLIT)
+        flat = pc.list_flatten(lists)
+        par = pc.list_parent_indices(lists).to_numpy().astype(np.int64)
+        tok = flat.to_numpy(zero_copy_only=False)
+        keep = tok != ""
+        tok, par = tok[keep], par[keep]
+        n = int(pc.sum(valid).as_py() or 0)
+        total_len = int(tok.size)
+        dfs = []
+        for term in terms:
+            dfs.append(int(np.unique(par[tok == term]).size))
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "total_len": pa.array([total_len], pa.int64()),
+                         **{f"df_{i}": pa.array([d], pa.int64())
+                            for i, d in enumerate(dfs)}})
+
+    n = 0
+    total_len = 0
+    dfs = np.zeros(len(terms), dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        import pyarrow.compute as _pc
+        n += int(_pc.sum(b["n"]).as_py() or 0)
+        total_len += int(_pc.sum(b["total_len"]).as_py() or 0)
+        for i in range(len(terms)):
+            dfs[i] += int(_pc.sum(b[f"df_{i}"]).as_py() or 0)
+    _ = term_arr
+    return n, total_len, dfs
+
+
+def bm25_topk(ds: rd.Dataset, terms, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> pd.DataFrame:
+    """BM25 ranked retrieval: top-k docs for a bag-of-terms query.
+
+    Two streaming passes, zero shuffles:
+
+      1. ``bm25_stats`` folds (N, avgdl, df per term) from per-block
+         partials;
+      2. the scoring pass re-reads the corpus with the k+2 scalars
+         broadcast, computes each candidate's score VECTORIZED (one
+         is_in + per-doc bincounts per block), and only each block's
+         local top-k rows travel (``functions.topk`` doctrine).
+
+    The score is the standard Lucene-shaped BM25:
+    ``idf_t = ln((N - df + 0.5)/(df + 0.5) + 1)``,
+    ``contrib = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``,
+    summed over the query terms IN GIVEN ORDER (left-to-right float64
+    adds, matching the SQL twin's literal expression — aggregation-
+    order-free, so bit-exact against DuckDB). Ties break by doc_id
+    ascending. Output: (doc_id, score) pandas frame, k rows."""
+    from .topk import topk as _topk
+
+    terms = list(terms)
+    n, total_len, dfs = bm25_stats(ds, terms, id_col=id_col,
+                                   text_col=text_col)
+    if n == 0:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    avgdl = float(total_len) / float(n)
+    import math
+    # math.log = libm ln (same kernel DuckDB's ln calls); numpy's
+    # vectorized log can differ in the last ulp
+    idfs = [math.log((n - int(df) + 0.5) / (int(df) + 0.5) + 1.0)
+            for df in dfs]
+
+    def score_block(t: pa.Table) -> pd.DataFrame:
+        texts = t[text_col]
+        valid_mask = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pc.split_pattern_regex(pc.fill_null(texts, ""), WS_SPLIT)
+        flat = pc.list_flatten(lists)
+        par = pc.list_parent_indices(lists).to_numpy().astype(np.int64)
+        tok = flat.to_numpy(zero_copy_only=False)
+        keep = tok != ""
+        tok, par = tok[keep], par[keep]
+        dl = np.bincount(par, minlength=len(t)).astype(np.float64)
+        score = np.zeros(len(t), dtype=np.float64)
+        any_tf = np.zeros(len(t), dtype=bool)
+        denom_base = k1 * (1.0 - b + b * dl / avgdl)
+        for term, idf in zip(terms, idfs):
+            tf = np.bincount(par[tok == term],
+                             minlength=len(t)).astype(np.float64)
+            contrib = np.where(
+                tf > 0, idf * tf * (k1 + 1.0) / (tf + denom_base), 0.0)
+            score = score + contrib
+            any_tf |= tf > 0
+        cand = any_tf & valid_mask
+        return pd.DataFrame({id_col: ids[cand], "score": score[cand]})
+
+    scored = ds.map_batches(score_block, batch_format="pyarrow")
+    out = _topk(scored, by=["score", id_col], k=k,
+                descending=[True, False])
+    return out.reset_index(drop=True)
