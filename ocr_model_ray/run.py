@@ -37,6 +37,9 @@ def main(argv=None) -> int:
                          "unchanged rows over (pipelines/incremental.py)")
     ap.add_argument("--exports", action="store_true",
                     help="also write csv/txt/json/xml renderings")
+    ap.add_argument("--wet", action="store_true",
+                    help="also write the extracted text as WET-style "
+                         "WARC conversion records (<output>/wet/)")
     ap.add_argument("--side-tables", action="store_true",
                     help="also write flat rows/regions/tables parquet")
     ap.add_argument("--num-cpus", type=int, default=None,
@@ -84,6 +87,16 @@ def main(argv=None) -> int:
         write_all_formats(extract_pipeline(args.input, replace(cfg, emit="full")),
                           f"{args.output}/exports")
         record["exports_wall_s"] = round(time.monotonic() - t1, 3)
+
+    if args.wet:
+        import ray.data as rd
+        from ocr_model_ray.sources.warc import write_wet_dir
+        t3 = time.monotonic()
+        extracted = rd.read_parquet(f"{args.output}/data",
+                                    columns=["url", "extracted_text"])
+        receipts = write_wet_dir(extracted, f"{args.output}/wet")
+        record["wet_records"] = int(receipts.sum("n_records") or 0)
+        record["wet_wall_s"] = round(time.monotonic() - t3, 3)
 
     if args.side_tables:
         from dataclasses import replace
