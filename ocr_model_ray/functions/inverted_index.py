@@ -103,7 +103,6 @@ def bm25_stats(ds: rd.Dataset, terms, id_col: str = "doc_id",
     workers. NULL-text docs are excluded from N and the length sum
     (the SQL twin's WHERE text IS NOT NULL)."""
     terms = list(terms)
-    term_arr = pa.array(terms, pa.string())
 
     def partial(t: pa.Table) -> pa.Table:
         texts = t[text_col]
@@ -135,7 +134,6 @@ def bm25_stats(ds: rd.Dataset, terms, id_col: str = "doc_id",
         total_len += int(_pc.sum(b["total_len"]).as_py() or 0)
         for i in range(len(terms)):
             dfs[i] += int(_pc.sum(b[f"df_{i}"]).as_py() or 0)
-    _ = term_arr
     return n, total_len, dfs
 
 
@@ -179,7 +177,9 @@ def bm25_topk(ds: rd.Dataset, terms, k: int = 10,
     def score_block(t: pa.Table) -> pd.DataFrame:
         texts = t[text_col]
         valid_mask = pc.is_valid(texts).to_numpy(zero_copy_only=False)
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # keep the id column's native dtype (string doc ids — e.g.
+        # urls — must survive the round trip)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
         lists = pc.split_pattern_regex(pc.fill_null(texts, ""), WS_SPLIT)
         flat = pc.list_flatten(lists)
         par = pc.list_parent_indices(lists).to_numpy().astype(np.int64)

@@ -94,27 +94,45 @@ def run_incremental(paths: str | Sequence[str], prior_dir: str,
     # -------- phase 1: NARROW verdict join (no payload in any
     # exchange). The new crawl is read+hashed once (a streaming map —
     # derive needs the payload, but only 16-48 B (url, hash) rows
-    # enter the exchange); a FULL OUTER join against the prior index
-    # classifies every url on either side.
+    # enter the exchange). Each side pre-aggregates PER URL first —
+    # real crawls carry duplicate captures of a url, and a url is
+    # carryable only when BOTH snapshots have exactly one capture
+    # with equal hashes (any multiplicity -> re-extract all new
+    # captures and drop all prior rows, which is what a full run
+    # would produce). The aggregation also keeps the outer join free
+    # of dup-key row products.
+    from ..functions.bucketed import bucketed_agg
+
     new_idx = derived_pages(paths, num_blocks=cfg.num_blocks) \
         .map_batches(lambda t: t.select(["url", "content_hash"]),
                      batch_format="pyarrow")
     prior_idx = rd.read_parquet(prior_data,
                                 columns=["url", "content_hash"])
+    new_agg = bucketed_agg(
+        new_idx, "url",
+        {"n_new": ("content_hash", "size"),
+         "h_new_lo": ("content_hash", "min")},
+        num_buckets=num_buckets)
+    old_agg = bucketed_agg(
+        prior_idx, "url",
+        {"n_old": ("content_hash", "size"),
+         "h_old_lo": ("content_hash", "min")},
+        num_buckets=num_buckets)
 
     def classify(t):
-        # status: 0 carry (both sides, equal hash) / 1 extract (new
-        # side, no or different prior) / 2 drop (prior side only, or
-        # superseded by a changed page)
+        # status: 0 carry (1x1 capture, equal hash) / 1 extract (url
+        # in the new crawl, not carryable) / 2 drop (prior-only url)
         import pyarrow.compute as pc
         if isinstance(t, pd.DataFrame):
             t = pa.Table.from_pandas(t, preserve_index=False)
-        new_p = pc.is_valid(t["content_hash"])
-        old_p = pc.is_valid(t["content_hash_r"])
-        carry = pc.and_(pc.and_(new_p, old_p),
-                        pc.fill_null(pc.equal(t["content_hash"],
-                                              t["content_hash_r"]),
-                                     False))
+        new_p = pc.is_valid(t["n_new"])
+        old_p = pc.is_valid(t["n_old"])
+        one_each = pc.and_(
+            pc.fill_null(pc.equal(t["n_new"], 1), False),
+            pc.fill_null(pc.equal(t["n_old"], 1), False))
+        same = pc.fill_null(pc.equal(t["h_new_lo"], t["h_old_lo"]),
+                            False)
+        carry = pc.and_(pc.and_(pc.and_(new_p, old_p), one_each), same)
         status = pc.if_else(
             carry, pa.scalar(0, pa.int8()),
             pc.if_else(new_p, pa.scalar(1, pa.int8()),
@@ -122,7 +140,7 @@ def run_incremental(paths: str | Sequence[str], prior_dir: str,
         return pa.table({"url": t["url"], "status": status})
 
     verdict = hash_bucket_join(
-        new_idx, prior_idx, on="url", how="outer",
+        new_agg, old_agg, on="url", how="outer",
         num_buckets=num_buckets, post_merge=classify).materialize()
 
     n_carried = verdict.filter(expr="status == 0").count()
@@ -135,36 +153,31 @@ def run_incremental(paths: str | Sequence[str], prior_dir: str,
     drop_urls = verdict.filter(expr="status != 0").select_columns(["url"])
     n_drop = drop_urls.count()
 
-    # -------- phase 2: the changed pages re-read + filter. Below the
-    # cut the changed-url set broadcasts EXACTLY (one object-store
-    # copy, ~50 B/url -> ~250 MB at the cut) and NO payload ever
-    # enters an exchange; above it, the payload stream takes ONE
-    # bucketed semi exchange (still only to co-locate with the url
-    # set — at a 10^10-url change set a broadcast is impossible).
-    pages = derived_pages(paths, num_blocks=cfg.num_blocks)
+    # -------- phase 2: the changed pages re-read + filter + extract,
+    # through extract_pipeline itself (so cfg.dedup / concurrency /
+    # num_blocks wiring is THE flagship wiring, not a copy) with the
+    # url filter as its pages_transform. Below the cut the changed-url
+    # set broadcasts EXACTLY (one object-store copy, ~50 B/url ->
+    # ~250 MB at the cut) and NO payload ever enters an exchange;
+    # above it, the payload stream takes ONE bucketed semi exchange
+    # (still only to co-locate with the url set — at a 10^10-url
+    # change set a broadcast is impossible).
     if n_extract <= BROADCAST_CUT:
         keys = pa.concat_arrays([
             b["url"].combine_chunks().cast(pa.string())
             for b in extract_urls.iter_batches(batch_format="pyarrow",
                                                batch_size=None)]
             or [pa.array([], pa.string())])
-        changed = broadcast_semi_filter(pages, keys, on="url")
+
+        def keep_changed(pages_ds):
+            return broadcast_semi_filter(pages_ds, keys, on="url")
     else:  # pragma: no cover - exercised via forced-cut test
-        changed = hash_bucket_semi(pages, extract_urls, on="url",
-                                   num_buckets=num_buckets)
+        def keep_changed(pages_ds):
+            return hash_bucket_semi(pages_ds, extract_urls, on="url",
+                                    num_buckets=num_buckets)
 
     # the expensive stage: extraction over the changed subset only
-    from ..stages.extract import ExtractWorker
-    kwargs = dict(batch_format="pyarrow", batch_size=cfg.batch_size,
-                  num_cpus=cfg.num_cpus)
-    ctor = {"max_pages": cfg.max_pages, "emit": cfg.emit,
-            "engine": cfg.engine, "fast": cfg.fast}
-    if cfg.concurrency is not None:
-        fresh = changed.map_batches(ExtractWorker,
-                                    concurrency=cfg.concurrency,
-                                    fn_constructor_kwargs=ctor, **kwargs)
-    else:
-        fresh = changed.map_batches(ExtractWorker(**ctor), **kwargs)
+    fresh = extract_pipeline(paths, cfg, pages_transform=keep_changed)
 
     # -------- phase 3: carry the prior rows forward. The DROP set
     # (changed + gone) is the small side of a realistic snapshot
@@ -202,16 +215,28 @@ def run_incremental(paths: str | Sequence[str], prior_dir: str,
         raise ValueError(f"no prior output under {prior_data}")
     carried_cols = set(pq.read_schema(prior_files[0]).names)
     from ..stages.extract import EXTRACTED_SCHEMA, SUMMARY_SCHEMA
-    emit_schema = (SUMMARY_SCHEMA if cfg.emit == "summary"
-                   else EXTRACTED_SCHEMA)
-    fresh_cols = set(emit_schema.names)
-    if fresh_cols != carried_cols:
+    # the PRIOR's schema is the output contract — the fresh side
+    # projects down to it when it can. A summary-schema prior (either
+    # emit='summary', or run_resumable's default drop_nested
+    # projection of a full emit) accepts any cfg.emit: the summary
+    # columns carry identical values in both modes (the
+    # summary-vs-full golden invariant). A full-schema prior needs
+    # emit='full' — a summary emit cannot synthesize the nested
+    # layout columns.
+    if carried_cols == set(SUMMARY_SCHEMA.names):
+        cols = list(SUMMARY_SCHEMA.names)
+    elif carried_cols == set(EXTRACTED_SCHEMA.names):
+        if cfg.emit != "full":
+            raise ValueError(
+                "prior output carries the full nested layout; run "
+                "with ExtractConfig(emit='full') so the fresh side "
+                "produces the same columns")
+        cols = list(EXTRACTED_SCHEMA.names)
+    else:
         raise ValueError(
-            "prior output schema differs from this run's emit "
-            f"(prior-only: {sorted(carried_cols - fresh_cols)}, "
-            f"new-only: {sorted(fresh_cols - carried_cols)}); run "
-            "with the prior snapshot's ExtractConfig(emit=...)")
-    cols = list(emit_schema.names)  # run_resumable's column order
+            "prior output schema is neither the summary nor the full "
+            f"extraction schema (found: {sorted(carried_cols)}) — not "
+            "a run_resumable/run_incremental output?")
 
     merged = fresh.select_columns(cols).union(
         carried.select_columns(cols))

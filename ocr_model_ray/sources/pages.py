@@ -32,11 +32,19 @@ _WARC_SUFFIXES = (".warc", ".warc.gz")
 
 def _is_warc(paths: str | Sequence[str]) -> bool:
     """True when the input is WARC-shaped: a .warc[.gz] file, a list
-    of them, or a directory whose files are .warc[.gz]."""
-    first = paths if isinstance(paths, str) else (paths[0] if paths else "")
-    if first.endswith(_WARC_SUFFIXES):
+    of them, or a directory whose files are .warc[.gz]. A MIXED list
+    (some WARC, some not) is rejected loudly — silently routing both
+    halves through one reader would fail or drop the other half."""
+    if not isinstance(paths, str):
+        flags = [str(p).endswith(_WARC_SUFFIXES) for p in paths]
+        if flags and any(flags) and not all(flags):
+            raise ValueError(
+                "read_pages: mixed WARC and non-WARC paths in one "
+                "list — split the call per format")
+        return bool(flags) and all(flags)
+    if paths.endswith(_WARC_SUFFIXES):
         return True
-    if isinstance(paths, str) and os.path.isdir(paths):
+    if os.path.isdir(paths):
         try:
             names = os.listdir(paths)
         except OSError:

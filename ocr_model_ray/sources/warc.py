@@ -155,7 +155,11 @@ def write_warc_dir(ds, out_dir: str,
                     ("" if p is None else p).encode()
                     for p in t[payload_col].to_pylist()]
         data = warc_bytes(urls, tss, payloads, warc_type=warc_type)
-        tag = hashlib.md5("\x00".join(urls).encode()).hexdigest()[:16]
+        # name by the md5 of the part's FULL bytes: two blocks collide
+        # only when their content is identical (overwrite harmless);
+        # blocks sharing a url list but differing in payload (dup
+        # captures split across blocks) keep distinct parts
+        tag = hashlib.md5(data).hexdigest()[:16]
         path = os.path.join(out_dir, f"part-{tag}.warc.gz")
         with open(path, "wb") as f:
             f.write(data)
@@ -217,17 +221,24 @@ def _iter_records(read, path: str):
                 f"{path}: expected a WARC/ version line, got "
                 f"{line[:40]!r}")
         headers: dict = {}
+        last_key = None
         while True:
             line = read_line()
             if line in (CRLF, b"\n"):
                 break
             if not line:
                 raise ValueError(f"{path}: truncated record header")
+            if line[:1] in (b" ", b"\t") and last_key is not None:
+                # ISO 28500 header folding: continuation lines start
+                # with whitespace and extend the previous value
+                headers[last_key] += b" " + line.strip()
+                continue
             k, sep, v = line.partition(b":")
             if not sep:
                 raise ValueError(
                     f"{path}: malformed header line {line[:60]!r}")
-            headers[k.strip().lower()] = v.strip()
+            last_key = k.strip().lower()
+            headers[last_key] = v.strip()
         try:
             n = int(headers[b"content-length"])
         except KeyError:
@@ -248,16 +259,23 @@ def _http_payload(body: bytes) -> bytes:
     return body[i + 4:] if i >= 0 else body
 
 
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
 def _parse_date(raw: bytes) -> int:
     """WARC-Date -> int64 epoch microseconds (the pages-table
-    timestamp unit)."""
+    timestamp unit). Integer calendar arithmetic — ``timestamp()``
+    goes through float64, which is ~0.24 us granular at current
+    epochs and can come back 1 us low."""
     s = raw.decode("ascii", "replace").strip()
     if s.endswith("Z"):
         s = s[:-1] + "+00:00"
     dt = datetime.fromisoformat(s)
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
-    return int(dt.timestamp() * 1_000_000)
+    td = dt - _EPOCH
+    return ((td.days * 86400 + td.seconds) * 1_000_000
+            + td.microseconds)
 
 
 try:  # pragma: no cover - import guard exercised by tests
@@ -282,7 +300,9 @@ class WarcDatasource(FileBasedDatasource):
     resync past a corrupt header inside a decompressed stream, so the
     skip unit is the file remainder, never a silent partial record."""
 
-    _FILE_EXTENSIONS = ["warc", "warc.gz", "gz"]
+    # NOT bare "gz": a stray logs.tar.gz in a crawl directory must be
+    # excluded by the extension filter, not crash the format check
+    _FILE_EXTENSIONS = ["warc", "warc.gz"]
 
     def __init__(self, paths, errors: str = "fail", **kwargs):
         if errors not in ("fail", "skip"):

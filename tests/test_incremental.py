@@ -92,18 +92,31 @@ def test_incremental_all_unchanged_extracts_nothing(tmp_path):
     assert _load(str(tmp_path / "o1")).equals(_load(str(tmp_path / "o2")))
 
 
-def test_incremental_schema_mismatch_raises(tmp_path):
+def test_incremental_schema_contract(tmp_path):
+    """The prior's schema is the output contract: a summary prior
+    accepts any emit (fresh side projects down, values identical); a
+    full-layout prior demands emit='full'."""
     import pytest
     rows = [(f"https://inc.example/{i}", _html(i)) for i in range(3)]
     d = tmp_path / "pages"
     d.mkdir()
     _write_pages(str(d / "pages.parquet"), rows)
+    # summary prior + emit='full' cfg -> fresh projects to summary
     run_resumable(str(d), str(tmp_path / "o1"),
                   ExtractConfig(emit="summary"), num_partitions=2)
-    with pytest.raises(ValueError, match="emit"):
-        run_incremental(str(d), str(tmp_path / "o1"),
-                        str(tmp_path / "o2"),
-                        ExtractConfig(emit="full"), num_partitions=2)
+    rec = run_incremental(str(d), str(tmp_path / "o1"),
+                          str(tmp_path / "o2"),
+                          ExtractConfig(emit="full"), num_partitions=2)
+    assert rec["rows_carried"] == 3
+    assert _load(str(tmp_path / "o1")).equals(_load(str(tmp_path / "o2")))
+    # full-layout prior + summary emit -> error naming the fix
+    run_resumable(str(d), str(tmp_path / "of"),
+                  ExtractConfig(emit="full"), num_partitions=2,
+                  drop_nested=False)
+    with pytest.raises(ValueError, match="emit='full'"):
+        run_incremental(str(d), str(tmp_path / "of"),
+                        str(tmp_path / "o3"),
+                        ExtractConfig(emit="summary"), num_partitions=2)
 
 
 def test_hash_bucket_semi_exact_and_nested():
@@ -177,3 +190,34 @@ def test_incremental_bucketed_fallback_paths(tmp_path, monkeypatch):
     a, b = _load(str(tmp_path / "o2")), _load(str(tmp_path / "of"))
     assert a["url"].tolist() == b["url"].tolist()
     assert a["extracted_text"].tolist() == b["extracted_text"].tolist()
+
+
+def test_incremental_duplicate_captures_match_full(tmp_path):
+    """Real crawls carry duplicate captures of a url: any multiplicity
+    makes the url non-carryable, so incremental == full still holds
+    and the carry/extract accounting stays exact."""
+    base = [(f"https://inc.example/{i}", _html(i)) for i in range(6)]
+    # v1: url 0 captured twice (identical payload)
+    v1 = base + [base[0]]
+    # v2: url 0 twice again (unchanged content, but 2x2 capture ->
+    # extract), url 1 twice with one changed capture, rest unchanged
+    v2 = (base + [base[0]] +
+          [("https://inc.example/1", _html(1, rev=1))])
+    d1, d2 = tmp_path / "p1", tmp_path / "p2"
+    d1.mkdir(), d2.mkdir()
+    _write_pages(str(d1 / "pages.parquet"), v1)
+    _write_pages(str(d2 / "pages.parquet"), v2)
+    cfg = ExtractConfig(emit="summary")
+    run_resumable(str(d1), str(tmp_path / "o1"), cfg, num_partitions=2)
+    rec = run_incremental(str(d2), str(tmp_path / "o1"),
+                          str(tmp_path / "o2"), cfg, num_partitions=2)
+    run_resumable(str(d2), str(tmp_path / "of"), cfg, num_partitions=2)
+    a, b = _load(str(tmp_path / "o2")), _load(str(tmp_path / "of"))
+    a = a.sort_values(["url", "extracted_text"]).reset_index(drop=True)
+    b = b.sort_values(["url", "extracted_text"]).reset_index(drop=True)
+    assert a["url"].tolist() == b["url"].tolist()
+    assert a["extracted_text"].tolist() == b["extracted_text"].tolist()
+    # urls 2..5 carried (1x1 equal); urls 0 (2x2) and 1 (2 captures,
+    # one changed) re-extracted in every capture
+    assert rec["rows_carried"] == 4
+    assert rec["rows_extracted"] == len(b) - 4

@@ -270,3 +270,55 @@ def test_errors_skip_keeps_good_prefix(tmp_path):
         read_warc(path).materialize()
     out = read_warc(path, errors="skip").to_pandas()
     assert sorted(out["url"]) == sorted(urls[:2])
+
+
+def test_header_folding_continuation():
+    """ISO 28500 header folding: continuation lines extend the prior
+    value instead of raising or becoming bogus headers."""
+    rec = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Target-URI: https://example.com/very/\r\n"
+           b" long-path\r\n"
+           b"Content-Type: application/http; msgtype=response\r\n"
+           b"Content-Length: 4\r\n\r\nbody\r\n\r\n")
+    out = list(_iter_records(
+        lambda n, d=[rec]: d.pop() if d else b"", "mem"))
+    assert len(out) == 1
+    assert out[0][0][b"warc-target-uri"] == \
+        b"https://example.com/very/ long-path"
+
+
+def test_parse_date_fractional_exact():
+    from ocr_model_ray.sources.warc import _parse_date
+    assert _parse_date(b"2023-11-14T22:13:20.123456Z") == \
+        1700000000_123456
+    assert _parse_date(b"2023-11-14T22:13:20.999999Z") == \
+        1700000000_999999
+    assert _parse_date(b"1970-01-01T00:00:00Z") == 0
+
+
+def test_write_warc_dir_distinct_payload_blocks_no_clobber(tmp_path):
+    """Two blocks with the SAME url list but different payloads (dup
+    captures split across blocks) must write distinct parts."""
+    import pandas as pd
+    ds = rd.from_pandas([
+        pd.DataFrame({"url": ["https://e.com/x"],
+                      "warc_ts": pd.to_datetime([1700000000], unit="s"),
+                      "html": [b"capture one"]}),
+        pd.DataFrame({"url": ["https://e.com/x"],
+                      "warc_ts": pd.to_datetime([1700000000], unit="s"),
+                      "html": [b"capture TWO differs"]})])
+    out_dir = str(tmp_path / "w")
+    receipts = write_warc_dir(ds, out_dir).to_pandas()
+    assert receipts["n_records"].sum() == 2
+    assert len(os.listdir(out_dir)) == 2
+    back = read_warc(out_dir).to_pandas()
+    assert sorted(back["html"]) == [b"capture TWO differs",
+                                    b"capture one"]
+
+
+def test_read_pages_mixed_list_raises(tmp_path):
+    from ocr_model_ray.sources.pages import read_pages
+    with pytest.raises(ValueError, match="mixed"):
+        read_pages([str(tmp_path / "a.warc.gz"),
+                    str(tmp_path / "b.parquet")])
