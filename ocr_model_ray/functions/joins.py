@@ -16,7 +16,6 @@ joins; these are the engine's scale-conscious primitives).
 
 from __future__ import annotations
 
-import zlib
 from typing import Sequence
 
 import pandas as pd
@@ -189,19 +188,14 @@ def salted_group_count(ds: rd.Dataset, key: str, num_salts: int = 8) -> "pd.Data
 
 
 def _bucket_of(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
-    """Vectorized bucket id. Single integer key: a multiplicative hash in
-    numpy (C speed). Otherwise: crc32 over the joined key strings."""
-    import numpy as np
-    if len(keys) == 1 and pa.types.is_integer(batch[keys[0]].type):
-        vals = batch[keys[0]].to_numpy(zero_copy_only=False).astype(np.uint64)
-        mixed = (vals * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
-        return pa.array((mixed % np.uint64(num_buckets)).astype(np.int32))
-    key_strs = [
-        "|".join(str(v) for v in vals)
-        for vals in zip(*(batch[k].to_pylist() for k in keys))
-    ]
-    out = [zlib.crc32(s.encode()) % num_buckets for s in key_strs]
-    return pa.array(out, pa.int32())
+    """Vectorized bucket id — delegates to ``bucketed._bucket_ids``
+    (integer keys: multiplicative numpy hash; strings: pandas' cython
+    siphash), never a Python loop per row. The assignment is an
+    IN-RUN exchange tag only — nothing persisted is keyed by it (the
+    persistent indexes and manifests use their own crc32/digest
+    layouts), so the scheme can evolve freely."""
+    from .bucketed import _bucket_ids
+    return _bucket_ids(batch, list(keys), num_buckets)
 
 
 def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
