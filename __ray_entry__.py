@@ -1842,6 +1842,45 @@ def _warc_roundtrip(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _url_robots_filter(sf_dir: str):
+    """RFC 9309 robots filtering: urls synthesized over 7 hosts and 4
+    path families, one shared robots.txt parsed per host (badbot group
+    ignored, '*' group governs), longest-prefix evaluation with
+    Allow winning ties. The SQL twin replays the RULE ROWS and the
+    longest-match window; the parser itself is unit-tested against
+    the spec (no SQL can parse robots.txt)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_model_ray.functions.url_ops import robots_filter
+
+    docs = _read_sized(sf_dir, "documents.parquet", columns=["doc_id"])
+
+    def to_urls(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        fam = ids % 4
+        seg = fam.map({0: "public/", 1: "private/",
+                       2: "private/ok/", 3: "tmp/"})
+        return pd.DataFrame({
+            "doc_id": ids,
+            "url": ("https://h" + (ids % 7).astype(str)
+                    + ".example/" + seg + ids.astype(str))})
+
+    robots_txt = ("User-agent: badbot\n"
+                  "Disallow: /\n"
+                  "\n"
+                  "User-agent: *\n"
+                  "Disallow: /private/\n"
+                  "Allow: /private/ok/\n"
+                  "Disallow: /tmp\n")
+    robots = rd.from_pandas(pd.DataFrame({
+        "host": [f"h{k}.example" for k in range(7)],
+        "robots_txt": [robots_txt] * 7}))
+
+    pages = docs.map_batches(to_urls, batch_format="pandas")
+    return robots_filter(pages, robots).to_pandas()
+
+
 def _docs_importance_weights(sf_dir: str):
     """DSIR-style importance weights (hashed word-bigram features,
     target = non-English docs): two streaming passes — a combiner
@@ -1997,6 +2036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_latest_snapshot": _url_latest_snapshot,
         "url_host_quality_filter": _url_host_quality_filter,
         "url_crawl_diff": _url_crawl_diff,
+        "url_robots_filter": _url_robots_filter,
         "docs_importance_weights": _docs_importance_weights,
         "docs_importance_resample": _docs_importance_resample,
         "web_host_graph": _web_host_graph,
@@ -3749,6 +3789,39 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.host = i.host_b
         WHERE CAST(i.n_inter AS DOUBLE)
                   / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.3
+    """
+    # robots filtering: replays the url synthesis, the '*' group's
+    # literal rule rows, and RFC 9309's longest-match evaluation
+    # (Allow wins length ties) as a window over matching prefixes
+    d["url_robots_filter"] = """
+        WITH pages AS (
+            SELECT doc_id,
+                   'https://h' || (doc_id % 7) || '.example/' ||
+                   CASE doc_id % 4 WHEN 0 THEN 'public/'
+                                   WHEN 1 THEN 'private/'
+                                   WHEN 2 THEN 'private/ok/'
+                                   ELSE 'tmp/' END
+                   || CAST(doc_id AS VARCHAR) AS url,
+                   '/' || CASE doc_id % 4 WHEN 0 THEN 'public/'
+                                          WHEN 1 THEN 'private/'
+                                          WHEN 2 THEN 'private/ok/'
+                                          ELSE 'tmp/' END
+                   || CAST(doc_id AS VARCHAR) AS path
+            FROM documents),
+        rules(allow, prefix) AS (VALUES
+            (FALSE, '/private/'), (TRUE, '/private/ok/'),
+            (FALSE, '/tmp')),
+        m AS (
+            SELECT p.doc_id, r.allow,
+                   row_number() OVER (
+                       PARTITION BY p.doc_id
+                       ORDER BY length(r.prefix) DESC, r.allow DESC
+                   ) AS rn
+            FROM pages p JOIN rules r
+              ON starts_with(p.path, r.prefix))
+        SELECT doc_id, url FROM pages
+        WHERE doc_id NOT IN (SELECT doc_id FROM m
+                             WHERE rn = 1 AND NOT allow)
     """
     # WARC round-trip: replays the url/ts synthesis and the utf-8
     # payload byte length straight off documents.parquet — fully

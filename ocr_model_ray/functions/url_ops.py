@@ -445,3 +445,116 @@ def host_mirror_pairs(ds: rd.Dataset, host_col: str = "host",
                                                    threshold))
 
     return with_ab.map_batches(finish, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- robots.txt
+
+_PATH_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)")
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """RFC 9309 (Robots Exclusion Protocol) parser — the governing
+    group's (allow, path-prefix) rules for ``agent``.
+
+    Implemented subset, documented: groups are runs of ``User-agent``
+    lines followed by directives; an exact (case-insensitive) agent
+    match beats the ``*`` group; ``Allow``/``Disallow`` only (other
+    directives ignored); an empty ``Disallow:`` value means allow-all
+    and yields no rule; prefixes are LITERAL — rules containing the
+    ``*``/``$`` wildcard extensions are skipped with a warning (the
+    crawl-side filter errs permissive, never wrongly drops)."""
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    in_agents = True
+    n_wild = 0
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agents and agents:
+                groups.append((agents, rules))
+                agents, rules = [], []
+            agents.append(value.lower())
+            in_agents = True
+        elif field in ("allow", "disallow"):
+            in_agents = False
+            if not value:
+                continue  # empty Disallow/Allow: no rule
+            if "*" in value or value.endswith("$"):
+                n_wild += 1
+                continue
+            rules.append((field == "allow", value))
+        else:
+            in_agents = False
+    if agents:
+        groups.append((agents, rules))
+    if n_wild:
+        log.warning("parse_robots: %d wildcard rules skipped "
+                    "(literal-prefix subset)", n_wild)
+    agent = agent.lower()
+    exact = [r for a, r in groups if agent in a]
+    if exact:
+        return exact[0]
+    star = [r for a, r in groups if "*" in a]
+    return star[0] if star else []
+
+
+def robots_filter(pages: rd.Dataset, robots: rd.Dataset,
+                  agent: str = "*", url_col: str = "url",
+                  host_col: str = "host",
+                  text_col: str = "robots_txt") -> rd.Dataset:
+    """Keep pages their host's robots.txt allows for ``agent``
+    (RFC 9309 evaluation: the longest matching prefix decides; at
+    equal length Allow wins; no matching rule / no robots.txt for the
+    host -> allowed; matching is on the url PATH, query excluded).
+
+    Scale shape: the robots table is ONE row per host — the small
+    side of any crawl — so the parsed rule set broadcasts via
+    ``ray.put`` once and the page stream is filtered per batch with
+    vectorized prefix tests grouped by host (Python cost per
+    host-x-rule, C per row). A corpus whose rule set outgrows worker
+    heap would swap the broadcast for a host-bucketed semi join; at
+    that point the rules are a table, not a config."""
+    host_rules: dict[str, list[tuple[bool, str]]] = {}
+    for b in robots.map_batches(lambda t: t, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for h, txt in zip(b[host_col].to_pylist(),
+                          b[text_col].to_pylist()):
+            rules = parse_robots(txt or "", agent=agent)
+            if rules:
+                # evaluation order: ascending (length, allow) so the
+                # LAST override is the longest match, with Allow
+                # winning length ties
+                host_rules[h] = sorted(
+                    rules, key=lambda r: (len(r[1]), r[0]))
+    ref = ray.put(host_rules)
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rules_of = ray.get(ref)
+        urls = df[url_col].astype(str)
+        hosts = host_series(urls)
+        paths = urls.str.extract(_PATH_RE, expand=False).fillna("")
+        paths = paths.where(paths != "", "/")
+        keep = np.ones(len(df), dtype=bool)
+        for h, idx in df.groupby(hosts).groups.items():
+            rules = rules_of.get(h)
+            if not rules:
+                continue
+            p = paths.loc[idx]
+            pos = df.index.get_indexer(idx)
+            best_len = np.full(len(idx), -1, dtype=np.int64)
+            verdict = np.ones(len(idx), dtype=bool)
+            for allow, prefix in rules:
+                m = p.str.startswith(prefix).to_numpy()
+                hit = m & (len(prefix) >= best_len)
+                verdict[hit] = allow
+                best_len[m & (len(prefix) > best_len)] = len(prefix)
+            keep[pos] = verdict
+        return df[keep]
+
+    return pages.map_batches(per_batch, batch_format="pandas")

@@ -221,3 +221,33 @@ def test_incremental_duplicate_captures_match_full(tmp_path):
     # one changed) re-extracted in every capture
     assert rec["rows_carried"] == 4
     assert rec["rows_extracted"] == len(b) - 4
+
+
+def test_incremental_over_warc_snapshots(tmp_path):
+    """Composition: two WARC crawl directories processed as
+    full-then-incremental equal a full run of the second — the
+    format dispatch and the verdict plan compose."""
+    from ocr_model_ray.sources.warc import write_warc
+
+    def html(i, rev=0):
+        return (f"<html><body><p>Warc snapshot doc {i} rev {rev} "
+                f"kept as main content by the scorer for sure."
+                f"</p></body></html>").encode()
+
+    urls = [f"https://w.example/{i}" for i in range(6)]
+    tss = [1700000000 + i for i in range(6)]
+    c1, c2 = tmp_path / "crawl1", tmp_path / "crawl2"
+    c1.mkdir(), c2.mkdir()
+    write_warc(str(c1 / "s.warc.gz"), urls, tss,
+               [html(i) for i in range(6)])
+    write_warc(str(c2 / "s.warc.gz"), urls, tss,
+               [html(i, rev=1 if i < 2 else 0) for i in range(6)])
+
+    cfg = ExtractConfig(emit="summary")
+    run_resumable(str(c1), str(tmp_path / "o1"), cfg, num_partitions=2)
+    rec = run_incremental(str(c2), str(tmp_path / "o1"),
+                          str(tmp_path / "o2"), cfg, num_partitions=2)
+    assert rec["rows_extracted"] == 2 and rec["rows_carried"] == 4
+    run_resumable(str(c2), str(tmp_path / "of"), cfg, num_partitions=2)
+    a, b = _load(str(tmp_path / "o2")), _load(str(tmp_path / "of"))
+    assert a["extracted_text"].tolist() == b["extracted_text"].tolist()

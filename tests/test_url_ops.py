@@ -231,3 +231,63 @@ def test_host_mirror_pairs_hot_key_cap_logged():
     full = host_mirror_pairs(rd.from_pandas(rows),
                              threshold=0.0).to_pandas()
     assert len(full) == 45 + 1  # C(10,2) boilerplate pairs + X-Y
+
+
+def test_parse_robots_groups_and_subset():
+    from ocr_model_ray.functions.url_ops import parse_robots
+    txt = ("# comment\n"
+           "User-agent: badbot\n"
+           "Disallow: /\n"
+           "\n"
+           "User-agent: GoodBot\n"
+           "User-agent: otherbot\n"
+           "Disallow: /a/\n"
+           "Allow: /a/b\n"
+           "Crawl-delay: 10\n"
+           "\n"
+           "User-agent: *\n"
+           "Disallow: /x\n"
+           "Disallow:\n"          # empty value: allow-all, no rule
+           "Disallow: /wild/*\n"  # wildcard: skipped (literal subset)
+           "Allow: /end$\n")      # anchor: skipped
+    assert parse_robots(txt) == [(False, "/x")]
+    # exact agent match (case-insensitive, multi-agent group) beats *
+    assert parse_robots(txt, agent="goodbot") == \
+        [(False, "/a/"), (True, "/a/b")]
+    assert parse_robots(txt, agent="badbot") == [(False, "/")]
+    assert parse_robots("", agent="*") == []
+    assert parse_robots("Disallow: /loose\n") == []  # rule outside group
+
+
+def test_robots_filter_longest_match_and_defaults(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_model_ray.functions.url_ops import robots_filter
+
+    pages = rd.from_pandas(pd.DataFrame({"url": [
+        "https://a.com/public/1",       # no matching rule -> keep
+        "https://a.com/private/1",      # disallow -> drop
+        "https://a.com/private/ok/1",   # longer allow -> keep
+        "https://a.com/tmp/x",          # /tmp prefix -> drop
+        "https://norobots.com/private/1",  # host without robots -> keep
+        "https://a.com/",               # bare path -> keep
+    ]}))
+    robots = rd.from_pandas(pd.DataFrame({
+        "host": ["a.com"],
+        "robots_txt": ["User-agent: *\nDisallow: /private/\n"
+                       "Allow: /private/ok/\nDisallow: /tmp\n"]}))
+    kept = sorted(robots_filter(pages, robots).to_pandas()["url"])
+    assert kept == ["https://a.com/",
+                    "https://a.com/private/ok/1",
+                    "https://a.com/public/1",
+                    "https://norobots.com/private/1"]
+
+    # equal-length allow vs disallow: Allow wins the tie (RFC 9309)
+    robots2 = rd.from_pandas(pd.DataFrame({
+        "host": ["a.com"],
+        "robots_txt": ["User-agent: *\nDisallow: /p/\nAllow: /p/\n"]}))
+    kept2 = robots_filter(
+        rd.from_pandas(pd.DataFrame({"url": ["https://a.com/p/z"]})),
+        robots2).to_pandas()
+    assert kept2["url"].tolist() == ["https://a.com/p/z"]
