@@ -1881,6 +1881,32 @@ def _url_robots_filter(sf_dir: str):
     return robots_filter(pages, robots).to_pandas()
 
 
+def _url_sitemap_entries(sf_dir: str):
+    """Sitemap scan: per-doc synthesized sitemap blobs (two <url>
+    entries each, one with <lastmod>, whitespace-padded locs) explode
+    through url_ops.sitemap_entries; the SQL twin replays the
+    synthesis directly."""
+    import pandas as pd
+
+    from ocr_model_ray.functions.url_ops import sitemap_entries
+
+    docs = _read_sized(sf_dir, "documents.parquet", columns=["doc_id"])
+
+    def to_sitemaps(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        host = "h" + (ids % 5).astype(str) + ".example"
+        base = "https://" + host + "/p/" + ids.astype(str)
+        lastmod = "2024-01-" + ((ids % 28) + 1).astype(str).str.zfill(2)
+        xml = ("<urlset><url><loc> " + base + " </loc><lastmod>"
+               + lastmod + "</lastmod></url>"
+               + "<url><loc>" + base + "/alt</loc></url></urlset>")
+        return pd.DataFrame({"host": host, "sitemap_xml": xml})
+
+    out = sitemap_entries(
+        docs.map_batches(to_sitemaps, batch_format="pandas"))
+    return out.to_pandas()
+
+
 def _docs_importance_weights(sf_dir: str):
     """DSIR-style importance weights (hashed word-bigram features,
     target = non-English docs): two streaming passes — a combiner
@@ -2037,6 +2063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_host_quality_filter": _url_host_quality_filter,
         "url_crawl_diff": _url_crawl_diff,
         "url_robots_filter": _url_robots_filter,
+        "url_sitemap_entries": _url_sitemap_entries,
         "docs_importance_weights": _docs_importance_weights,
         "docs_importance_resample": _docs_importance_resample,
         "web_host_graph": _web_host_graph,
@@ -3789,6 +3816,21 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.host = i.host_b
         WHERE CAST(i.n_inter AS DOUBLE)
                   / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.3
+    """
+    # sitemap scan: replays the per-doc blob synthesis — two entries
+    # per doc, the padded loc trimmed, lastmod null on the /alt entry
+    d["url_sitemap_entries"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   'h' || (doc_id % 5) || '.example' AS host,
+                   'https://h' || (doc_id % 5) || '.example/p/'
+                       || CAST(doc_id AS VARCHAR) AS loc,
+                   '2024-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR),
+                                      2, '0') AS lastmod
+            FROM documents)
+        SELECT host, loc, lastmod FROM base
+        UNION ALL
+        SELECT host, loc || '/alt' AS loc, NULL AS lastmod FROM base
     """
     # robots filtering: replays the url synthesis, the '*' group's
     # literal rule rows, and RFC 9309's longest-match evaluation

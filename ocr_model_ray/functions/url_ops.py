@@ -558,3 +558,51 @@ def robots_filter(pages: rd.Dataset, robots: rd.Dataset,
         return df[keep]
 
     return pages.map_batches(per_batch, batch_format="pandas")
+
+
+# ----------------------------------------------------------- sitemaps
+
+#: frozen sitemap-scan spec (shared semantics with the SQL twin's RE2
+#: patterns, the link_graph.LINK_RE doctrine): <url> blocks scanned
+#: dotall, then one <loc> and optional <lastmod> inside each block;
+#: entities are NOT unescaped — this is the crawler-style regex pass,
+#: not an XML parse (malformed feeds degrade to fewer entries, never
+#: to a parser error)
+_SITEMAP_URL_BLOCK_RE = re.compile(r"<url>(.*?)</url>", re.DOTALL)
+_SITEMAP_LOC_RE = re.compile(r"<loc>\s*([^<]*?)\s*</loc>", re.DOTALL)
+_SITEMAP_LASTMOD_RE = re.compile(r"<lastmod>\s*([^<]*?)\s*</lastmod>",
+                                 re.DOTALL)
+
+
+def sitemap_entries(ds: rd.Dataset, xml_col: str = "sitemap_xml",
+                    key_cols: Iterable[str] = ("host",)) -> rd.Dataset:
+    """Scan sitemap XML blobs into (``*key_cols``, loc, lastmod) rows
+    — the url-discovery side of the crawl toolkit (robots gives the
+    permission side). One vectorized extractall per batch for the
+    <url> blocks, then the loc/lastmod scan per block; sitemaps are
+    per-host metadata, orders of magnitude below page volume, so the
+    per-block regex cost is off the hot path by construction.
+    Blocks without a <loc> are dropped (a sitemap entry IS its loc);
+    missing <lastmod> is null."""
+    key_cols = list(key_cols)
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        out_keys: dict[str, list] = {k: [] for k in key_cols}
+        locs: list[str] = []
+        lastmods: list = []
+        xmls = df[xml_col].astype(str)
+        for i, xml in enumerate(xmls):
+            for block in _SITEMAP_URL_BLOCK_RE.findall(xml):
+                m = _SITEMAP_LOC_RE.search(block)
+                if not m or not m.group(1):
+                    continue
+                lm = _SITEMAP_LASTMOD_RE.search(block)
+                for k in key_cols:
+                    out_keys[k].append(df[k].iloc[i])
+                locs.append(m.group(1))
+                lastmods.append(lm.group(1) if lm else None)
+        out = pd.DataFrame({**out_keys, "loc": pd.Series(locs, dtype="object"),
+                            "lastmod": pd.Series(lastmods, dtype="object")})
+        return out
+
+    return ds.map_batches(per_batch, batch_format="pandas")

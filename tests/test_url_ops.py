@@ -291,3 +291,23 @@ def test_robots_filter_longest_match_and_defaults(ray_session):
         rd.from_pandas(pd.DataFrame({"url": ["https://a.com/p/z"]})),
         robots2).to_pandas()
     assert kept2["url"].tolist() == ["https://a.com/p/z"]
+
+
+def test_sitemap_entries_scan(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_model_ray.functions.url_ops import sitemap_entries
+
+    xml_ok = ("<urlset><url><loc> https://a/1 </loc>"
+              "<lastmod>2024-02-03</lastmod></url>"
+              "<url><loc>https://a/2</loc></url>"
+              "<url><lastmod>no-loc-dropped</lastmod></url></urlset>")
+    ds = rd.from_pandas(pd.DataFrame({
+        "host": ["a", "b"],
+        "sitemap_xml": [xml_ok, "<notasitemap/>"]}))
+    out = sitemap_entries(ds).to_pandas().sort_values("loc")
+    assert out["loc"].tolist() == ["https://a/1", "https://a/2"]
+    assert out["lastmod"].tolist()[0] == "2024-02-03"
+    assert out["lastmod"].isna().tolist() == [False, True]
+    assert out["host"].tolist() == ["a", "a"]
