@@ -360,3 +360,36 @@ def test_run_sharded_over_warc_appends(tmp_path):
                 recursive=True)
     all_rows = pd.concat([pqr.read_table(f).to_pandas() for f in fs])
     assert sorted(all_rows["url"]) == sorted(urls)
+
+
+def test_framing_survives_adversarial_payloads():
+    """Content-Length framing: payloads containing CRLF runs, fake
+    'WARC/1.0' headers, gzip magic, and blank lines round-trip
+    byte-exactly (hypothesis-style sweep, fixed seed)."""
+    import random
+
+    rng = random.Random(42)
+    tricky = [b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\n",
+              b"\x1f\x8b\x08" * 5, b"", b"\r\n" * 10,
+              b"Content-Length: 99999\r\n\r\n",
+              bytes(rng.randrange(256) for _ in range(1000))]
+    urls = [f"https://t.example/{i}" for i in range(len(tricky))]
+    tss = [1700000000 + i for i in range(len(tricky))]
+    data = b"".join(record_bytes(u, t, p)
+                    for u, t, p in zip(urls, tss, tricky))
+    pos = [0]
+
+    def read(n):
+        b = data[pos[0]:pos[0] + n]
+        pos[0] += n
+        return b
+
+    recs = list(_iter_records(read, "mem"))
+    assert len(recs) == len(tricky)
+    got = {}
+    for headers, body in recs:
+        url = headers[b"warc-target-uri"].decode()
+        i = body.find(b"\r\n\r\n")
+        got[url] = body[i + 4:]
+    for u, p in zip(urls, tricky):
+        assert got[u] == p, u
