@@ -23,12 +23,15 @@ def work(args):
 
 
 def main() -> None:
+    import os
     sys.path.insert(0, ".")
     from ocr_model_ray.fixtures import generate_rows
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     rows = generate_rows(0, "t2") * replicas
     out = {"docs": len(rows)}
-    for n in (8, 32):
+    for n in (lo, hi):
         chunks = [(rows[i::n],) for i in range(n)]
         with mp.Pool(n) as p:
             p.map(work, [(rows[:50],)] * n)  # warm forks
@@ -36,8 +39,11 @@ def main() -> None:
             p.map(work, chunks)
             wall = time.time() - t0
         out[f"docs_per_sec_{n}"] = round(len(rows) / wall, 1)
+    # bench.py reads the 8/32-named keys regardless of lo/hi
+    out["docs_per_sec_8"] = out[f"docs_per_sec_{lo}"]
+    out["docs_per_sec_32"] = out[f"docs_per_sec_{hi}"]
     out["ceiling_efficiency"] = round(
-        out["docs_per_sec_32"] / out["docs_per_sec_8"] / 4, 3)
+        out["docs_per_sec_32"] / out["docs_per_sec_8"] / (hi / lo), 3)
     print(json.dumps(out))
 
 
