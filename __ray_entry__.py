@@ -1928,6 +1928,49 @@ def _docs_importance_resample(sf_dir: str):
     return importance_resample(_docs_importance_weights(sf_dir), rate=0.5)
 
 
+def _curation_inputs(sf_dir: str):
+    """Shared setup for the curation composite: corpus Dataset (eval
+    split doc_id %% 50 == 0 excluded, as in docs_decontaminate) plus
+    the eval 8-gram set streamed once from the held-out split."""
+    import pyarrow as pa
+
+    from ocr_model_ray.functions.decontam import ngram_set
+
+    docs = _read_sized(sf_dir, "documents.parquet",
+                       columns=["doc_id", "text", "lang"])
+
+    def _cut(want_eval: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            mask = (ids % 50 == 0) if want_eval else (ids % 50 != 0)
+            return batch.filter(pa.array(mask))
+        return f
+
+    evals = docs.map_batches(_cut(True), batch_format="pyarrow").to_pandas()
+    grams = ngram_set(evals["text"], n=8)
+    corpus = docs.map_batches(_cut(False), batch_format="pyarrow")
+    return corpus, grams
+
+
+def _docs_curation_funnel(sf_dir: str):
+    """End-to-end curation composite (pipelines/curation.py): lang
+    gate -> Gopher quality gate -> exact dedup -> decontamination in
+    one fused corpus pass + one narrow bucketed exchange; returns the
+    per-stage (stage, docs, chars) funnel — all-int64, bit-exact."""
+    from ocr_model_ray.pipelines.curation import curation_funnel
+    corpus, grams = _curation_inputs(sf_dir)
+    return curation_funnel(corpus, grams)
+
+
+def _docs_curation_kept(sf_dir: str):
+    """The curated corpus itself: one uncontaminated representative
+    doc_id per distinct quality-surviving text (same plan as the
+    funnel, consuming the dedup-group Dataset)."""
+    from ocr_model_ray.pipelines.curation import curation_kept
+    corpus, grams = _curation_inputs(sf_dir)
+    return curation_kept(corpus, grams)
+
+
 def _tiered_pages_sql(select: str, where: str = "TRUE") -> str:
     """Oracle body over the per-tier pages fixture parquet (same tier
     switch as _tiered_golden_sql, keyed on the lineitem view).
@@ -2045,6 +2088,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_pairs_dist": _docs_jaccard_pairs_dist,
         "docs_sequence_pack_dist": _docs_sequence_pack_dist,
         "docs_decontaminate_bloom": _docs_decontaminate_bloom,
+        "docs_curation_funnel": _docs_curation_funnel,
+        "docs_curation_kept": _docs_curation_kept,
         "docs_dedup_keep": _docs_dedup_keep,
         "docs_dedup_ingest": _docs_dedup_ingest,
         "docs_repetition": _docs_repetition,
@@ -4167,4 +4212,91 @@ def oracle_sql() -> dict[str, str]:
         WHERE h NOT IN (SELECT h FROM first)
         ORDER BY doc_id
     """
+    # curation composite: shared CTE chain replaying every stage with
+    # the per-stage semantics of its standalone oracle (gopher rules
+    # from docs_gopher_flags, 8-gram decontamination from
+    # docs_decontaminate, md5 dedup from docs_exact_dedup)
+    _curation_ctes = """
+        base AS (SELECT doc_id, lang, coalesce(text, '') AS text
+                 FROM documents WHERE doc_id % 50 <> 0),
+        w AS (SELECT doc_id, lang, text,
+                     list_filter(string_split_regex(text,
+                         '[ \t\n\r\f\v]+'), x -> x <> '') AS toks
+              FROM base),
+        m AS (SELECT doc_id, lang, text,
+                     CAST(length(text) AS BIGINT) AS chars,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(coalesce(list_sum(list_transform(toks,
+                          x -> length(x))), 0) AS BIGINT) AS total_chars,
+                     CAST(len(list_filter(toks, x ->
+                          regexp_matches(x, '[A-Za-z]')))
+                          AS BIGINT) AS n_alpha,
+                     CAST(len(regexp_extract_all(text, '#'))
+                          + len(regexp_extract_all(text, '\\.\\.\\.'))
+                          AS BIGINT) AS n_sym,
+                     CAST(len(list_intersect(list_distinct(toks),
+                          ['the','and','of','to','in','a','is','for']))
+                          AS BIGINT) AS n_stop
+              FROM w),
+        v AS (SELECT doc_id, lang, text, chars,
+                     (lang IN ('en','de','fr','es')) AS lang_ok,
+                     (n_words >= 50 AND n_words <= 100000
+                      AND CAST(total_chars AS DOUBLE)
+                          / greatest(n_words, 1) >= 3.0
+                      AND CAST(total_chars AS DOUBLE)
+                          / greatest(n_words, 1) <= 10.0
+                      AND CAST(n_alpha AS DOUBLE)
+                          / greatest(n_words, 1) >= 0.8
+                      AND CAST(n_sym AS DOUBLE)
+                          / greatest(n_words, 1) <= 0.1
+                      AND n_stop >= 2) AS gopher_ok
+              FROM m),
+        q AS (SELECT * FROM v WHERE lang_ok AND gopher_ok),
+        g AS (SELECT md5(text) AS h, min(doc_id) AS keep_id,
+                     max(chars) AS chars
+              FROM q GROUP BY md5(text)),
+        k AS (SELECT g.h, g.keep_id, g.chars, q.text
+              FROM g JOIN q ON q.doc_id = g.keep_id),
+        tok AS (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents WHERE text IS NOT NULL),
+        pos AS (SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - 6)) AS i
+                FROM tok),
+        eg AS (SELECT DISTINCT
+                      array_to_string(toks[CAST(i AS BIGINT):
+                                           CAST(i + 7 AS BIGINT)],
+                                      ' ') AS gram
+               FROM pos WHERE doc_id % 50 = 0),
+        kg AS (SELECT DISTINCT p.doc_id,
+                      array_to_string(p.toks[CAST(i AS BIGINT):
+                                             CAST(i + 7 AS BIGINT)],
+                                      ' ') AS gram
+               FROM pos p JOIN k ON p.doc_id = k.keep_id),
+        cont AS (SELECT DISTINCT kg.doc_id
+                 FROM kg JOIN eg USING (gram))
+    """
+    d["docs_curation_funnel"] = ("WITH " + _curation_ctes + """
+        SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS docs,
+               CAST(coalesce(sum(chars), 0) AS BIGINT) AS chars FROM v
+        UNION ALL
+        SELECT 'lang', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(chars), 0) AS BIGINT)
+        FROM v WHERE lang_ok
+        UNION ALL
+        SELECT 'quality', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(chars), 0) AS BIGINT) FROM q
+        UNION ALL
+        SELECT 'exact_dedup', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(chars), 0) AS BIGINT) FROM g
+        UNION ALL
+        SELECT 'decontam', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(chars), 0) AS BIGINT)
+        FROM k WHERE keep_id NOT IN (SELECT doc_id FROM cont)
+    """)
+    d["docs_curation_kept"] = ("WITH " + _curation_ctes + """
+        SELECT keep_id AS doc_id, chars FROM k
+        WHERE keep_id NOT IN (SELECT doc_id FROM cont)
+        ORDER BY doc_id
+    """)
     return d
