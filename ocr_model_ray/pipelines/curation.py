@@ -5,6 +5,12 @@ decontamination) as ONE plan, reporting per-stage survivor counts.
 Engine extension (no reference counterpart): real curation runs — C4,
 Gopher, FineWeb — chain exactly these stages, and what their authors
 publish first is the FUNNEL (documents/tokens surviving each stage).
+Relationship to ``pipelines/clean.py``: ``clean_funnel`` is the
+lineage-per-stage composite (each stage count re-executes its
+upstream, the checkpoint-friendly shape); THIS module is the fused
+single-pass alternative (counters ride the survivor stream, the
+Gopher rule set, decontamination reduced over dedup groups) — the
+shape you run when the corpus scan itself is the dominant cost.
 This module demonstrates that the engine's individual operators
 (`text_stats.gopher_flags_batch`, `dedup_algos.exact_dedup`'s bucketed
 exchange, `decontam`'s broadcast gram set) compose into a single
