@@ -103,6 +103,19 @@ def test_empty_corpus(ray_session):
         assert f["docs"].sum() == 0 and f["chars"].sum() == 0
 
 
+def test_no_survivors_distributed(ray_session):
+    # every doc fails quality: the survivor exchange sees only empty
+    # blocks; counters must still flow and the tail stages read zero
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["tiny", "also tiny"],
+                       "lang": ["en", "en"]})
+    for mode in ("local", "distributed"):
+        f = curation_funnel(rd.from_pandas(df), _grams(), mode=mode)
+        assert list(f["docs"]) == [2, 2, 0, 0, 0]
+        assert list(f["chars"])[:2] == [4, 9]
+        kept = curation_kept(rd.from_pandas(df), _grams(), mode=mode)
+        assert kept.count() == 0
+
+
 def test_partitioning_independence(ray_session):
     df = _corpus()
     one = curation_funnel(rd.from_pandas(df).repartition(1), _grams(),
