@@ -111,7 +111,7 @@ def test_no_survivors_distributed(ray_session):
     for mode in ("local", "distributed"):
         f = curation_funnel(rd.from_pandas(df), _grams(), mode=mode)
         assert list(f["docs"]) == [2, 2, 0, 0, 0]
-        assert list(f["chars"])[:2] == [4, 9]
+        assert list(f["chars"]) == [13, 13, 0, 0, 0]
         kept = curation_kept(rd.from_pandas(df), _grams(), mode=mode)
         assert kept.count() == 0
 
