@@ -1218,6 +1218,14 @@ def _docs_simhash(sf_dir: str):
     return _docs(sf_dir).map_batches(simhash_batch, batch_format="pandas")
 
 
+def _docs_simhash_near_dup(sf_dir: str):
+    """SimHash near-dup pairs at Hamming radius 3: pigeonhole banding
+    (4 x 16-bit bands are lossless at radius 3) + per-bucket popcount
+    verify — so unlike MinHash the SQL twin is an exact cross-join."""
+    from ocr_model_ray.functions.dedup_algos import simhash_near_dup
+    return simhash_near_dup(_docs(sf_dir))
+
+
 def _docs_fingerprint(sf_dir: str):
     from ocr_model_ray.functions.text_stats import fingerprint_batch
     return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pandas")
@@ -2076,6 +2084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_size": _docs_vocab_size,
         "docs_lang_id": _docs_lang_id,
         "docs_simhash": _docs_simhash,
+        "docs_simhash_near_dup": _docs_simhash_near_dup,
         "docs_fingerprint": _docs_fingerprint,
         "docs_near_dup": _docs_near_dup,
         "docs_minhash_ingest": _docs_minhash_ingest,
@@ -3369,6 +3378,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN read_parquet('{os.path.join(_GOLDENS, "docs_text_keyed.parquet")}') g
               ON md5(d.text) = g.h
+        """,
+        # simhash near-dup: the per-doc simhash comes from the same
+        # text-keyed golden as docs_simhash (independent scalar
+        # implementation); the pair predicate is SQL's own popcount
+        # over the xor — exact at radius 3 because 4x16-bit pigeonhole
+        # banding has lossless recall there
+        "docs_simhash_near_dup": f"""
+            WITH s AS (
+                SELECT d.doc_id,
+                       CAST(concat('0x', g.simhash_hex) AS UBIGINT) AS sh
+                FROM documents d
+                JOIN read_parquet('{os.path.join(_GOLDENS, "docs_text_keyed.parquet")}') g
+                  ON md5(d.text) = g.h)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ORDER BY doc_a, doc_b
         """,
         "docs_fingerprint": f"""
             SELECT d.doc_id, g.n_fingerprints, g.fingerprint_min,

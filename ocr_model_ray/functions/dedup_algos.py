@@ -1062,6 +1062,180 @@ def simhash_buckets(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(batch_fn, batch_format="pandas")
 
 
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 lacks bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x -= (x >> np.uint64(1)) & m1
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    with np.errstate(over="ignore"):
+        x = (x * h01) >> np.uint64(56)
+    return x.astype(np.int64)
+
+
+def _hamming_pairs_frame(g: pd.DataFrame, max_hamming: int,
+                         max_bucket: int | None) -> pd.DataFrame:
+    """All verified pairs from a frame of (band, bucket, doc_id, hbits)
+    rows: inside each (band, bucket) group, every id pair whose hashes
+    differ in <= max_hamming bits. Group iteration is Python, but the
+    per-group pair work (triu indices, xor, popcount) is numpy."""
+    if len(g) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    band = g["band"].to_numpy()
+    bucket = g["bucket"].to_numpy()
+    doc = g["doc_id"].to_numpy(dtype=np.int64)
+    hb = np.ascontiguousarray(
+        g["hbits"].to_numpy(dtype=np.int64)).view(np.uint64)
+    order = np.lexsort((doc, bucket, band))
+    band, bucket, doc, hb = (band[order], bucket[order], doc[order],
+                             hb[order])
+    new = np.empty(len(band), dtype=bool)
+    new[0] = True
+    new[1:] = (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(band))
+    out_a, out_b, out_d = [], [], []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        if max_bucket is not None and m > max_bucket:
+            log.warning("hamming_pairs: bucket (band=%d, bucket=%d) "
+                        "has %d members > max_bucket=%d; keeping the "
+                        "%d smallest ids (recall loss, logged per the "
+                        "no-silent-caps rule)", band[s], bucket[s], m,
+                        max_bucket, max_bucket)
+            e = s + max_bucket
+            m = max_bucket
+        ia, ib = np.triu_indices(m, 1)
+        d = _popcount_u64(hb[s:e][ia] ^ hb[s:e][ib])
+        keep = d <= max_hamming
+        out_a.append(doc[s:e][ia][keep])
+        out_b.append(doc[s:e][ib][keep])
+        out_d.append(d[keep])
+    if not out_a:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return pd.DataFrame({
+        "doc_a": np.concatenate(out_a),
+        "doc_b": np.concatenate(out_b),
+        "hamming": np.concatenate(out_d),
+    }).drop_duplicates(["doc_a", "doc_b"])
+
+
+def hamming_pairs(ds: rd.Dataset, hash_col: str = "h64",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  num_buckets: int = 64, max_bucket: int | None = None,
+                  mode: str = "auto") -> rd.Dataset:
+    """EXACT Hamming-distance self-join over a 64-bit hash column:
+    every id pair whose hashes differ in <= ``max_hamming`` bits.
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Plan: split the 64 bits into ``max_hamming + 1`` bands — by
+    pigeonhole, two hashes within distance k agree EXACTLY on at least
+    one of k+1 bands, so banding is lossless (unlike MinHash-LSH's
+    probabilistic recall). Band rows (~4 x 20 B/doc) take one bucketed
+    exchange on hash(band, bucket); pair generation + popcount verify
+    run vectorized per coarse bucket; a second tiny exchange
+    (bucketed_distinct) drops the pairs found via several bands. Hot
+    buckets (many docs sharing a band slice — e.g. a mass of identical
+    short docs) are quadratic in the bucket BY SEMANTICS (every such
+    pair is a true result); ``max_bucket`` caps them loudly when pair
+    enumeration itself is not the goal — prefer the cluster form then.
+
+    Empties: the local plan returns a TYPED empty; the distributed
+    plan shares the repo-wide Ray property that an all-empty pandas
+    collect is schema-less (count() is still 0).
+    """
+    if not 0 <= max_hamming <= 15:
+        raise ValueError("max_hamming must be in [0, 15] "
+                         "(bands = max_hamming + 1 over 64 bits)")
+    bands = max_hamming + 1
+    width = 64 // bands
+    offs = [b * width for b in range(bands)]
+    widths = [width] * (bands - 1) + [64 - width * (bands - 1)]
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        h = np.ascontiguousarray(
+            df[hash_col].to_numpy(dtype=np.int64)).view(np.uint64)
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        parts = []
+        for b, (off, w) in enumerate(zip(offs, widths)):
+            mask = np.uint64((1 << w) - 1)
+            bk = ((h >> np.uint64(off)) & mask).astype(np.int64)
+            parts.append(pd.DataFrame({
+                "band": np.full(n, b, dtype=np.int32),
+                "bucket": bk, "doc_id": ids,
+                "hbits": h.view(np.int64),
+                "__b": ((b * 0x9E3779B1 + bk * 2654435761)
+                        % num_buckets).astype(np.int32)}))
+        return pd.concat(parts, ignore_index=True)
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                             ("hamming", pa.int64())])
+
+    def typed(df: pd.DataFrame) -> pa.Table:
+        # arrow blocks keep the typed schema through all-empty
+        # collects where 0-row pandas blocks go schema-less
+        if df.empty or "doc_a" not in df.columns:
+            return pair_schema.empty_table()
+        return pa.Table.from_pandas(df[["doc_a", "doc_b", "hamming"]],
+                                    schema=pair_schema,
+                                    preserve_index=False)
+
+    rows = ds.map_batches(band_rows, batch_format="pandas")
+    if _resolve_mode(ds, mode) == "local":
+        frame = rows.to_pandas()
+        if frame.empty or "band" not in frame.columns:
+            frame = pd.DataFrame({"band": [], "bucket": [], "doc_id": [],
+                                  "hbits": []})
+        return rd.from_arrow(typed(
+            _hamming_pairs_frame(frame, max_hamming, max_bucket)
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)))
+    from .bucketed import bucketed_distinct
+    pairs = rows.groupby("__b").map_groups(
+        lambda g: _hamming_pairs_frame(g, max_hamming, max_bucket),
+        batch_format="pandas")
+    return bucketed_distinct(pairs, ["doc_a", "doc_b", "hamming"],
+                             num_buckets=num_buckets).map_batches(
+        typed, batch_format="pandas")
+
+
+def simhash_near_dup(ds: rd.Dataset, max_hamming: int = 3,
+                     num_buckets: int = 64,
+                     max_bucket: int | None = None,
+                     mode: str = "auto") -> rd.Dataset:
+    """SimHash near-duplicate pairs: 64-bit char-3-gram SimHash per
+    doc (text_stats.simhash64 — the same function the docs_simhash
+    golden pins), then the exact Hamming self-join. Completes the
+    SimHash dedup path (simhash_buckets emits only the candidate
+    bands); recall is EXACT at the stated radius by the pigeonhole
+    banding, so the SQL oracle is a plain popcount cross-join."""
+    from .text_stats import simhash64
+
+    def hashes(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (simhash64(t if isinstance(t, str) else "")
+             for t in df["text"]),
+            dtype=np.uint64, count=len(df))
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "h64": h.view(np.int64)})
+
+    return hamming_pairs(ds.map_batches(hashes, batch_format="pandas"),
+                         hash_col="h64", id_col="doc_id",
+                         max_hamming=max_hamming,
+                         num_buckets=num_buckets,
+                         max_bucket=max_bucket, mode=mode)
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard similarity join
 # ---------------------------------------------------------------------------
