@@ -1130,37 +1130,70 @@ def _hamming_pairs_frame(g: pd.DataFrame, max_hamming: int,
     }).drop_duplicates(["doc_a", "doc_b"])
 
 
+def _block_bounds(bits: int, m: int) -> list[tuple[int, int]]:
+    """(offset, width) of ``m`` near-equal blocks over ``bits`` bits."""
+    width = bits // m
+    out = []
+    off = 0
+    for b in range(m):
+        w = width if b < m - 1 else bits - width * (m - 1)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def hamming_pairs(ds: rd.Dataset, hash_col: str = "h64",
                   id_col: str = "doc_id", max_hamming: int = 3,
                   num_buckets: int = 64, max_bucket: int | None = None,
+                  scheme: str = "bands", num_blocks: int = 6,
                   mode: str = "auto") -> rd.Dataset:
     """EXACT Hamming-distance self-join over a 64-bit hash column:
     every id pair whose hashes differ in <= ``max_hamming`` bits.
     Output: (doc_a, doc_b, hamming), doc_a < doc_b.
 
-    Plan: split the 64 bits into ``max_hamming + 1`` bands — by
-    pigeonhole, two hashes within distance k agree EXACTLY on at least
-    one of k+1 bands, so banding is lossless (unlike MinHash-LSH's
-    probabilistic recall). Band rows (~4 x 20 B/doc) take one bucketed
-    exchange on hash(band, bucket); pair generation + popcount verify
-    run vectorized per coarse bucket; a second tiny exchange
-    (bucketed_distinct) drops the pairs found via several bands. Hot
-    buckets (many docs sharing a band slice — e.g. a mass of identical
-    short docs) are quadratic in the bucket BY SEMANTICS (every such
-    pair is a true result); ``max_bucket`` caps them loudly when pair
-    enumeration itself is not the goal — prefer the cluster form then.
+    Two lossless candidate schemes (both pigeonhole-exact at radius
+    k = max_hamming, unlike MinHash-LSH's probabilistic recall), then
+    identical machinery: one bucketed exchange of the candidate rows,
+    vectorized per-bucket triu + popcount verify, cross-table pair
+    dedup via ``bucketed_distinct``.
+
+    * ``scheme='bands'`` (default): k+1 disjoint bands of ~64/(k+1)
+      bits; k errors can't touch all k+1 bands. 4 rows/doc at k=3,
+      but bucket keys are only 16 bits — occupancy is N/2^16 per
+      band, so the quadratic per-bucket verify is safe to N ~ 10^7-8
+      and wrong at web scale.
+    * ``scheme='blocks'`` (Manku et al., WWW'07 §3): ``num_blocks``
+      (default 6) blocks, one table per (num_blocks - k)-subset —
+      C(6,3) = 20 tables at k=3, keyed on the ~32-bit concatenation
+      of the subset's blocks. k errors lie in <= k blocks, so some
+      table's key avoids them all. 5x the exchange rows of 'bands',
+      but occupancy N/2^32 — the 10^12-doc configuration (raise
+      ``num_blocks`` to widen keys further; needs num_blocks > k).
+
+    Hot buckets (a mass of identical hashes) are quadratic BY
+    SEMANTICS in both schemes — every such pair is a true result;
+    ``max_bucket`` caps them loudly when pair enumeration itself is
+    not the goal — prefer the cluster form then.
 
     Empties: the local plan returns a TYPED empty; the distributed
     plan shares the repo-wide Ray property that an all-empty pandas
     collect is schema-less (count() is still 0).
     """
     if not 0 <= max_hamming <= 15:
-        raise ValueError("max_hamming must be in [0, 15] "
-                         "(bands = max_hamming + 1 over 64 bits)")
-    bands = max_hamming + 1
-    width = 64 // bands
-    offs = [b * width for b in range(bands)]
-    widths = [width] * (bands - 1) + [64 - width * (bands - 1)]
+        raise ValueError("max_hamming must be in [0, 15]")
+    if scheme not in ("bands", "blocks"):
+        raise ValueError(f"unknown scheme {scheme!r}")
+
+    if scheme == "bands":
+        bounds = _block_bounds(64, max_hamming + 1)
+        tables = [(b,) for b in range(len(bounds))]
+    else:
+        import itertools
+        if num_blocks <= max_hamming:
+            raise ValueError("blocks scheme needs num_blocks > max_hamming")
+        bounds = _block_bounds(64, num_blocks)
+        tables = list(itertools.combinations(range(num_blocks),
+                                             num_blocks - max_hamming))
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
@@ -1168,14 +1201,18 @@ def hamming_pairs(ds: rd.Dataset, hash_col: str = "h64",
             df[hash_col].to_numpy(dtype=np.int64)).view(np.uint64)
         ids = df[id_col].to_numpy(dtype=np.int64)
         parts = []
-        for b, (off, w) in enumerate(zip(offs, widths)):
-            mask = np.uint64((1 << w) - 1)
-            bk = ((h >> np.uint64(off)) & mask).astype(np.int64)
+        for t, subset in enumerate(tables):
+            bk = np.zeros(n, dtype=np.uint64)
+            for blk in subset:
+                off, w = bounds[blk]
+                mask = np.uint64((1 << w) - 1)
+                bk = (bk << np.uint64(w)) | ((h >> np.uint64(off)) & mask)
+            bk = bk.view(np.int64)   # deterministic wrap for >63-bit keys
             parts.append(pd.DataFrame({
-                "band": np.full(n, b, dtype=np.int32),
+                "band": np.full(n, t, dtype=np.int32),
                 "bucket": bk, "doc_id": ids,
                 "hbits": h.view(np.int64),
-                "__b": ((b * 0x9E3779B1 + bk * 2654435761)
+                "__b": ((t * 0x9E3779B1 + bk * 2654435761)
                         % num_buckets).astype(np.int32)}))
         return pd.concat(parts, ignore_index=True)
 
@@ -1212,6 +1249,7 @@ def hamming_pairs(ds: rd.Dataset, hash_col: str = "h64",
 def simhash_near_dup(ds: rd.Dataset, max_hamming: int = 3,
                      num_buckets: int = 64,
                      max_bucket: int | None = None,
+                     scheme: str = "bands",
                      mode: str = "auto") -> rd.Dataset:
     """SimHash near-duplicate pairs: 64-bit char-3-gram SimHash per
     doc (text_stats.simhash64 — the same function the docs_simhash
@@ -1233,7 +1271,7 @@ def simhash_near_dup(ds: rd.Dataset, max_hamming: int = 3,
                          hash_col="h64", id_col="doc_id",
                          max_hamming=max_hamming,
                          num_buckets=num_buckets,
-                         max_bucket=max_bucket, mode=mode)
+                         max_bucket=max_bucket, scheme=scheme, mode=mode)
 
 
 # ---------------------------------------------------------------------------

@@ -55,10 +55,25 @@ def test_pairs_vs_bruteforce(ray_session):
         planted.append(np.uint64(v))
     hashes = np.concatenate([np.array(planted, dtype=np.uint64), base[1:]])
     for mode in ("local", "distributed"):
-        got = _got(hamming_pairs(_ds(hashes, blocks=4), max_hamming=3,
-                                 mode=mode))
-        assert got == _brute(hashes, 3)
+        for scheme in ("bands", "blocks"):
+            got = _got(hamming_pairs(_ds(hashes, blocks=4), max_hamming=3,
+                                     scheme=scheme, mode=mode))
+            assert got == _brute(hashes, 3), (mode, scheme)
     assert any(d == 3 for _, _, d in _brute(hashes, 3))  # non-trivial
+
+
+def test_blocks_scheme_radii_and_widths(ray_session):
+    rng = np.random.RandomState(5)
+    hashes = rng.randint(0, 2**63, size=30, dtype=np.int64) \
+        .astype(np.uint64)
+    hashes[1] = hashes[0] ^ np.uint64(1)           # d=1
+    hashes[2] = hashes[0] ^ np.uint64(0x8001)      # d=2
+    for k in (0, 1, 2):
+        for m in (max(k + 1, 2), 6, 8):
+            got = _got(hamming_pairs(_ds(hashes), max_hamming=k,
+                                     scheme="blocks", num_blocks=m,
+                                     mode="local"))
+            assert got == _brute(hashes, k), (k, m)
 
 
 def test_radius_zero_and_duplicates(ray_session):
