@@ -1915,6 +1915,47 @@ def _url_sitemap_entries(sf_dir: str):
     return out.to_pandas()
 
 
+def _url_redirect_resolution(sf_dir: str):
+    """Redirect-chain resolution by pointer doubling
+    (url_ops.resolve_redirects): synthesized redirect map — per doc d
+    a 2-hop chain a<d> -> b<d> -> c<d> (terminal), a 2-cycle
+    x<d> <-> y<d> every 10th d, and the consecutive-id long chain
+    g<d> -> g<d+1> (mostly beyond the 32-hop cap -> NULL; its tail
+    exercises the cap boundary exactly). The SQL twin replays the
+    synthesis and walks it with a recursive CTE under the same cap."""
+    import pandas as pd
+
+    from ocr_model_ray.functions.url_ops import resolve_redirects
+
+    docs = _read_sized(sf_dir, "documents.parquet", columns=["doc_id"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        d = ids.astype(str)
+        nxt = (ids + 1).astype(str)
+        cyc = d[ids % 10 == 0]
+        return pd.concat([
+            pd.DataFrame({"src": "a" + d, "dst": "b" + d}),
+            pd.DataFrame({"src": "b" + d, "dst": "c" + d}),
+            pd.DataFrame({"src": "g" + d, "dst": "g" + nxt}),
+            pd.DataFrame({"src": "x" + cyc, "dst": "y" + cyc}),
+            pd.DataFrame({"src": "y" + cyc, "dst": "x" + cyc}),
+        ], ignore_index=True)
+
+    edges = docs.map_batches(to_edges, batch_format="pandas")
+    # the edge Dataset's size is opaque to _resolve_mode (map_batches
+    # lineage) but derivable from the docs parquet: pick the
+    # shuffle-free plan below the repo-wide small-input cut, exactly
+    # the exact_dedup/_join_mode doctrine. The distributed plan is
+    # pinned equal by tests/test_redirects.py and soaked at volume.
+    import os as _os
+
+    from ocr_model_ray.functions.dedup_algos import SMALL_INPUT_BYTES
+    sz = _os.path.getsize(_os.path.join(sf_dir, "documents.parquet"))
+    mode = "local" if sz < SMALL_INPUT_BYTES else "distributed"
+    return resolve_redirects(edges, max_hops=32, mode=mode)
+
+
 def _docs_importance_weights(sf_dir: str):
     """DSIR-style importance weights (hashed word-bigram features,
     target = non-English docs): two streaming passes — a combiner
@@ -2118,6 +2159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_crawl_diff": _url_crawl_diff,
         "url_robots_filter": _url_robots_filter,
         "url_sitemap_entries": _url_sitemap_entries,
+        "url_redirect_resolution": _url_redirect_resolution,
         "docs_importance_weights": _docs_importance_weights,
         "docs_importance_resample": _docs_importance_resample,
         "web_host_graph": _web_host_graph,
@@ -3891,6 +3933,39 @@ def oracle_sql() -> dict[str, str]:
     """
     # sitemap scan: replays the per-doc blob synthesis — two entries
     # per doc, the padded loc trimmed, lastmod null on the /alt entry
+    d["url_redirect_resolution"] = """
+        WITH RECURSIVE e AS (
+            SELECT 'a' || CAST(doc_id AS VARCHAR) AS src,
+                   'b' || CAST(doc_id AS VARCHAR) AS dst FROM documents
+            UNION ALL
+            SELECT 'b' || CAST(doc_id AS VARCHAR),
+                   'c' || CAST(doc_id AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT 'g' || CAST(doc_id AS VARCHAR),
+                   'g' || CAST(doc_id + 1 AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT 'x' || CAST(doc_id AS VARCHAR),
+                   'y' || CAST(doc_id AS VARCHAR) FROM documents
+            WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT 'y' || CAST(doc_id AS VARCHAR),
+                   'x' || CAST(doc_id AS VARCHAR) FROM documents
+            WHERE doc_id % 10 = 0),
+        walk AS (
+            SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops FROM e
+            UNION ALL
+            SELECT w.src, e.dst, w.hops + 1
+            FROM walk w JOIN e ON w.cur = e.src
+            WHERE w.hops < 32),
+        term AS (
+            SELECT w.src, w.cur AS final, w.hops FROM walk w
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.cur))
+        SELECT s.src, t.final,
+               CAST(coalesce(t.hops, 0) AS BIGINT) AS hops
+        FROM (SELECT DISTINCT src FROM e) s
+        LEFT JOIN term t USING (src)
+        ORDER BY src
+    """
     d["url_sitemap_entries"] = """
         WITH base AS (
             SELECT doc_id,

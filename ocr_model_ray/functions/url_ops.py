@@ -41,6 +41,7 @@ from typing import Iterable
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -606,3 +607,137 @@ def sitemap_entries(ds: rd.Dataset, xml_col: str = "sitemap_xml",
         return out
 
     return ds.map_batches(per_batch, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Redirect-chain resolution (pointer doubling)
+# ---------------------------------------------------------------------------
+
+def resolve_redirects(edges: rd.Dataset, src_col: str = "src",
+                      dst_col: str = "dst", max_hops: int = 32,
+                      num_buckets: int = 32,
+                      mode: str = "auto") -> rd.Dataset:
+    """Resolve every redirect source to its FINAL target: the crawl
+    step that collapses 301/302/canonical chains before URL dedup
+    (a fetch that hits u1 -> u2 -> u3 must be keyed by u3).
+
+    ``edges``: one (src, dst) row per redirect — a FUNCTIONAL graph
+    (at most one outgoing edge per src; crawl redirect maps are).
+    Duplicate srcs are a caller bug and make the walk multiplicative
+    on both the engine and SQL side — dedup upstream.
+
+    Output, one row per distinct src: ``(src, final, hops)`` where
+    ``final`` is the first node reached that has NO outgoing edge and
+    ``hops`` the exact edge count to it; chains that do not terminate
+    within ``max_hops`` edges (too long, or a redirect CYCLE) emit
+    ``final = NULL, hops = 0`` — exactly the rows a crawler gives up
+    on.
+
+    Plan: POINTER DOUBLING over the state table
+    ``(src, cur, hops, done)`` — each round LEFT-joins the active rows
+    (keyed on ``cur``) against the full state (keyed on ``src``):
+    a match composes ``f_2k(x) = f_k(f_k(x))`` with hops added
+    exactly; a miss means ``cur`` has no outgoing edge — terminal,
+    done. Every chain of length L resolves in ceil(log2 L) rounds, so
+    the round count is ceil(log2(max_hops)) + 1 REGARDLESS of corpus
+    size — each round one bucketed hash join (the same exchange
+    doctrine as ``_label_prop_ray``), state materialized between
+    rounds, never collected to the driver. Distinct from label
+    propagation (undirected min-label) and PageRank (weighted
+    fixed-point): this is functional-graph path compression.
+    """
+    import math
+
+    from .dedup_algos import _resolve_mode
+    from .joins import hash_bucket_join
+
+    if _resolve_mode(edges, mode) == "local":
+        df = edges.to_pandas()
+        if df.empty or src_col not in df.columns:
+            return rd.from_arrow(pa.table({
+                "src": pa.array([], pa.string()),
+                "final": pa.array([], pa.string()),
+                "hops": pa.array([], pa.int64())}))
+        nxt = dict(zip(df[src_col], df[dst_col]))
+        srcs, finals, hops_out = [], [], []
+        for s in df[src_col]:
+            cur, h = nxt[s], 1
+            while h < max_hops and cur in nxt:
+                cur = nxt[cur]
+                h += 1
+            srcs.append(s)
+            if cur in nxt:          # still redirecting after max_hops
+                finals.append(None)
+                hops_out.append(0)
+            else:
+                finals.append(cur)
+                hops_out.append(h)
+        return rd.from_pandas(pd.DataFrame({
+            "src": pd.Series(srcs, dtype="object"),
+            "final": pd.Series(finals, dtype="object"),
+            "hops": pd.Series(hops_out, dtype="int64")}))
+
+    import pyarrow.compute as pc
+
+    def init(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "src": t[src_col], "cur": t[dst_col],
+            "hops": pa.array(np.ones(n, dtype=np.int64)),
+            "done": pa.array(np.zeros(n, dtype=bool))})
+
+    def rename_right(t: pa.Table) -> pa.Table:
+        return pa.table({"cur": t["src"], "jcur": t["cur"],
+                         "jhops": t["hops"]})
+
+    def compose(t: pa.Table) -> pa.Table:
+        # post_merge inside each join bucket: a matched row jumps to
+        # its target's target (hops add exactly); a miss means cur has
+        # no outgoing edge — terminal, done. Done rows need no special
+        # casing: their cur IS terminal, so they miss every round and
+        # pass through unchanged — the WHOLE state flows through each
+        # join (no done/active split, no union: per-round splits +
+        # unions measured a 0.6 s -> 128 s/round plan-and-block blowup
+        # over 5 rounds; this shape keeps a stable bucket-count block
+        # structure and a fixed round budget with no driver syncs).
+        j = pc.is_valid(t["jcur"])
+        return pa.table({
+            "src": t["src"],
+            "cur": pc.if_else(j, t["jcur"], t["cur"]),
+            "hops": pc.add(t["hops"],
+                           pc.fill_null(t["jhops"], 0)).cast(pa.int64()),
+            "done": pc.invert(j),
+        })
+
+    state = edges.map_batches(init, batch_format="pyarrow").materialize()
+    # every chain of length L <= max_hops resolves in ceil(log2 L)
+    # doubling rounds; the +1 covers L = 1 edge cases. Fixed budget —
+    # longer chains and cycles are EXACTLY the rows the cap rejects.
+    rounds = max(1, math.ceil(math.log2(max(max_hops, 2)))) + 1
+    for _ in range(rounds):
+        right = state.map_batches(rename_right, batch_format="pyarrow")
+        # repartition back to num_buckets per round: the join's
+        # map_groups emits ~one block per SORT INPUT block, and state
+        # enters the exchange twice (left + renamed right), so without
+        # the coalesce block count DOUBLES per round (measured 64 ->
+        # 1024 over 5 rounds with round time 2.3 -> 106 s at constant
+        # 110k rows — sort overhead scales with block count). The
+        # no-shuffle repartition is a metadata split/merge, cheap
+        # relative to the round's own exchange.
+        state = hash_bucket_join(
+            state.map_batches(
+                lambda t: t.select(["src", "cur", "hops"]),
+                batch_format="pyarrow"),
+            right, on="cur", how="left", num_buckets=num_buckets,
+            post_merge=compose).repartition(num_buckets).materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        ok = pc.and_(t["done"], pc.less_equal(t["hops"], max_hops))
+        return pa.table({
+            "src": t["src"],
+            "final": pc.if_else(ok, t["cur"],
+                                pa.scalar(None, t["cur"].type)),
+            "hops": pc.if_else(ok, t["hops"], pa.scalar(0, pa.int64())),
+        })
+
+    return state.map_batches(finish, batch_format="pyarrow")
