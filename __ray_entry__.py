@@ -1763,6 +1763,49 @@ def _web_host_components_dist(sf_dir: str):
     return _web_host_components(sf_dir, mode="distributed")
 
 
+#: crawl-depth edge synthesis (SQL twin of _crawl_edges_batch): a
+#: 97-host chain c<i> -> c<i+1> (terminal c97) plus shortcut edges
+#: c<i> -> c<(3i+5)%97> from every 7th doc — the shortcuts give many
+#: hosts two candidate depths, exercising the BFS min
+_CRAWL_EDGES_SQL = """
+    SELECT 'c' || (doc_id % 97) AS src_host,
+           'c' || ((doc_id % 97) + 1) AS dst_host FROM documents
+    UNION ALL
+    SELECT 'c' || (doc_id % 97),
+           'c' || (((doc_id % 97) * 3 + 5) % 97)
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _crawl_edges_batch(t):
+    import numpy as np
+    import pyarrow as pa
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    i = ids % 97
+    cut = ids % 7 == 0
+    srcs = np.concatenate([i, i[cut]])
+    dsts = np.concatenate([i + 1, (i[cut] * 3 + 5) % 97])
+    return pa.table({
+        "src_host": pa.array(["c" + str(s) for s in srcs.tolist()]),
+        "dst_host": pa.array(["c" + str(d) for d in dsts.tolist()])})
+
+
+def _web_crawl_depth(sf_dir: str, mode: str = "auto"):
+    """BFS crawl-depth assignment from a seed list
+    (link_graph.crawl_depth): min hop count from seeds {c0, c50} over
+    the synthesized chain+shortcut host graph, capped at 6 — hosts
+    beyond the cap are absent, exactly the crawl's scheduling
+    frontier. The SQL twin walks the same graph with a recursive CTE
+    (UNION-deduped) and takes MIN(depth) per host."""
+    docs = _read_sized(sf_dir, "documents.parquet", columns=["doc_id"])
+    edges = docs.map_batches(_crawl_edges_batch, batch_format="pyarrow")
+    from ocr_model_ray.functions.link_graph import crawl_depth
+    out = crawl_depth(edges, ["c0", "c50"], max_depth=6,
+                      mode=_resolve_entry_mode(sf_dir, mode)).to_pandas()
+    return (out.sort_values("host").reset_index(drop=True)
+            .astype({"depth": "int64"}))
+
+
 def _web_mirror_hosts(sf_dir: str):
     """Mirror-host detection: host pairs whose content-key sets overlap
     (url_ops.host_mirror_pairs). The synthesized assignment plants true
@@ -2174,6 +2217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _warc_roundtrip,
         "web_host_components": _web_host_components,
         "web_host_components_dist": _web_host_components_dist,
+        "web_crawl_depth": _web_crawl_depth,
         "web_pagerank_ingest": _web_pagerank_ingest,
         "events_latest_per_user": _events_latest_per_user,
         "docs_line_dedup": _docs_line_dedup,
@@ -3905,6 +3949,21 @@ def oracle_sql() -> dict[str, str]:
         FROM reach GROUP BY node
     """
     d["web_host_components_dist"] = d["web_host_components"]
+    # BFS crawl depth: UNION-deduped recursive walk (bounded by
+    # hosts x max_depth rows), min depth per host = BFS distance
+    d["web_crawl_depth"] = f"""
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT * FROM ({_CRAWL_EDGES_SQL})),
+        seeds(host) AS (VALUES ('c0'), ('c50')),
+        walk(host, depth) AS (
+            SELECT host, 0 FROM seeds
+            UNION
+            SELECT e.dst_host, w.depth + 1
+            FROM walk w JOIN e ON e.src_host = w.host
+            WHERE w.depth < 6)
+        SELECT host, CAST(min(depth) AS BIGINT) AS depth
+        FROM walk GROUP BY host ORDER BY host
+    """
     # mirror-host detection: exact content-set Jaccard per host pair,
     # assignment + arithmetic replayed scalarly
     d["web_mirror_hosts"] = """

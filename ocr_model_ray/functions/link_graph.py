@@ -500,3 +500,193 @@ def host_components(edges: rd.Dataset, src: str = "src_host",
         lambda t: pa.table({"host": t["node"],
                             "component": t["label"].cast(pa.string())}),
         batch_format="pyarrow")
+
+
+#: a BFS frontier level up to this many hosts is collected and
+#: broadcast (ray.put) instead of exchanged — ~2M host strings is
+#: ~100-200 MB in the object store, read zero-copy by every edge-scan
+#: task; beyond it the round falls back to the bucketed semi exchange
+FRONTIER_BROADCAST_ROWS = 2_000_000
+
+
+def _crawl_depth_frame(edges: pd.DataFrame, seeds: list[str],
+                       max_depth: int, src: str,
+                       dst: str) -> pd.DataFrame:
+    """Single-frame BFS (the local plan and the per-test reference for
+    the distributed twin): dict adjacency, level-by-level expansion."""
+    adj: dict[str, list[str]] = {}
+    for s, d in zip(edges[src].astype(str), edges[dst].astype(str)):
+        adj.setdefault(s, []).append(d)
+    depth = {s: 0 for s in seeds}
+    frontier = sorted(depth)
+    for k in range(1, max_depth + 1):
+        nxt = sorted({d for s in frontier for d in adj.get(s, ())
+                      if d not in depth})
+        if not nxt:
+            break
+        for h in nxt:
+            depth[h] = k
+        frontier = nxt
+    hosts = sorted(depth)
+    return pd.DataFrame({
+        "host": pd.Series(hosts, dtype="object"),
+        "depth": pd.Series([depth[h] for h in hosts], dtype="int64")})
+
+
+def crawl_depth(edges: rd.Dataset, seeds, max_depth: int = 8,
+                src: str = "src_host", dst: str = "dst_host",
+                num_buckets: int = 32,
+                mode: str = "auto") -> rd.Dataset:
+    """BFS crawl-depth assignment: minimum hop count from a SEED host
+    set over the directed host graph — the frontier-scheduling signal
+    a crawler uses to bound how far from its seed list it wanders
+    (and the 'hops from trusted seeds' quality prior). Output one row
+    per host reachable within ``max_depth``: ``(host, depth)``, seeds
+    at depth 0 (emitted even if absent from the graph — a seed list
+    is fetched regardless); unreachable / beyond-cap hosts are simply
+    absent, exactly the pages the crawl never schedules.
+
+    ``seeds``: list of host strings, or a Dataset with a ``host``
+    column (a prior query's output — e.g. top-PageRank hosts).
+
+    Distributed plan — level-synchronous BFS, ≤ ``max_depth`` rounds
+    (the cap is the CRAWL's own policy knob, typically single-digit,
+    so the round count is a policy constant, not a function of corpus
+    size). Per round, on the FRONTIER (hosts first reached last
+    round):
+
+        edges filtered to frontier srcs — the frontier is BROADCAST
+          (``ray.put`` once, ``is_in`` inside a streaming edge scan:
+          the O(E) edge set never shuffles) while it fits
+          ``FRONTIER_BROADCAST_ROWS``; a larger frontier falls back
+          to the bucketed semi exchange (hash_bucket_semi)
+        -> block-local + bucketed distinct dst   (bucketed_distinct)
+        -> anti vs assigned                      (hash_bucket_semi anti)
+        -> union into the depth table, compacted + materialized
+
+    The frontier Dataset is O(new hosts this level) and the depth
+    table O(hosts) — never O(docs). Measured motivation for the
+    broadcast default: the semi-exchange plan re-shuffled the FULL
+    edge set every round — ~5 s/round of exchange overhead on a 90k-
+    edge graph and O(E·depth) movement at scale — while frontier
+    levels of a host graph are small (the `ray.put`-the-small-side
+    doctrine). The per-round streaming scan still reads every edge
+    block (O(E·depth) COMPUTE, zero movement); the Pregel upgrade
+    path — pre-bucket edges by src once, probe only frontier buckets
+    — applies when that scan dominates. An empty frontier terminates
+    early via a metadata-only count on the just-materialized level.
+    Set semantics make the result partitioning-invariant: every
+    exchange is distinct/semi/anti on exact keys — no ordering, no
+    floats."""
+    if isinstance(seeds, rd.Dataset):
+        seed_list = sorted({str(h) for h in
+                            seeds.to_pandas()["host"].tolist()})
+    else:
+        seed_list = sorted({str(h) for h in seeds})
+    if not seed_list:
+        # pandas empty, not arrow: Ray's to_pandas on a 0-row arrow
+        # Dataset drops the schema, and the gate compares column names
+        return rd.from_pandas(pd.DataFrame({
+            "host": pd.Series([], dtype="object"),
+            "depth": pd.Series([], dtype="int64")}))
+
+    if _resolve_mode(edges, mode) == "local":
+        def proj(df: pd.DataFrame) -> pd.DataFrame:
+            return df[[src, dst]]
+        frame = edges.map_batches(proj, batch_format="pandas").to_pandas()
+        if frame.empty:
+            frame = pd.DataFrame({src: pd.Series([], dtype="object"),
+                                  dst: pd.Series([], dtype="object")})
+        return rd.from_pandas(
+            _crawl_depth_frame(frame, seed_list, max_depth, src, dst))
+
+    from .bucketed import bucketed_distinct
+    from .joins import hash_bucket_semi
+
+    def as_edge(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t[src].cast(pa.string()),
+                         "dst": t[dst].cast(pa.string())})
+
+    dedges = bucketed_distinct(
+        edges.map_batches(as_edge, batch_format="pyarrow"),
+        ["src", "dst"]).materialize()
+    n_edges = dedges.count()
+
+    def seed_table(k: int = 0) -> pa.Table:
+        return pa.table({
+            "host": pa.array(seed_list, pa.string()),
+            "depth": pa.array(np.full(len(seed_list), k, np.int64))})
+
+    assigned = rd.from_arrow(seed_table()).materialize()
+    if n_edges == 0:
+        return assigned
+    dedges = _compact(dedges, n_edges, num_buckets)
+
+    import ray
+
+    # round 1's frontier is the seed list the driver already holds
+    frontier = assigned.select_columns(["host"])
+    frontier_hosts: list | None = list(seed_list)
+    n_assigned = len(seed_list)
+    for k in range(1, max_depth + 1):
+        if frontier_hosts is not None:
+            # broadcast plan: ship the frontier ONCE via the object
+            # store; each edge block filters with a vectorized is_in —
+            # no exchange touches the O(E) side
+            fref = ray.put(pa.array(frontier_hosts, pa.string()))
+
+            def expand(t: pa.Table, _ref=fref) -> pa.Table:
+                import pyarrow.compute as pc
+                sel = t.filter(pc.is_in(t["src"],
+                                        value_set=ray.get(_ref)))
+                return pa.table({"host": pc.unique(sel["dst"])})
+
+            cand_raw = dedges.map_batches(expand,
+                                          batch_format="pyarrow")
+        else:
+            def as_src(t: pa.Table) -> pa.Table:
+                return pa.table({"src": t["host"]})
+
+            cand_raw = hash_bucket_semi(
+                dedges, frontier.map_batches(as_src,
+                                             batch_format="pyarrow"),
+                on="src", num_buckets=num_buckets,
+            ).map_batches(lambda t: pa.table({"host": t["dst"]}),
+                          batch_format="pyarrow")
+        cand = bucketed_distinct(cand_raw, ["host"],
+                                 num_buckets=num_buckets).materialize()
+        # count BEFORE the anti exchange: a frontier with no outgoing
+        # edges yields an all-empty cand whose Ray schema is None, and
+        # the anti's schema probe would crash on it — and the round
+        # would be wasted work anyway
+        if cand.count() == 0:
+            break
+        level = hash_bucket_semi(cand, assigned, on="host",
+                                 anti=True,
+                                 num_buckets=num_buckets).materialize()
+        n_new = level.count()
+        if n_new == 0:
+            break
+
+        depth_k = k  # bind per round for the closure below
+
+        def with_depth(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "host": t["host"],
+                "depth": pa.array(np.full(t.num_rows, depth_k,
+                                          np.int64))})
+
+        level_k = level.map_batches(with_depth, batch_format="pyarrow")
+        n_assigned += n_new
+        # the union grows block count by the level's blocks every
+        # round; the compaction repartition keeps the depth table's
+        # block structure constant (resolve_redirects' measured
+        # doubling pathology, same fix)
+        assigned = _compact(assigned.union(level_k), n_assigned,
+                            num_buckets)
+        frontier = level
+        if n_new <= FRONTIER_BROADCAST_ROWS:
+            frontier_hosts = level.to_pandas()["host"].tolist()
+        else:
+            frontier_hosts = None
+    return assigned
