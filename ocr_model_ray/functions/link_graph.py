@@ -552,32 +552,40 @@ def crawl_depth(edges: rd.Dataset, seeds, max_depth: int = 8,
     Distributed plan — level-synchronous BFS, ≤ ``max_depth`` rounds
     (the cap is the CRAWL's own policy knob, typically single-digit,
     so the round count is a policy constant, not a function of corpus
-    size). Per round, on the FRONTIER (hosts first reached last
-    round):
+    size). Two regimes, switched by the ASSIGNED-host count against
+    ``FRONTIER_BROADCAST_ROWS`` (host tables are tiny next to the
+    page corpus — a broadcast cap of 2M hosts covers real crawls'
+    host graphs, and the exchange regime covers the rest):
 
-        edges filtered to frontier srcs — the frontier is BROADCAST
-          (``ray.put`` once, ``is_in`` inside a streaming edge scan:
-          the O(E) edge set never shuffles) while it fits
-          ``FRONTIER_BROADCAST_ROWS``; a larger frontier falls back
-          to the bucketed semi exchange (hash_bucket_semi)
-        -> block-local + bucketed distinct dst   (bucketed_distinct)
-        -> anti vs assigned                      (hash_bucket_semi anti)
-        -> union into the depth table, compacted + materialized
+    * **broadcast regime** (assigned set fits the cap): the frontier
+      AND the assigned-host set ship once per round via ``ray.put``;
+      one streaming edge scan filters src∈frontier, uniques dsts
+      per block, and drops already-assigned dsts IN the scan
+      (vectorized ``is_in`` both ways — exact strings, no hashes, so
+      no collision caveat); one ``bucketed_distinct`` exchange of
+      the surviving NEW-host mentions (bounded by hub fan-in, never
+      by E); the distinct level collects to the driver, which holds
+      the depth table as plain lists. Zero joins, zero unions, one
+      small exchange per round — the O(E) edge set never moves.
+    * **exchange regime** (assigned set outgrew the cap): frontier
+      semi-joins the edges (``hash_bucket_semi``) when it is itself
+      too big to broadcast, the anti runs as a bucketed exchange
+      against the assigned Dataset, and the depth table lives as a
+      compacted Dataset — nothing O(hosts) on the driver.
 
-    The frontier Dataset is O(new hosts this level) and the depth
-    table O(hosts) — never O(docs). Measured motivation for the
-    broadcast default: the semi-exchange plan re-shuffled the FULL
-    edge set every round — ~5 s/round of exchange overhead on a 90k-
-    edge graph and O(E·depth) movement at scale — while frontier
-    levels of a host graph are small (the `ray.put`-the-small-side
-    doctrine). The per-round streaming scan still reads every edge
-    block (O(E·depth) COMPUTE, zero movement); the Pregel upgrade
-    path — pre-bucket edges by src once, probe only frontier buckets
-    — applies when that scan dominates. An empty frontier terminates
-    early via a metadata-only count on the just-materialized level.
-    Set semantics make the result partitioning-invariant: every
-    exchange is distinct/semi/anti on exact keys — no ordering, no
-    floats."""
+    The regime switch happens mid-run the moment a level would push
+    the assigned set (or a single level's distinct candidates) past
+    the cap: the driver-side levels fold into a Dataset once, and
+    BFS continues exchange-style. Measured motivation: the original
+    always-exchange plan cost 3 materialized exchanges per round
+    (~11 s/round of fixed cost on a 2.2M-edge soak graph); the
+    broadcast regime runs the same soak's rounds on one small
+    exchange each. The per-round streaming scan still reads every
+    edge block (O(E·depth) COMPUTE, zero movement); the Pregel
+    upgrade path — pre-bucket edges by src once, probe only frontier
+    buckets — applies when that scan dominates. Set semantics make
+    the result partitioning-invariant: every exchange is
+    distinct/semi/anti on exact keys — no ordering, no floats."""
     if isinstance(seeds, rd.Dataset):
         seed_list = sorted({str(h) for h in
                             seeds.to_pandas()["host"].tolist()})
@@ -617,29 +625,60 @@ def crawl_depth(edges: rd.Dataset, seeds, max_depth: int = 8,
             "host": pa.array(seed_list, pa.string()),
             "depth": pa.array(np.full(len(seed_list), k, np.int64))})
 
-    assigned = rd.from_arrow(seed_table()).materialize()
     if n_edges == 0:
-        return assigned
+        return rd.from_arrow(seed_table())
     dedges = _compact(dedges, n_edges, num_buckets)
 
     import ray
 
-    # round 1's frontier is the seed list the driver already holds
-    frontier = assigned.select_columns(["host"])
+    # broadcast regime's driver state: the depth table as levels of
+    # host lists (bounded by FRONTIER_BROADCAST_ROWS total) + the
+    # exact assigned set for the collect-side rescreen
+    levels: list[tuple[list[str], int]] | None = [(list(seed_list), 0)]
+    assigned_set: set[str] = set(seed_list)
+    # exchange regime's state (built lazily at the regime switch)
+    assigned: rd.Dataset | None = None
+    frontier: rd.Dataset | None = None
     frontier_hosts: list | None = list(seed_list)
     n_assigned = len(seed_list)
+
+    def levels_table() -> pa.Table:
+        hosts: list[str] = []
+        depths: list[int] = []
+        for hs, kk in levels:  # type: ignore[union-attr]
+            hosts.extend(hs)
+            depths.extend([kk] * len(hs))
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "depth": pa.array(depths, pa.int64())})
+
+    def to_exchange_regime(level_ds: rd.Dataset | None) -> None:
+        """Fold the driver-side depth table into a Dataset once; BFS
+        continues with bucketed anti exchanges from here on."""
+        nonlocal assigned, frontier, levels
+        assigned = _compact(rd.from_arrow(levels_table()), n_assigned,
+                            num_buckets)
+        frontier = level_ds
+        levels = None
+
     for k in range(1, max_depth + 1):
         if frontier_hosts is not None:
-            # broadcast plan: ship the frontier ONCE via the object
-            # store; each edge block filters with a vectorized is_in —
-            # no exchange touches the O(E) side
+            # ship the frontier (and, in the broadcast regime, the
+            # assigned set) ONCE via the object store; each edge block
+            # filters with vectorized is_in — no exchange touches the
+            # O(E) side, and already-assigned dsts die in the scan
             fref = ray.put(pa.array(frontier_hosts, pa.string()))
+            aref = (ray.put(pa.array(sorted(assigned_set), pa.string()))
+                    if levels is not None else None)
 
-            def expand(t: pa.Table, _ref=fref) -> pa.Table:
+            def expand(t: pa.Table, _f=fref, _a=aref) -> pa.Table:
                 import pyarrow.compute as pc
                 sel = t.filter(pc.is_in(t["src"],
-                                        value_set=ray.get(_ref)))
-                return pa.table({"host": pc.unique(sel["dst"])})
+                                        value_set=ray.get(_f)))
+                new = pc.unique(sel["dst"])
+                if _a is not None:
+                    new = new.filter(pc.invert(
+                        pc.is_in(new, value_set=ray.get(_a))))
+                return pa.table({"host": new})
 
             cand_raw = dedges.map_batches(expand,
                                           batch_format="pyarrow")
@@ -655,12 +694,37 @@ def crawl_depth(edges: rd.Dataset, seeds, max_depth: int = 8,
                           batch_format="pyarrow")
         cand = bucketed_distinct(cand_raw, ["host"],
                                  num_buckets=num_buckets).materialize()
-        # count BEFORE the anti exchange: a frontier with no outgoing
+        # count BEFORE any collect/anti: a frontier with no outgoing
         # edges yields an all-empty cand whose Ray schema is None, and
-        # the anti's schema probe would crash on it — and the round
-        # would be wasted work anyway
-        if cand.count() == 0:
+        # the downstream schema probes would crash on it — and the
+        # round would be wasted work anyway
+        n_cand = cand.count()
+        if n_cand == 0:
             break
+
+        if levels is not None and (
+                n_cand > FRONTIER_BROADCAST_ROWS
+                or n_assigned + n_cand > FRONTIER_BROADCAST_ROWS):
+            # this level outgrows the driver-side regime — fold and
+            # fall through to the exchange path for this round
+            to_exchange_regime(None)
+
+        if levels is not None:
+            # broadcast regime: the level is the collected candidates
+            # minus an exact driver rescreen (the in-scan anti already
+            # filtered per-block; the rescreen catches dsts assigned
+            # THIS round's collect hasn't seen — there are none today,
+            # but the set op is cheap and makes the invariant local)
+            new_hosts = sorted(set(cand.to_pandas()["host"])
+                               - assigned_set)
+            if not new_hosts:
+                break
+            levels.append((new_hosts, k))
+            assigned_set.update(new_hosts)
+            n_assigned += len(new_hosts)
+            frontier_hosts = new_hosts
+            continue
+
         level = hash_bucket_semi(cand, assigned, on="host",
                                  anti=True,
                                  num_buckets=num_buckets).materialize()
@@ -689,4 +753,6 @@ def crawl_depth(edges: rd.Dataset, seeds, max_depth: int = 8,
             frontier_hosts = level.to_pandas()["host"].tolist()
         else:
             frontier_hosts = None
+    if levels is not None:
+        return rd.from_arrow(levels_table())
     return assigned

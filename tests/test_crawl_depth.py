@@ -66,6 +66,19 @@ def test_empty_seeds_and_empty_edges(ray_session):
             {"s": 0}, mode
 
 
+def test_regime_switch_mid_run(ray_session, monkeypatch):
+    """Force the broadcast->exchange regime switch after the first BFS
+    level by shrinking the cap: results must equal the local plan's."""
+    import ocr_model_ray.functions.link_graph as lg
+    monkeypatch.setattr(lg, "FRONTIER_BROADCAST_ROWS", 3)
+    want = _res(["a", "s2"], "local")
+    got = _res(["a", "s2"], "distributed")
+    assert got == want
+    # and with a cap of 0 every round runs exchange-style
+    monkeypatch.setattr(lg, "FRONTIER_BROADCAST_ROWS", 0)
+    assert _res(["a", "s2"], "distributed") == want
+
+
 def test_partitioning_invariance(ray_session):
     base = None
     for blocks in (1, 2, 7):
