@@ -1511,6 +1511,28 @@ def _web_host_pagerank(sf_dir: str, mode: str = "auto"):
                           mode=_resolve_entry_mode(sf_dir, mode))
 
 
+#: TrustRank seed list for the gate query: two live hosts plus one
+#: absent from the graph (h999) — NS counts all three, so the absent
+#: seed's trust mass vanishes, pinning the dangling-seed semantics
+_TRUST_SEEDS = ["h1.example.org", "h5.example.org", "h999.example.org"]
+
+
+def _web_trustrank(sf_dir: str, mode: str = "auto"):
+    """TrustRank (seed-biased fixed-point PageRank, Gyöngyi et al.
+    2004): teleport mass concentrates on a trusted host list, so hosts
+    far from the seeds decay toward 0 — the webspam demotion signal.
+    Same frozen BIGINT update rule as PageRank with a per-host
+    teleport (link_graph._pagerank_frame docstring)."""
+    from ocr_model_ray.functions.link_graph import pagerank_hosts
+    return pagerank_hosts(_docs_edges(sf_dir), iters=5,
+                          seeds=_TRUST_SEEDS,
+                          mode=_resolve_entry_mode(sf_dir, mode))
+
+
+def _web_trustrank_dist(sf_dir: str):
+    return _web_trustrank(sf_dir, mode="distributed")
+
+
 def _web_host_pagerank_weighted(sf_dir: str):
     """Weighted fixed-point PageRank: the host graph's accumulated
     link counts are the edge weights (contrib = (r·w)//W, computed
@@ -2210,6 +2232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_pagerank": _web_host_pagerank,
         "web_host_pagerank_dist": _web_host_pagerank_dist,
         "web_host_pagerank_weighted": _web_host_pagerank_weighted,
+        "web_trustrank": _web_trustrank,
+        "web_trustrank_dist": _web_trustrank_dist,
         "web_prior_gate": _web_prior_gate,
         "extract_links": _extract_links,
         "web_anchor_index": _web_anchor_index,
@@ -4173,6 +4197,40 @@ def oracle_sql() -> dict[str, str]:
     # cross-run ingest reconstructs the SAME distinct-edge graph, so
     # the one-shot replay is the exact oracle
     d["web_pagerank_ingest"] = d["web_host_pagerank"]
+    # TrustRank: same BIGINT replay with the teleport vector biased to
+    # the seed list — t0 = SCALE // NS where NS counts ALL given seeds
+    # (the absent h999 keeps NS=3; its mass vanishes, per the frozen
+    # dangling-seed rule); r starts AT the trust vector
+    _ts_in = "('h1.example.org', 'h5.example.org', 'h999.example.org')"
+    _ts_t0 = "(1000000000000 // 3)"
+    _tr_ctes = [f"""
+        e AS (SELECT DISTINCT src_host, dst_host FROM ({_edges_src})),
+        hosts AS (SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM e
+            UNION ALL SELECT dst_host FROM e)),
+        outdeg AS (SELECT src_host, count(*) AS d FROM e GROUP BY 1),
+        r0 AS (SELECT host,
+                      CASE WHEN host IN {_ts_in} THEN {_ts_t0}
+                           ELSE 0 END AS r
+               FROM hosts)"""]
+    for _i in range(1, _pr_iters + 1):
+        _tr_ctes.append(f"""
+        s{_i} AS (SELECT e.dst_host AS host, SUM(r.r // o.d) AS insum
+                  FROM e JOIN r{_i - 1} r ON r.host = e.src_host
+                  JOIN outdeg o ON o.src_host = e.src_host
+                  GROUP BY e.dst_host),
+        r{_i} AS (SELECT h.host,
+                     CASE WHEN h.host IN {_ts_in}
+                          THEN (15 * {_ts_t0}) // 100 ELSE 0 END
+                     + (85 * COALESCE(s.insum, 0)) // 100 AS r
+                  FROM hosts h LEFT JOIN s{_i} s ON s.host = h.host)""")
+    d["web_trustrank"] = f"""
+        WITH {','.join(_tr_ctes)}
+        SELECT host, CAST(r AS BIGINT) AS rank_fp,
+               CAST(r AS BIGINT) / 1000000000000.0 AS rank
+        FROM r{_pr_iters}
+    """
+    d["web_trustrank_dist"] = d["web_trustrank"]
     # weighted variant: contrib = (r·w)//W via the overflow-safe split
     # (r//W)·w + ((r%W)·w)//W — BIGINT end-to-end like the unweighted
     _prw_ctes = [f"""

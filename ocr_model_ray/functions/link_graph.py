@@ -37,6 +37,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from .dedup_algos import _resolve_mode
@@ -166,14 +167,24 @@ def host_inlinks(edges: rd.Dataset, src: str = "src_host",
 
 def _pagerank_frame(edges: pd.DataFrame, iters: int,
                     src: str, dst: str,
-                    weight_col: str | None = None) -> pd.DataFrame:
+                    weight_col: str | None = None,
+                    seeds: list[str] | None = None) -> pd.DataFrame:
     """Single-frame fixed-point PageRank (the local plan and the
     per-test reference for the distributed twin). Pure int64 numpy.
 
     With ``weight_col``: weighted rule — contrib(e) = (r(src) · w(e))
     // W(src) where W = Σ w over src's out-edges, computed OVERFLOW-
     SAFELY as ``(r//W)·w + ((r%W)·w)//W`` (exact identity; safe while
-    max W · max w < 2^63)."""
+    max W · max w < 2^63).
+
+    With ``seeds``: TrustRank (Gyöngyi et al., VLDB 2004) — the
+    teleport vector concentrates on the trusted seed list instead of
+    being uniform: t(h) = SCALE // NS for seed hosts (NS = distinct
+    seeds AS GIVEN — a seed absent from the graph gets no row and its
+    trust mass simply vanishes, like the paper's dangling seeds),
+    0 elsewhere; r starts AT the trust vector; each iteration is
+    r = (15·t(h))//100 + (DAMP·insum)//100. Spam hosts far from the
+    seed set end near 0 — the demotion signal."""
     if weight_col is None:
         e = edges[[src, dst]].drop_duplicates()
         w = np.ones(len(e), dtype=np.int64)
@@ -193,8 +204,17 @@ def _pagerank_frame(edges: pd.DataFrame, iters: int,
     di = idx.get_indexer(e[dst]).astype(np.int64)
     outw = np.zeros(n, dtype=np.int64)
     np.add.at(outw, si, w)
-    teleport = np.int64((15 * SCALE) // (100 * n))
-    r = np.full(n, SCALE // n, dtype=np.int64)
+    if seeds is None:
+        teleport = np.full(n, (15 * SCALE) // (100 * n), dtype=np.int64)
+        r = np.full(n, SCALE // n, dtype=np.int64)
+    else:
+        ns = len(set(seeds))
+        t0 = np.int64(SCALE // ns)
+        is_seed = np.isin(hosts, np.array(sorted(set(seeds)),
+                                          dtype=object))
+        teleport = np.where(is_seed, (15 * t0) // 100,
+                            0).astype(np.int64)
+        r = np.where(is_seed, t0, 0).astype(np.int64)
     for _ in range(iters):
         q, s = r[si] // outw[si], r[si] % outw[si]
         contrib = q * w + (s * w) // outw[si]
@@ -209,9 +229,17 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
                    src: str = "src_host", dst: str = "dst_host",
                    num_buckets: int = 32,
                    weight_col: str | None = None,
+                   seeds=None,
                    mode: str = "auto") -> rd.Dataset:
     """Fixed-point PageRank over the host graph (module docstring for
     the frozen update rule). Output: (host, rank_fp, rank).
+
+    ``seeds`` switches the teleport vector to a trusted seed list —
+    TrustRank (``_pagerank_frame`` docstring for the frozen rule).
+    Accepts a list of host strings or a Dataset with a ``host``
+    column; a seed list is an admin artifact (hundreds to a few
+    thousand hosts), so it rides into the per-bucket maps as a
+    broadcast sorted array — no extra exchange.
 
     Distributed plan (``mode='distributed'``, the 10^12-doc shape):
     the distinct edge set and the host universe each cost one bucketed
@@ -226,6 +254,12 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
     Dataset-resident iteration doctrine as
     ``dedup_algos._label_prop_ray``. Integer arithmetic makes the
     result independent of bucket count and batch boundaries."""
+    if seeds is not None:
+        if isinstance(seeds, rd.Dataset):
+            seeds = seeds.to_pandas()["host"].tolist()
+        seeds = sorted({str(h) for h in seeds})
+        if not seeds:
+            raise ValueError("TrustRank needs a non-empty seed list")
     cols = [src, dst] + ([weight_col] if weight_col else [])
     if _resolve_mode(edges, mode) == "local":
         def proj(df: pd.DataFrame) -> pd.DataFrame:
@@ -235,7 +269,8 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
             frame = pd.DataFrame({c: pd.Series([], dtype="object")
                                   for c in cols})
         return rd.from_pandas(_pagerank_frame(frame, iters, src, dst,
-                                              weight_col=weight_col))
+                                              weight_col=weight_col,
+                                              seeds=seeds))
 
     from .bucketed import bucketed_agg, bucketed_distinct
     from .joins import hash_bucket_join
@@ -275,8 +310,27 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
             "host": pd.Series([], dtype="object"),
             "rank_fp": pd.Series([], dtype="int64"),
             "rank": pd.Series([], dtype="float64")}))
-    teleport = (15 * SCALE) // (100 * n)
-    r0 = SCALE // n
+    if seeds is None:
+        tele_fp = (15 * SCALE) // (100 * n)
+        r0 = SCALE // n
+        seed_arr = None
+    else:
+        t0 = SCALE // len(seeds)
+        tele_fp = (15 * t0) // 100
+        r0 = t0
+        seed_arr = pa.array(seeds, pa.string())
+
+    def tele_and_r0(host_col) -> tuple[np.ndarray, np.ndarray]:
+        """Per-host (teleport, initial-rank) vectors for one batch —
+        uniform without seeds, seed-indicator-scaled with them."""
+        m = len(host_col)
+        if seed_arr is None:
+            return (np.full(m, tele_fp, dtype=np.int64),
+                    np.full(m, r0, dtype=np.int64))
+        hit = pc.is_in(host_col, value_set=seed_arr) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        return (np.where(hit, tele_fp, 0).astype(np.int64),
+                np.where(hit, r0, 0).astype(np.int64))
 
     # out-mass joins into the edge set ONCE; iterations reuse the
     # result (unweighted: out-degree; weighted: Σ w per src)
@@ -293,12 +347,12 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
                                 num_buckets=num_buckets
                                 ).repartition(nb_e).materialize()
 
-    def seed(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "host": t["host"],
-            "r": pa.array(np.full(t.num_rows, r0, dtype=np.int64))})
+    def seed_ranks(t: pa.Table) -> pa.Table:
+        _, r_init = tele_and_r0(t["host"])
+        return pa.table({"host": t["host"], "r": pa.array(r_init)})
 
-    ranks = hosts.map_batches(seed, batch_format="pyarrow").materialize()
+    ranks = hosts.map_batches(seed_ranks,
+                              batch_format="pyarrow").materialize()
 
     for _ in range(iters):
         def as_src(t: pa.Table) -> pa.Table:
@@ -330,8 +384,9 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
             import pyarrow.compute as pc
             s = (pc.fill_null(t["insum"], 0).cast(pa.int64())
                  .to_numpy(zero_copy_only=False).astype(np.int64))
+            tele, _ = tele_and_r0(t["host"])
             return pa.table({"host": t["host"],
-                             "r": pa.array(teleport + (DAMP * s) // 100)})
+                             "r": pa.array(tele + (DAMP * s) // 100)})
 
         # compaction fused into the iteration's one execution
         nb_r = max(1, min(num_buckets, n // 500_000 + 1))

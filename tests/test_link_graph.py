@@ -290,3 +290,64 @@ def test_pagerank_weighted_duplicate_pairs_sum():
     a = _pagerank_frame(twice, 3, "src_host", "dst_host", "w")
     b = _pagerank_frame(once, 3, "src_host", "dst_host", "w")
     assert a["rank_fp"].tolist() == b["rank_fp"].tolist()
+
+
+def test_trustrank_local_equals_distributed(ray_session):
+    edges = _edges_frame()
+    seeds = ["h1", "h5", "nope"]  # one absent seed: NS still 3
+    local = pagerank_hosts(rd.from_pandas(edges), iters=5, seeds=seeds,
+                           mode="local").to_pandas()
+    dist = pagerank_hosts(rd.from_pandas(edges).repartition(9), iters=5,
+                          seeds=seeds, mode="distributed").to_pandas()
+    local = local.sort_values("host").reset_index(drop=True)
+    dist = dist.sort_values("host").reset_index(drop=True)
+    assert local["rank_fp"].tolist() == dist["rank_fp"].tolist()
+    assert local["host"].tolist() == dist["host"].tolist()
+
+
+def test_trustrank_semantics():
+    from ocr_model_ray.functions.link_graph import _pagerank_frame
+    # chain a -> b -> c -> d plus an off-graph island x -> y: trust
+    # decays along the chain and never reaches the island
+    edges = pd.DataFrame({"src_host": ["a", "b", "c", "x"],
+                          "dst_host": ["b", "c", "d", "y"]})
+    out = _pagerank_frame(edges, iters=5, src="src_host",
+                          dst="dst_host", seeds=["a"])
+    r = dict(zip(out["host"], out["rank_fp"]))
+    t0 = SCALE  # single seed: full trust mass starts at a
+    tele = (15 * t0) // 100
+    # the seed keeps its teleport share; each hop damps by 85//100
+    assert r["a"] == tele
+    assert r["b"] == (85 * tele) // 100 + 0  # a's final mass -> b next
+    assert r["x"] == 0 and r["y"] == 0  # island: zero trust, present
+    assert r["d"] > 0  # within 5 hops of the seed
+    # ranks strictly decay along the chain after the seed
+    assert r["a"] > r["b"] > 0
+
+
+def test_trustrank_absent_seed_mass_vanishes():
+    from ocr_model_ray.functions.link_graph import _pagerank_frame
+    edges = pd.DataFrame({"src_host": ["a"], "dst_host": ["b"]})
+    one = _pagerank_frame(edges, iters=3, src="src_host",
+                          dst="dst_host", seeds=["a"])
+    two = _pagerank_frame(edges, iters=3, src="src_host",
+                          dst="dst_host", seeds=["a", "ghost"])
+    ra1 = dict(zip(one["host"], one["rank_fp"]))["a"]
+    ra2 = dict(zip(two["host"], two["rank_fp"]))["a"]
+    # NS=2 halves a's trust mass even though ghost has no row
+    assert ra2 == ((15 * (SCALE // 2)) // 100)
+    assert ra1 == ((15 * SCALE) // 100)
+    assert "ghost" not in set(two["host"])
+
+
+def test_trustrank_seeds_dataset_and_empty(ray_session):
+    edges = rd.from_pandas(_edges_frame())
+    seeds_ds = rd.from_pandas(pd.DataFrame({"host": ["h1", "h5"]}))
+    out = pagerank_hosts(edges, iters=2, seeds=seeds_ds,
+                         mode="local").to_pandas()
+    want = pagerank_hosts(edges, iters=2, seeds=["h1", "h5"],
+                          mode="local").to_pandas()
+    assert out.sort_values("host")["rank_fp"].tolist() == \
+        want.sort_values("host")["rank_fp"].tolist()
+    with pytest.raises(ValueError):
+        pagerank_hosts(edges, iters=2, seeds=[], mode="local")
