@@ -996,6 +996,41 @@ def _docs_tier_stats(sf_dir: str):
     return tier_stats(quality_tiers(_docs(sf_dir)))
 
 
+def _docs_budget_select(sf_dir: str, mode: str = "auto"):
+    """Token-budget corpus selection (tiers.token_budget_select):
+    keep docs best-tier-first under a global budget of 1/3 of the
+    corpus's tokens, the cut inside the marginal tier resolved by the
+    deterministic (md5(doc_id), doc_id) window order. The SQL twin
+    replays the full SUM() OVER window."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocr_model_ray.functions.tiers import (_word_counts,
+                                               token_budget_select)
+    docs = _docs(sf_dir)
+
+    def tot(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array(
+            [int(_word_counts(t, "text").sum())], pa.int64())})
+
+    total = int(docs.map_batches(tot, batch_format="pyarrow",
+                                 batch_size=None).to_pandas()["n"].sum())
+    out = token_budget_select(docs, total // 3,
+                              mode=_resolve_entry_mode(sf_dir, mode)
+                              ).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_words": pd.Series([], dtype="int64"),
+                             "tier": pd.Series([], dtype="int32")})
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64", "n_words": "int64",
+                     "tier": "int32"}))
+
+
+def _docs_budget_select_dist(sf_dir: str):
+    return _docs_budget_select(sf_dir, mode="distributed")
+
+
 def _docs_tier_sample(sf_dir: str):
     """Stratified deterministic sample: 3 docs per quality tier,
     ranked by (md5(text), doc_id); the md5 rides along in the label
@@ -2174,6 +2209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_tiers": _docs_quality_tiers,
         "docs_tier_stats": _docs_tier_stats,
         "docs_tier_sample": _docs_tier_sample,
+        "docs_budget_select": _docs_budget_select,
+        "docs_budget_select_dist": _docs_budget_select_dist,
         "docs_source_mix_weights": _docs_source_mix_weights,
         "docs_mix_rebalance": _docs_mix_rebalance,
         "docs_mix_oversample": _docs_mix_oversample,
@@ -3196,6 +3233,24 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_quality_tiers_sql()})
             QUALIFY row_number() OVER (
                 PARTITION BY tier ORDER BY md5(text), doc_id) <= 3
+        """,
+        # token-budget selection: the full window replay — budget =
+        # total tokens // 3 (BIGINT floor), keep while the inclusive
+        # running total over (tier DESC, md5(id), id) fits
+        "docs_budget_select": f"""
+            WITH t AS ({_quality_tiers_sql()}),
+            b AS (SELECT CAST(sum(n_words) AS BIGINT) // 3 AS bud
+                  FROM t),
+            o AS (SELECT doc_id, n_words, tier,
+                         sum(n_words) OVER (
+                             ORDER BY tier DESC,
+                                      md5(CAST(doc_id AS VARCHAR)),
+                                      doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, tier
+            FROM o WHERE cum <= (SELECT bud FROM b)
+            ORDER BY doc_id
         """,
         "docs_tier_lang_pivot": f"""
             SELECT d.lang,
@@ -4389,6 +4444,7 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT count(*) FROM keep) AS BIGINT) AS n_kept
     """
     d["docs_line_dedup_dist"] = d["docs_line_dedup"]
+    d["docs_budget_select_dist"] = d["docs_budget_select"]
     d["docs_line_dedup_summary"] = f"""
         SELECT CAST(count(*) AS BIGINT) AS docs_total,
                CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END)

@@ -230,3 +230,180 @@ def tier_stats(tiers: rd.Dataset) -> pd.DataFrame:
     out["mean_words"] = (out["total_words"].to_numpy().astype(np.float64)
                          / out["n_docs"].to_numpy().astype(np.float64))
     return out
+
+
+def _id_md5(ids: np.ndarray) -> np.ndarray:
+    """md5 hex of each id's decimal string — the deterministic,
+    engine-independent order key (SQL: md5(CAST(id AS VARCHAR)))."""
+    import hashlib
+    return np.fromiter(
+        (hashlib.md5(str(int(v)).encode()).hexdigest() for v in ids),
+        count=len(ids), dtype=object)
+
+
+#: hex-prefix bins for the distributed budget cut (3 hex digits)
+_BUDGET_BINS = 4096
+
+
+def token_budget_select(ds: rd.Dataset, budget: int,
+                        id_col: str = "doc_id",
+                        text_col: str = "text", qs: tuple = TIER_QS,
+                        cap: int = SCORE_CAP,
+                        mode: str = "auto") -> rd.Dataset:
+    """Token-budget corpus selection — the tier-extraction endgame:
+    given a global token budget, keep documents best-tier-first until
+    the budget is exhausted, cutting INSIDE the marginal tier
+    deterministically.
+
+    Frozen total order (mirrored by the SQL twin's window):
+    ``(tier DESC, md5(CAST(id AS VARCHAR)), id)`` — higher quality
+    tiers are consumed first, and within a tier the md5 order is a
+    deterministic, rerun- and partitioning-stable shuffle. A document
+    is kept iff its INCLUSIVE running token total is <= ``budget``
+    (``SUM(n_words) OVER (ORDER BY ...) <= budget`` — prefix
+    semantics: the first doc that overflows is dropped and so is
+    everything after it, even later docs that would individually fit).
+
+    Output: (id_col, n_words:int64, tier:int32) for the kept docs.
+
+    Distributed plan (the 10^12-doc shape) — no sort, no shuffle of
+    document data, ONE tiny combiner exchange:
+
+    1. ``quality_tiers`` labels the stream (its two histogram passes);
+    2. one more streaming pass emits per-batch partial token sums
+       keyed by (tier, first-3-hex-digits-of-md5) — a bounded
+       (n_tiers x 4096)-row sketch, folded on the driver;
+    3. the driver prefix-sums the bins in order: bins fully inside
+       the budget become a broadcast boolean mask; the ONE threshold
+       bin is resolved exactly by collecting just its rows
+       (expected corpus/(tiers x 4096) docs — recurse the hex prefix
+       if a corpus ever needs a tighter bound) and replaying the
+       window over them;
+    4. the final pass keeps docs via mask lookup + threshold-bin id
+       set (broadcast), streaming.
+
+    Integer token counts end-to-end -> bit-equal across plans,
+    partitionings, and vs the SQL window replay."""
+    from .dedup_algos import _resolve_mode
+
+    labeled = quality_tiers(ds, id_col=id_col, text_col=text_col,
+                            qs=qs, cap=cap, mode=mode)
+    n_tiers = len(qs) + 1
+    empty = pd.DataFrame({
+        id_col: pd.Series([], dtype="int64"),
+        "n_words": pd.Series([], dtype="int64"),
+        "tier": pd.Series([], dtype="int32")})
+
+    if _resolve_mode(ds, mode) == "local":
+        frame = labeled.to_pandas()
+        if frame.empty or "tier" not in frame.columns:
+            return rd.from_pandas(empty)
+        h = _id_md5(frame[id_col].to_numpy())
+        order = np.lexsort((frame[id_col].to_numpy(), h,
+                            -frame["tier"].to_numpy().astype(np.int64)))
+        o = frame.iloc[order]
+        keep = np.cumsum(o["n_words"].to_numpy().astype(np.int64)) \
+            <= budget
+        out = o[keep][[id_col, "n_words", "tier"]]
+        return rd.from_pandas(out.reset_index(drop=True)
+                              .astype({"n_words": "int64",
+                                       "tier": "int32"}))
+
+    def binned_partial(t: pa.Table) -> pa.Table:
+        tier = t["tier"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["n_words"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if tier.size == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "tok": pa.array([], pa.int64())})
+        h = _id_md5(t[id_col].to_numpy(zero_copy_only=False))
+        b = np.fromiter((int(x[:3], 16) for x in h),
+                        count=len(h), dtype=np.int64)
+        k = tier * _BUDGET_BINS + b
+        u, inv = np.unique(k, return_inverse=True)
+        tok = np.bincount(inv, weights=w).astype(np.int64)
+        return pa.table({"k": pa.array(u), "tok": pa.array(tok)})
+
+    folded = (labeled.map_batches(binned_partial,
+                                  batch_format="pyarrow",
+                                  batch_size=None).to_pandas())
+    if folded.empty or "k" not in folded.columns:
+        return rd.from_pandas(empty)
+    folded = folded.groupby("k", as_index=False)["tok"].sum()
+    k = folded["k"].to_numpy()
+    tok = folded["tok"].to_numpy().astype(np.int64)
+    tier_of = k // _BUDGET_BINS
+    bin_of = k % _BUDGET_BINS
+    # consume order: tier DESC, bin ASC
+    order = np.lexsort((bin_of, -tier_of))
+    cum = np.cumsum(tok[order])
+    full = cum <= budget
+    # bins fully inside the budget -> broadcast boolean mask
+    keep_mask = np.zeros((n_tiers + 2) * _BUDGET_BINS, dtype=bool)
+    for i in np.nonzero(full)[0]:
+        keep_mask[int(k[order[i]])] = True
+    # the ONE threshold bin (first not-full bin in consume order),
+    # if any budget remains for it
+    thr_ids: np.ndarray | None = None
+    thr_key = -1
+    not_full = np.nonzero(~full)[0]
+    if not_full.size:
+        j = int(not_full[0])
+        thr_key = int(k[order[j]])
+        residual = int(budget) - int(cum[j - 1] if j else 0)
+        if residual > 0:
+            t_tier = thr_key // _BUDGET_BINS
+            t_bin = thr_key % _BUDGET_BINS
+
+            def only_thr(t: pa.Table) -> pa.Table:
+                tier = t["tier"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                ids = t[id_col].to_numpy(zero_copy_only=False)
+                h = _id_md5(ids)
+                b = np.fromiter((int(x[:3], 16) for x in h),
+                                count=len(h), dtype=np.int64)
+                sel = (tier == t_tier) & (b == t_bin)
+                return pa.table({
+                    id_col: pa.array(ids[sel].astype(np.int64)),
+                    "h": pa.array(h[sel], pa.string()),
+                    "w": pa.array(t["n_words"].to_numpy(
+                        zero_copy_only=False)[sel].astype(np.int64))})
+
+            thr = labeled.map_batches(only_thr,
+                                      batch_format="pyarrow").to_pandas()
+            if not thr.empty:
+                o = thr.sort_values(["h", id_col], kind="mergesort")
+                kk = np.cumsum(o["w"].to_numpy()) <= residual
+                thr_ids = np.sort(o[kk][id_col].to_numpy()
+                                  .astype(np.int64))
+
+    import ray
+    mref = ray.put(keep_mask)
+    iref = ray.put(thr_ids if thr_ids is not None
+                   else np.empty(0, dtype=np.int64))
+
+    def final(t: pa.Table) -> pa.Table:
+        km = ray.get(mref)
+        ti = ray.get(iref)
+        tier = t["tier"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if tier.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_words": pa.array([], pa.int64()),
+                             "tier": pa.array([], pa.int32())})
+        h = _id_md5(ids)
+        b = np.fromiter((int(x[:3], 16) for x in h),
+                        count=len(h), dtype=np.int64)
+        sel = km[tier * _BUDGET_BINS + b]
+        if ti.size:
+            pos = np.searchsorted(ti, ids)
+            np.minimum(pos, ti.size - 1, out=pos)
+            sel |= ti[pos] == ids
+        return pa.table({
+            id_col: pa.array(ids[sel]),
+            "n_words": pa.array(t["n_words"].to_numpy(
+                zero_copy_only=False)[sel].astype(np.int64)),
+            "tier": pa.array(t["tier"].to_numpy(
+                zero_copy_only=False)[sel].astype(np.int32),
+                pa.int32())})
+
+    return labeled.map_batches(final, batch_format="pyarrow")
