@@ -711,6 +711,38 @@ def _url_host_stats(sf_dir: str):
                       agg_cols={"total_chars": ("n_chars", "sum")})
 
 
+def _url_crawl_budget(sf_dir: str, mode: str = "auto"):
+    """Largest-remainder apportionment of a 10,000-slot crawl budget
+    across hosts, scored by per-host doc counts
+    (url_ops.crawl_budget_allocation): base = (B·n)//S plus +1 for
+    the top-remainder hosts — Σ alloc == B exactly. The SQL twin
+    replays the full remainder window."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocr_model_ray.functions.url_ops import (crawl_budget_allocation,
+                                                 host_stats)
+    stats = host_stats(_docs_urls(sf_dir))
+
+    def as_score(t: pa.Table) -> pa.Table:
+        return pa.table({"host": t["host"],
+                         "score": t["n_docs"].cast(pa.int64())})
+
+    scores = stats.map_batches(as_score, batch_format="pyarrow")
+    out = crawl_budget_allocation(
+        scores, 10_000,
+        mode=_resolve_entry_mode(sf_dir, mode)).to_pandas()
+    if out.empty or "host" not in out.columns:
+        return pd.DataFrame({"host": pd.Series([], dtype="object"),
+                             "alloc": pd.Series([], dtype="int64")})
+    return (out.sort_values("host").reset_index(drop=True)
+            .astype({"alloc": "int64"}))
+
+
+def _url_crawl_budget_dist(sf_dir: str):
+    return _url_crawl_budget(sf_dir, mode="distributed")
+
+
 def _url_host_filter(sf_dir: str):
     """Host-blocklist filter then per-lang survivor counts: the
     broadcast-membership cut composed with a small group count."""
@@ -2255,6 +2287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": _url_canonicalize,
         "url_dedup": _url_dedup,
         "url_host_stats": _url_host_stats,
+        "url_crawl_budget": _url_crawl_budget,
+        "url_crawl_budget_dist": _url_crawl_budget_dist,
         "url_host_filter": _url_host_filter,
         "url_latest_snapshot": _url_latest_snapshot,
         "url_host_quality_filter": _url_host_quality_filter,
@@ -3948,6 +3982,30 @@ def oracle_sql() -> dict[str, str]:
         FROM ({_urls_src})
         GROUP BY host
     """
+    # crawl-budget apportionment: full remainder-window replay —
+    # base = (B·n)//S, +1 to the top-L by (rem DESC, host ASC)
+    d["url_crawl_budget"] = f"""
+        WITH s AS (
+            SELECT lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1))
+                       AS host,
+                   CAST(count(*) AS BIGINT) AS score
+            FROM ({_urls_src}) GROUP BY host),
+        tot AS (SELECT CAST(sum(score) AS BIGINT) AS stot FROM s),
+        b AS (SELECT host,
+                     (10000 * score) // (SELECT stot FROM tot) AS base,
+                     (10000 * score) % (SELECT stot FROM tot) AS rem
+              FROM s),
+        l AS (SELECT 10000 - sum(base) AS lv FROM b),
+        r AS (SELECT host, base,
+                     row_number() OVER (ORDER BY rem DESC, host) AS rk
+              FROM b)
+        SELECT host,
+               CAST(base + CASE WHEN rk <= (SELECT lv FROM l)
+                                THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM r ORDER BY host
+    """
+    d["url_crawl_budget_dist"] = d["url_crawl_budget"]
     d["url_host_filter"] = f"""
         SELECT lang, count(*) AS n_kept
         FROM ({_urls_src})

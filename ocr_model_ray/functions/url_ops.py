@@ -741,3 +741,165 @@ def resolve_redirects(edges: rd.Dataset, src_col: str = "src",
         })
 
     return state.map_batches(finish, batch_format="pyarrow")
+
+
+#: remainder bins for the apportionment threshold sketch (same exact-
+#: cut-without-sort doctrine as tiers.token_budget_select's hex bins)
+_ALLOC_BINS = 4096
+
+
+def _alloc_frame(df: pd.DataFrame, budget: int, host_col: str,
+                 score_col: str) -> pd.DataFrame:
+    """Single-frame largest-remainder apportionment (local plan + the
+    reference replay for the distributed twin)."""
+    s = df[score_col].to_numpy().astype(np.int64)
+    hosts = df[host_col].to_numpy().astype(object)
+    total = int(s.sum())
+    if total <= 0 or budget <= 0:
+        alloc = np.zeros(len(df), dtype=np.int64)
+    else:
+        base = (budget * s) // total
+        rem = (budget * s) % total
+        leftover = int(budget - base.sum())
+        alloc = base.copy()
+        if leftover > 0:
+            order = np.lexsort((hosts, -rem))
+            alloc[order[:leftover]] += 1
+    out = pd.DataFrame({host_col: hosts, "alloc": alloc})
+    return out.sort_values(host_col).reset_index(drop=True)
+
+
+def crawl_budget_allocation(scores: rd.Dataset, budget: int,
+                            host_col: str = "host",
+                            score_col: str = "score",
+                            mode: str = "auto") -> rd.Dataset:
+    """Largest-remainder (Hamilton) apportionment of a global crawl
+    budget across hosts: given per-host scores (quality priors, doc
+    counts, politeness weights), allocate exactly ``budget`` fetch
+    slots — base_h = (B·s_h) // S plus +1 for the top-L hosts by
+    remainder (L = B - Σ base, tie-broken by host ASC). Σ alloc == B
+    exactly whenever S > 0 — the crawl scheduler's invariant.
+
+    Output: (host_col, alloc:int64), one row per input host.
+
+    Distributed plan — hosts tables are small next to page corpora
+    but can still be 10^8 rows, so nothing sorts and nothing lands on
+    the driver except bounded sketches:
+
+    1. one streaming pass folds (Σ score) — a 1-row partial per block;
+    2. a second pass computes each host's base/remainder in place and
+       emits a bounded remainder-bin count sketch
+       (bin = (rem · 4096) // S);
+    3. the driver walks bins from the top: full bins get +1 via a
+       broadcast bin mask; the ONE threshold bin is resolved exactly
+       from its own rows (expected hosts/4096, collected and ranked
+       (rem DESC, host ASC));
+    4. the final pass emits base + the mask/id-set top-up, streaming.
+
+    Integer arithmetic end-to-end (overflow bound: B·max_score and
+    S·4096 < 2^63), so local == distributed == the SQL window replay
+    bit-exactly."""
+    from .dedup_algos import _resolve_mode
+
+    empty = pd.DataFrame({host_col: pd.Series([], dtype="object"),
+                          "alloc": pd.Series([], dtype="int64")})
+
+    if _resolve_mode(scores, mode) == "local":
+        frame = scores.to_pandas()
+        if frame.empty or host_col not in frame.columns:
+            return rd.from_pandas(empty)
+        return rd.from_pandas(
+            _alloc_frame(frame, budget, host_col, score_col))
+
+    def total_partial(t: pa.Table) -> pa.Table:
+        s = t[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"s": pa.array([int(s.sum())], pa.int64()),
+                         "n": pa.array([len(s)], pa.int64())})
+
+    tot = scores.map_batches(total_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    if tot.empty or "s" not in tot.columns or int(tot["n"].sum()) == 0:
+        return rd.from_pandas(empty)
+    total = int(tot["s"].sum())
+
+    if total <= 0 or budget <= 0:
+        def zeros(t: pa.Table) -> pa.Table:
+            return pa.table({
+                host_col: t[host_col],
+                "alloc": pa.array(np.zeros(t.num_rows, np.int64))})
+        return scores.map_batches(zeros, batch_format="pyarrow")
+
+    def rem_of(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        s = t[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return (budget * s) // total, (budget * s) % total
+
+    def bin_partial(t: pa.Table) -> pa.Table:
+        base, rem = rem_of(t)
+        b = (rem * _ALLOC_BINS) // total
+        # the block's Σ base rides in row 0 of a side column (the
+        # partials fold by plain column sums on the driver)
+        base_sum = np.zeros(_ALLOC_BINS, dtype=np.int64)
+        base_sum[0] = int(base.sum())
+        return pa.table({
+            "b": pa.array(np.arange(_ALLOC_BINS, dtype=np.int64)),
+            "n": pa.array(np.bincount(b, minlength=_ALLOC_BINS)
+                          .astype(np.int64)),
+            "base": pa.array(base_sum)})
+
+    folded = scores.map_batches(bin_partial, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+    bins = folded.groupby("b")["n"].sum().reindex(
+        range(_ALLOC_BINS), fill_value=0).to_numpy()
+    leftover = int(budget) - int(folded["base"].sum())
+
+    # walk bins from the top remainder down: full bins +1 wholesale
+    bin_mask = np.zeros(_ALLOC_BINS, dtype=bool)
+    thr_bin = -1
+    thr_take = 0
+    rest = leftover
+    for b in range(_ALLOC_BINS - 1, -1, -1):
+        if rest <= 0:
+            break
+        if bins[b] <= rest:
+            bin_mask[b] = True
+            rest -= int(bins[b])
+        else:
+            thr_bin, thr_take = b, rest
+            rest = 0
+    thr_hosts = np.empty(0, dtype=object)
+    if thr_bin >= 0 and thr_take > 0:
+        t_bin = thr_bin
+
+        def only_thr(t: pa.Table) -> pa.Table:
+            _, rem = rem_of(t)
+            b = (rem * _ALLOC_BINS) // total
+            sel = b == t_bin
+            h = t[host_col].to_numpy(zero_copy_only=False)
+            return pa.table({host_col: pa.array(h[sel], pa.string()),
+                             "rem": pa.array(rem[sel])})
+
+        thr = scores.map_batches(only_thr,
+                                 batch_format="pyarrow").to_pandas()
+        o = thr.sort_values(["rem", host_col],
+                            ascending=[False, True], kind="mergesort")
+        thr_hosts = np.sort(o[host_col].to_numpy()[:thr_take]
+                            .astype(object))
+
+    mref = ray.put(bin_mask)
+    href = ray.put(np.array(sorted(thr_hosts), dtype=object))
+
+    def final(t: pa.Table) -> pa.Table:
+        bm = ray.get(mref)
+        th = ray.get(href)
+        base, rem = rem_of(t)
+        b = (rem * _ALLOC_BINS) // total
+        up = bm[b]
+        if th.size:
+            h = t[host_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(th, h)
+            np.minimum(pos, th.size - 1, out=pos)
+            up = up | (th[pos] == h)
+        return pa.table({host_col: t[host_col],
+                         "alloc": pa.array(base + up.astype(np.int64))})
+
+    return scores.map_batches(final, batch_format="pyarrow")
