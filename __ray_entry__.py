@@ -1028,6 +1028,16 @@ def _docs_tier_stats(sf_dir: str):
     return tier_stats(quality_tiers(_docs(sf_dir)))
 
 
+def _docs_script_ratios(sf_dir: str):
+    """Per-doc script/charset composition (text_stats.
+    script_ratio_batch): Latin/digit/Cyrillic/Han/whitespace counts +
+    ratios, counted by RE2 on both sides (Arrow kernel vs DuckDB) so
+    every value is bit-identical."""
+    from ocr_model_ray.functions.text_stats import script_ratio_batch
+    return _docs(sf_dir).map_batches(script_ratio_batch,
+                                     batch_format="pyarrow")
+
+
 def _docs_budget_select(sf_dir: str, mode: str = "auto"):
     """Token-budget corpus selection (tiers.token_budget_select):
     keep docs best-tier-first under a global budget of 1/3 of the
@@ -2243,6 +2253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tier_sample": _docs_tier_sample,
         "docs_budget_select": _docs_budget_select,
         "docs_budget_select_dist": _docs_budget_select_dist,
+        "docs_script_ratios": _docs_script_ratios,
         "docs_source_mix_weights": _docs_source_mix_weights,
         "docs_mix_rebalance": _docs_mix_rebalance,
         "docs_mix_oversample": _docs_mix_oversample,
@@ -3267,6 +3278,50 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_quality_tiers_sql()})
             QUALIFY row_number() OVER (
                 PARTITION BY tier ORDER BY md5(text), doc_id) <= 3
+        """,
+        # script composition: RE2 literal-range counts (DuckDB runs
+        # the same regex engine as the Arrow kernel), one IEEE
+        # division per ratio; \x{}-escaped ranges == the Python
+        # literals in text_stats.SCRIPT_PATTERNS
+        "docs_script_ratios": """
+            SELECT doc_id,
+                CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars,
+                CAST(len(regexp_extract_all(coalesce(text,''),
+                     '[A-Za-z]')) AS BIGINT) AS n_latin,
+                CASE WHEN length(coalesce(text,'')) = 0 THEN NULL
+                     ELSE CAST(len(regexp_extract_all(coalesce(text,''),
+                          '[A-Za-z]')) AS DOUBLE)
+                          / CAST(length(coalesce(text,'')) AS DOUBLE)
+                END AS latin_ratio,
+                CAST(len(regexp_extract_all(coalesce(text,''),
+                     '[0-9]')) AS BIGINT) AS n_digit,
+                CASE WHEN length(coalesce(text,'')) = 0 THEN NULL
+                     ELSE CAST(len(regexp_extract_all(coalesce(text,''),
+                          '[0-9]')) AS DOUBLE)
+                          / CAST(length(coalesce(text,'')) AS DOUBLE)
+                END AS digit_ratio,
+                CAST(len(regexp_extract_all(coalesce(text,''),
+                     '[\\x{0400}-\\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+                CASE WHEN length(coalesce(text,'')) = 0 THEN NULL
+                     ELSE CAST(len(regexp_extract_all(coalesce(text,''),
+                          '[\\x{0400}-\\x{04FF}]')) AS DOUBLE)
+                          / CAST(length(coalesce(text,'')) AS DOUBLE)
+                END AS cyrillic_ratio,
+                CAST(len(regexp_extract_all(coalesce(text,''),
+                     '[\\x{4E00}-\\x{9FFF}]')) AS BIGINT) AS n_han,
+                CASE WHEN length(coalesce(text,'')) = 0 THEN NULL
+                     ELSE CAST(len(regexp_extract_all(coalesce(text,''),
+                          '[\\x{4E00}-\\x{9FFF}]')) AS DOUBLE)
+                          / CAST(length(coalesce(text,'')) AS DOUBLE)
+                END AS han_ratio,
+                CAST(len(regexp_extract_all(coalesce(text,''),
+                     '[\\t\\n\\f\\r ]')) AS BIGINT) AS n_space,
+                CASE WHEN length(coalesce(text,'')) = 0 THEN NULL
+                     ELSE CAST(len(regexp_extract_all(coalesce(text,''),
+                          '[\\t\\n\\f\\r ]')) AS DOUBLE)
+                          / CAST(length(coalesce(text,'')) AS DOUBLE)
+                END AS space_ratio
+            FROM documents
         """,
         # token-budget selection: the full window replay — budget =
         # total tokens // 3 (BIGINT floor), keep while the inclusive

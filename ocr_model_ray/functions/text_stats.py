@@ -430,3 +430,49 @@ def weighted_sample_batch(df: pd.DataFrame, target_tokens: int = 64,
     out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[keep],
                         "n_tokens": n.to_numpy()[keep]})
     return out.astype({"doc_id": "int64", "n_tokens": "int64"})
+
+
+#: script-class patterns (explicit codepoint ranges, NOT \p{Script}
+#: properties — property tables drift across Unicode versions while a
+#: literal range means the same thing in every RE2 build; both Arrow
+#: and DuckDB run RE2, so counts agree bit-for-bit). Whitespace is
+#: RE2's ASCII \s, the repo's frozen convention.
+SCRIPT_PATTERNS: dict[str, str] = {
+    "n_latin": "[A-Za-z]",
+    "n_digit": "[0-9]",
+    "n_cyrillic": "[Ѐ-ӿ]",
+    "n_han": "[一-鿿]",
+    "n_space": "[\t\n\f\r ]",
+}
+
+
+def script_ratio_batch(t, text_col: str = "text"):
+    """Per-document script/charset composition (the RefinedWeb-style
+    multilingual gate signal): counts of Latin letters, digits,
+    Cyrillic, Han and ASCII whitespace codepoints plus their ratios
+    over the total codepoint count. Null text counts as '' (0 chars,
+    NULL ratios) — matching the SQL twin's coalesce.
+
+    Arrow-native (``batch_format='pyarrow'``): counting runs in RE2
+    via ``pc.count_substring_regex`` — the SAME regex engine DuckDB
+    uses, so every count and each single IEEE ratio division is
+    bit-identical to the oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    txt = t[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+    n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    cols = {"doc_id": t["doc_id"], "n_chars": pa.array(n_chars)}
+    nz = n_chars > 0
+    denom = np.where(nz, n_chars, 1).astype(np.float64)
+    for name, pat in SCRIPT_PATTERNS.items():
+        c = pc.count_substring_regex(txt, pat) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cols[name] = pa.array(c)
+        cols[name.replace("n_", "") + "_ratio"] = pa.array(
+            c.astype(np.float64) / denom, pa.float64(), mask=~nz)
+    return pa.table(cols)

@@ -1261,3 +1261,35 @@ def test_gopher_flags_rules():
     assert out.loc[3, "n_words"] == 0
     # mean word len of good doc: (3+3+2+2+7)/5 = 3.4 -> passes
     assert abs(out.loc[0, "mean_word_len"] - 3.4) < 1e-12
+
+
+def test_script_ratio_batch_planted_scripts():
+    import duckdb
+    import pyarrow as pa
+
+    from ocr_model_ray.functions.text_stats import script_ratio_batch
+    docs = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2, 3, 4], dtype="int64"),
+        "text": ["Hello 123 world",
+                 "Привет мир",          # Cyrillic + one space
+                 "你好世界",              # 4 Han chars, no space
+                 None,                   # null text -> 0 chars
+                 ""]})                   # empty -> 0 chars
+    out = script_ratio_batch(pa.Table.from_pandas(docs)).to_pandas()
+    r = out.set_index("doc_id")
+    assert r.loc[1, "n_cyrillic"] == 9 and r.loc[1, "n_space"] == 1
+    assert r.loc[2, "n_han"] == 4 and r.loc[2, "n_latin"] == 0
+    assert r.loc[2, "han_ratio"] == 1.0
+    assert r.loc[3, "n_chars"] == 0 and pd.isna(r.loc[3, "latin_ratio"])
+    assert r.loc[4, "n_chars"] == 0
+    # bit-equality vs DuckDB's RE2 on the same frame
+    con = duckdb.connect()
+    con.register("documents", docs)
+    import __ray_entry__ as em
+    want = con.execute(em.oracle_sql()["docs_script_ratios"]).df()
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    for c in want.columns:
+        g, w = got[c], want[c]
+        both_na = g.isna() & w.isna()
+        assert bool(((g == w) | both_na).all()), c
