@@ -711,6 +711,56 @@ def _url_host_stats(sf_dir: str):
                       agg_cols={"total_chars": ("n_chars", "sum")})
 
 
+def synth_site_url_batch(t, id_col: str = "doc_id"):
+    """Deterministic subdomain-rich url per doc — the eTLD+1 operator
+    needs hosts with subdomains and multi-label public suffixes, which
+    ``synth_url_batch``'s flat ``h{k}.example.org`` hosts don't have.
+    ``synth_site_url_sql`` is the SQL twin; keep in lockstep. Coverage:
+    0-2-label subdomain prefixes, 1- and 2-label listed suffixes, an
+    unlisted TLD (``.zz`` -> no registrable domain), and a bare-suffix
+    host (``github.io`` itself on doc_id % 31 == 0)."""
+    import pyarrow as pa
+    subs = ["", "www.", "blog.", "cdn.static."]
+    tlds = ["com", "co.uk", "github.io", "org", "zz"]
+    out = []
+    for d in t[id_col].to_numpy().tolist():
+        host = ("github.io" if d % 31 == 0
+                else f"{subs[d % 4]}s{d % 23}.{tlds[d % 5]}")
+        out.append(f"https://{host}/p/{d}")
+    cols = {name: t[name] for name in t.column_names}
+    cols["url"] = pa.array(out, pa.string())
+    return pa.table(cols)
+
+
+def synth_site_url_sql(source: str = "documents") -> str:
+    """SQL twin of ``synth_site_url_batch``."""
+    return f"""
+        SELECT *,
+               'https://' || CASE WHEN doc_id % 31 = 0 THEN 'github.io'
+                 ELSE CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+                      WHEN 2 THEN 'blog.' ELSE 'cdn.static.' END
+                   || 's' || (doc_id % 23) || '.'
+                   || CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                      WHEN 2 THEN 'github.io' WHEN 3 THEN 'org'
+                      ELSE 'zz' END
+                 END || '/p/' || doc_id AS url
+        FROM {source}
+    """
+
+
+def _url_registrable_domain(sf_dir: str):
+    """Per-registrable-domain (eTLD+1, PSL longest-suffix semantics)
+    corpus aggregates: (etld1, n_docs, total_chars). Hosts with no
+    listed suffix or equal to a bare suffix are excluded (logged)."""
+    from ocr_model_ray.functions.url_ops import registrable_domain_stats
+    docs = _read_sized(sf_dir, "documents.parquet",
+                       columns=["doc_id", "n_chars"])
+    with_urls = docs.map_batches(synth_site_url_batch,
+                                 batch_format="pyarrow")
+    return registrable_domain_stats(
+        with_urls, agg_cols={"total_chars": ("n_chars", "sum")})
+
+
 def _url_crawl_budget(sf_dir: str, mode: str = "auto"):
     """Largest-remainder apportionment of a 10,000-slot crawl budget
     across hosts, scored by per-host doc counts
@@ -2298,6 +2348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": _url_canonicalize,
         "url_dedup": _url_dedup,
         "url_host_stats": _url_host_stats,
+        "url_registrable_domain": _url_registrable_domain,
         "url_crawl_budget": _url_crawl_budget,
         "url_crawl_budget_dist": _url_crawl_budget_dist,
         "url_host_filter": _url_host_filter,
@@ -4036,6 +4087,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM ({_urls_src})
         GROUP BY host
+    """
+    # eTLD+1 rollup: independent scalar replay of the PSL
+    # longest-suffix rule over the default suffix list (max rule depth
+    # in that list is 2 labels; the engine also probes a 3-label
+    # window, vacuous here). Bare-suffix hosts and unlisted TLDs yield
+    # NULL and are excluded, like the engine's logged drop.
+    d["url_registrable_domain"] = f"""
+        WITH u AS ({synth_site_url_sql("documents")}),
+        h AS (SELECT *, lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1)) AS host
+              FROM u),
+        r AS (SELECT *,
+              CASE WHEN regexp_extract(host, '([^.]+[.][^.]+)$', 1)
+                       IN ('co.uk', 'org.uk', 'github.io')
+                   THEN NULLIF(regexp_extract(host,
+                       '([^.]+[.][^.]+[.][^.]+)$', 1), '')
+                   WHEN regexp_extract(host, '([^.]+)$', 1)
+                       IN ('com', 'org', 'net', 'io', 'uk')
+                   THEN NULLIF(regexp_extract(host,
+                       '([^.]+[.][^.]+)$', 1), '')
+                   ELSE NULL END AS etld1
+              FROM h)
+        SELECT etld1, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM r WHERE etld1 IS NOT NULL
+        GROUP BY etld1
     """
     # crawl-budget apportionment: full remainder-window replay —
     # base = (B·n)//S, +1 to the top-L by (rem DESC, host ASC)

@@ -311,3 +311,44 @@ def test_sitemap_entries_scan(ray_session):
     assert out["lastmod"].tolist()[0] == "2024-02-03"
     assert out["lastmod"].isna().tolist() == [False, True]
     assert out["host"].tolist() == ["a", "a"]
+
+
+def test_registrable_domain_psl_semantics():
+    """eTLD+1 kernel: longest listed suffix wins; bare-suffix hosts,
+    unlisted TLDs and nulls yield NULL; subdomains collapse."""
+    import pandas as pd
+    from ocr_model_ray.functions.url_ops import (
+        DEFAULT_PUBLIC_SUFFIXES, registrable_domain_series)
+    S = frozenset(DEFAULT_PUBLIC_SUFFIXES)
+    hosts = pd.Series([
+        "www.s1.co.uk",        # 2-label suffix + subdomain
+        "s1.co.uk",            # 2-label suffix exact depth
+        "co.uk",               # host IS a suffix -> NULL
+        "uk",                  # bare 1-label suffix -> NULL
+        "b.uk",                # 1-label suffix ('b.uk' not listed)
+        "blog.a.s2.github.io", # deep subdomain chain
+        "cdn.static.s4.org",   # 1-label suffix, 2 subdomain labels
+        "x.zz",                # unlisted TLD -> NULL
+        "github.io",           # bare 2-label suffix -> NULL
+        None,                  # null host -> NULL
+    ])
+    got = registrable_domain_series(hosts, S).tolist()
+    assert got == ["s1.co.uk", "s1.co.uk", None, None, "b.uk",
+                   "s2.github.io", "s4.org", None, None, None]
+
+
+def test_registrable_domain_stats_rollup(ray_session):
+    """Hosts sharing an eTLD+1 aggregate to one row; droppables gone."""
+    import pandas as pd
+    import ray.data as rd
+    from ocr_model_ray.functions.url_ops import registrable_domain_stats
+    df = pd.DataFrame({
+        "url": ["https://www.a.co.uk/1", "https://blog.a.co.uk/2",
+                "https://a.co.uk/3", "https://x.zz/4",
+                "https://github.io/5"],
+        "n_chars": [10, 20, 30, 40, 50]})
+    out = (registrable_domain_stats(
+        rd.from_pandas(df), agg_cols={"total_chars": ("n_chars", "sum")})
+        .to_pandas().sort_values("etld1").reset_index(drop=True))
+    assert out["etld1"].tolist() == ["a.co.uk"]
+    assert int(out["n_docs"][0]) == 3 and int(out["total_chars"][0]) == 60
