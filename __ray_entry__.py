@@ -1404,6 +1404,14 @@ def _docs_near_dup_clusters(sf_dir: str):
     return near_dup_clusters(_docs(sf_dir), threshold=0.8)
 
 
+def _docs_split_leakage(sf_dir: str):
+    """Cross-split leakage audit of an id-keyed split (heldout =
+    doc_id % 10 == 0): train docs leaking heldout content via exact
+    md5 duplication or word-3-gram Jaccard >= 0.8."""
+    from ocr_model_ray.functions.decontam import split_leakage
+    return split_leakage(_docs(sf_dir), holdout_mod=10, threshold=0.8)
+
+
 # Forced-plan twins: same semantics and the SAME oracle as their
 # auto-plan counterparts, but pinned to the plan the small sf would
 # not otherwise pick — so the external gate verifies the 100-TB code
@@ -2325,6 +2333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_near_dup": _docs_near_dup,
         "docs_minhash_ingest": _docs_minhash_ingest,
         "docs_jaccard_pairs": _docs_jaccard_pairs,
+        "docs_split_leakage": _docs_split_leakage,
         "docs_freq_score": _docs_freq_score,
         "docs_bigram_lift": _docs_bigram_lift,
         "docs_near_dup_clusters": _docs_near_dup_clusters,
@@ -3792,6 +3801,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.doc_id = doc_b
             WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        # cross-split leakage audit: the docs_jaccard_pairs CTEs
+        # restricted to pairs straddling the id-keyed split, plus a
+        # pure-SQL md5 EXISTS for exact duplication — fully
+        # independent, no goldens
+        "docs_split_leakage": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           text, '[ \t\n\r\f\v]+'), x -> x <> '') AS w
+                FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                FROM words, LATERAL unnest(
+                    generate_series(1, greatest(len(w) - 2, 0))) AS t(i)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams
+                      GROUP BY doc_id),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS inter
+                FROM grams a JOIN grams b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            near AS (
+                SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b
+                            ELSE doc_a END AS doc_id,
+                       max(CAST(inter AS DOUBLE)
+                           / (na.n + nb.n - inter)) AS max_jaccard
+                FROM pairs
+                JOIN sizes na ON na.doc_id = doc_a
+                JOIN sizes nb ON nb.doc_id = doc_b
+                WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.8
+                  AND ((doc_a % 10 = 0) <> (doc_b % 10 = 0))
+                GROUP BY 1),
+            ex AS (
+                SELECT t.doc_id FROM documents t
+                WHERE t.doc_id % 10 <> 0 AND EXISTS (
+                    SELECT 1 FROM documents h
+                    WHERE h.doc_id % 10 = 0
+                      AND md5(h.text) = md5(t.text)))
+            SELECT coalesce(ex.doc_id, near.doc_id) AS doc_id,
+                   (ex.doc_id IS NOT NULL) AS exact_leak,
+                   near.max_jaccard
+            FROM ex FULL OUTER JOIN near ON ex.doc_id = near.doc_id
+            ORDER BY doc_id
         """,
         # cross-run near-dup (even=run A, odd=run B): the hash-keyed
         # near-pair golden expands to ALL doc pairs of each text pair

@@ -157,3 +157,82 @@ def _contamination_bloom(ds: rd.Dataset, eval_grams: set, n: int,
         })
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def split_leakage(ds: rd.Dataset, holdout_mod: int = 10,
+                  threshold: float = 0.8, ngram: int = 3,
+                  mode: str = "auto", num_buckets: int = 32,
+                  max_df: int | None = None) -> pd.DataFrame:
+    """Cross-split leakage audit for an ID-KEYED train/heldout split
+    (heldout = ``doc_id % holdout_mod == 0``): one row per TRAIN doc
+    that leaks heldout content, via exact text duplication (md5
+    collision — catches short texts with no word n-grams) and/or
+    word-``ngram`` Jaccard >= ``threshold``. Output: (doc_id,
+    exact_leak, max_jaccard) — max_jaccard is NULL for exact-only
+    leaks. This is the audit that shows why content-keyed splitting
+    (``hash_split_batch``) matters: an id-keyed split leaks every
+    duplicated document across the boundary.
+
+    Scale shape: the exact side is one bucketed exchange of
+    (md5, doc_id, held) rows — texts never move; the near side is the
+    exact Jaccard join (``jaccard_similarity_join``), the bounded-
+    corpus oracle-verifiable baseline — at web scale swap in the
+    MinHash path (``near_dup_pairs``) and apply the identical
+    cross-split pair filter; only leaking ids reach the driver."""
+    from .dedup_algos import jaccard_similarity_join
+    from .text_stats import md5_hex
+    from .window import hash_partitioned_window
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_hex(df["text"])
+        keep = h.notna().to_numpy()
+        hv = h.to_numpy()[keep]
+        ids = df["doc_id"].to_numpy()[keep].astype(np.int64)
+        hb = np.fromiter((int(x[:8], 16) for x in hv),
+                         dtype=np.int64, count=len(hv))
+        return pd.DataFrame({"hb": hb, "h": hv, "doc_id": ids,
+                             "held": ids % holdout_mod == 0})
+
+    def kern(g: pd.DataFrame, new_key: pd.Series) -> pd.DataFrame:
+        anyheld = g.groupby("h")["held"].transform("any").to_numpy()
+        out = g[anyheld & ~g["held"].to_numpy()]
+        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy()})
+
+    exact_ds = hash_partitioned_window(
+        ds.map_batches(project, batch_format="pandas"),
+        "hb", ["h"], kern, num_buckets=num_buckets)
+    exact_pd = exact_ds.to_pandas()
+    exact_ids = (exact_pd["doc_id"].to_numpy().astype(np.int64)
+                 if "doc_id" in exact_pd.columns else
+                 np.array([], dtype=np.int64))
+
+    pairs = jaccard_similarity_join(ds, threshold=threshold,
+                                    ngram=ngram, mode=mode,
+                                    max_df=max_df)
+    if len(pairs):
+        a = pairs["doc_a"].to_numpy()
+        b = pairs["doc_b"].to_numpy()
+        cross = (a % holdout_mod == 0) != (b % holdout_mod == 0)
+        train = np.where(a % holdout_mod == 0, b, a)[cross]
+        near = (pd.DataFrame({"doc_id": train,
+                              "j": pairs["jaccard"].to_numpy()[cross]})
+                .groupby("doc_id", as_index=False)["j"].max()
+                .rename(columns={"j": "max_jaccard"}))
+    else:
+        near = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "max_jaccard": pd.Series([], dtype="float64")})
+
+    ex = pd.DataFrame({"doc_id": np.unique(exact_ids)})
+    ex["exact_leak"] = True
+    out = ex.merge(near, on="doc_id", how="outer")
+    if out.empty:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "exact_leak": pd.Series([], dtype="bool"),
+            "max_jaccard": pd.Series([], dtype="float64")})
+    out["exact_leak"] = out["exact_leak"].notna() & \
+        out["exact_leak"].astype(object).eq(True)
+    out["max_jaccard"] = out["max_jaccard"].astype("float64")
+    return (out.astype({"doc_id": "int64"})
+            .sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "exact_leak", "max_jaccard"]])

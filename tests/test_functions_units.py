@@ -1293,3 +1293,43 @@ def test_script_ratio_batch_planted_scripts():
         g, w = got[c], want[c]
         both_na = g.isna() & w.isna()
         assert bool(((g == w) | both_na).all()), c
+
+
+def test_split_leakage_planted(ray_session):
+    """Planted cross-split leaks: exact dup of a heldout doc, a
+    near-dup (one word changed in 12), a short exact dup with no
+    3-grams (md5 path only), plus non-leaking controls."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ocr_model_ray.functions.decontam import split_leakage
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    near = base.replace("zeta", "xi")        # 1 of 12 words differs
+    df = pd.DataFrame({
+        "doc_id": [10, 3, 20, 7, 30, 11, 40, 9],
+        # held = doc_id % 10 == 0 (ids 10, 20, 30, 40). Plants:
+        #   train 3  = exact dup of held 10 (jaccard 1.0 too)
+        #   train 7  = `near`; vs held 40 (`near` with word 0 changed)
+        #              only the first 3-gram differs: j = 9/11 ~ 0.818
+        #              (vs held 10 it is only 7/13, below threshold)
+        #   train 11 = short exact dup of held 30, no 3-grams at all
+        #   train 9  = unrelated control, must not appear
+        "text": [base, base,
+                 "one two three four five", near,
+                 "hi yo", "hi yo",
+                 near.replace("alpha", "omega"), "totally unrelated words"],
+    })
+    out = split_leakage(rd.from_pandas(df), holdout_mod=10,
+                        threshold=0.8, ngram=3)
+    got = {int(r.doc_id): (bool(r.exact_leak),
+                           None if pd.isna(r.max_jaccard)
+                           else round(float(r.max_jaccard), 4))
+           for r in out.itertuples()}
+    assert 3 in got and got[3][0] is True and got[3][1] == 1.0
+    assert 11 in got and got[11] == (True, None)     # no 3-grams
+    assert 7 in got and got[7][0] is False and got[7][1] is not None \
+        and 0.8 <= got[7][1] < 1.0
+    assert 9 not in got                              # control clean
+    # heldout docs are never emitted
+    assert all(d % 10 != 0 for d in got)
