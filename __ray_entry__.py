@@ -761,6 +761,13 @@ def _url_registrable_domain(sf_dir: str):
         with_urls, agg_cols={"total_chars": ("n_chars", "sum")})
 
 
+def _url_host_cap(sf_dir: str):
+    """Per-host diversity cap (at most 5 docs per host), selection
+    deterministic by (md5(url), doc_id) within each host."""
+    from ocr_model_ray.functions.url_ops import host_doc_cap
+    return host_doc_cap(_docs_urls(sf_dir), cap=5)
+
+
 def _url_crawl_budget(sf_dir: str, mode: str = "auto"):
     """Largest-remainder apportionment of a 10,000-slot crawl budget
     across hosts, scored by per-host doc counts
@@ -2358,6 +2365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _url_dedup,
         "url_host_stats": _url_host_stats,
         "url_registrable_domain": _url_registrable_domain,
+        "url_host_cap": _url_host_cap,
         "url_crawl_budget": _url_crawl_budget,
         "url_crawl_budget_dist": _url_crawl_budget_dist,
         "url_host_filter": _url_host_filter,
@@ -4142,6 +4150,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM ({_urls_src})
         GROUP BY host
+    """
+    # per-host diversity cap: ROW_NUMBER replay of the deterministic
+    # (md5(url), doc_id) within-host order
+    d["url_host_cap"] = f"""
+        WITH u AS ({_urls_src}),
+        h AS (SELECT doc_id, url, lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)', 1)) AS host
+              FROM u)
+        SELECT doc_id, host FROM (
+            SELECT doc_id, host,
+                   row_number() OVER (PARTITION BY host
+                       ORDER BY md5(url), doc_id) AS rn
+            FROM h WHERE host IS NOT NULL)
+        WHERE rn <= 5
     """
     # eTLD+1 rollup: independent scalar replay of the PSL
     # longest-suffix rule over the default suffix list (max rule depth

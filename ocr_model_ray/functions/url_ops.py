@@ -989,3 +989,50 @@ def registrable_domain_stats(ds: rd.Dataset, url_col: str = "url",
     projected = ds.map_batches(project, batch_format="pandas")
     return bucketed_agg(projected, "etld1", aggs,
                         num_buckets=num_buckets)
+
+
+def host_doc_cap(ds: rd.Dataset, cap: int, url_col: str = "url",
+                 id_col: str = "doc_id",
+                 num_buckets: int = 32) -> rd.Dataset:
+    """Per-host diversity cap (the Dolma/anti-spam rule: at most
+    ``cap`` documents from any single host). Selection is
+    DETERMINISTIC and content/partitioning-independent: within a host,
+    docs rank by (md5(url), doc_id) — a content-blind uniform order —
+    and only the first ``cap`` survive. Output: (doc_id, host) for
+    kept rows; join back on id to materialize payloads (ids are 16
+    bytes/row where texts are KBs — the cap decision never moves a
+    payload).
+
+    Scale shape: one bucketed exchange of (host-hash, host, md5(url),
+    id) rows; each bucket sorts its own hosts and takes per-host
+    prefixes — unbounded host counts welcome, a hot host costs one
+    bucket a longer sort, never the driver."""
+    from .text_stats import md5_hex
+    from .window import hash_partitioned_window
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        host = host_series(df[url_col])
+        bad = int(host.isna().sum())
+        if bad:
+            log.warning("host_doc_cap: dropped %d unparsable urls", bad)
+        keep = host.notna().to_numpy()
+        h = host.to_numpy()[keep]
+        mu = md5_hex(pd.Series(df[url_col].to_numpy()[keep],
+                               dtype="object")).to_numpy()
+        hb = np.fromiter(
+            (int.from_bytes(x.encode()[:8], "big") for x in h),
+            dtype=np.int64, count=len(h)) if len(h) else \
+            np.array([], dtype=np.int64)
+        return pd.DataFrame({"hb": hb, "host": h, "mu": mu,
+                             id_col: df[id_col].to_numpy()[keep]})
+
+    def kern(g: pd.DataFrame, new_key: pd.Series) -> pd.DataFrame:
+        g = g.sort_values(["host", "mu", id_col], kind="mergesort")
+        rank = g.groupby("host", sort=False).cumcount()
+        out = g[rank.to_numpy() < cap]
+        return pd.DataFrame({id_col: out[id_col].to_numpy(),
+                             "host": out["host"].to_numpy()})
+
+    return hash_partitioned_window(
+        ds.map_batches(project, batch_format="pandas"),
+        "hb", ["host"], kern, num_buckets=num_buckets)

@@ -352,3 +352,33 @@ def test_registrable_domain_stats_rollup(ray_session):
         .to_pandas().sort_values("etld1").reset_index(drop=True))
     assert out["etld1"].tolist() == ["a.co.uk"]
     assert int(out["n_docs"][0]) == 3 and int(out["total_chars"][0]) == 60
+
+
+def test_host_doc_cap_deterministic_and_capped(ray_session):
+    """Cap semantics: at most K per host, selection ranked by
+    (md5(url), doc_id), partitioning-independent."""
+    import hashlib
+    import pandas as pd
+    import ray.data as rd
+    from ocr_model_ray.functions.url_ops import host_doc_cap
+    rows = []
+    for i in range(40):
+        rows.append((i, f"https://h{i % 3}.ex.org/p/{i}"))
+    rows.append((99, "not a url"))          # unparsable: dropped
+    df = pd.DataFrame(rows, columns=["doc_id", "url"])
+
+    def expect(k):
+        d = df[df["url"].str.startswith("https")].copy()
+        d["host"] = d["url"].str.extract(r"://([^/]*)")[0]
+        d["mu"] = d["url"].map(
+            lambda u: hashlib.md5(u.encode()).hexdigest())
+        d = d.sort_values(["host", "mu", "doc_id"])
+        d = d[d.groupby("host").cumcount() < k]
+        return set(d["doc_id"])
+
+    for nb in (1, 7):
+        out = host_doc_cap(rd.from_pandas(df), cap=4,
+                           num_buckets=nb).to_pandas()
+        assert set(out["doc_id"]) == expect(4)
+        assert out.groupby("host").size().max() == 4
+        assert 99 not in set(out["doc_id"])
