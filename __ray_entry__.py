@@ -944,36 +944,26 @@ def _docs_repetition(sf_dir: str):
 def _extract_content_ratio(sf_dir: str):
     """Boilerplate-strip yield per page: extracted main-content chars
     against the raw payload size (the Readability-style signal a crawl
-    quality dashboard tracks). Composition: extraction summary joined
-    back to the pages table's payload bytes on url — a hash-bucket
-    join of two streams; ONE float division per row, bit-exact vs the
-    oracle (golden char_count x octet_length over the same parquet)."""
+    quality dashboard tracks). The extraction summary already carries
+    the payload byte length (``size_bytes``, stamped at the derive
+    boundary from the payload itself), so this is a pure projection of
+    one stream — no second corpus read, no join; at 10^12 pages the
+    former composition re-shipped every payload's row through an
+    exchange for a value the extract stage had in hand. ONE float
+    division per row, bit-exact vs the oracle (golden char_count x
+    octet_length over the same parquet)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
-    from ocr_model_ray.functions.joins import hash_bucket_join
     from ocr_model_ray.pipelines.extract_pipeline import (
         ExtractConfig, extract_pipeline)
-    from ocr_model_ray.sources.pages import read_pages
 
     fix = _fixture_dir(_tier_for(sf_dir))
-    summary = extract_pipeline(fix, ExtractConfig(emit="summary")) \
-        .map_batches(lambda t: t.select(["url", "char_count"]),
-                     batch_format="pyarrow")
-
-    def page_bytes(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "url": t["url"],
-            "page_bytes": pc.cast(pc.binary_length(t["html"]),
-                                  pa.int64())})
-
-    pages = read_pages(fix, columns=["url", "html"]) \
-        .map_batches(page_bytes, batch_format="pyarrow")
+    summary = extract_pipeline(fix, ExtractConfig(emit="summary"))
 
     def finish(t: pa.Table) -> pa.Table:
         import numpy as np
         c = t["char_count"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        b = t["page_bytes"].to_numpy(zero_copy_only=False) \
+        b = t["size_bytes"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         return pa.table({
             "url": t["url"], "content_chars": pa.array(c),
@@ -981,8 +971,7 @@ def _extract_content_ratio(sf_dir: str):
             "content_ratio": pa.array(c.astype(np.float64)
                                       / b.astype(np.float64))})
 
-    return hash_bucket_join(summary, pages, on="url") \
-        .map_batches(finish, batch_format="pyarrow")
+    return summary.map_batches(finish, batch_format="pyarrow")
 
 
 def _extract_source_panel(sf_dir: str):
