@@ -226,10 +226,10 @@ def _extract_rows(sf_dir: str):
 
 def _extract_dedup(sf_dir: str):
     from ocr_model_ray.pipelines.extract_pipeline import (
-        ExtractConfig, extract_pipeline, extracted_summary)
-    return extracted_summary(
-        extract_pipeline(_fixture_dir(_tier_for(sf_dir)),
-                         ExtractConfig(dedup=True)))
+        ExtractConfig, extract_pipeline)
+    # summary emit: same values (pinned), no nested layout columns
+    return extract_pipeline(_fixture_dir(_tier_for(sf_dir)),
+                            ExtractConfig(dedup=True, emit="summary"))
 
 
 def _extract_captures_panel(sf_dir: str):
@@ -512,8 +512,12 @@ def _extract_line_dedup(sf_dir: str):
     import pyarrow as pa
     from ocr_model_ray.functions.line_dedup import line_dedup
     from ocr_model_ray.pipelines.extract_pipeline import (
-        extract_pipeline, extracted_summary)
-    ds = extracted_summary(extract_pipeline(_fixture_dir(_tier_for(sf_dir))))
+        ExtractConfig, extract_pipeline)
+    # summary emit: identical values (pinned by
+    # test_summary_emit_matches_full), ~2x less allocator work than
+    # building the nested layout columns this consumer never reads
+    ds = extract_pipeline(_fixture_dir(_tier_for(sf_dir)),
+                          ExtractConfig(emit="summary"))
     ds = ds.map_batches(
         lambda t: pa.table({"url": t["url"],
                             "text": t["extracted_text"]}),
