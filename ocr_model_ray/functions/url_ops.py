@@ -933,16 +933,22 @@ def registrable_domain_series(hosts: pd.Series,
     for k in (1, 2, 3, 4):
         last[k] = parts.str[-k:].str.join(".").to_numpy(dtype=object)
     in_k = [None] * 4
+    lbl_ok = [None] * 4
     for k in (1, 2, 3):
         in_k[k] = (pd.Series(last[k]).isin(suffixes).to_numpy()
                    & (n >= k))
-    # longest suffix wins; registrable = suffix + 1 label, which only
-    # exists when the host has at least suffix_labels + 1 labels
+        # the +1 label must exist AND be non-empty — a degenerate host
+        # like 'a..com' has no registrable domain (the SQL replay's
+        # [^.]+ label regex enforces the same)
+        lbl = parts.str[-(k + 1)]
+        lbl_ok[k] = (n >= k + 1) & lbl.notna().to_numpy() \
+            & (lbl.fillna("") != "").to_numpy()
+    # longest suffix wins; registrable = suffix + 1 non-empty label
     out = np.select(
         [in_k[3], in_k[2], in_k[1]],
-        [np.where(n >= 4, last[4], None),
-         np.where(n >= 3, last[3], None),
-         np.where(n >= 2, last[2], None)],
+        [np.where(lbl_ok[3], last[4], None),
+         np.where(lbl_ok[2], last[3], None),
+         np.where(lbl_ok[1], last[2], None)],
         default=None)
     return pd.Series(out, index=hosts.index, dtype="object")
 

@@ -331,10 +331,14 @@ def test_registrable_domain_psl_semantics():
         "x.zz",                # unlisted TLD -> NULL
         "github.io",           # bare 2-label suffix -> NULL
         None,                  # null host -> NULL
+        "a..com",              # empty label before suffix -> NULL
+        ".co.uk",              # empty +1 label on 2-label suffix
+        "x.co..uk",            # suffix window broken by empty label
     ])
     got = registrable_domain_series(hosts, S).tolist()
     assert got == ["s1.co.uk", "s1.co.uk", None, None, "b.uk",
-                   "s2.github.io", "s4.org", None, None, None]
+                   "s2.github.io", "s4.org", None, None, None,
+                   None, None, None]
 
 
 def test_registrable_domain_stats_rollup(ray_session):
