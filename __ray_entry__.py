@@ -4155,7 +4155,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, host,
                    row_number() OVER (PARTITION BY host
                        ORDER BY md5(url), doc_id) AS rn
-            FROM h WHERE host IS NOT NULL)
+            FROM h WHERE NULLIF(host, '') IS NOT NULL)
         WHERE rn <= 5
     """
     # eTLD+1 rollup: independent scalar replay of the PSL

@@ -161,7 +161,7 @@ def _contamination_bloom(ds: rd.Dataset, eval_grams: set, n: int,
 
 def split_leakage(ds: rd.Dataset, holdout_mod: int = 10,
                   threshold: float = 0.8, ngram: int = 3,
-                  mode: str = "auto", num_buckets: int = 32,
+                  mode: str = "auto", num_buckets: int = 64,
                   max_df: int | None = None) -> pd.DataFrame:
     """Cross-split leakage audit for an ID-KEYED train/heldout split
     (heldout = ``doc_id % holdout_mod == 0``): one row per TRAIN doc
@@ -208,6 +208,7 @@ def split_leakage(ds: rd.Dataset, holdout_mod: int = 10,
 
     pairs = jaccard_similarity_join(ds, threshold=threshold,
                                     ngram=ngram, mode=mode,
+                                    num_buckets=num_buckets,
                                     max_df=max_df)
     if len(pairs):
         a = pairs["doc_a"].to_numpy()
@@ -230,8 +231,7 @@ def split_leakage(ds: rd.Dataset, holdout_mod: int = 10,
             "doc_id": pd.Series([], dtype="int64"),
             "exact_leak": pd.Series([], dtype="bool"),
             "max_jaccard": pd.Series([], dtype="float64")})
-    out["exact_leak"] = out["exact_leak"].notna() & \
-        out["exact_leak"].astype(object).eq(True)
+    out["exact_leak"] = out["exact_leak"].eq(True)
     out["max_jaccard"] = out["max_jaccard"].astype("float64")
     return (out.astype({"doc_id": "int64"})
             .sort_values("doc_id").reset_index(drop=True)

@@ -906,50 +906,99 @@ def crawl_budget_allocation(scores: rd.Dataset, budget: int,
 
 
 #: deterministic mini public-suffix list for tests/benchmarks — the
-#: real PSL (https://publicsuffix.org, ~9k rules) drops in unchanged:
-#: membership is a set probe per candidate suffix, so list size only
-#: moves the one broadcast object's bytes, not per-row cost.
+#: real PSL (https://publicsuffix.org, ~9k rules incl. ``*.ck``
+#: wildcards and ``!www.ck`` exceptions) drops in unchanged:
+#: ``registrable_domain_series`` implements the full PSL algorithm
+#: (longest rule wins; wildcard matches one non-empty label;
+#: exception prevails and is itself the registrable domain), and the
+#: candidate windows derive from the deepest rule in the loaded set,
+#: so per-row cost is a few set probes regardless of list size.
 DEFAULT_PUBLIC_SUFFIXES: tuple[str, ...] = (
     "com", "org", "net", "io", "uk", "co.uk", "org.uk", "github.io")
 
 
 def registrable_domain_series(hosts: pd.Series,
-                              suffixes: frozenset[str] | set[str]
-                              ) -> pd.Series:
-    """Vectorized eTLD+1 (registrable domain) per host, PSL semantics:
-    the LONGEST listed suffix that the host ends with (on label
-    boundaries) wins; the registrable domain is that suffix plus one
-    preceding label. NULL when no suffix matches, when the host IS a
-    suffix (no extra label), or when the host is null — the same CASE
-    the SQL oracle computes.
+                              suffixes) -> pd.Series:
+    """Vectorized eTLD+1 (registrable domain) per host, full PSL
+    semantics (https://publicsuffix.org/list — public knowledge):
 
-    Checks suffix candidates of 1-3 labels (the PSL's longest rule is
-    3 labels deep for all but a handful of entries; extend the
-    candidate windows if a longer rule set is loaded)."""
+    * a plain rule matches hosts ending with its labels; the LONGEST
+      matching rule wins; registrable = suffix + one preceding
+      NON-EMPTY label;
+    * a wildcard rule ``*.parent`` makes every single non-empty label
+      under ``parent`` a public suffix;
+    * an exception rule ``!host`` prevails over a wildcard: the
+      matched labels are THEMSELVES the registrable domain;
+    * NULL when no rule matches, when the host IS a public suffix
+      (no extra label), or when the host is null — the same CASE the
+      SQL oracle computes for plain-rule sets.
+
+    Candidate windows run to the deepest rule in ``suffixes``; cost
+    is a handful of vectorized set probes per depth, independent of
+    rule-set size.
+
+    Deliberate divergence from the PSL's implicit default ``*`` rule:
+    an unlisted TLD yields NULL here (excluded + logged by callers)
+    instead of becoming a public suffix — a corpus rollup wants
+    unknown TLDs surfaced, not silently grouped as registrable."""
+    plain: set[str] = set()
+    wild_parents: set[str] = set()
+    exceptions: set[str] = set()
+    for r in suffixes:
+        if r.startswith("!"):
+            exceptions.add(r[1:])
+        elif r.startswith("*."):
+            wild_parents.add(r[2:])
+        else:
+            plain.add(r)
+
+    def depth(s: str) -> int:
+        return s.count(".") + 1
+
+    max_k = max([depth(s) for s in plain]
+                + [depth(w) + 1 for w in wild_parents]
+                + [depth(e) for e in exceptions] + [1])
+
     hosts = hosts.astype("object")
     parts = hosts.str.split(".")
     n = parts.str.len().fillna(0).astype(int).to_numpy()
-    last = [None] * 5
-    for k in (1, 2, 3, 4):
+    last: dict[int, np.ndarray] = {}
+    for k in range(1, max_k + 2):
         last[k] = parts.str[-k:].str.join(".").to_numpy(dtype=object)
-    in_k = [None] * 4
-    lbl_ok = [None] * 4
-    for k in (1, 2, 3):
-        in_k[k] = (pd.Series(last[k]).isin(suffixes).to_numpy()
-                   & (n >= k))
-        # the +1 label must exist AND be non-empty — a degenerate host
-        # like 'a..com' has no registrable domain (the SQL replay's
-        # [^.]+ label regex enforces the same)
-        lbl = parts.str[-(k + 1)]
-        lbl_ok[k] = (n >= k + 1) & lbl.notna().to_numpy() \
+    nonempty: dict[int, np.ndarray] = {}
+    for k in range(1, max_k + 2):
+        # label k positions from the right exists and is non-empty —
+        # degenerate hosts like 'a..com' never yield a registrable
+        # domain (the SQL replay's [^.]+ label regex enforces the
+        # same), and a wildcard only matches a non-empty label
+        lbl = parts.str[-k]
+        nonempty[k] = (n >= k) & lbl.notna().to_numpy() \
             & (lbl.fillna("") != "").to_numpy()
-    # longest suffix wins; registrable = suffix + 1 non-empty label
-    out = np.select(
-        [in_k[3], in_k[2], in_k[1]],
-        [np.where(lbl_ok[3], last[4], None),
-         np.where(lbl_ok[2], last[3], None),
-         np.where(lbl_ok[1], last[2], None)],
-        default=None)
+
+    conds, choices = [], []
+    # exception rules prevail over ALL other matching rules (PSL
+    # algorithm step: "the prevailing rule is the one which is an
+    # exception rule"), so they go first; the matched labels ARE the
+    # registrable domain (suffix = rule minus leftmost label)
+    if exceptions:
+        for k in range(max_k, 0, -1):
+            exc = (pd.Series(last[k]).isin(exceptions).to_numpy()
+                   & (n >= k))
+            conds.append(exc)
+            choices.append(np.where(n >= k, last[k], None))
+    # then longest matching suffix rule wins; registrable = suffix
+    # plus one preceding non-empty label
+    for k in range(max_k, 0, -1):
+        sfx_match = np.zeros(len(hosts), dtype=bool)
+        if plain:
+            sfx_match |= (pd.Series(last[k]).isin(plain).to_numpy()
+                          & (n >= k))
+        if k >= 2 and wild_parents:
+            sfx_match |= (pd.Series(last[k - 1]).isin(wild_parents)
+                          .to_numpy() & nonempty[k])
+        conds.append(sfx_match)
+        choices.append(np.where(nonempty[k + 1], last[k + 1], None))
+    out = np.select(conds, choices, default=None)
     return pd.Series(out, index=hosts.index, dtype="object")
 
 
@@ -1025,15 +1074,20 @@ def host_doc_cap(ds: rd.Dataset, cap: int, url_col: str = "url",
         h = host.to_numpy()[keep]
         mu = md5_hex(pd.Series(df[url_col].to_numpy()[keep],
                                dtype="object")).to_numpy()
+        # uint64 accumulate then int64 reinterpret: a non-ASCII host
+        # (raw IDN, first UTF-8 byte >= 0x80) overflows a signed
+        # fromiter
         hb = np.fromiter(
             (int.from_bytes(x.encode()[:8], "big") for x in h),
-            dtype=np.int64, count=len(h)) if len(h) else \
-            np.array([], dtype=np.int64)
+            dtype=np.uint64, count=len(h)).view(np.int64) if len(h) \
+            else np.array([], dtype=np.int64)
         return pd.DataFrame({"hb": hb, "host": h, "mu": mu,
                              id_col: df[id_col].to_numpy()[keep]})
 
     def kern(g: pd.DataFrame, new_key: pd.Series) -> pd.DataFrame:
-        g = g.sort_values(["host", "mu", id_col], kind="mergesort")
+        # g arrives sorted by (hb, host, mu, id) — the framework's one
+        # mergesort IS the within-host rank order (one host never
+        # splits across hb values), so no second sort here
         rank = g.groupby("host", sort=False).cumcount()
         out = g[rank.to_numpy() < cap]
         return pd.DataFrame({id_col: out[id_col].to_numpy(),
@@ -1041,4 +1095,4 @@ def host_doc_cap(ds: rd.Dataset, cap: int, url_col: str = "url",
 
     return hash_partitioned_window(
         ds.map_batches(project, batch_format="pandas"),
-        "hb", ["host"], kern, num_buckets=num_buckets)
+        "hb", ["host", "mu", id_col], kern, num_buckets=num_buckets)

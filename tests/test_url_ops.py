@@ -341,6 +341,48 @@ def test_registrable_domain_psl_semantics():
                    None, None, None]
 
 
+def test_registrable_domain_wildcard_and_exception_rules():
+    """Full PSL algorithm: '*.parent' wildcards, '!host' exceptions
+    (which prevail over everything and ARE the registrable domain),
+    wildcard label must be non-empty, deep rule sets set the window."""
+    import pandas as pd
+    from ocr_model_ray.functions.url_ops import registrable_domain_series
+    rules = {"com", "*.ck", "!www.ck", "*.kawasaki.jp", "jp",
+             "city.x.deep.example"}
+    hosts = pd.Series([
+        "foo.bar.ck",          # *.ck: 'bar.ck' is a suffix
+        "bar.ck",              # host IS a wildcard suffix -> NULL
+        "www.ck",              # exception: itself registrable
+        "a.www.ck",            # exception beats *.ck: 'www.ck'
+        "x.y.kawasaki.jp",     # *.kawasaki.jp -> 'x.y.kawasaki.jp'? no:
+                               # suffix 'y.kawasaki.jp', +1 = whole host
+        "y.kawasaki.jp",       # host IS the wildcard suffix -> NULL
+        "shop.kawasaki.jp",    # suffix 'shop.kawasaki.jp'?? no — host
+                               # IS 'shop.kawasaki.jp' (3 labels) -> NULL
+        "v.city.x.deep.example",  # 4-label plain rule, window stretches
+        ".ck",                 # empty wildcard label -> falls to NULL
+        "sub.tokyo.jp",        # plain 'jp' -> 'tokyo.jp'
+    ])
+    got = registrable_domain_series(hosts, rules).tolist()
+    assert got == ["foo.bar.ck", None, "www.ck", "www.ck",
+                   "x.y.kawasaki.jp", None, None,
+                   "v.city.x.deep.example", None, "tokyo.jp"]
+
+
+def test_host_doc_cap_non_ascii_host(ray_session):
+    """Raw IDN (non-ASCII) hosts route and cap without overflow."""
+    import pandas as pd
+    import ray.data as rd
+    from ocr_model_ray.functions.url_ops import host_doc_cap
+    df = pd.DataFrame({
+        "doc_id": list(range(6)),
+        "url": [f"https://пример.com/{i}" for i in range(3)]
+             + [f"https://例え.jp/{i}" for i in range(3)]})
+    out = host_doc_cap(rd.from_pandas(df), cap=2).to_pandas()
+    assert len(out) == 4
+    assert out.groupby("host").size().max() == 2
+
+
 def test_registrable_domain_stats_rollup(ray_session):
     """Hosts sharing an eTLD+1 aggregate to one row; droppables gone."""
     import pandas as pd
