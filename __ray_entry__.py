@@ -1638,12 +1638,14 @@ def _resolve_entry_mode(sf_dir: str, mode: str,
     return "local" if small else "distributed"
 
 
-def _web_host_pagerank(sf_dir: str, mode: str = "auto"):
+def _web_host_pagerank(sf_dir: str, mode: str = "auto",
+                       iter_plan: str = "auto"):
     """Fixed-point PageRank over the host graph (5 iterations,
     bit-exact vs the oracle's BIGINT replay — link_graph docstring)."""
     from ocr_model_ray.functions.link_graph import pagerank_hosts
     return pagerank_hosts(_docs_edges(sf_dir), iters=5,
-                          mode=_resolve_entry_mode(sf_dir, mode))
+                          mode=_resolve_entry_mode(sf_dir, mode),
+                          iter_plan=iter_plan)
 
 
 #: TrustRank seed list for the gate query: two live hosts plus one
@@ -1665,7 +1667,10 @@ def _web_trustrank(sf_dir: str, mode: str = "auto"):
 
 
 def _web_trustrank_dist(sf_dir: str):
-    return _web_trustrank(sf_dir, mode="distributed")
+    from ocr_model_ray.functions.link_graph import pagerank_hosts
+    return pagerank_hosts(_docs_edges(sf_dir), iters=5,
+                          seeds=_TRUST_SEEDS, mode="distributed",
+                          iter_plan="exchange")
 
 
 def _web_host_pagerank_weighted(sf_dir: str):
@@ -1757,9 +1762,21 @@ def _web_prior_gate(sf_dir: str):
 
 
 def _web_host_pagerank_dist(sf_dir: str):
-    """Forced-distributed twin: the Dataset-resident iteration plan
-    the 10^12-doc story depends on, gate-checked at every sf."""
-    return _web_host_pagerank(sf_dir, mode="distributed")
+    """Forced-distributed EXCHANGE twin: the Dataset-resident
+    iteration plan a page-level (rank vector too big to broadcast)
+    graph depends on, gate-checked at every sf."""
+    return _web_host_pagerank(sf_dir, mode="distributed",
+                              iter_plan="exchange")
+
+
+def _web_host_pagerank_bcast(sf_dir: str):
+    """Forced-distributed BROADCAST twin: the static edge Dataset is
+    never re-exchanged — each iteration is one streaming pass over it
+    with the O(hosts) rank vector in plasma (the regime a host-level
+    graph at 10^12 pages actually runs). Same oracle: the fixed-point
+    arithmetic is bit-identical across plans."""
+    return _web_host_pagerank(sf_dir, mode="distributed",
+                              iter_plan="broadcast")
 
 
 def _extract_links(sf_dir: str):
@@ -2374,6 +2391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_inlinks": _web_host_inlinks,
         "web_host_pagerank": _web_host_pagerank,
         "web_host_pagerank_dist": _web_host_pagerank_dist,
+        "web_host_pagerank_bcast": _web_host_pagerank_bcast,
         "web_host_pagerank_weighted": _web_host_pagerank_weighted,
         "web_trustrank": _web_trustrank,
         "web_trustrank_dist": _web_trustrank_dist,
@@ -4509,6 +4527,7 @@ def oracle_sql() -> dict[str, str]:
         FROM r{_pr_iters}
     """
     d["web_host_pagerank_dist"] = d["web_host_pagerank"]
+    d["web_host_pagerank_bcast"] = d["web_host_pagerank"]
     # cross-run ingest reconstructs the SAME distinct-edge graph, so
     # the one-shot replay is the exact oracle
     d["web_pagerank_ingest"] = d["web_host_pagerank"]

@@ -225,12 +225,20 @@ def _pagerank_frame(edges: pd.DataFrame, iters: int,
                          "rank": r / float(SCALE)})
 
 
+#: hosts-table row cut under which the distributed plan's ITERATION
+#: uses the broadcast regime (rank vector rides plasma, static edges
+#: never re-exchange); 2M hosts ~ 80 MB of (host, rank) — the same
+#: driver-resident-small-table doctrine as ``crawl_depth``
+BROADCAST_HOSTS_CUT = 2_000_000
+
+
 def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
                    src: str = "src_host", dst: str = "dst_host",
                    num_buckets: int = 32,
                    weight_col: str | None = None,
                    seeds=None,
-                   mode: str = "auto") -> rd.Dataset:
+                   mode: str = "auto",
+                   iter_plan: str = "auto") -> rd.Dataset:
     """Fixed-point PageRank over the host graph (module docstring for
     the frozen update rule). Output: (host, rank_fp, rank).
 
@@ -243,17 +251,36 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
 
     Distributed plan (``mode='distributed'``, the 10^12-doc shape):
     the distinct edge set and the host universe each cost one bucketed
-    exchange once; every iteration is then
+    exchange once. The ITERATION then runs one of two regimes
+    (``iter_plan``):
 
-        ranks ⋈ edges on src  (hash-bucket join, contrib in the
-                               bucket task)
-        -> bucketed sum by dst
-        -> hosts ⋈ insum LEFT (teleport + damp in the bucket task)
+    * ``'broadcast'`` (auto when hosts <= ``BROADCAST_HOSTS_CUT``) —
+      the O(hosts) rank vector rides plasma (``ray.put`` per
+      iteration); every iteration is ONE streaming pass over the
+      STATIC edge Dataset (per-block (dst, contrib) partials, ranks
+      looked up from the broadcast — the edges are never
+      re-exchanged) + one bucketed sum of the partials + an O(hosts)
+      driver fold for teleport+damp. This is the regime a HOST-level
+      graph (10^8 hosts under 10^12 pages) actually wants: the heavy
+      static side moves zero times per iteration. Same
+      driver-resident-small-table doctrine as ``crawl_depth``.
+    * ``'exchange'`` (auto above the cut — page-level graphs, where
+      the rank vector itself is too big to broadcast) — every
+      iteration is
 
-    i.e. per-iteration state is one O(hosts) Dataset — the same
-    Dataset-resident iteration doctrine as
-    ``dedup_algos._label_prop_ray``. Integer arithmetic makes the
-    result independent of bucket count and batch boundaries."""
+          ranks ⋈ edges on src  (hash-bucket join, contrib in the
+                                 bucket task)
+          -> bucketed sum by dst
+          -> hosts ⋈ insum LEFT (teleport + damp in the bucket task)
+
+      i.e. per-iteration state is one O(hosts) Dataset — the same
+      Dataset-resident iteration doctrine as
+      ``dedup_algos._label_prop_ray``, at the cost of re-exchanging
+      the static edge side each round.
+
+    Fixed-point integer arithmetic makes the result bit-identical
+    across plans, bucket counts and batch boundaries (pinned by
+    test)."""
     if seeds is not None:
         if isinstance(seeds, rd.Dataset):
             seeds = seeds.to_pandas()["host"].tolist()
@@ -346,6 +373,61 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
     edges_wd = hash_bucket_join(dedges, outdeg, on=src,
                                 num_buckets=num_buckets
                                 ).repartition(nb_e).materialize()
+
+    if iter_plan == "auto":
+        iter_plan = ("broadcast" if n <= BROADCAST_HOSTS_CUT
+                     else "exchange")
+    if iter_plan == "broadcast":
+        import ray
+
+        hosts_pd = hosts.to_pandas()    # O(hosts): the documented
+        idx = pd.Index(hosts_pd["host"])  # driver-resident small table
+        tele, r = tele_and_r0(pa.array(hosts_pd["host"], pa.string()))
+        for _ in range(iters):
+            sref = ray.put(pd.Series(r, index=idx))
+
+            def partial(t: pa.Table, _sref=sref) -> pa.Table:
+                s = ray.get(_sref)
+                rr = s.reindex(pd.Index(
+                    t[src].to_numpy(zero_copy_only=False))).to_numpy()
+                if rr.dtype != np.int64:
+                    # reindex only upcasts to float when a src host is
+                    # missing from the universe — impossible by
+                    # construction, so fail loudly rather than floor-
+                    # divide garbage
+                    if np.isnan(rr).any():
+                        raise ValueError("pagerank: src host missing "
+                                         "from the host universe")
+                    rr = rr.astype(np.int64)
+                d = t["outdeg"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                if weight_col is None:
+                    c = rr // d
+                else:
+                    w = t["__w"].to_numpy(zero_copy_only=False) \
+                        .astype(np.int64)
+                    c = (rr // d) * w + ((rr % d) * w) // d
+                g = (pa.table({dst: t[dst], "contrib": pa.array(c)})
+                     .group_by(dst).aggregate([("contrib", "sum")]))
+                return g.select([dst, "contrib_sum"]) \
+                        .rename_columns([dst, "contrib"])
+
+            ins = bucketed_agg(
+                edges_wd.map_batches(partial, batch_format="pyarrow"),
+                dst, {"insum": ("contrib", "sum")},
+                num_buckets=num_buckets).to_pandas()
+            if ins.empty or "insum" not in ins.columns:
+                m = np.zeros(len(hosts_pd), dtype=np.int64)
+            else:
+                m = (pd.Series(ins["insum"].to_numpy().astype(np.int64),
+                               index=ins[dst])
+                     .reindex(idx).fillna(0).astype(np.int64)
+                     .to_numpy())
+            r = tele + (DAMP * m) // 100
+        return rd.from_pandas(pd.DataFrame({
+            "host": hosts_pd["host"],
+            "rank_fp": r.astype("int64"),
+            "rank": r.astype("int64") / float(SCALE)}))
 
     def seed_ranks(t: pa.Table) -> pa.Table:
         _, r_init = tele_and_r0(t["host"])

@@ -351,3 +351,45 @@ def test_trustrank_seeds_dataset_and_empty(ray_session):
         want.sort_values("host")["rank_fp"].tolist()
     with pytest.raises(ValueError):
         pagerank_hosts(edges, iters=2, seeds=[], mode="local")
+
+
+def test_pagerank_broadcast_plan_bit_equal(ray_session):
+    """iter_plan='broadcast' (static edges never re-exchanged, rank
+    vector in plasma) is BIT-equal to the exchange plan and the local
+    frame — plain, weighted, and seeded (TrustRank) variants."""
+    edges = _edges_frame()
+
+    def run(**kw):
+        out = pagerank_hosts(rd.from_pandas(edges).repartition(9),
+                             iters=5, mode="distributed", **kw) \
+            .to_pandas().sort_values("host").reset_index(drop=True)
+        return out
+
+    for extra in ({}, {"seeds": ["h1", "h2"]}):
+        bc = run(iter_plan="broadcast", **extra)
+        ex = run(iter_plan="exchange", **extra)
+        lc = pagerank_hosts(rd.from_pandas(edges), iters=5,
+                            mode="local", **extra).to_pandas() \
+            .sort_values("host").reset_index(drop=True)
+        assert bc["host"].tolist() == ex["host"].tolist() \
+            == lc["host"].tolist()
+        assert bc["rank_fp"].tolist() == ex["rank_fp"].tolist() \
+            == lc["rank_fp"].tolist()
+        assert np.array_equal(bc["rank"].to_numpy().view("int64"),
+                              ex["rank"].to_numpy().view("int64"))
+
+
+def test_pagerank_weighted_broadcast_bit_equal(ray_session):
+    """Weighted contrib (r*w)//W path under the broadcast plan."""
+    edges = _edges_frame()
+    w = edges.groupby(["src_host", "dst_host"], as_index=False) \
+        .agg(n_links=("src_host", "size"))
+    bc = pagerank_hosts(rd.from_pandas(w).repartition(5), iters=5,
+                        weight_col="n_links", mode="distributed",
+                        iter_plan="broadcast").to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    ex = pagerank_hosts(rd.from_pandas(w).repartition(5), iters=5,
+                        weight_col="n_links", mode="distributed",
+                        iter_plan="exchange").to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    assert bc["rank_fp"].tolist() == ex["rank_fp"].tolist()
