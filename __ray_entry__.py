@@ -1923,18 +1923,31 @@ _COMPONENT_EDGES_SQL = """
 """
 
 
-def _web_host_components(sf_dir: str, mode: str = "auto"):
+def _web_host_components(sf_dir: str, mode: str = "auto",
+                         iter_plan: str = "auto"):
     """Connected components of the undirected host graph (site
     families): component id = lexicographically smallest member."""
     from ocr_model_ray.functions.link_graph import host_components
     return host_components(_component_edges(sf_dir),
-                           mode=_resolve_entry_mode(sf_dir, mode))
+                           mode=_resolve_entry_mode(sf_dir, mode),
+                           iter_plan=iter_plan)
 
 
 def _web_host_components_dist(sf_dir: str):
-    """Forced-distributed twin: string min-label propagation with
-    Dataset-resident labels, gate-checked at every sf."""
-    return _web_host_components(sf_dir, mode="distributed")
+    """Forced-distributed EXCHANGE twin: string min-label propagation
+    with Dataset-resident labels (the page-level-graph regime),
+    gate-checked at every sf."""
+    return _web_host_components(sf_dir, mode="distributed",
+                                iter_plan="exchange")
+
+
+def _web_host_components_bcast(sf_dir: str):
+    """Forced-distributed BROADCAST twin: the static symmetric edge
+    Dataset is never re-exchanged — each round streams it once with
+    the O(hosts) label vector in plasma. Same oracle (plan-invariant
+    string min)."""
+    return _web_host_components(sf_dir, mode="distributed",
+                                iter_plan="broadcast")
 
 
 #: crawl-depth edge synthesis (SQL twin of _crawl_edges_batch): a
@@ -2402,6 +2415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _warc_roundtrip,
         "web_host_components": _web_host_components,
         "web_host_components_dist": _web_host_components_dist,
+        "web_host_components_bcast": _web_host_components_bcast,
         "web_crawl_depth": _web_crawl_depth,
         "web_pagerank_ingest": _web_pagerank_ingest,
         "events_latest_per_user": _events_latest_per_user,
@@ -4306,6 +4320,7 @@ def oracle_sql() -> dict[str, str]:
         FROM reach GROUP BY node
     """
     d["web_host_components_dist"] = d["web_host_components"]
+    d["web_host_components_bcast"] = d["web_host_components"]
     # BFS crawl depth: UNION-deduped recursive walk (bounded by
     # hosts x max_depth rows), min depth per host = BFS distance
     d["web_crawl_depth"] = f"""

@@ -523,21 +523,33 @@ def _components_frame(edges: pd.DataFrame, src: str,
 def host_components(edges: rd.Dataset, src: str = "src_host",
                     dst: str = "dst_host", num_buckets: int = 32,
                     rounds_cap: int | None = None,
-                    mode: str = "auto") -> rd.Dataset:
+                    mode: str = "auto",
+                    iter_plan: str = "auto") -> rd.Dataset:
     """Connected components of the (undirected) host graph: (host,
     component) where component = lexicographically smallest host in
     the component — site families / mirror clusters at host
     granularity.
 
-    Distributed plan: STRING min-label propagation, the same
-    Dataset-resident round shape as ``dedup_algos._label_prop_ray``
-    (labels never collect; one join + one bucketed min per round; a
-    changed-count aggregate terminates) — min over strings is as
-    order-free as min over ints, so the result is partitioning-
-    invariant and equal to the local union-find. ``rounds_cap``
-    defaults to n_nodes + 1 — the worst-case diameter bound, so the
-    default ALWAYS converges (the sibling min_label_propagation rule);
-    pass a smaller cap only as an explicit latency/exactness trade."""
+    Distributed plan: STRING min-label propagation. ``iter_plan``
+    picks the round regime (same policy as ``pagerank_hosts``):
+
+    * ``'broadcast'`` (auto when hosts <= ``BROADCAST_HOSTS_CUT``) —
+      the O(hosts) label vector rides plasma; each round is ONE
+      streaming pass over the STATIC symmetric edge Dataset (per-block
+      (dst, min incoming label) partials) + one bucketed min + an
+      O(hosts) driver fold — the static edges never re-exchange.
+    * ``'exchange'`` — the Dataset-resident round shape of
+      ``dedup_algos._label_prop_ray`` (labels never collect; one join
+      + one bucketed min per round; a changed-count aggregate
+      terminates) — the page-level-graph path, where the label vector
+      itself is too big to broadcast.
+
+    min over strings is as order-free as min over ints, so the result
+    is partitioning-invariant, plan-invariant (pinned by test) and
+    equal to the local union-find. ``rounds_cap`` defaults to
+    n_nodes + 1 — the worst-case diameter bound, so the default ALWAYS
+    converges (the sibling min_label_propagation rule); pass a smaller
+    cap only as an explicit latency/exactness trade."""
     if _resolve_mode(edges, mode) == "local":
         def proj(df: pd.DataFrame) -> pd.DataFrame:
             return df[[src, dst]]
@@ -582,6 +594,51 @@ def host_components(edges: rd.Dataset, src: str = "src_host",
     # label — true for IDNA hostnames (ASCII/punycode); a non-BMP
     # label would violate the invariant, hence the hostname domain note
     no_self = "￿"
+
+    if iter_plan == "auto":
+        iter_plan = ("broadcast" if n <= BROADCAST_HOSTS_CUT
+                     else "exchange")
+    if iter_plan == "broadcast":
+        import ray
+
+        cap = rounds_cap if rounds_cap is not None else n + 1
+        nodes_pd = labels.to_pandas()   # O(hosts) driver-resident
+        idx = pd.Index(nodes_pd["node"])
+        lab = nodes_pd["node"].to_numpy(dtype=object)
+        converged = False
+        for _ in range(cap):
+            ref = ray.put(pd.Series(lab, index=idx))
+
+            def part(t: pa.Table, _ref=ref) -> pa.Table:
+                s = ray.get(_ref)
+                ls = s.reindex(pd.Index(
+                    t["src"].to_numpy(zero_copy_only=False))) \
+                    .to_numpy(dtype=object)
+                g = (pa.table({"node": t["dst"],
+                               "label": pa.array(ls, pa.string())})
+                     .group_by("node").aggregate([("label", "min")]))
+                return g.select(["node", "label_min"]) \
+                        .rename_columns(["node", "label"])
+
+            ins = bucketed_agg(
+                dedges.map_batches(part, batch_format="pyarrow"),
+                "node", {"label": ("label", "min")},
+                num_buckets=num_buckets).to_pandas()
+            incoming = (pd.Series(ins["label"].to_numpy(dtype=object),
+                                  index=ins["node"])
+                        .reindex(idx).fillna(no_self)
+                        .to_numpy(dtype=object))
+            new = np.minimum(lab, incoming)
+            if int((new < lab).sum()) == 0:
+                converged = True
+                break
+            lab = new
+        if not converged:
+            log.warning("host_components: rounds_cap=%d hit before "
+                        "convergence", cap)
+        return rd.from_pandas(pd.DataFrame({
+            "host": nodes_pd["node"],
+            "component": pd.array(lab, dtype="object")}))
 
     def as_msg(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["dst"],

@@ -209,12 +209,15 @@ def test_host_components_local_equals_distributed(ray_session):
     edges = _component_edges_frame()
     local = host_components(rd.from_pandas(edges),
                             mode="local").to_pandas()
-    dist = host_components(rd.from_pandas(edges).repartition(4),
-                           mode="distributed").to_pandas()
     local = local.sort_values("host").reset_index(drop=True)
-    dist = dist.sort_values("host").reset_index(drop=True)
-    assert local["host"].tolist() == dist["host"].tolist()
-    assert local["component"].tolist() == dist["component"].tolist()
+    # both iteration regimes must equal the union-find exactly
+    for plan in ("exchange", "broadcast"):
+        dist = host_components(rd.from_pandas(edges).repartition(4),
+                               mode="distributed",
+                               iter_plan=plan).to_pandas()
+        dist = dist.sort_values("host").reset_index(drop=True)
+        assert local["host"].tolist() == dist["host"].tolist()
+        assert local["component"].tolist() == dist["component"].tolist()
 
 
 def test_host_components_chain_converges(ray_session):
@@ -225,10 +228,12 @@ def test_host_components_chain_converges(ray_session):
     edges = pd.DataFrame({
         "src_host": [f"n{i:02d}" for i in range(5)],
         "dst_host": [f"n{i+1:02d}" for i in range(5)]})
-    out = host_components(rd.from_pandas(edges),
-                          mode="distributed").to_pandas()
-    assert (out["component"] == "n00").all()
-    assert len(out) == 6
+    for plan in ("exchange", "broadcast"):
+        out = host_components(rd.from_pandas(edges),
+                              mode="distributed",
+                              iter_plan=plan).to_pandas()
+        assert (out["component"] == "n00").all()
+        assert len(out) == 6
 
 
 def test_host_components_empty(ray_session):
