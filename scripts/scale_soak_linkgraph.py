@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--hosts", type=int, default=100_000)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--iter-plan", default="auto",
+                choices=["auto", "exchange", "broadcast"])
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -71,7 +73,8 @@ def main() -> None:
 
     t0 = time.monotonic()
     out = pagerank_hosts(edges, iters=args.iters,
-                         mode="distributed").to_pandas()
+                         mode="distributed",
+                         iter_plan=args.iter_plan).to_pandas()
     dist_s = time.monotonic() - t0
 
     # independent single-frame reference over the SAME edge multiset
@@ -92,6 +95,7 @@ def main() -> None:
         "edges": int(len(frame)),
         "hosts_seen": int(len(ref)),
         "iters": args.iters,
+        "iter_plan": args.iter_plan,
         "distributed_sec": round(dist_s, 1),
         "reference_sec": round(ref_s, 1),
         "rank_fp_bit_equal": fp_equal,

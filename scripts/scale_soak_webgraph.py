@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--hosts", type=int, default=4_999)
     ap.add_argument("--families", type=int, default=1_000)
     ap.add_argument("--spokes", type=int, default=100)
+    ap.add_argument("--iter-plan", default="auto",
+                choices=["auto", "exchange", "broadcast"])
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -118,7 +120,8 @@ def main() -> None:
 
     edges = rd.range(F * S).map_batches(star, batch_format="pyarrow")
     t0 = time.monotonic()
-    comp = host_components(edges, mode="distributed").to_pandas()
+    comp = host_components(edges, mode="distributed",
+                           iter_plan=args.iter_plan).to_pandas()
     comp_s = time.monotonic() - t0
     comp_ok = (len(comp) == F * (S + 1)
                and (comp["component"]
@@ -132,6 +135,7 @@ def main() -> None:
         "mirror_sec": round(mirror_s, 1),
         "mirror_closed_form_equal": bool(mirror_ok),
         "families": F, "spokes": S,
+        "iter_plan": args.iter_plan,
         "component_rows": int(len(comp)),
         "components_sec": round(comp_s, 1),
         "components_closed_form_equal": bool(comp_ok),
