@@ -1603,6 +1603,41 @@ def _docs_edges(sf_dir: str):
     return docs.map_batches(synth_edges_batch, batch_format="pyarrow")
 
 
+def _docs_mojibake(sf_dir: str):
+    """Encoding-damage panel: mojibake signature count + flag per doc
+    (ftfy-style double-encoded-UTF-8 heuristic; planted-damage unit
+    covers the positive path — the sf corpora are clean ASCII)."""
+    from ocr_model_ray.functions.text_stats import mojibake_batch
+    return _docs(sf_dir).map_batches(mojibake_batch,
+                                     batch_format="pyarrow")
+
+
+def _web_related_hosts(sf_dir: str):
+    """Co-citation similarity: host pairs whose IN-LINKING host sets
+    overlap (the 'related sites' signal; same set-Jaccard machinery as
+    mirror detection, keyed by linking host instead of content). The
+    synthesis is a sliding window so adjacency is discriminative:
+    src h{s} (s = doc_id % 101) links to g{s//4} and g{(s+2)//4} —
+    adjacent g-hosts share exactly the 2-source window overlap, far
+    pairs share nothing."""
+    import pandas as pd
+    from ocr_model_ray.functions.url_ops import host_mirror_pairs
+
+    docs = _read_sized(sf_dir, "documents.parquet",
+                       columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        s = (df["doc_id"].astype("int64") % 101)
+        a = pd.DataFrame({"host": "g" + (s // 4).astype(str),
+                          "h": "h" + s.astype(str)})
+        b = pd.DataFrame({"host": "g" + ((s + 2) // 4).astype(str),
+                          "h": "h" + s.astype(str)})
+        return pd.concat([a, b], ignore_index=True)
+
+    stream = docs.map_batches(assign, batch_format="pandas")
+    return host_mirror_pairs(stream, threshold=0.15)
+
+
 def _web_host_graph(sf_dir: str):
     """Host-level link-graph aggregation: (src_host, dst_host,
     n_links) over the synthesized edge stream."""
@@ -2342,6 +2377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_budget_select": _docs_budget_select,
         "docs_budget_select_dist": _docs_budget_select_dist,
         "docs_script_ratios": _docs_script_ratios,
+        "docs_mojibake": _docs_mojibake,
         "docs_source_mix_weights": _docs_source_mix_weights,
         "docs_mix_rebalance": _docs_mix_rebalance,
         "docs_mix_oversample": _docs_mix_oversample,
@@ -2412,6 +2448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _extract_links,
         "web_anchor_index": _web_anchor_index,
         "web_mirror_hosts": _web_mirror_hosts,
+        "web_related_hosts": _web_related_hosts,
         "warc_roundtrip": _warc_roundtrip,
         "web_host_components": _web_host_components,
         "web_host_components_dist": _web_host_components_dist,
@@ -3376,6 +3413,16 @@ def oracle_sql() -> dict[str, str]:
         # the same regex engine as the Arrow kernel), one IEEE
         # division per ratio; \x{}-escaped ranges == the Python
         # literals in text_stats.SCRIPT_PATTERNS
+        "docs_mojibake": """
+            SELECT doc_id,
+                CAST(len(regexp_extract_all(coalesce(text,''),
+                     '[\\x{00C3}\\x{00C2}\\x{00CE}\\x{00CF}\\x{00D0}\\x{00D1}][\\x{0080}-\\x{00BF}]'))
+                     AS BIGINT) AS n_mojibake,
+                len(regexp_extract_all(coalesce(text,''),
+                     '[\\x{00C3}\\x{00C2}\\x{00CE}\\x{00CF}\\x{00D0}\\x{00D1}][\\x{0080}-\\x{00BF}]'))
+                     > 0 AS mojibake
+            FROM documents
+        """,
         "docs_script_ratios": """
             SELECT doc_id,
                 CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars,
@@ -4361,6 +4408,32 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.host = i.host_b
         WHERE CAST(i.n_inter AS DOUBLE)
                   / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.3
+    """
+    # co-citation related hosts: the mirror CTE shape over the
+    # sliding-window in-link synthesis (src h{s} -> g{s//4} and
+    # g{(s+2)//4}), threshold 0.15
+    d["web_related_hosts"] = """
+        WITH s AS (SELECT doc_id % 101 AS s FROM documents),
+        assign AS (
+            SELECT 'g' || (s // 4) AS host, 'h' || s AS h FROM s
+            UNION ALL
+            SELECT 'g' || ((s + 2) // 4) AS host, 'h' || s AS h FROM s),
+        hosts AS (SELECT DISTINCT host, h FROM assign),
+        sizes AS (SELECT host, count(*) AS n FROM hosts GROUP BY host),
+        inter AS (SELECT a.host AS host_a, b.host AS host_b,
+                         CAST(count(*) AS BIGINT) AS n_inter
+                  FROM hosts a JOIN hosts b
+                    ON a.h = b.h AND a.host < b.host
+                  GROUP BY 1, 2)
+        SELECT i.host_a, i.host_b, i.n_inter,
+               CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+               CAST(i.n_inter AS DOUBLE)
+                   / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.host = i.host_a
+        JOIN sizes sb ON sb.host = i.host_b
+        WHERE CAST(i.n_inter AS DOUBLE)
+                  / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) >= 0.15
     """
     # sitemap scan: replays the per-doc blob synthesis — two entries
     # per doc, the padded loc trimmed, lastmod null on the /alt entry

@@ -476,3 +476,53 @@ def script_ratio_batch(t, text_col: str = "text"):
         cols[name.replace("n_", "") + "_ratio"] = pa.array(
             c.astype(np.float64) / denom, pa.float64(), mask=~nz)
     return pa.table(cols)
+
+
+#: mojibake (double-encoded UTF-8) signature: a Latin-1 lead byte
+#: glyph (\u00c3 \u00c2 \u00ce \u00cf \u00d0 \u00d1 -- the latin-1 renderings of UTF-8
+#: lead bytes C3/C2/CE/CF/D0/D1) immediately followed by a codepoint
+#: in the latin-1 continuation range U+0080-U+00BF. Explicit
+#: codepoints (the SCRIPT_PATTERNS doctrine) so the RE2 count is
+#: bit-identical between Arrow and the DuckDB twin.
+MOJIBAKE_PATTERN = "[\u00c3\u00c2\u00ce\u00cf\u00d0\u00d1][\u0080-\u00bf]"
+
+
+def mojibake_batch(t, text_col: str = "text"):
+    """Per-document encoding-damage signal (the ftfy-style heuristic a
+    web corpus needs before training: double-encoded UTF-8 shows up as
+    'caf\u00c3\u00a9'): count of mojibake signature bigrams + a boolean
+    flag. Null text counts as '' (0, false) -- matching the SQL twin."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    txt = t[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+    n = pc.count_substring_regex(txt, MOJIBAKE_PATTERN) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({"doc_id": t["doc_id"],
+                     "n_mojibake": pa.array(n),
+                     "mojibake": pa.array(n > 0)})
+
+
+def repair_mojibake(texts: pd.Series) -> pd.Series:
+    """Best-effort repair of double-encoded UTF-8: when a text carries
+    the mojibake signature AND its latin-1 re-encode round-trips as
+    valid UTF-8, return the decoded form; otherwise return the text
+    unchanged (never lossy -- a failed roundtrip means the damage is
+    something else). Library transform for a cleaning stage; per-row
+    Python but only on the FLAGGED subset, which web-scale corpora
+    keep small."""
+    import re
+    pat = re.compile(MOJIBAKE_PATTERN)
+
+    def fix(x):
+        if not isinstance(x, str) or not pat.search(x):
+            return x
+        try:
+            return x.encode("latin-1").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            return x
+
+    return texts.map(fix)

@@ -1333,3 +1333,42 @@ def test_split_leakage_planted(ray_session):
     assert 9 not in got                              # control clean
     # heldout docs are never emitted
     assert all(d % 10 != 0 for d in got)
+
+
+def test_mojibake_planted_damage():
+    """Planted double-encoded UTF-8: detector counts match DuckDB's
+    RE2 on the same frame; repair round-trips the damage and leaves
+    clean/irreparable text untouched."""
+    import duckdb
+    import pyarrow as pa
+
+    from ocr_model_ray.functions.text_stats import (mojibake_batch,
+                                                    repair_mojibake)
+    cafe = "caf\u00c3\u00a9 cr\u00c3\u00a8me"      # 'cafe creme' damaged
+    docs = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2, 3], dtype="int64"),
+        "text": [cafe,
+                 "perfectly clean ascii",
+                 None,
+                 "\u00c3 lone lead, no continuation"]})
+    out = mojibake_batch(pa.Table.from_pandas(docs)).to_pandas()
+    r = out.set_index("doc_id")
+    assert r.loc[0, "n_mojibake"] == 2 and bool(r.loc[0, "mojibake"])
+    assert r.loc[1, "n_mojibake"] == 0 and not bool(r.loc[1, "mojibake"])
+    assert r.loc[2, "n_mojibake"] == 0
+    assert r.loc[3, "n_mojibake"] == 0   # lead glyph alone is not damage
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    import __ray_entry__ as em
+    want = con.execute(em.oracle_sql()["docs_mojibake"]).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    for c in want.columns:
+        g, w = got[c], want[c]
+        assert bool(((g == w) | (g.isna() & w.isna())).all()), c
+
+    fixed = repair_mojibake(docs["text"])
+    assert fixed[0] == "caf\u00e9 cr\u00e8me"
+    assert fixed[1] == docs["text"][1]
+    assert fixed[3] == docs["text"][3]   # no signature -> untouched
