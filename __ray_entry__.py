@@ -1389,6 +1389,64 @@ def _docs_bigram_lift(sf_dir: str):
     return bigram_lift(_docs(sf_dir), k=50, min_count=5)
 
 
+def _docs_bpe_pairs(sf_dir: str):
+    from ocr_model_ray.functions.bpe import bpe_pair_counts
+    return bpe_pair_counts(_docs(sf_dir), k=50)
+
+
+def _docs_bpe_merges(sf_dir: str):
+    from ocr_model_ray.functions.bpe import bpe_train
+    return bpe_train(_docs(sf_dir), num_merges=8)
+
+
+def _bpe_merges_sql(k: int) -> str:
+    """Unrolled-CTE SQL twin of ``bpe.bpe_train`` (k merge rounds).
+
+    Mirrors the engine exactly: the same double-separator symbol
+    strings, the same (count DESC, pair ASC) selection, and the same
+    plain non-overlapping left-to-right ``replace`` for the merge
+    (see functions/bpe.py for why that IS greedy BPE under the
+    double-space scheme). ``AS MATERIALIZED`` is load-bearing —
+    DuckDB inlines plain CTEs, and a k-deep chain where each level is
+    referenced several times re-executes exponentially without it.
+    """
+    parts = ["""WITH words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS wn
+        FROM (SELECT unnest(regexp_split_to_array(text,
+                     '[ \\t\\n\\r\\f\\v]+')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w),
+    sym0 AS MATERIALIZED (
+        SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g'), ' ')
+                   || ' ' AS s, wn
+        FROM words)"""]
+    for r in range(k):
+        parts.append(f""",
+    pairs{r} AS MATERIALIZED (
+        SELECT l[i] AS a, l[i+1] AS b, CAST(sum(wn) AS BIGINT) AS n
+        FROM (SELECT string_split(trim(s, ' '), '  ') AS l, wn
+              FROM sym{r}),
+             LATERAL unnest(generate_series(
+                 1, greatest(len(l) - 1, 0))) AS t(i)
+        GROUP BY a, b),
+    best{r} AS MATERIALIZED (SELECT a, b, n FROM pairs{r}
+                ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+    sym{r + 1} AS MATERIALIZED (
+        SELECT CASE WHEN (SELECT count(*) FROM best{r}) = 0 THEN s
+               ELSE replace(s,
+                    ' ' || (SELECT a FROM best{r}) || '  '
+                        || (SELECT b FROM best{r}) || ' ',
+                    ' ' || (SELECT a FROM best{r})
+                        || (SELECT b FROM best{r}) || ' ')
+               END AS s, wn
+        FROM sym{r})""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, a AS lhs, b AS rhs, n "
+        f"FROM best{r}" for r in range(k))
+    parts.append(f"\n    SELECT rank, lhs, rhs, n FROM ({union}) "
+                 "ORDER BY rank")
+    return "".join(parts)
+
+
 def _docs_freq_score(sf_dir: str):
     from ocr_model_ray.functions.corpus_stats import unigram_freq_score
     return unigram_freq_score(_docs(sf_dir))
@@ -2402,6 +2460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split_leakage": _docs_split_leakage,
         "docs_freq_score": _docs_freq_score,
         "docs_bigram_lift": _docs_bigram_lift,
+        "docs_bpe_pairs": _docs_bpe_pairs,
+        "docs_bpe_merges": _docs_bpe_merges,
         "docs_near_dup_clusters": _docs_near_dup_clusters,
         "docs_near_dup_dist": _docs_near_dup_dist,
         "docs_near_dup_clusters_dist": _docs_near_dup_clusters_dist,
@@ -3804,6 +3864,29 @@ def oracle_sql() -> dict[str, str]:
         # from those pairs with a recursive min-label CTE
         # collocations: lift is a pure count ratio (no log), so the
         # single float expression hashes bit-exactly
+        # BPE round-0 character-pair counts, weighted by word
+        # frequency; same symbol encoding as the merges twin
+        "docs_bpe_pairs": """
+            WITH words AS MATERIALIZED (
+                SELECT w, CAST(count(*) AS BIGINT) AS wn
+                FROM (SELECT unnest(regexp_split_to_array(text,
+                             '[ \\t\\n\\r\\f\\v]+')) AS w
+                      FROM documents)
+                WHERE w <> '' GROUP BY w),
+            sym0 AS (
+                SELECT string_split(rtrim(regexp_replace(
+                           w, '(.)', '\\1  ', 'g'), ' '), '  ') AS l,
+                       wn
+                FROM words)
+            SELECT l[i] AS a, l[i+1] AS b,
+                   CAST(sum(wn) AS BIGINT) AS n
+            FROM sym0, LATERAL unnest(generate_series(
+                           1, greatest(len(l) - 1, 0))) AS t(i)
+            GROUP BY a, b
+            ORDER BY n DESC, a ASC, b ASC
+            LIMIT 50
+        """,
+        "docs_bpe_merges": _bpe_merges_sql(8),
         "docs_bigram_lift": """
             WITH words AS (
                 SELECT doc_id,
