@@ -1389,6 +1389,11 @@ def _docs_bigram_lift(sf_dir: str):
     return bigram_lift(_docs(sf_dir), k=50, min_count=5)
 
 
+def _docs_top_ngrams(sf_dir: str):
+    from ocr_model_ray.functions.corpus_stats import top_ngrams
+    return top_ngrams(_docs(sf_dir), n=3, k=50)
+
+
 def _docs_bpe_pairs(sf_dir: str):
     from ocr_model_ray.functions.bpe import bpe_pair_counts
     return bpe_pair_counts(_docs(sf_dir), k=50)
@@ -2460,6 +2465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split_leakage": _docs_split_leakage,
         "docs_freq_score": _docs_freq_score,
         "docs_bigram_lift": _docs_bigram_lift,
+        "docs_top_ngrams": _docs_top_ngrams,
         "docs_bpe_pairs": _docs_bpe_pairs,
         "docs_bpe_merges": _docs_bpe_merges,
         "docs_near_dup_clusters": _docs_near_dup_clusters,
@@ -3864,6 +3870,22 @@ def oracle_sql() -> dict[str, str]:
         # from those pairs with a recursive min-label CTE
         # collocations: lift is a pure count ratio (no log), so the
         # single float expression hashes bit-exactly
+        # boilerplate discovery: top word-3-grams by occurrence count
+        "docs_top_ngrams": """
+            WITH words AS (
+                SELECT list_filter(string_split_regex(
+                           text, '[ \t\n\r\f\v]+'),
+                           x -> x <> '') AS l
+                FROM documents),
+            g AS (
+                SELECT array_to_string(l[i:i+2], ' ') AS gram
+                FROM words, LATERAL unnest(generate_series(
+                        1, greatest(len(l) - 2, 0))) AS t(i))
+            SELECT gram, CAST(count(*) AS BIGINT) AS n
+            FROM g GROUP BY gram
+            ORDER BY n DESC, gram ASC
+            LIMIT 50
+        """,
         # BPE round-0 character-pair counts, weighted by word
         # frequency; same symbol encoding as the merges twin
         "docs_bpe_pairs": """

@@ -1044,3 +1044,74 @@ def doc_top_tfidf(ds: rd.Dataset, k: int = 2, id_col: str = "doc_id",
     return (scored.map_batches(tag_doc, batch_format="pyarrow")
             .groupby("__db").map_groups(per_doc_bucket,
                                         batch_format="pandas"))
+
+
+def top_ngrams(ds: rd.Dataset, n: int = 3, k: int = 50,
+               text_col: str = "text", mode: str = "auto"
+               ) -> pd.DataFrame:
+    """Corpus-level top-k word n-grams by total occurrence count — the
+    boilerplate-discovery primitive (the "most common 13-gram" style
+    audit of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": high-count long n-grams are navigation
+    chrome, cookie banners and licence footers, the phrases a span
+    dedup or a filter list should target).
+
+    Plan (same shape as ``top_tokens``): each block tokenizes once,
+    emits its LOCAL (gram, count) partials via shifted arrow takes +
+    one arrow group_by — raw gram streams never move — then one
+    token-bucketed exchange sums the partials and a tree top-k reduces
+    to the driver. Boundary semantics match the SQL twin exactly:
+    empty split tokens drop FIRST, then grams form within each doc
+    (``list_filter`` before the positional slice)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    shift = n - 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t[text_col], WS_SPLIT)
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        docix = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        docix = docix[keep]
+        if len(flat) <= shift:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        if shift:
+            valid = docix[:-shift] == docix[shift:]
+        else:
+            valid = np.ones(len(flat), dtype=bool)
+        idx = np.nonzero(valid)[0]
+        if idx.size == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        cols = [flat.take(pa.array(idx + i)) for i in range(n)]
+        gram = cols[0] if n == 1 else pc.binary_join_element_wise(
+            *cols, " ")
+        g = (pa.table({"gram": gram}).group_by("gram")
+             .aggregate([([], "count_all")]))
+        return g.select(["gram", "count_all"]).rename_columns(
+            ["gram", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    if _resolve_mode(ds, mode) == "local":
+        merged = partials.to_pandas()
+        if merged.empty or "gram" not in merged.columns:
+            out = merged
+        else:
+            out = (merged.groupby("gram", as_index=False)["n"].sum()
+                   .sort_values(["n", "gram"], ascending=[False, True],
+                                kind="mergesort")
+                   .head(k).reset_index(drop=True))
+    else:
+        from .bucketed import bucketed_agg
+        from .topk import topk
+        summed = bucketed_agg(partials, "gram", {"n": ("n", "sum")})
+        out = topk(summed, ["n", "gram"], k=k, descending=[True, False])
+    if out.empty or "n" not in out.columns:
+        return pd.DataFrame({"gram": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return out[["gram", "n"]].reset_index(drop=True)

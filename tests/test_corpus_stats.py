@@ -346,3 +346,50 @@ def test_doc_top_tfidf_partitioning_independence():
                        k=2).to_pandas()
          .sort_values(["doc_id", "token"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_ngrams_local_equals_distributed_equals_duckdb():
+    import duckdb
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import top_ngrams
+    df = _corpus(n_docs=100, vocab_n=12, seed=4)
+    # boundary shapes: split empties at edges, short docs, a planted
+    # repeated boilerplate phrase
+    df.loc[0, "text"] = "  accept all cookies \t accept all cookies "
+    df.loc[1, "text"] = "one two"          # shorter than n=3
+    df.loc[2, "text"] = ""
+    # plant a genuine boilerplate phrase into a third of the docs
+    for i in range(10, 40):
+        df.loc[i, "text"] = df.loc[i, "text"] + " accept all cookies"
+    ds = rd.from_pandas(df).repartition(5)
+    dist = top_ngrams(ds, n=3, k=15, mode="distributed")
+    loc = top_ngrams(ds, n=3, k=15, mode="local")
+    pd.testing.assert_frame_equal(dist, loc)
+    assert "accept all cookies" in set(dist["gram"])
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute("""
+        WITH words AS (
+            SELECT list_filter(string_split_regex(
+                       text, '[ \t\n\r\f\v]+'), x -> x <> '') AS l
+            FROM documents),
+        g AS (SELECT array_to_string(l[i:i+2], ' ') AS gram
+              FROM words, LATERAL unnest(generate_series(
+                      1, greatest(len(l) - 2, 0))) AS t(i))
+        SELECT gram, CAST(count(*) AS BIGINT) AS n
+        FROM g GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 15
+        """).df()
+    pd.testing.assert_frame_equal(dist, want, check_dtype=False)
+    # n=1 degenerates to token counts; n=2 pairs; empty corpus typed
+    uni = top_ngrams(ds, n=1, k=5, mode="distributed")
+    from ocr_model_ray.functions.corpus_stats import top_tokens
+    tok = top_tokens(ds, k=5, mode="distributed")
+    assert list(uni["gram"]) == list(tok["token"])
+    assert list(uni["n"]) == list(tok["n"])
+    empty = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "text": pd.Series([], dtype="object")}))
+    out = top_ngrams(empty, n=3, k=5, mode="distributed")
+    assert list(out.columns) == ["gram", "n"] and out.empty
