@@ -1457,6 +1457,16 @@ def _docs_freq_score(sf_dir: str):
     return unigram_freq_score(_docs(sf_dir))
 
 
+def _docs_bigram_fluency(sf_dir: str):
+    from ocr_model_ray.functions.corpus_stats import bigram_fluency
+    return bigram_fluency(_docs(sf_dir))
+
+
+def _docs_bigram_fluency_dist(sf_dir: str):
+    from ocr_model_ray.functions.corpus_stats import bigram_fluency
+    return bigram_fluency(_docs(sf_dir), mode="distributed")
+
+
 def _docs_jaccard_pairs(sf_dir: str):
     from ocr_model_ray.functions.dedup_algos import jaccard_similarity_join
     return jaccard_similarity_join(_docs(sf_dir), threshold=0.8)
@@ -2464,6 +2474,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "docs_split_leakage": _docs_split_leakage,
         "docs_freq_score": _docs_freq_score,
+        "docs_bigram_fluency": _docs_bigram_fluency,
+        "docs_bigram_fluency_dist": _docs_bigram_fluency_dist,
         "docs_bigram_lift": _docs_bigram_lift,
         "docs_top_ngrams": _docs_top_ngrams,
         "docs_bpe_pairs": _docs_bpe_pairs,
@@ -3956,6 +3968,41 @@ def oracle_sql() -> dict[str, str]:
             FROM tok JOIN cnt USING (token)
             GROUP BY doc_id ORDER BY doc_id
         """,
+        # bigram transition fluency: int64 sums + the integer
+        # cross-multiply rare test (cb*64 < cu*1 <=> MLE cond prob
+        # < 1/64); the two float expressions evaluate in the engine's
+        # exact order, so the value hash is bit-exact
+        "docs_bigram_fluency": """
+            WITH words AS (
+                SELECT doc_id, list_filter(string_split_regex(
+                    text, '[ \t\n\r\f\v]+'), x -> x <> '') AS w
+                FROM documents),
+            tok AS (SELECT doc_id, unnest(w) AS token FROM words),
+            uni AS (SELECT token, CAST(count(*) AS BIGINT) AS cu
+                    FROM tok GROUP BY token),
+            bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                   FROM words, LATERAL unnest(
+                       generate_series(1, greatest(len(w) - 1, 0)))
+                       AS t(i)),
+            bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+                   FROM bi GROUP BY w1, w2),
+            tb AS (SELECT count(*) AS TB FROM bi),
+            j AS (SELECT bi.doc_id, bc.cb, uni.cu
+                  FROM bi JOIN bc USING (w1, w2)
+                       JOIN uni ON uni.token = bi.w1)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(cb) AS BIGINT) AS sum_bi,
+                   CAST(sum(CASE WHEN cb * 64 < cu * 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+                   CAST(sum(CASE WHEN cb * 64 < cu * 1
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       / (CAST(count(*) AS BIGINT) * 1.0) AS rare_ratio,
+                   CAST(sum(cb) AS BIGINT)
+                       / (CAST(count(*) AS BIGINT) * 1.0
+                          * (SELECT TB FROM tb)) AS avg_bi_freq
+            FROM j GROUP BY doc_id ORDER BY doc_id
+        """,
         # fully independent n-gram Jaccard oracle: DuckDB builds the
         # same distinct word-3-gram sets and the same posting-list
         # intersection counts in pure SQL — no goldens involved
@@ -4939,6 +4986,7 @@ def oracle_sql() -> dict[str, str]:
     d["docs_near_dup_dist"] = d["docs_near_dup"]
     d["docs_near_dup_clusters_dist"] = d["docs_near_dup_clusters"]
     d["docs_jaccard_pairs_dist"] = d["docs_jaccard_pairs"]
+    d["docs_bigram_fluency_dist"] = d["docs_bigram_fluency"]
     d["docs_sequence_pack_dist"] = d["docs_sequence_pack"]
     d["docs_decontaminate_bloom"] = d["docs_decontaminate"]
     # kept docs = everything except non-representative cluster members

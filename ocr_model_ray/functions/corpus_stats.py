@@ -1115,3 +1115,254 @@ def top_ngrams(ds: rd.Dataset, n: int = 3, k: int = 50,
                              "n": pd.Series([], dtype="int64")})
     out["n"] = out["n"].astype("int64")
     return out[["gram", "n"]].reset_index(drop=True)
+
+
+def bigram_fluency(ds: rd.Dataset, text_col: str = "text",
+                   doc_col: str = "doc_id",
+                   thresh_num: int = 1, thresh_den: int = 64,
+                   mode: str = "auto",
+                   vocab_broadcast_rows: int = VOCAB_BROADCAST_ROWS
+                   ) -> pd.DataFrame:
+    """Per-document word-transition fluency — the division-exact
+    bigram cousin of CCNet's LM-perplexity quality filter (Wenzek et
+    al. 2019 filter by per-doc LM score; the reference's quality gate
+    is per-doc confidence thresholds, spec.py M15/G6 semantics family).
+    For every document with at least one word bigram:
+
+      n_bigrams   — bigram instances in the doc
+      sum_bi      — Σ corpus count of each bigram instance (int64)
+      n_rare      — instances whose MLE conditional probability
+                    c(w1 w2)/c(w1) < thresh_num/thresh_den, decided by
+                    the integer cross-multiply
+                    ``c_bi * thresh_den < c_uni * thresh_num`` (the
+                    docs_weighted_sample doctrine: no float compare)
+      rare_ratio  — n_rare / (n_bigrams * 1.0)
+      avg_bi_freq — sum_bi / (n_bigrams * 1.0 * TB), TB = corpus
+                    bigram instances
+
+    Gibberish / word-salad text has a high rare_ratio (its transitions
+    almost never recur in the corpus); fluent and boilerplate text
+    scores low. Every aggregate is an int64 sum and the two float
+    expressions evaluate in the SQL oracle's exact order, so the
+    result is bit-identical to DuckDB's (no logs — libm-free, per the
+    bigram_lift doctrine). Documents with fewer than two tokens yield
+    no bigram and are absent, matching the oracle's inner join.
+
+    Plan (two streaming passes, unigram_freq_score's shape): pass 1
+    emits per-batch (kind, key, n) combiners for unigrams AND bigrams
+    (the text tokenizes once) into one (kind, key)-bucketed exchange.
+    Pass 2 re-reads the docs: when the merged vocabulary fits
+    ``vocab_broadcast_rows`` the two count maps ride the object store
+    once (``ray.put``) and each batch folds its own complete documents
+    shuffle-free (rows are whole docs, so per-doc partials are final);
+    above it, per-(doc, gram) multiplicities bucket-join the bigram
+    counts on the gram key, then the unigram counts on w1, and a
+    doc_id-bucketed reduce hands the driver one row per document.
+    Tokens cannot contain a space (WS_SPLIT splits on it), so
+    ``w1 || ' ' || w2`` is an unambiguous gram key — the same key the
+    jaccard oracle uses."""
+    import ray
+
+    from .bucketed import bucketed_agg
+    from .joins import hash_bucket_join
+
+    _empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "n_bigrams": pd.Series([], dtype="int64"),
+        "sum_bi": pd.Series([], dtype="int64"),
+        "n_rare": pd.Series([], dtype="int64"),
+        "rare_ratio": pd.Series([], dtype="float64"),
+        "avg_bi_freq": pd.Series([], dtype="float64")})
+
+    def counts_partial(t: pa.Table) -> pa.Table:
+        """(kind, key, n) combiner: kind 'u' keys are tokens, 'b' keys
+        are 'w1 w2' grams — one tokenization for both."""
+        toks = pc.split_pattern_regex(t[text_col], WS_SPLIT)
+        words = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        docix = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = words != ""
+        words, docix = words[keep], docix[keep]
+        uni = pd.Series(words).value_counts()
+        keys = list(uni.index)
+        ns = list(uni.to_numpy())
+        kinds = ["u"] * len(keys)
+        if len(words) >= 2:
+            valid = docix[:-1] == docix[1:]
+            if valid.any():
+                grams = (pd.Series(words[:-1][valid], dtype="object")
+                         + " "
+                         + pd.Series(words[1:][valid], dtype="object"))
+                bi = grams.value_counts()
+                keys += list(bi.index)
+                ns += list(bi.to_numpy())
+                kinds += ["b"] * len(bi)
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "key": pa.array(keys, pa.string()),
+                         "n": pa.array(np.asarray(ns, np.int64))})
+
+    def doc_gram_partial(t: pa.Table) -> pa.Table:
+        """per-(doc, gram) multiplicities with the w1 context column"""
+        toks = pc.split_pattern_regex(t[text_col], WS_SPLIT)
+        words = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = t[doc_col].to_numpy(zero_copy_only=False)
+        docix = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = words != ""
+        words, docix = words[keep], docix[keep]
+        if len(words) < 2:
+            return pa.table({"g": pa.array([], pa.string()),
+                             "w1": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "m": pa.array([], pa.int64())})
+        valid = docix[:-1] == docix[1:]
+        w1 = words[:-1][valid]
+        g = (pd.Series(w1, dtype="object") + " "
+             + pd.Series(words[1:][valid], dtype="object")).to_numpy()
+        doc = ids[docix[:-1][valid]]
+        df = (pd.DataFrame({"g": g, "w1": w1, "doc_id": doc})
+              .groupby(["g", "w1", "doc_id"], as_index=False).size()
+              .rename(columns={"size": "m"}))
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def finish(per_doc: pd.DataFrame, tb_total: int) -> pd.DataFrame:
+        if per_doc.empty or "n_bigrams" not in per_doc.columns:
+            return _empty
+        for c in ("doc_id", "n_bigrams", "sum_bi", "n_rare"):
+            per_doc[c] = per_doc[c].astype("int64")
+        per_doc["rare_ratio"] = (per_doc["n_rare"]
+                                 / (per_doc["n_bigrams"] * 1.0))
+        per_doc["avg_bi_freq"] = (per_doc["sum_bi"]
+                                  / (per_doc["n_bigrams"] * 1.0
+                                     * tb_total))
+        return (per_doc[["doc_id", "n_bigrams", "sum_bi", "n_rare",
+                         "rare_ratio", "avg_bi_freq"]]
+                .sort_values("doc_id").reset_index(drop=True))
+
+    counts_parts = ds.map_batches(counts_partial, batch_format="pyarrow",
+                                  batch_size=None)
+
+    if _resolve_mode(ds, mode) == "local":
+        cnt = counts_parts.to_pandas()
+        if cnt.empty or "kind" not in cnt.columns:
+            return _empty
+        cnt = cnt.groupby(["kind", "key"], as_index=False)["n"].sum()
+        bi = cnt[cnt["kind"] == "b"]
+        if bi.empty:
+            return _empty
+        tb_total = int(bi["n"].sum())
+        cb_map = pd.Series(bi["n"].to_numpy(np.int64),
+                           index=bi["key"])
+        uni = cnt[cnt["kind"] == "u"]
+        cu_map = pd.Series(uni["n"].to_numpy(np.int64),
+                           index=uni["key"])
+        dg = (ds.map_batches(doc_gram_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas())
+        if dg.empty or "g" not in dg.columns:
+            return _empty
+        dg = dg.groupby(["g", "w1", "doc_id"], as_index=False)["m"].sum()
+        cb = cb_map.reindex(dg["g"]).to_numpy(np.int64)
+        cu = cu_map.reindex(dg["w1"]).to_numpy(np.int64)
+        m = dg["m"].to_numpy(np.int64)
+        rare = (cb * thresh_den < cu * thresh_num).astype(np.int64)
+        per_doc = (pd.DataFrame({"doc_id": dg["doc_id"].to_numpy(),
+                                 "n_bigrams": m, "sum_bi": m * cb,
+                                 "n_rare": m * rare})
+                   .groupby("doc_id", as_index=False).sum())
+        return finish(per_doc, tb_total)
+
+    merged = bucketed_agg(counts_parts, ["kind", "key"],
+                          {"n": ("n", "sum")}).materialize()
+    msch = merged.schema()
+    if msch is None or "kind" not in msch.names:
+        return _empty
+    bi_counts = merged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "b"))
+                   .select(["key", "n"]).rename_columns(["g", "cb"]),
+        batch_format="pyarrow")
+    tb_total = int(bi_counts.sum("cb") or 0)
+    if tb_total == 0:
+        return _empty
+
+    if merged.count() <= vocab_broadcast_rows:
+        # broadcast plan: both count maps ride plasma once; each batch
+        # holds whole documents so its per-doc fold is final — zero
+        # exchanges in pass 2
+        cnt = merged.to_pandas()
+        bi = cnt[cnt["kind"] == "b"]
+        uni = cnt[cnt["kind"] == "u"]
+        maps_ref = ray.put((
+            pd.Series(bi["n"].to_numpy(np.int64), index=bi["key"]),
+            pd.Series(uni["n"].to_numpy(np.int64), index=uni["key"])))
+
+        def fold(t: pa.Table) -> pa.Table:
+            dg = doc_gram_partial(t).to_pandas()
+            if dg.empty:
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "sum_bi": pa.array([], pa.int64()),
+                    "n_rare": pa.array([], pa.int64())})
+            cb_map, cu_map = ray.get(maps_ref)
+            cb = cb_map.reindex(dg["g"]).to_numpy(np.int64)
+            cu = cu_map.reindex(dg["w1"]).to_numpy(np.int64)
+            m = dg["m"].to_numpy(np.int64)
+            rare = (cb * thresh_den < cu * thresh_num).astype(np.int64)
+            part = (pd.DataFrame({"doc_id": dg["doc_id"].to_numpy(),
+                                  "n_bigrams": m, "sum_bi": m * cb,
+                                  "n_rare": m * rare})
+                    .groupby("doc_id", as_index=False).sum())
+            return pa.Table.from_pandas(part, preserve_index=False) \
+                .replace_schema_metadata(None)
+
+        per_doc = ds.map_batches(fold, batch_format="pyarrow",
+                                 batch_size=None).to_pandas()
+        return finish(per_doc, tb_total)
+
+    # join plan: gram-bucketed join to the bigram counts, then a
+    # w1-bucketed join to the unigram counts, then a doc_id-bucketed
+    # reduce — the driver receives one row per document
+    uni_counts = merged.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "u"))
+                   .select(["key", "n"]).rename_columns(["w1", "cu"]),
+        batch_format="pyarrow")
+    doc_grams = ds.map_batches(doc_gram_partial, batch_format="pyarrow",
+                               batch_size=None)
+
+    def complete_left(lf: pa.Table) -> pa.Table:
+        g = (lf.group_by(["g", "w1", "doc_id"]).aggregate([("m", "sum")]))
+        return g.select(["g", "w1", "doc_id", "m_sum"]) \
+                .rename_columns(["g", "w1", "doc_id", "m"])
+
+    j1 = hash_bucket_join(doc_grams, bi_counts, on="g", num_buckets=32,
+                          left_agg=complete_left)
+
+    def post(mg: pa.Table) -> pa.Table:
+        m = mg["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = mg["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cu = mg["cu"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rare = (cb * thresh_den < cu * thresh_num).astype(np.int64)
+        part = (pd.DataFrame({
+            "doc_id": mg["doc_id"].to_numpy(zero_copy_only=False),
+            "n_bigrams": m, "sum_bi": m * cb, "n_rare": m * rare})
+            .groupby("doc_id", as_index=False).sum())
+        return pa.Table.from_pandas(part, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    j2 = hash_bucket_join(j1, uni_counts, on="w1", num_buckets=32,
+                          post_merge=post)
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["doc_id"], 31), pa.int32())
+        return t.append_column("__db", b)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("doc_id", as_index=False)
+                [["n_bigrams", "sum_bi", "n_rare"]].sum())
+
+    per_doc = (j2.map_batches(tag_doc, batch_format="pyarrow")
+               .groupby("__db")
+               .map_groups(reduce_bucket, batch_format="pandas")
+               .to_pandas())
+    return finish(per_doc, tb_total)

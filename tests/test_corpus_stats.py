@@ -393,3 +393,88 @@ def test_top_ngrams_local_equals_distributed_equals_duckdb():
          "text": pd.Series([], dtype="object")}))
     out = top_ngrams(empty, n=3, k=5, mode="distributed")
     assert list(out.columns) == ["gram", "n"] and out.empty
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_fluency_planted_and_plans_agree():
+    """Hand-computed planted corpus: the common transition "the cat"
+    dominates doc 0 while doc 9 is one-off word salad; all three
+    physical plans (local, broadcast, gram/w1-bucket join) agree
+    bit-for-bit."""
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import bigram_fluency
+
+    # 8 fluent docs repeating "the cat sat" + 1 salad doc + 1 one-token
+    rows = [{"doc_id": i, "text": "the cat sat"} for i in range(8)]
+    rows.append({"doc_id": 8, "text": "zq xv bn"})
+    rows.append({"doc_id": 9, "text": "lonely"})
+    ds = rd.from_items(rows).repartition(3)
+
+    a = bigram_fluency(ds, mode="local")
+    b = bigram_fluency(ds, mode="distributed")
+    c = bigram_fluency(ds, mode="distributed", vocab_broadcast_rows=0)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
+
+    # doc 9 has no bigram -> absent
+    assert set(a["doc_id"]) == set(range(9))
+    # corpus: c("the cat")=8, c("cat sat")=8, c("zq xv")=1, c("xv bn")=1
+    # TB = 18; unigram c("the")=c("cat")=8, c("zq")=c("xv")=1
+    d0 = a[a["doc_id"] == 0].iloc[0]
+    assert d0["n_bigrams"] == 2 and d0["sum_bi"] == 16
+    # "the cat": 8*64 < 8*1 false; "cat sat": 8*64 < 8 false -> 0 rare
+    assert d0["n_rare"] == 0 and d0["rare_ratio"] == 0.0
+    assert d0["avg_bi_freq"] == 16 / (2 * 1.0 * 18)
+    d8 = a[a["doc_id"] == 8].iloc[0]
+    # "zq xv": 1*64 < 1? no (cu("zq")=1). planted counts too small to
+    # trip the 1/64 MLE cut -- verify the raw aggregates instead
+    assert d8["n_bigrams"] == 2 and d8["sum_bi"] == 2
+    assert d8["avg_bi_freq"] == 2 / (2 * 1.0 * 18)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_fluency_rare_cut_and_boundaries():
+    """A transition seen once against a 100x-frequent context word is
+    rare under the 1/64 MLE cut; bigrams never cross document
+    boundaries; empty/whitespace docs are absent."""
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import bigram_fluency
+
+    rows = [{"doc_id": i, "text": "the end"} for i in range(100)]
+    rows.append({"doc_id": 100, "text": "the zebra"})
+    rows.append({"doc_id": 101, "text": "   \t\n "})
+    ds = rd.from_items(rows).repartition(4)
+    out = bigram_fluency(ds, mode="local")
+    assert 101 not in set(out["doc_id"])
+    z = out[out["doc_id"] == 100].iloc[0]
+    # c("the zebra")=1, c("the")=101: 1*64 < 101 -> rare
+    assert z["n_rare"] == 1 and z["rare_ratio"] == 1.0
+    f = out[out["doc_id"] == 0].iloc[0]
+    # c("the end")=100: 100*64 < 101 false -> fluent
+    assert f["n_rare"] == 0
+
+    # boundary: "a b" + "b a" rows never create cross-row bigrams —
+    # each doc_id holds 3 identical rows, so n_bigrams = 3 and the
+    # corpus gram count is 3 (sum_bi = 3*3); any boundary leak would
+    # inflate n_bigrams past 3 per id
+    docs = rd.from_items([{"doc_id": 0, "text": "a b"},
+                          {"doc_id": 1, "text": "b a"}] * 3)
+    o2 = bigram_fluency(docs, mode="local")
+    assert (o2["sum_bi"] == 9).all() and (o2["n_bigrams"] == 3).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_fluency_empty_corpus():
+    import ray.data as rd
+    from ocr_model_ray.functions.corpus_stats import bigram_fluency
+    empty = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text": pd.Series([], dtype="object")}))
+    out = bigram_fluency(empty, mode="local")
+    assert list(out.columns) == ["doc_id", "n_bigrams", "sum_bi",
+                                 "n_rare", "rare_ratio", "avg_bi_freq"]
+    assert out.empty
+    # all-short corpus (no bigram anywhere)
+    short = rd.from_items([{"doc_id": 0, "text": "one"},
+                           {"doc_id": 1, "text": ""}])
+    assert bigram_fluency(short, mode="local").empty
