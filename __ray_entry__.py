@@ -1467,6 +1467,22 @@ def _docs_bigram_fluency_dist(sf_dir: str):
     return bigram_fluency(_docs(sf_dir), mode="distributed")
 
 
+def _docs_winnow_fp(sf_dir: str):
+    from ocr_model_ray.functions.winnow import fingerprint_summary
+    return fingerprint_summary(_docs(sf_dir))
+
+
+def _docs_winnow_pairs(sf_dir: str):
+    from ocr_model_ray.functions.winnow import shared_fingerprint_pairs
+    return shared_fingerprint_pairs(_docs(sf_dir), min_shared=2)
+
+
+def _docs_winnow_pairs_dist(sf_dir: str):
+    from ocr_model_ray.functions.winnow import shared_fingerprint_pairs
+    return shared_fingerprint_pairs(_docs(sf_dir), min_shared=2,
+                                    mode="distributed")
+
+
 def _docs_jaccard_pairs(sf_dir: str):
     from ocr_model_ray.functions.dedup_algos import jaccard_similarity_join
     return jaccard_similarity_join(_docs(sf_dir), threshold=0.8)
@@ -2477,6 +2493,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_fluency": _docs_bigram_fluency,
         "docs_bigram_fluency_dist": _docs_bigram_fluency_dist,
         "docs_bigram_lift": _docs_bigram_lift,
+        "docs_winnow_fp": _docs_winnow_fp,
+        "docs_winnow_pairs": _docs_winnow_pairs,
+        "docs_winnow_pairs_dist": _docs_winnow_pairs_dist,
         "docs_top_ngrams": _docs_top_ngrams,
         "docs_bpe_pairs": _docs_bpe_pairs,
         "docs_bpe_merges": _docs_bpe_merges,
@@ -4003,6 +4022,95 @@ def oracle_sql() -> dict[str, str]:
                           * (SELECT TB FROM tb)) AS avg_bi_freq
             FROM j GROUP BY doc_id ORDER BY doc_id
         """,
+        # winnowing fingerprints (Schleimer et al. 2003): DuckDB
+        # rebuilds the identical 31-bit Karp-Rabin char-5-gram hashes
+        # (unicode(substr) x the engine's literal power-mod constants,
+        # int64-exact) and the rightmost-minimum selection over
+        # 8-gram windows (row_number ORDER BY h ASC, i DESC)
+        "docs_winnow_fp": """
+            WITH g AS (
+                SELECT doc_id, i,
+                       greatest(length(text) - 4, 0) AS n,
+                       (CAST(unicode(substr(text, i, 1)) AS BIGINT)
+                            * 1604566856
+                        + CAST(unicode(substr(text, i+1, 1)) AS BIGINT)
+                            * 1049561761
+                        + CAST(unicode(substr(text, i+2, 1)) AS BIGINT)
+                            * 1426104154
+                        + CAST(unicode(substr(text, i+3, 1)) AS BIGINT)
+                            * 1000003
+                        + CAST(unicode(substr(text, i+4, 1)) AS BIGINT))
+                           % 2147483647 AS h
+                FROM documents, LATERAL unnest(generate_series(
+                    1, greatest(length(text) - 4, 0))) AS t(i)),
+            sel AS (
+                SELECT DISTINCT doc_id, i, h FROM (
+                    SELECT w.doc_id, p.i, p.h,
+                           row_number() OVER (
+                               PARTITION BY w.doc_id, w.j
+                               ORDER BY p.h ASC, p.i DESC) AS rn
+                    FROM (SELECT doc_id, i AS j FROM g
+                          WHERE i + 7 <= n) w
+                    JOIN g p ON p.doc_id = w.doc_id
+                            AND p.i BETWEEN w.j AND w.j + 7)
+                WHERE rn = 1)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_fp,
+                   CAST(sum(h) AS BIGINT) AS sum_h,
+                   CAST(min(i) AS BIGINT) AS min_pos,
+                   CAST(max(i) AS BIGINT) AS max_pos
+            FROM sel GROUP BY doc_id ORDER BY doc_id
+        """,
+        "docs_winnow_pairs": """
+            WITH g AS (
+                SELECT doc_id, i,
+                       greatest(length(text) - 4, 0) AS n,
+                       (CAST(unicode(substr(text, i, 1)) AS BIGINT)
+                            * 1604566856
+                        + CAST(unicode(substr(text, i+1, 1)) AS BIGINT)
+                            * 1049561761
+                        + CAST(unicode(substr(text, i+2, 1)) AS BIGINT)
+                            * 1426104154
+                        + CAST(unicode(substr(text, i+3, 1)) AS BIGINT)
+                            * 1000003
+                        + CAST(unicode(substr(text, i+4, 1)) AS BIGINT))
+                           % 2147483647 AS h
+                FROM documents, LATERAL unnest(generate_series(
+                    1, greatest(length(text) - 4, 0))) AS t(i)),
+            sel AS (
+                SELECT DISTINCT doc_id, i, h FROM (
+                    SELECT w.doc_id, p.i, p.h,
+                           row_number() OVER (
+                               PARTITION BY w.doc_id, w.j
+                               ORDER BY p.h ASC, p.i DESC) AS rn
+                    FROM (SELECT doc_id, i AS j FROM g
+                          WHERE i + 7 <= n) w
+                    JOIN g p ON p.doc_id = w.doc_id
+                            AND p.i BETWEEN w.j AND w.j + 7)
+                WHERE rn = 1),
+            d0 AS (SELECT DISTINCT doc_id, h FROM sel),
+            -- boilerplate guard: hashes selected in > 1000 docs are
+            -- excluded from the sketch (engine max_df semantics)
+            ok AS (SELECT h FROM d0 GROUP BY h
+                   HAVING count(*) <= 1000),
+            d AS (SELECT d0.doc_id, d0.h FROM d0 JOIN ok USING (h)),
+            c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+                  FROM d GROUP BY doc_id),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(count(*) AS BIGINT) AS n_shared
+                  FROM d a JOIN d b
+                       ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2 HAVING count(*) >= 2)
+            -- set-Jaccard cut by integer cross-multiply (ns*2 >=
+            -- 1*(na+nb-ns) <=> jaccard >= 1/2), one float division
+            SELECT doc_a, doc_b, n_shared,
+                   n_shared / ((ca.nf + cb.nf - n_shared) * 1.0)
+                       AS jaccard
+            FROM p JOIN c ca ON ca.doc_id = p.doc_a
+                   JOIN c cb ON cb.doc_id = p.doc_b
+            WHERE n_shared * 2 >= 1 * (ca.nf + cb.nf - n_shared)
+            ORDER BY doc_a, doc_b
+        """,
         # fully independent n-gram Jaccard oracle: DuckDB builds the
         # same distinct word-3-gram sets and the same posting-list
         # intersection counts in pure SQL — no goldens involved
@@ -4987,6 +5095,7 @@ def oracle_sql() -> dict[str, str]:
     d["docs_near_dup_clusters_dist"] = d["docs_near_dup_clusters"]
     d["docs_jaccard_pairs_dist"] = d["docs_jaccard_pairs"]
     d["docs_bigram_fluency_dist"] = d["docs_bigram_fluency"]
+    d["docs_winnow_pairs_dist"] = d["docs_winnow_pairs"]
     d["docs_sequence_pack_dist"] = d["docs_sequence_pack"]
     d["docs_decontaminate_bloom"] = d["docs_decontaminate"]
     # kept docs = everything except non-representative cluster members

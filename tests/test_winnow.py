@@ -1,0 +1,120 @@
+"""Winnowing fingerprints (Schleimer et al. 2003): selection
+guarantee, plan equality, and the boilerplate df guard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_model_ray.functions.winnow import (
+    DEFAULT_K, DEFAULT_W, KR_MOD, _doc_fingerprints, _kr_constants,
+    fingerprint_summary, shared_fingerprint_pairs,
+)
+
+THRESH = DEFAULT_W + DEFAULT_K - 1  # guarantee: matches >= this length
+
+
+def test_winnowing_guarantee_property():
+    """Paper guarantee: any shared substring of length >= w + k - 1
+    shares at least one fingerprint HASH; density is ~2/(w+1)."""
+    rng = np.random.default_rng(7)
+    consts = _kr_constants(DEFAULT_K)
+    alphabet = list("abcdefghij ")
+    for trial in range(20):
+        a = "".join(rng.choice(alphabet, 80))
+        b = "".join(rng.choice(alphabet, 80))
+        shared = "".join(rng.choice(alphabet, THRESH))
+        ta = a[:40] + shared + a[40:]
+        tb = b[:10] + shared + b[10:]
+        _, ha = _doc_fingerprints(ta, DEFAULT_K, DEFAULT_W, consts)
+        _, hb = _doc_fingerprints(tb, DEFAULT_K, DEFAULT_W, consts)
+        assert set(ha) & set(hb), f"trial {trial}: guarantee violated"
+    # density sanity on a long doc: ~2n/(w+1) selected positions
+    t = "".join(rng.choice(alphabet, 5000))
+    pos, _ = _doc_fingerprints(t, DEFAULT_K, DEFAULT_W, consts)
+    n_grams = 5000 - DEFAULT_K + 1
+    assert len(pos) < 3 * n_grams / (DEFAULT_W + 1)
+    assert len(pos) > n_grams / (DEFAULT_W + 1)
+
+
+def test_doc_fingerprints_edges_and_hash_range():
+    consts = _kr_constants(DEFAULT_K)
+    # shorter than one full window -> nothing
+    pos, h = _doc_fingerprints("x" * (THRESH - 1), DEFAULT_K,
+                               DEFAULT_W, consts)
+    assert len(pos) == 0
+    # exactly one window -> exactly one fingerprint
+    pos, h = _doc_fingerprints("abcdefghijkl", DEFAULT_K, DEFAULT_W,
+                               consts)
+    assert len(pos) == 1 and 0 <= h[0] < KR_MOD
+    # positions are 1-based gram starts
+    assert 1 <= pos[0] <= DEFAULT_W
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_pairs_plans_agree_and_detect_partial_copy():
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    alphabet = list("abcdefghij ")
+    base = "".join(rng.choice(alphabet, 200))
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i,
+                     "text": "".join(rng.choice(alphabet, 200))})
+    # docs 100/101: same 200-char core, different 20-char affixes
+    rows.append({"doc_id": 100, "text": "prefixprefixprefix!! " + base})
+    rows.append({"doc_id": 101, "text": base + " suffixsuffixsuffix!"})
+    ds = rd.from_items(rows).repartition(4)
+    loc = shared_fingerprint_pairs(ds, min_shared=2, mode="local")
+    dst = shared_fingerprint_pairs(ds, min_shared=2, mode="distributed")
+    pd.testing.assert_frame_equal(loc, dst)
+    assert ((loc["doc_a"] == 100) & (loc["doc_b"] == 101)).any()
+    hit = loc[(loc["doc_a"] == 100) & (loc["doc_b"] == 101)].iloc[0]
+    assert hit["jaccard"] >= 0.5
+    # unrelated random docs don't reach jaccard 1/2
+    assert len(loc) < 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_max_df_guard_drops_boilerplate_hash():
+    """1k docs sharing one boilerplate banner: with max_df below the
+    corpus size the banner's fingerprints are dropped and the pair set
+    stays empty instead of exploding quadratically."""
+    import ray.data as rd
+    banner = "subscribe to our newsletter today okay"
+    rng = np.random.default_rng(11)
+    alphabet = list("abcdefghij ")
+    rows = [{"doc_id": i,
+             "text": banner + " " + "".join(rng.choice(alphabet, 30))}
+            for i in range(200)]
+    ds = rd.from_items(rows).repartition(4)
+    guarded = shared_fingerprint_pairs(ds, min_shared=1, jq_num=1,
+                                       jq_den=10, max_df=50,
+                                       mode="distributed")
+    unguarded = shared_fingerprint_pairs(ds, min_shared=1, jq_num=1,
+                                         jq_den=10, max_df=10**9,
+                                         mode="distributed")
+    # without the guard every pair shares the banner fingerprints ->
+    # the full quadratic pair set; with it only chance one-hash
+    # matches between the random 30-char tails survive
+    assert len(unguarded) == 200 * 199 // 2
+    assert len(guarded) < 100
+    assert (guarded["n_shared"] <= 2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_summary_and_empty_corpus():
+    import ray.data as rd
+    empty = rd.from_pandas(pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text": pd.Series([], dtype="object")}))
+    s = fingerprint_summary(empty)
+    assert list(s.columns) == ["doc_id", "n_fp", "sum_h",
+                               "min_pos", "max_pos"]
+    assert s.empty
+    p = shared_fingerprint_pairs(empty, mode="local")
+    assert list(p.columns) == ["doc_a", "doc_b", "n_shared", "jaccard"]
+    assert p.empty
+    # all-short corpus: present docs, no fingerprints
+    short = rd.from_items([{"doc_id": 0, "text": "tiny"},
+                           {"doc_id": 1, "text": ""}])
+    assert fingerprint_summary(short).empty
