@@ -614,6 +614,53 @@ def synth_url_batch(t, id_col: str = "doc_id"):
     return pa.table(cols)
 
 
+def synth_shop_url_batch(t, id_col: str = "doc_id"):
+    """Deterministic synthetic SHOP url per doc — five path families
+    (product pages, dated blog posts, root, paginated categories, api
+    items with query) so the path-template miner has real structure to
+    discover. ``synth_shop_url_sql`` is the SQL twin; keep in
+    lockstep."""
+    import pyarrow as pa
+    ids = t[id_col].to_numpy()
+    out = []
+    for d in ids.tolist():
+        host = f"s{d % 23}.shop.example"
+        m = d % 5
+        if m == 0:
+            path = f"/product/{d}/view"
+        elif m == 1:
+            path = f"/blog/{2010 + d % 15}/{d % 12 + 1}/post-{d}"
+        elif m == 2:
+            path = ""
+        elif m == 3:
+            path = f"/category/electronics/page/{d % 40}"
+        else:
+            path = f"/api/v2/items/{d}?fmt=json&id={d}"
+        out.append(f"https://{host}{path}")
+    cols = {name: t[name] for name in t.column_names}
+    cols["url"] = pa.array(out, pa.string())
+    return pa.table(cols)
+
+
+def synth_shop_url_sql(source: str = "documents") -> str:
+    """SQL twin of ``synth_shop_url_batch``."""
+    return f"""
+        SELECT *,
+               'https://s' || (doc_id % 23) || '.shop.example'
+               || CASE doc_id % 5
+                  WHEN 0 THEN '/product/' || doc_id || '/view'
+                  WHEN 1 THEN '/blog/' || (2010 + doc_id % 15) || '/'
+                              || (doc_id % 12 + 1) || '/post-' || doc_id
+                  WHEN 2 THEN ''
+                  WHEN 3 THEN '/category/electronics/page/'
+                              || (doc_id % 40)
+                  ELSE '/api/v2/items/' || doc_id
+                       || '?fmt=json&id=' || doc_id
+                  END AS url
+        FROM {source}
+    """
+
+
 def synth_url_sql(source: str = "documents") -> str:
     """SQL twin of ``synth_url_batch`` (DuckDB): the same url string
     built scalarly from doc_id, exposed as (documents.*, url)."""
@@ -750,6 +797,16 @@ def synth_site_url_sql(source: str = "documents") -> str:
                  END || '/p/' || doc_id AS url
         FROM {source}
     """
+
+
+def _url_path_templates(sf_dir: str):
+    """Path-template mining over the synthetic shop urls: digit runs
+    mask to {n}; (host, template, depth, n_urls)."""
+    from ocr_model_ray.functions.url_ops import path_templates
+    docs = _read_sized(sf_dir, "documents.parquet", columns=["doc_id"])
+    with_urls = docs.map_batches(synth_shop_url_batch,
+                                 batch_format="pyarrow")
+    return path_templates(with_urls)
 
 
 def _url_registrable_domain(sf_dir: str):
@@ -2520,6 +2577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": _url_canonicalize,
         "url_dedup": _url_dedup,
         "url_host_stats": _url_host_stats,
+        "url_path_templates": _url_path_templates,
         "url_registrable_domain": _url_registrable_domain,
         "url_host_cap": _url_host_cap,
         "url_crawl_budget": _url_crawl_budget,
@@ -4496,6 +4554,34 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(url), doc_id) AS rn
             FROM h WHERE NULLIF(host, '') IS NOT NULL)
         WHERE rn <= 5
+    """
+    # path-template mining: the same fragment-strip / host-lower /
+    # port-strip / empty-path->'/' rules as the engine, digit runs
+    # masked to {n} by the same RE2 class, depth = '/' count
+    d["url_path_templates"] = f"""
+        WITH u AS ({synth_shop_url_sql("documents")}),
+        b AS (SELECT split_part(url, '#', 1) AS s FROM u),
+        p AS (SELECT
+                  lower(split_part(regexp_extract(s,
+                      '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1),
+                      ':', 1)) AS host,
+                  CASE WHEN regexp_extract(s,
+                      '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)',
+                      1) = '' THEN '/'
+                  ELSE regexp_extract(s,
+                      '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)',
+                      1) END AS path
+              FROM b),
+        t AS (SELECT host,
+                     regexp_replace(path, '[0-9]+', '{{n}}', 'g')
+                         AS template
+              FROM p)
+        SELECT host, template,
+               CAST(length(template)
+                    - length(replace(template, '/', '')) AS BIGINT)
+                   AS depth,
+               CAST(count(*) AS BIGINT) AS n_urls
+        FROM t GROUP BY 1, 2 ORDER BY host, template
     """
     # eTLD+1 rollup: independent scalar replay of the PSL
     # longest-suffix rule over the default suffix list (max rule depth

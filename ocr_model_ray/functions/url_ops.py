@@ -1096,3 +1096,54 @@ def host_doc_cap(ds: rd.Dataset, cap: int, url_col: str = "url",
     return hash_partitioned_window(
         ds.map_batches(project, batch_format="pandas"),
         "hb", ["host", "mu", id_col], kern, num_buckets=num_buckets)
+
+
+def path_templates(ds: rd.Dataset, url_col: str = "url",
+                   num_buckets: int = 64) -> rd.Dataset:
+    """URL path-template mining: mask every decimal digit run in the
+    path to ``{n}`` and count urls per (host, template, depth) — the
+    crawl-planning primitive that exposes templated page families
+    (``/product/{n}/view`` × 40M) so a budgeted crawler can cap or
+    sample them instead of fetching every instantiation (the
+    per-template generalization of ``host_doc_cap``).
+
+    Rules (mirrored EXACTLY by the SQL twin in ``__ray_entry__.py``):
+    fragment dropped; host lowercased, port stripped (``host_series``);
+    empty path becomes ``/``; query/fragment are NOT part of the
+    template; ``depth`` = number of ``/`` in the template; unparsable
+    urls are dropped from the key domain with a logged count.
+
+    Scale shape: one vectorized regex pass per batch (str.extract +
+    one str.replace), then a single bucketed exchange of
+    (host, template, depth) combiner rows via ``bucketed_agg`` —
+    per-batch pre-aggregation shrinks each block to its local template
+    set before the shuffle, so the exchange is template-bounded, not
+    url-bounded."""
+    from .bucketed import bucketed_agg
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[url_col].astype("object").str.split("#", n=1).str[0]
+        ext = u.str.extract(_URL_RE)
+        host = ext[1].str.lower()
+        bad = int(host.isna().sum())
+        if bad:
+            log.warning("path_templates: dropped %d unparsable urls",
+                        bad)
+        # strip :port (host_series semantics)
+        host = host.str.split(":", n=1).str[0]
+        path = ext[2].mask(ext[2] == "", "/")
+        tmpl = path.str.replace(r"[0-9]+", "{n}", regex=True)
+        depth = tmpl.str.count("/")
+        keep = host.notna().to_numpy()
+        out = pd.DataFrame({
+            "host": host.to_numpy()[keep],
+            "template": tmpl.to_numpy()[keep],
+            "depth": depth.to_numpy()[keep].astype("int64")})
+        return (out.groupby(["host", "template", "depth"],
+                            as_index=False).size()
+                .rename(columns={"size": "n_urls"}))
+
+    projected = ds.map_batches(project, batch_format="pandas")
+    return bucketed_agg(projected, ["host", "template", "depth"],
+                        {"n_urls": ("n_urls", "sum")},
+                        num_buckets=num_buckets)

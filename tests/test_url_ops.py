@@ -428,3 +428,28 @@ def test_host_doc_cap_deterministic_and_capped(ray_session):
         assert set(out["doc_id"]) == expect(4)
         assert out.groupby("host").size().max() == 4
         assert 99 not in set(out["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_path_templates_rules():
+    """Digit masking, empty path -> '/', fragment/query exclusion,
+    port stripping, host lowercasing, unparsable drop."""
+    import ray.data as rd
+    from ocr_model_ray.functions.url_ops import path_templates
+    urls = [
+        "https://A.example.com:443/product/123/view",
+        "https://a.example.com/product/9/view?x=1#frag",
+        "https://a.example.com",
+        "https://a.example.com/#top",
+        "not a url",
+        "https://b.example.com/v2/x7y88z",
+    ]
+    ds = rd.from_items([{"url": u} for u in urls])
+    out = (path_templates(ds).to_pandas()
+           .sort_values(["host", "template"]).reset_index(drop=True))
+    got = {(r.host, r.template): (r.depth, r.n_urls)
+           for r in out.itertuples()}
+    assert got[("a.example.com", "/product/{n}/view")] == (3, 2)
+    assert got[("a.example.com", "/")] == (1, 2)
+    assert got[("b.example.com", "/v{n}/x{n}y{n}z")] == (2, 1)
+    assert out["n_urls"].sum() == 5  # the unparsable one dropped
