@@ -260,6 +260,21 @@ def _extract_captures_panel(sf_dir: str):
     return out[["minute", "n_captures"]]
 
 
+def _extract_html_title(sf_dir: str):
+    """Page-title extraction over the Common-Crawl-shaped pages corpus
+    (the title column a columnar web index carries): one stateless
+    byte-regex map over zero-copy Arrow batches, titles transported in
+    the DuckDB printable-escape form the SQL twin compares at full
+    fidelity (stages/derive.html_title_batch docstring for the frozen
+    spec)."""
+    from ocr_model_ray.sources.pages import read_pages
+    from ocr_model_ray.stages.derive import html_title_batch
+
+    pages = read_pages(_fixture_dir(_tier_for(sf_dir)),
+                       columns=["url", "html"])
+    return pages.map_batches(html_title_batch, batch_format="pyarrow")
+
+
 def _extract_lang_id(sf_dir: str):
     """Composition: extraction pipeline -> language-ID actor pool over the
     extracted main-content text (pipeline chaining; rows-only check)."""
@@ -1960,6 +1975,35 @@ def _web_host_pagerank_bcast(sf_dir: str):
                               iter_plan="broadcast")
 
 
+def _web_host_hits(sf_dir: str, mode: str = "auto",
+                   iter_plan: str = "auto"):
+    """HITS hubs/authorities over the host graph (3 iterations of the
+    frozen L1 fixed-point rule — link_graph._hits_frame docstring;
+    bit-exact vs the oracle's unrolled-CTE replay: integer sums are
+    order-free, the one normalization division is the identical IEEE
+    expression on both sides)."""
+    from ocr_model_ray.functions.link_graph import hits_hosts
+    return hits_hosts(_docs_edges(sf_dir), iters=3,
+                      mode=_resolve_entry_mode(sf_dir, mode),
+                      iter_plan=iter_plan)
+
+
+def _web_host_hits_dist(sf_dir: str):
+    """Forced-distributed EXCHANGE twin: both HITS half-steps run as
+    hash-bucket joins + bucketed sums with the score vector resident
+    as a Dataset — the page-level-graph regime."""
+    return _web_host_hits(sf_dir, mode="distributed",
+                          iter_plan="exchange")
+
+
+def _web_host_hits_bcast(sf_dir: str):
+    """Forced-distributed BROADCAST twin: the static edge Dataset
+    never re-exchanges; each half-step is one streaming pass with the
+    O(hosts) score vector in plasma (the host-level-graph regime)."""
+    return _web_host_hits(sf_dir, mode="distributed",
+                          iter_plan="broadcast")
+
+
 def _extract_links(sf_dir: str):
     """Real href/anchor extraction over the Common-Crawl-shaped pages
     fixture corpus: (url, link_no, href, dst_url, anchor) per <a> in
@@ -2594,6 +2638,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_graph": _web_host_graph,
         "web_host_inlinks": _web_host_inlinks,
         "web_host_pagerank": _web_host_pagerank,
+        "web_host_hits": _web_host_hits,
+        "web_host_hits_dist": _web_host_hits_dist,
+        "web_host_hits_bcast": _web_host_hits_bcast,
         "web_host_pagerank_dist": _web_host_pagerank_dist,
         "web_host_pagerank_bcast": _web_host_pagerank_bcast,
         "web_host_pagerank_weighted": _web_host_pagerank_weighted,
@@ -2635,6 +2682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_lang_id": _extract_lang_id,
         "extract_needs_review": _extract_needs_review,
         "extract_captures_panel": _extract_captures_panel,
+        "extract_html_title": _extract_html_title,
         "extract_source_panel": _extract_source_panel,
         "extract_content_ratio": _extract_content_ratio,
     }
@@ -4361,6 +4409,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY minute
         """,
+        # page-title extraction: DuckDB's BLOB->VARCHAR printable
+        # escape is the shared transport form (derive.duckdb_escape
+        # replicates it byte-exactly); '<' only ever escapes byte
+        # 0x3C, so the RE2 title scan over the escaped text IS the
+        # engine's byte-level scan. HTML predicate: first byte '<'.
+        "extract_html_title": f"""
+            SELECT url, regexp_extract(TRY_CAST(html AS VARCHAR),
+                       '(?i)<title>([^<]*)</title>', 1) AS title
+            FROM read_parquet('{_fixture_dir("t1")}/pages-*.parquet')
+            WHERE (SELECT count(*) FROM lineitem) < 20000
+              AND left(TRY_CAST(html AS VARCHAR), 1) = '<'
+            UNION ALL
+            SELECT url, regexp_extract(TRY_CAST(html AS VARCHAR),
+                       '(?i)<title>([^<]*)</title>', 1) AS title
+            FROM read_parquet('{_fixture_dir("t2")}/pages-*.parquet')
+            WHERE (SELECT count(*) FROM lineitem) >= 20000
+              AND left(TRY_CAST(html AS VARCHAR), 1) = '<'
+        """,
         "emb_knn_bruteforce": """
             -- cosine computed in DOUBLE via lambda dot products:
             -- list_cosine_similarity is single-precision in DuckDB 1.0,
@@ -4962,6 +5028,56 @@ def oracle_sql() -> dict[str, str]:
     """
     d["web_host_pagerank_dist"] = d["web_host_pagerank"]
     d["web_host_pagerank_bcast"] = d["web_host_pagerank"]
+    # HITS: integer sums are order-free BIGINTs; the L1 normalization
+    # is the ONE float expression floor((s/t)*SCALE), written with the
+    # identical cast/op order the engine uses (link_graph._l1_scale_fp)
+    # so every iterate is bit-equal. hub0 = SCALE // N.
+    _hits_iters = 3
+    _hits_norm = ("CAST(floor((CAST({s} AS DOUBLE) / CAST({t} AS DOUBLE))"
+                  " * 1000000000000.0) AS BIGINT)")
+    _hits_ctes = [f"""
+        e AS MATERIALIZED (SELECT DISTINCT src_host, dst_host FROM ({_edges_src})),
+        hosts AS MATERIALIZED (SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM e
+            UNION ALL SELECT dst_host FROM e)),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM hosts),
+        h0 AS MATERIALIZED (SELECT host, 1000000000000 // (SELECT n FROM nn) AS v
+               FROM hosts)"""]
+    for _i in range(1, _hits_iters + 1):
+        _hits_ctes.append(f"""
+        ap{_i} AS MATERIALIZED (SELECT e.dst_host AS host,
+                          CAST(SUM(h.v) AS BIGINT) AS s
+                   FROM e JOIN h{_i - 1} h ON h.host = e.src_host
+                   GROUP BY e.dst_host),
+        ta{_i} AS MATERIALIZED (SELECT CAST(COALESCE(SUM(s), 0) AS BIGINT) AS t
+                   FROM ap{_i}),
+        a{_i} AS MATERIALIZED (SELECT hh.host,
+                     CASE WHEN (SELECT t FROM ta{_i}) <= 0 THEN 0
+                          ELSE {_hits_norm.format(
+                              s=f"COALESCE(p.s, 0)",
+                              t=f"(SELECT t FROM ta{_i})")} END AS v
+                  FROM hosts hh LEFT JOIN ap{_i} p ON p.host = hh.host),
+        hp{_i} AS MATERIALIZED (SELECT e.src_host AS host,
+                          CAST(SUM(a.v) AS BIGINT) AS s
+                   FROM e JOIN a{_i} a ON a.host = e.dst_host
+                   GROUP BY e.src_host),
+        th{_i} AS MATERIALIZED (SELECT CAST(COALESCE(SUM(s), 0) AS BIGINT) AS t
+                   FROM hp{_i}),
+        h{_i} AS MATERIALIZED (SELECT hh.host,
+                     CASE WHEN (SELECT t FROM th{_i}) <= 0 THEN 0
+                          ELSE {_hits_norm.format(
+                              s=f"COALESCE(p.s, 0)",
+                              t=f"(SELECT t FROM th{_i})")} END AS v
+                  FROM hosts hh LEFT JOIN hp{_i} p ON p.host = hh.host)""")
+    d["web_host_hits"] = f"""
+        WITH {','.join(_hits_ctes)}
+        SELECT a.host, a.v AS auth_fp, h.v AS hub_fp,
+               a.v / 1000000000000.0 AS auth,
+               h.v / 1000000000000.0 AS hub
+        FROM a{_hits_iters} a JOIN h{_hits_iters} h ON h.host = a.host
+    """
+    d["web_host_hits_dist"] = d["web_host_hits"]
+    d["web_host_hits_bcast"] = d["web_host_hits"]
     # cross-run ingest reconstructs the SAME distinct-edge graph, so
     # the one-shot replay is the exact oracle
     d["web_pagerank_ingest"] = d["web_host_pagerank"]

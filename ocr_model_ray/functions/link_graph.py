@@ -485,6 +485,254 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
     return ranks.map_batches(out, batch_format="pyarrow")
 
 
+def _l1_scale_fp(v: np.ndarray, total: int) -> np.ndarray:
+    """Frozen HITS normalization step: floor((v / total) * SCALE) with
+    v and total cast to float64 first — ONE IEEE division + ONE IEEE
+    multiplication + floor per host, the exact expression the SQL twin
+    evaluates (``floor((CAST(s AS DOUBLE) / CAST(t AS DOUBLE)) *
+    1000000000000.0)``), so results are bit-identical across plans and
+    to the oracle. Integer sums stay exact/order-free; only this
+    normalization touches floats, and it is a fixed op sequence.
+    ``total <= 0`` (empty score mass) yields the zero vector."""
+    if total <= 0:
+        return np.zeros(len(v), dtype=np.int64)
+    return np.floor((v.astype(np.float64) / np.float64(total))
+                    * np.float64(SCALE)).astype(np.int64)
+
+
+_HITS_EMPTY = {"host": "object", "auth_fp": "int64", "hub_fp": "int64",
+               "auth": "float64", "hub": "float64"}
+
+
+def _hits_empty() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series([], dtype=t)
+                         for c, t in _HITS_EMPTY.items()})
+
+
+def _hits_frame(edges: pd.DataFrame, iters: int, src: str,
+                dst: str) -> pd.DataFrame:
+    """Single-frame HITS (Kleinberg 1999) — the local plan and the
+    per-test reference for the distributed twins. Frozen update rule
+    (both the distributed plans and the DuckDB oracle implement
+    exactly this):
+
+        hub0(h)  = SCALE // N                    for every host h
+        A'(h)    = sum_{(s,h) in E} hub(s)       (int64, order-free)
+        auth(h)  = floor((A'(h)/TA) * SCALE),    TA = sum_h A'(h)
+        H'(h)    = sum_{(h,d) in E} auth(d)
+        hub(h)   = floor((H'(h)/TH) * SCALE),    TH = sum_h H'(h)
+
+    L1 normalization (not the paper's L2) keeps every step either an
+    exact integer sum or the one-division float expression of
+    ``_l1_scale_fp`` — L2 would need a square-root whose summation
+    order leaks into the last ulp. Bounds: per-host sums are <= the
+    total score mass (~SCALE), totals are <= SCALE * max_degree —
+    int64-safe while max degree < 9.2e6; beyond that, lower SCALE."""
+    e = edges[[src, dst]].drop_duplicates()
+    hosts = pd.unique(pd.concat([e[src], e[dst]], ignore_index=True))
+    hosts = np.sort(hosts.astype(object))
+    n = len(hosts)
+    if n == 0:
+        return _hits_empty()
+    idx = pd.Index(hosts)
+    si = idx.get_indexer(e[src]).astype(np.int64)
+    di = idx.get_indexer(e[dst]).astype(np.int64)
+    hub = np.full(n, SCALE // n, dtype=np.int64)
+    auth = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        ap = np.zeros(n, dtype=np.int64)
+        np.add.at(ap, di, hub[si])
+        auth = _l1_scale_fp(ap, int(ap.sum()))
+        hp = np.zeros(n, dtype=np.int64)
+        np.add.at(hp, si, auth[di])
+        hub = _l1_scale_fp(hp, int(hp.sum()))
+    return pd.DataFrame({"host": hosts, "auth_fp": auth, "hub_fp": hub,
+                         "auth": auth / float(SCALE),
+                         "hub": hub / float(SCALE)})
+
+
+def hits_hosts(edges: rd.Dataset, iters: int = 5,
+               src: str = "src_host", dst: str = "dst_host",
+               num_buckets: int = 32,
+               mode: str = "auto",
+               iter_plan: str = "auto") -> rd.Dataset:
+    """HITS hubs-and-authorities over the host graph (frozen L1
+    fixed-point rule in ``_hits_frame``). Output: (host, auth_fp,
+    hub_fp, auth, hub). Complements PageRank: authority rewards being
+    linked FROM good hubs (directory/aggregator pages), the signal
+    Kleinberg's paper showed is distinct from raw in-degree prestige.
+
+    Distributed plan (``mode='distributed'``): the distinct edge set
+    and host universe cost one bucketed exchange each, once. Each
+    iteration then needs TWO half-steps (in-sum by dst for authority,
+    out-sum by src for hub — double PageRank's one) under one of two
+    regimes (``iter_plan``, same policy/cut as ``pagerank_hosts``):
+
+    * ``'broadcast'`` (auto when hosts <= ``BROADCAST_HOSTS_CUT``) —
+      the O(hosts) score vector rides plasma; each half-step is ONE
+      streaming pass over the STATIC edge Dataset (per-block (key,
+      partial-sum), scores looked up from the broadcast) + one small
+      bucketed sum + an O(hosts) driver normalization fold. The
+      static edges never re-exchange.
+    * ``'exchange'`` — each half-step hash-bucket-joins the score
+      Dataset into the edges and bucket-sums the other endpoint;
+      per-iteration state stays one O(hosts) Dataset. The
+      normalization total is a single scalar aggregate per half-step
+      (one number to the driver — the documented O(1) fold).
+
+    The L1-scale step is the identical float expression everywhere
+    (``_l1_scale_fp``), so local/exchange/broadcast are bit-identical
+    and match the oracle's unrolled-CTE replay (pinned by test)."""
+    cols = [src, dst]
+    if _resolve_mode(edges, mode) == "local":
+        frame = edges.map_batches(lambda df: df[cols],
+                                  batch_format="pandas").to_pandas()
+        if frame.empty:
+            frame = pd.DataFrame({c: pd.Series([], dtype="object")
+                                  for c in cols})
+        return rd.from_pandas(_hits_frame(frame, iters, src, dst))
+
+    from .bucketed import bucketed_agg, bucketed_distinct
+    from .joins import hash_bucket_join
+
+    dedges = bucketed_distinct(
+        edges.map_batches(lambda t: t.select([src, dst]),
+                          batch_format="pyarrow"),
+        [src, dst]).materialize()
+    n_edges = dedges.count()
+    dedges = _compact(dedges, n_edges, num_buckets)
+
+    def one_side(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"host": t[col].cast(pa.string())})
+        return f
+
+    hosts = bucketed_distinct(
+        dedges.map_batches(one_side(src), batch_format="pyarrow")
+        .union(dedges.map_batches(one_side(dst), batch_format="pyarrow")),
+        ["host"]).materialize()
+    n = hosts.count()
+    hosts = _compact(hosts, n, num_buckets)
+    if n == 0:
+        return rd.from_pandas(_hits_empty())
+    h0 = SCALE // n
+
+    if iter_plan == "auto":
+        iter_plan = ("broadcast" if n <= BROADCAST_HOSTS_CUT
+                     else "exchange")
+
+    if iter_plan == "broadcast":
+        import ray
+
+        hosts_pd = hosts.to_pandas()    # O(hosts): the documented
+        idx = pd.Index(hosts_pd["host"])  # driver-resident small table
+
+        def half_step(score: np.ndarray, key_in: str,
+                      key_out: str) -> np.ndarray:
+            """One HITS half-step under the broadcast regime: stream
+            the static edges once, looking up ``score`` (keyed by
+            ``key_in``'s endpoint) from plasma and partial-summing by
+            ``key_out``; finish with one bucketed sum + the driver
+            normalization fold."""
+            sref = ray.put(pd.Series(score, index=idx))
+
+            def partial(t: pa.Table, _sref=sref) -> pa.Table:
+                s = ray.get(_sref)
+                v = s.reindex(pd.Index(
+                    t[key_in].to_numpy(zero_copy_only=False))).to_numpy()
+                if v.dtype != np.int64:
+                    if np.isnan(v).any():
+                        raise ValueError("hits: edge endpoint missing "
+                                         "from the host universe")
+                    v = v.astype(np.int64)
+                g = (pa.table({"host": t[key_out], "p": pa.array(v)})
+                     .group_by("host").aggregate([("p", "sum")]))
+                return g.rename_columns(["host", "p"])
+
+            agg = bucketed_agg(
+                dedges.map_batches(partial, batch_format="pyarrow"),
+                "host", {"s": ("p", "sum")},
+                num_buckets=num_buckets).to_pandas()
+            if agg.empty or "s" not in agg.columns:
+                raw = np.zeros(len(hosts_pd), dtype=np.int64)
+            else:
+                raw = (pd.Series(agg["s"].to_numpy().astype(np.int64),
+                                 index=agg["host"])
+                       .reindex(idx).fillna(0).astype(np.int64)
+                       .to_numpy())
+            return _l1_scale_fp(raw, int(raw.sum()))
+
+        hub = np.full(len(hosts_pd), h0, dtype=np.int64)
+        auth = np.zeros(len(hosts_pd), dtype=np.int64)
+        for _ in range(iters):
+            auth = half_step(hub, src, dst)
+            hub = half_step(auth, dst, src)
+        return rd.from_pandas(pd.DataFrame({
+            "host": hosts_pd["host"],
+            "auth_fp": auth, "hub_fp": hub,
+            "auth": auth / float(SCALE),
+            "hub": hub / float(SCALE)}))
+
+    # exchange regime: score vectors stay Datasets end-to-end
+    def const_scores(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"host": t["host"],
+                             "v": pa.array(np.full(len(t), v,
+                                                   dtype=np.int64))})
+        return f
+
+    hub_ds = hosts.map_batches(const_scores(h0),
+                               batch_format="pyarrow").materialize()
+    nb_r = max(1, min(num_buckets, n // 500_000 + 1))
+
+    def half_step_ds(score_ds: rd.Dataset, key_in: str,
+                     key_out: str) -> rd.Dataset:
+        def as_key(t: pa.Table) -> pa.Table:
+            return pa.table({key_in: t["host"], "v": t["v"]})
+
+        def emit_other(t: pa.Table) -> pa.Table:
+            return pa.table({"host": t[key_out], "p": t["v"]})
+
+        joined = hash_bucket_join(
+            dedges, score_ds.map_batches(as_key, batch_format="pyarrow"),
+            on=key_in, num_buckets=num_buckets, post_merge=emit_other)
+        sums = bucketed_agg(joined, "host", {"s": ("p", "sum")},
+                            num_buckets=num_buckets).materialize()
+        # normalization total: ONE scalar to the driver per half-step
+        total = sums.sum("s") or 0
+
+        def finish(t: pa.Table) -> pa.Table:
+            s = (pc.fill_null(t["s"], 0).cast(pa.int64())
+                 .to_numpy(zero_copy_only=False).astype(np.int64))
+            return pa.table({"host": t["host"],
+                             "v": pa.array(_l1_scale_fp(s, int(total)))})
+
+        return hash_bucket_join(
+            hosts, sums, on="host", how="left",
+            num_buckets=num_buckets,
+            post_merge=finish).repartition(nb_r).materialize()
+
+    auth_ds = None
+    for _ in range(iters):
+        auth_ds = half_step_ds(hub_ds, src, dst)
+        hub_ds = half_step_ds(auth_ds, dst, src)
+
+    def out_merge(t: pa.Table) -> pa.Table:
+        a = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["v_hub"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"host": t["host"],
+                         "auth_fp": pa.array(a), "hub_fp": pa.array(h),
+                         "auth": pa.array(a / float(SCALE)),
+                         "hub": pa.array(h / float(SCALE))})
+
+    def rename_hub(t: pa.Table) -> pa.Table:
+        return pa.table({"host": t["host"], "v_hub": t["v"]})
+
+    return hash_bucket_join(
+        auth_ds, hub_ds.map_batches(rename_hub, batch_format="pyarrow"),
+        on="host", num_buckets=num_buckets, post_merge=out_merge)
+
+
 def _components_frame(edges: pd.DataFrame, src: str,
                       dst: str) -> pd.DataFrame:
     """Single-frame connected components (local plan + the reference

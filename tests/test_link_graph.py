@@ -398,3 +398,75 @@ def test_pagerank_weighted_broadcast_bit_equal(ray_session):
                         iter_plan="exchange").to_pandas() \
         .sort_values("host").reset_index(drop=True)
     assert bc["rank_fp"].tolist() == ex["rank_fp"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities
+# ---------------------------------------------------------------------------
+def test_hits_star_closed_form(ray_session):
+    # 3 spokes -> 1 center: after one iteration auth(center) = SCALE
+    # exactly (it holds ALL authority mass), hub(spoke) = floor(SCALE/3),
+    # and the point is FIXED (iteration 2+ reproduces it bit-for-bit)
+    from ocr_model_ray.functions.link_graph import _hits_frame
+    edges = pd.DataFrame({"src_host": ["s1", "s2", "s3"],
+                          "dst_host": ["c", "c", "c"]})
+    for iters in (1, 2, 5):
+        out = (_hits_frame(edges, iters, "src_host", "dst_host")
+               .set_index("host"))
+        assert int(out.loc["c", "auth_fp"]) == SCALE
+        assert int(out.loc["c", "hub_fp"]) == 0
+        for s in ("s1", "s2", "s3"):
+            assert int(out.loc[s, "auth_fp"]) == 0
+            assert int(out.loc[s, "hub_fp"]) == SCALE // 3
+
+
+def test_hits_plans_bit_equal(ray_session):
+    from ocr_model_ray.functions.link_graph import hits_hosts
+    edges = _edges_frame()
+    local = hits_hosts(rd.from_pandas(edges), iters=4,
+                       mode="local").to_pandas()
+    exch = hits_hosts(rd.from_pandas(edges).repartition(9), iters=4,
+                      mode="distributed", iter_plan="exchange",
+                      num_buckets=5).to_pandas()
+    bcast = hits_hosts(rd.from_pandas(edges).repartition(3), iters=4,
+                       mode="distributed", iter_plan="broadcast",
+                       num_buckets=11).to_pandas()
+    local = local.sort_values("host").reset_index(drop=True)
+    for other in (exch, bcast):
+        o = other.sort_values("host").reset_index(drop=True)
+        assert local["host"].tolist() == o["host"].tolist()
+        assert local["auth_fp"].tolist() == o["auth_fp"].tolist()
+        assert local["hub_fp"].tolist() == o["hub_fp"].tolist()
+        # floats too (driver hashes the int64 view)
+        assert np.array_equal(local["auth"].to_numpy().view("int64"),
+                              o["auth"].to_numpy().view("int64"))
+        assert np.array_equal(local["hub"].to_numpy().view("int64"),
+                              o["hub"].to_numpy().view("int64"))
+
+
+def test_hits_invariants_and_empty(ray_session):
+    from ocr_model_ray.functions.link_graph import _hits_frame, hits_hosts
+    out = _hits_frame(_edges_frame(), 5, "src_host", "dst_host")
+    # L1 mass conservation up to floor leakage: totals in (SCALE-n, SCALE]
+    n = len(out)
+    assert 0 < out["auth_fp"].sum() <= SCALE
+    assert out["auth_fp"].sum() > SCALE - n
+    assert 0 < out["hub_fp"].sum() <= SCALE
+    assert (out["auth_fp"] >= 0).all() and (out["hub_fp"] >= 0).all()
+
+    empty = hits_hosts(rd.from_pandas(pd.DataFrame({
+        "src_host": pd.Series([], dtype="object"),
+        "dst_host": pd.Series([], dtype="object")})), mode="local")
+    assert empty.to_pandas().empty
+    # typed-empty schema is pinned at the frame level (Ray's
+    # from_pandas/to_pandas round-trip drops columns on zero rows)
+    from ocr_model_ray.functions.link_graph import _hits_empty
+    assert list(_hits_empty().columns) == ["host", "auth_fp", "hub_fp",
+                                           "auth", "hub"]
+
+    # self-loop only: the single host is its own perfect hub+authority
+    loop = _hits_frame(pd.DataFrame({"src_host": ["a"],
+                                     "dst_host": ["a"]}),
+                       3, "src_host", "dst_host")
+    assert loop["auth_fp"].tolist() == [SCALE]
+    assert loop["hub_fp"].tolist() == [SCALE]

@@ -505,3 +505,65 @@ def test_percent_rank_ties_match_sql():
     pd.testing.assert_frame_equal(
         got.astype({"rid": "int64"}),
         want.astype({"rid": "int64"}))
+
+
+# ---------------------------------------------------------------------------
+# HTML <title> extraction (frozen byte-regex spec + DuckDB escape)
+# ---------------------------------------------------------------------------
+def test_duckdb_escape_matches_duckdb_blob_cast():
+    """Pin the frozen escape table against DuckDB itself over every
+    single-byte blob plus multibyte/edge payloads."""
+    import duckdb
+    from ocr_model_ray.stages.derive import duckdb_escape
+    con = duckdb.connect()
+    payloads = [bytes([b]) for b in range(256)]
+    payloads += [b"", "Hi für".encode("utf-8"), b'a"b\'c\\d',
+                 b"\xff\xfe invalid \xc3", b"tab\there\nline"]
+    for p in payloads:
+        got = con.execute("SELECT TRY_CAST(? ::BLOB AS VARCHAR)",
+                          [p]).fetchone()[0]
+        assert duckdb_escape(p) == (got or ""), p
+
+
+def test_html_title_batch_spec():
+    import pyarrow as pa
+    from ocr_model_ray.stages.derive import html_title_batch
+    rows = {
+        # strict '<' prefix; case-insensitive tag; title = bytes to
+        # the next '<'; escape transports non-ASCII exactly
+        b"<html><head><TiTLE>Caf\xc3\xa9 life</title>": "Caf\\xC3\\xA9 life",
+        b"<html>no title here</html>": "",
+        b"<x><title></title>": "",
+        b" <html><title>lstripped is NOT html</title>": None,  # dropped
+        b"plain text": None,
+        b"": None,
+        b"<title>first</title><title>second</title>": "first",
+        # encoding-agnostic: latin-1 bytes still yield exact title bytes
+        b"<p><title>caf\xe9</title>": "caf\\xE9",
+        # truncated multibyte inside the title survives
+        b"<title>f\xc3</title>x": "f\\xC3",
+    }
+    t = pa.table({"url": [f"u{i}" for i in range(len(rows))],
+                  "html": list(rows.keys())})
+    out = html_title_batch(t).to_pydict()
+    want = {f"u{i}": v for i, v in enumerate(rows.values())
+            if v is not None}
+    assert dict(zip(out["url"], out["title"])) == want
+
+
+def test_html_title_batch_null_and_chunked():
+    import pyarrow as pa
+    from ocr_model_ray.stages.derive import html_title_batch
+    a = pa.table({"url": ["a", "b"],
+                  "html": pa.array([None, b"<title>x</title>"],
+                                   pa.binary())})
+    out = html_title_batch(a).to_pydict()
+    assert out == {"url": ["b"], "title": ["x"]}
+    # chunked input
+    c = pa.Table.from_batches([
+        pa.record_batch({"url": pa.array(["a"]),
+                         "html": pa.array([b"<title>one</title>"])}),
+        pa.record_batch({"url": pa.array(["b"]),
+                         "html": pa.array([b"nope"])})])
+    out = html_title_batch(c).to_pydict()
+    assert out == {"url": ["a"], "title": ["one"]}
