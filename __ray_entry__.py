@@ -1555,6 +1555,21 @@ def _docs_winnow_pairs_dist(sf_dir: str):
                                     mode="distributed")
 
 
+def _docs_quote_pairs(sf_dir: str, mode: str = "auto"):
+    """Quote/containment detection: winnowing fingerprint pairs cut by
+    the OVERLAP COEFFICIENT n_shared / min(n_a, n_b) >= 3/4 — a short
+    document pasted inside a long one scores ~1.0 here while its
+    Jaccard stays near 0 (winnow.shared_fingerprint_pairs docstring)."""
+    from ocr_model_ray.functions.winnow import shared_fingerprint_pairs
+    return shared_fingerprint_pairs(_docs(sf_dir), min_shared=2,
+                                    jq_num=3, jq_den=4,
+                                    metric="overlap", mode=mode)
+
+
+def _docs_quote_pairs_dist(sf_dir: str):
+    return _docs_quote_pairs(sf_dir, mode="distributed")
+
+
 def _docs_jaccard_pairs(sf_dir: str):
     from ocr_model_ray.functions.dedup_algos import jaccard_similarity_join
     return jaccard_similarity_join(_docs(sf_dir), threshold=0.8)
@@ -2597,6 +2612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_winnow_fp": _docs_winnow_fp,
         "docs_winnow_pairs": _docs_winnow_pairs,
         "docs_winnow_pairs_dist": _docs_winnow_pairs_dist,
+        "docs_quote_pairs": _docs_quote_pairs,
+        "docs_quote_pairs_dist": _docs_quote_pairs_dist,
         "docs_top_ngrams": _docs_top_ngrams,
         "docs_bpe_pairs": _docs_bpe_pairs,
         "docs_bpe_merges": _docs_bpe_merges,
@@ -4217,6 +4234,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_shared * 2 >= 1 * (ca.nf + cb.nf - n_shared)
             ORDER BY doc_a, doc_b
         """,
+        # quote/containment detection: identical winnow sketch, final
+        # cut by the OVERLAP COEFFICIENT n_shared / least(nf_a, nf_b)
+        # >= 3/4 (integer cross-multiply, one float division)
+        "docs_quote_pairs": """
+            WITH g AS (
+                SELECT doc_id, i,
+                       greatest(length(text) - 4, 0) AS n,
+                       (CAST(unicode(substr(text, i, 1)) AS BIGINT)
+                            * 1604566856
+                        + CAST(unicode(substr(text, i+1, 1)) AS BIGINT)
+                            * 1049561761
+                        + CAST(unicode(substr(text, i+2, 1)) AS BIGINT)
+                            * 1426104154
+                        + CAST(unicode(substr(text, i+3, 1)) AS BIGINT)
+                            * 1000003
+                        + CAST(unicode(substr(text, i+4, 1)) AS BIGINT))
+                           % 2147483647 AS h
+                FROM documents, LATERAL unnest(generate_series(
+                    1, greatest(length(text) - 4, 0))) AS t(i)),
+            sel AS (
+                SELECT DISTINCT doc_id, i, h FROM (
+                    SELECT w.doc_id, p.i, p.h,
+                           row_number() OVER (
+                               PARTITION BY w.doc_id, w.j
+                               ORDER BY p.h ASC, p.i DESC) AS rn
+                    FROM (SELECT doc_id, i AS j FROM g
+                          WHERE i + 7 <= n) w
+                    JOIN g p ON p.doc_id = w.doc_id
+                            AND p.i BETWEEN w.j AND w.j + 7)
+                WHERE rn = 1),
+            d0 AS (SELECT DISTINCT doc_id, h FROM sel),
+            ok AS (SELECT h FROM d0 GROUP BY h
+                   HAVING count(*) <= 1000),
+            d AS (SELECT d0.doc_id, d0.h FROM d0 JOIN ok USING (h)),
+            c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+                  FROM d GROUP BY doc_id),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(count(*) AS BIGINT) AS n_shared
+                  FROM d a JOIN d b
+                       ON a.h = b.h AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT doc_a, doc_b, n_shared,
+                   n_shared / (least(ca.nf, cb.nf) * 1.0) AS overlap
+            FROM p JOIN c ca ON ca.doc_id = p.doc_a
+                   JOIN c cb ON cb.doc_id = p.doc_b
+            WHERE n_shared * 4 >= 3 * least(ca.nf, cb.nf)
+            ORDER BY doc_a, doc_b
+        """,
         # fully independent n-gram Jaccard oracle: DuckDB builds the
         # same distinct word-3-gram sets and the same posting-list
         # intersection counts in pure SQL — no goldens involved
@@ -5298,6 +5363,7 @@ def oracle_sql() -> dict[str, str]:
     d["docs_jaccard_pairs_dist"] = d["docs_jaccard_pairs"]
     d["docs_bigram_fluency_dist"] = d["docs_bigram_fluency"]
     d["docs_winnow_pairs_dist"] = d["docs_winnow_pairs"]
+    d["docs_quote_pairs_dist"] = d["docs_quote_pairs"]
     d["docs_sequence_pack_dist"] = d["docs_sequence_pack"]
     d["docs_decontaminate_bloom"] = d["docs_decontaminate"]
     # kept docs = everything except non-representative cluster members

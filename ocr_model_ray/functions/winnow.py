@@ -175,7 +175,8 @@ def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
                              text_col: str = "text",
                              doc_col: str = "doc_id",
                              num_buckets: int = 32,
-                             mode: str = "auto") -> pd.DataFrame:
+                             mode: str = "auto",
+                             metric: str = "jaccard") -> pd.DataFrame:
     """Near-dup pairs by fingerprint-set Jaccard: pairs whose DISTINCT
     shared fingerprint hashes satisfy BOTH ``n_shared >= min_shared``
     and ``jaccard = n_shared / (n_a + n_b - n_shared) >=
@@ -183,6 +184,16 @@ def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
     ``n_shared * jq_den >= jq_num * (n_a + n_b - n_shared)`` (no float
     compare). Output: (doc_a, doc_b, n_shared, jaccard), doc_a < doc_b,
     ``jaccard`` the one bit-exact float division.
+
+    ``metric='overlap'`` switches to the OVERLAP COEFFICIENT
+    ``n_shared / min(n_a, n_b)`` (Szymkiewicz-Simpson) with the cut
+    ``n_shared * jq_den >= jq_num * min(n_a, n_b)`` — the
+    quote/containment detector: a short document pasted inside a long
+    one scores ~1.0 here while its Jaccard stays near 0 (the union is
+    dominated by the long doc). Winnowing's guarantee makes this the
+    right sketch for it: every shared substring of length >= w + k - 1
+    contributes shared fingerprints regardless of either document's
+    total size. Output column is ``overlap`` instead of ``jaccard``.
 
     A raw shared-count cut is not discriminative on a corpus with a
     shared vocabulary (common char-grams make nearly every pair share
@@ -208,6 +219,9 @@ def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
     prefilter cuts the quadratic tail BEFORE the two set-size joins
     (doc_a then doc_b, one bucketed exchange each), and only
     ratio-qualifying pairs reach the driver."""
+    if metric not in ("jaccard", "overlap"):
+        raise ValueError(f"unknown metric {metric!r}")
+    score_col = "jaccard" if metric == "jaccard" else "overlap"
     fps = fingerprint_rows(ds, k=k, w=w, text_col=text_col,
                            doc_col=doc_col)
 
@@ -248,19 +262,27 @@ def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                           "doc_b": pd.Series([], dtype="int64"),
                           "n_shared": pd.Series([], dtype="int64"),
-                          "jaccard": pd.Series([], dtype="float64")})
+                          score_col: pd.Series([], dtype="float64")})
+
+    def score_and_cut(ns: np.ndarray, na: np.ndarray,
+                      nb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(keep mask, score) — integer cross-multiply cut, one float
+        division; denominator is the union (jaccard) or the smaller
+        set size (overlap)."""
+        denom = (na + nb - ns) if metric == "jaccard" \
+            else np.minimum(na, nb)
+        keep = ns * jq_den >= jq_num * denom
+        return keep, ns / (denom * 1.0)
 
     def finish(counted: pd.DataFrame, na: np.ndarray,
                nb: np.ndarray) -> pd.DataFrame:
-        """ratio cut + the one float division, shared by both plans"""
         ns = counted["n_shared"].to_numpy(dtype=np.int64)
-        union = na + nb - ns
-        keep = ns * jq_den >= jq_num * union
+        keep, score = score_and_cut(ns, na, nb)
         out = pd.DataFrame({
             "doc_a": counted["doc_a"].to_numpy(dtype=np.int64)[keep],
             "doc_b": counted["doc_b"].to_numpy(dtype=np.int64)[keep],
             "n_shared": ns[keep],
-            "jaccard": ns[keep] / (union[keep] * 1.0)})
+            score_col: score[keep]})
         return (out.sort_values(["doc_a", "doc_b"])
                 .reset_index(drop=True))
 
@@ -357,21 +379,20 @@ def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
     def ratio_cut(t: pa.Table) -> pa.Table:
         ns = t["n_shared"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        union = (t["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-                 + t["n_b"].to_numpy(zero_copy_only=False)
-                 .astype(np.int64) - ns)
-        keep = ns * jq_den >= jq_num * union
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep, score = score_and_cut(ns, na, nb)
         return pa.table({
             "doc_a": pa.array(t["doc_a"].to_numpy(
                 zero_copy_only=False).astype(np.int64)[keep]),
             "doc_b": pa.array(t["doc_b"].to_numpy(
                 zero_copy_only=False).astype(np.int64)[keep]),
             "n_shared": pa.array(ns[keep]),
-            "jaccard": pa.array(ns[keep] / (union[keep] * 1.0))})
+            score_col: pa.array(score[keep])})
 
     out = j2.map_batches(ratio_cut, batch_format="pyarrow").to_pandas()
     if out.empty or "n_shared" not in out.columns:
         return empty
     return (out.sort_values(["doc_a", "doc_b"])
             .reset_index(drop=True)
-            [["doc_a", "doc_b", "n_shared", "jaccard"]])
+            [["doc_a", "doc_b", "n_shared", score_col]])

@@ -118,3 +118,62 @@ def test_winnow_summary_and_empty_corpus():
     short = rd.from_items([{"doc_id": 0, "text": "tiny"},
                            {"doc_id": 1, "text": ""}])
     assert fingerprint_summary(short).empty
+
+
+# ---------------------------------------------------------------------------
+# overlap-coefficient (quote/containment) metric
+# ---------------------------------------------------------------------------
+def test_overlap_detects_planted_quote(ray_session):
+    import ray.data as rd
+    from ocr_model_ray.functions.winnow import shared_fingerprint_pairs
+    rng = __import__("random").Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    long_doc = "".join(rng.choice(alphabet) for _ in range(4000))
+    quote = long_doc[1000:1250]          # verbatim 250-char quote
+    unrelated = "".join(rng.choice(alphabet) for _ in range(300))
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": [long_doc, quote, unrelated]})
+    ds = rd.from_pandas(docs)
+    ov = shared_fingerprint_pairs(ds, min_shared=2, jq_num=3, jq_den=4,
+                                  metric="overlap", mode="local")
+    # the quote pair qualifies on overlap...
+    assert [(1, 2)] == list(zip(ov["doc_a"], ov["doc_b"]))
+    assert (ov["overlap"] >= 0.75).all()
+    # ...but NOT on jaccard at the same threshold (union is dominated
+    # by the long doc) — the reason the metric exists
+    jc = shared_fingerprint_pairs(ds, min_shared=2, jq_num=3, jq_den=4,
+                                  metric="jaccard", mode="local")
+    assert jc.empty
+
+
+def test_overlap_plans_bit_equal(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from ocr_model_ray.functions.winnow import shared_fingerprint_pairs
+    rng = __import__("random").Random(3)
+    alphabet = "abcdef "
+    base = ["".join(rng.choice(alphabet) for _ in range(500))
+            for _ in range(20)]
+    texts = base + [b[100:300] for b in base[:5]]   # planted quotes
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    loc = shared_fingerprint_pairs(rd.from_pandas(docs), min_shared=2,
+                                   jq_num=3, jq_den=4, metric="overlap",
+                                   mode="local")
+    dist = shared_fingerprint_pairs(rd.from_pandas(docs).repartition(7),
+                                    min_shared=2, jq_num=3, jq_den=4,
+                                    metric="overlap", mode="distributed")
+    assert loc["doc_a"].tolist() == dist["doc_a"].tolist()
+    assert loc["doc_b"].tolist() == dist["doc_b"].tolist()
+    assert loc["n_shared"].tolist() == dist["n_shared"].tolist()
+    assert np.array_equal(loc["overlap"].to_numpy().view("int64"),
+                          dist["overlap"].to_numpy().view("int64"))
+    assert len(loc) >= 5
+
+
+def test_overlap_metric_rejects_unknown(ray_session):
+    import pytest
+    import ray.data as rd
+    from ocr_model_ray.functions.winnow import shared_fingerprint_pairs
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        shared_fingerprint_pairs(ds, metric="dice")
