@@ -2019,6 +2019,23 @@ def _web_host_hits_bcast(sf_dir: str):
                           iter_plan="broadcast")
 
 
+def _web_harmonic_centrality(sf_dir: str, mode: str = "auto"):
+    """EXACT harmonic centrality (Boldi & Vigna 2014 — the ranking
+    Common Crawl publishes for hosts) truncated at 8 hops, computed in
+    lcm-scaled integers so the result is bit-exact vs the oracle's
+    recursive-CTE replay (link_graph.harmonic_centrality docstring)."""
+    from ocr_model_ray.functions.link_graph import harmonic_centrality
+    return harmonic_centrality(_docs_edges(sf_dir), max_depth=8,
+                               mode=_resolve_entry_mode(sf_dir, mode))
+
+
+def _web_harmonic_centrality_dist(sf_dir: str):
+    """Forced-distributed twin: level-synchronous multi-source BFS —
+    per-round state is the (src, host) pair Dataset, one bucket join +
+    compound distinct + anti filter per round."""
+    return _web_harmonic_centrality(sf_dir, mode="distributed")
+
+
 def _extract_links(sf_dir: str):
     """Real href/anchor extraction over the Common-Crawl-shaped pages
     fixture corpus: (url, link_no, href, dst_url, anchor) per <a> in
@@ -2658,6 +2675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_hits": _web_host_hits,
         "web_host_hits_dist": _web_host_hits_dist,
         "web_host_hits_bcast": _web_host_hits_bcast,
+        "web_harmonic_centrality": _web_harmonic_centrality,
+        "web_harmonic_centrality_dist": _web_harmonic_centrality_dist,
         "web_host_pagerank_dist": _web_host_pagerank_dist,
         "web_host_pagerank_bcast": _web_host_pagerank_bcast,
         "web_host_pagerank_weighted": _web_host_pagerank_weighted,
@@ -5143,6 +5162,35 @@ def oracle_sql() -> dict[str, str]:
     """
     d["web_host_hits_dist"] = d["web_host_hits"]
     d["web_host_hits_bcast"] = d["web_host_hits"]
+    # exact truncated harmonic centrality: shortest distances <= 8
+    # enumerated by a recursive walk CTE (UNION dedups triples, MIN
+    # collapses walks to the shortest path); 840 = lcm(1..8) makes the
+    # reciprocal sum integer-exact — the engine's identical rule
+    d["web_harmonic_centrality"] = f"""
+        WITH RECURSIVE
+        e AS MATERIALIZED (
+            SELECT DISTINCT src_host, dst_host FROM ({_edges_src})),
+        hosts AS MATERIALIZED (SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM e
+            UNION ALL SELECT dst_host FROM e)),
+        walk(src, dst, d) AS (
+            SELECT src_host, dst_host, 1 FROM e
+            UNION
+            SELECT w.src, e.dst_host, w.d + 1
+            FROM walk w JOIN e ON e.src_host = w.dst
+            WHERE w.d < 8),
+        best AS (SELECT src, dst, MIN(d) AS d FROM walk
+                 WHERE src <> dst GROUP BY src, dst)
+        SELECT h.host,
+               CAST(COALESCE(SUM(840 // b.d), 0) AS BIGINT)
+                   AS harmonic_fp,
+               CAST(COUNT(b.src) AS BIGINT) AS n_reached,
+               CAST(COALESCE(SUM(840 // b.d), 0) AS BIGINT) / 840.0
+                   AS harmonic
+        FROM hosts h LEFT JOIN best b ON b.dst = h.host
+        GROUP BY h.host
+    """
+    d["web_harmonic_centrality_dist"] = d["web_harmonic_centrality"]
     # cross-run ingest reconstructs the SAME distinct-edge graph, so
     # the one-shot replay is the exact oracle
     d["web_pagerank_ingest"] = d["web_host_pagerank"]

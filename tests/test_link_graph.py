@@ -470,3 +470,55 @@ def test_hits_invariants_and_empty(ray_session):
                        3, "src_host", "dst_host")
     assert loop["auth_fp"].tolist() == [SCALE]
     assert loop["hub_fp"].tolist() == [SCALE]
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality
+# ---------------------------------------------------------------------------
+def test_harmonic_closed_forms(ray_session):
+    from ocr_model_ray.functions.link_graph import (_harmonic_frame,
+                                                    _harmonic_lcm)
+    assert _harmonic_lcm(8) == 840
+    # path a->b->c: H(b)=1, H(c)=1+1/2
+    path = pd.DataFrame({"src_host": ["a", "b"], "dst_host": ["b", "c"]})
+    out = _harmonic_frame(path, 8, "src_host", "dst_host") \
+        .set_index("host")
+    assert out["harmonic_fp"].to_dict() == {"a": 0, "b": 840, "c": 1260}
+    assert out["n_reached"].to_dict() == {"a": 0, "b": 1, "c": 2}
+    assert out.loc["c", "harmonic"] == 1260 / 840.0
+    # depth cap: a 10-chain from h0, max_depth=3 sees only 3 hops back
+    chain = pd.DataFrame({"src_host": [f"n{i}" for i in range(9)],
+                          "dst_host": [f"n{i+1}" for i in range(9)]})
+    out3 = _harmonic_frame(chain, 3, "src_host", "dst_host") \
+        .set_index("host")
+    L3 = _harmonic_lcm(3)   # 6
+    assert int(out3.loc["n9", "harmonic_fp"]) == L3 + L3 // 2 + L3 // 3
+    assert int(out3.loc["n9", "n_reached"]) == 3
+    # cycle: every node on a 4-cycle reaches the other 3
+    cyc = pd.DataFrame({"src_host": ["a", "b", "c", "d"],
+                        "dst_host": ["b", "c", "d", "a"]})
+    oc = _harmonic_frame(cyc, 8, "src_host", "dst_host")
+    assert (oc["harmonic_fp"] == 840 + 420 + 280).all()
+    assert (oc["n_reached"] == 3).all()
+
+
+def test_harmonic_plans_bit_equal_and_empty(ray_session):
+    from ocr_model_ray.functions.link_graph import harmonic_centrality
+    edges = _edges_frame()
+    loc = harmonic_centrality(rd.from_pandas(edges),
+                              mode="local").to_pandas()
+    dist = harmonic_centrality(rd.from_pandas(edges).repartition(9),
+                               mode="distributed",
+                               num_buckets=5).to_pandas()
+    loc = loc.sort_values("host").reset_index(drop=True)
+    dist = dist.sort_values("host").reset_index(drop=True)
+    assert loc["host"].tolist() == dist["host"].tolist()
+    assert loc["harmonic_fp"].tolist() == dist["harmonic_fp"].tolist()
+    assert loc["n_reached"].tolist() == dist["n_reached"].tolist()
+    assert np.array_equal(loc["harmonic"].to_numpy().view("int64"),
+                          dist["harmonic"].to_numpy().view("int64"))
+
+    empty = harmonic_centrality(rd.from_pandas(pd.DataFrame({
+        "src_host": pd.Series([], dtype="object"),
+        "dst_host": pd.Series([], dtype="object")})), mode="local")
+    assert empty.to_pandas().empty
