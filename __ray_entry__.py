@@ -2036,6 +2036,25 @@ def _web_harmonic_centrality_dist(sf_dir: str):
     return _web_harmonic_centrality(sf_dir, mode="distributed")
 
 
+def _web_hyperball_centrality(sf_dir: str, mode: str = "auto"):
+    """HyperBall approximate harmonic centrality (Boldi & Vigna 2013)
+    — the sketch-based scale path; oracle is a recorded golden (the
+    synth distinct-edge set is IDENTICAL at every sf — 148 edges —
+    so one golden serves all tiers), with the independent accuracy
+    check living in the test suite: the estimate must sit within 5%
+    of the exact, fully-SQL-verified ``web_harmonic_centrality``."""
+    from ocr_model_ray.functions.link_graph import hyperball_centrality
+    return hyperball_centrality(_docs_edges(sf_dir),
+                                mode=_resolve_entry_mode(sf_dir, mode))
+
+
+def _web_hyperball_centrality_dist(sf_dir: str):
+    """Forced-distributed twin: counters ride as a (host, regs,
+    prev_est, harm) Dataset; one bucket join + one bucketed per-host
+    register-max merge per round."""
+    return _web_hyperball_centrality(sf_dir, mode="distributed")
+
+
 def _extract_links(sf_dir: str):
     """Real href/anchor extraction over the Common-Crawl-shaped pages
     fixture corpus: (url, link_no, href, dst_url, anchor) per <a> in
@@ -2677,6 +2696,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_hits_bcast": _web_host_hits_bcast,
         "web_harmonic_centrality": _web_harmonic_centrality,
         "web_harmonic_centrality_dist": _web_harmonic_centrality_dist,
+        "web_hyperball_centrality": _web_hyperball_centrality,
+        "web_hyperball_centrality_dist": _web_hyperball_centrality_dist,
         "web_host_pagerank_dist": _web_host_pagerank_dist,
         "web_host_pagerank_bcast": _web_host_pagerank_bcast,
         "web_host_pagerank_weighted": _web_host_pagerank_weighted,
@@ -5191,6 +5212,15 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY h.host
     """
     d["web_harmonic_centrality_dist"] = d["web_harmonic_centrality"]
+    # HyperBall: recorded golden (one file serves every sf — the synth
+    # distinct-edge set saturates identically at 148 edges); accuracy
+    # vs the exact SQL-verified harmonic is pinned by the test suite
+    d["web_hyperball_centrality"] = f"""
+        SELECT host, est_reach, harmonic_est
+        FROM read_parquet('{os.path.join(_GOLDENS,
+                                         "web_hyperball.parquet")}')
+    """
+    d["web_hyperball_centrality_dist"] = d["web_hyperball_centrality"]
     # cross-run ingest reconstructs the SAME distinct-edge graph, so
     # the one-shot replay is the exact oracle
     d["web_pagerank_ingest"] = d["web_host_pagerank"]

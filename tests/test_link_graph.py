@@ -522,3 +522,50 @@ def test_harmonic_plans_bit_equal_and_empty(ray_session):
         "src_host": pd.Series([], dtype="object"),
         "dst_host": pd.Series([], dtype="object")})), mode="local")
     assert empty.to_pandas().empty
+
+
+# ---------------------------------------------------------------------------
+# HyperBall (approximate harmonic centrality)
+# ---------------------------------------------------------------------------
+def test_hyperball_plans_bit_equal_and_accuracy(ray_session):
+    from ocr_model_ray.functions.link_graph import (
+        _harmonic_frame, hyperball_centrality)
+    edges = _edges_frame()
+    loc = hyperball_centrality(rd.from_pandas(edges),
+                               mode="local").to_pandas()
+    dist = hyperball_centrality(rd.from_pandas(edges).repartition(9),
+                                mode="distributed",
+                                num_buckets=5).to_pandas()
+    loc = loc.sort_values("host").reset_index(drop=True)
+    dist = dist.sort_values("host").reset_index(drop=True)
+    assert loc["host"].tolist() == dist["host"].tolist()
+    for c in ("est_reach", "harmonic_est"):
+        assert np.array_equal(loc[c].to_numpy().view("int64"),
+                              dist[c].to_numpy().view("int64"))
+    # independent accuracy pin vs the EXACT (SQL-verified) harmonic:
+    # p=10 gives ~3.2% standard error; 5% bound on this graph
+    exact = _harmonic_frame(edges, 8, "src_host", "dst_host") \
+        .sort_values("host").reset_index(drop=True)
+    rel = np.abs(loc["harmonic_est"].to_numpy()
+                 - exact["harmonic"].to_numpy()) \
+        / np.maximum(exact["harmonic"].to_numpy(), 1e-9)
+    assert rel.max() < 0.05
+    # ball-size estimate: every host reaches all 37 (strongly
+    # connected synth graph) — est_reach within 5% of 37
+    assert (np.abs(loc["est_reach"].to_numpy() - 37) / 37 < 0.05).all()
+
+
+def test_hyperball_registers_monotone_and_empty(ray_session):
+    from ocr_model_ray.functions.link_graph import (
+        _hll_est, _hll_init, hyperball_centrality)
+    # estimator sanity: singleton sketches estimate ~1; merged pair ~2
+    hosts = np.array([f"x{i}" for i in range(64)], dtype=object)
+    regs = _hll_init(hosts, 10)
+    est1 = _hll_est(regs)
+    assert (np.abs(est1 - 1.0) < 0.05).all()
+    merged = np.maximum(regs[0], regs[1])[None, :]
+    assert abs(_hll_est(merged)[0] - 2.0) < 0.2
+    empty = hyperball_centrality(rd.from_pandas(pd.DataFrame({
+        "src_host": pd.Series([], dtype="object"),
+        "dst_host": pd.Series([], dtype="object")})), mode="local")
+    assert empty.to_pandas().empty
