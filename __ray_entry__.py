@@ -1195,6 +1195,54 @@ def _docs_budget_select_dist(sf_dir: str):
     return _docs_budget_select(sf_dir, mode="distributed")
 
 
+def _docs_shard_assign(sf_dir: str, mode: str = "auto"):
+    """Deterministic global pseudo-shuffle into fixed 64-doc training
+    shards (shards.global_shuffle_shards): rank = ROW_NUMBER() - 1
+    over the frozen (md5(CAST(doc_id AS VARCHAR)), doc_id) order,
+    shard = rank // 64, pos = rank % 64. The distributed plan ranks
+    without a global sort (md5 hex-prefix bin counts -> driver prefix
+    sums -> one narrow (bin, id) exchange)."""
+    import pandas as pd
+
+    from ocr_model_ray.functions.shards import global_shuffle_shards
+    out = global_shuffle_shards(
+        _docs(sf_dir), shard_size=64,
+        mode=_resolve_entry_mode(sf_dir, mode)).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64"),
+                             "shard": pd.Series([], dtype="int64"),
+                             "pos": pd.Series([], dtype="int64")})
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))
+
+
+def _docs_shard_assign_dist(sf_dir: str):
+    return _docs_shard_assign(sf_dir, mode="distributed")
+
+
+def _docs_chunk_windows(sf_dir: str):
+    """Sliding-window token chunking (chunking.chunk_windows):
+    64-token windows advancing by 48 — each doc's whitespace token
+    stream split into overlapping RAG/trainer contexts; exact integer
+    window arithmetic, so the SQL twin replays it via list slices."""
+    import pandas as pd
+
+    from ocr_model_ray.functions.chunking import chunk_windows
+    out = chunk_windows(_docs(sf_dir), chunk_size=64,
+                        stride=48).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "chunk_id": pd.Series([], dtype="int64"),
+            "n_tokens": pd.Series([], dtype="int64"),
+            "chunk_text": pd.Series([], dtype="object")})
+    return (out.sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+            .astype({"doc_id": "int64", "chunk_id": "int64",
+                     "n_tokens": "int64"}))
+
+
 def _docs_tier_sample(sf_dir: str):
     """Stratified deterministic sample: 3 docs per quality tier,
     ranked by (md5(text), doc_id); the md5 rides along in the label
@@ -2617,6 +2665,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tier_sample": _docs_tier_sample,
         "docs_budget_select": _docs_budget_select,
         "docs_budget_select_dist": _docs_budget_select_dist,
+        "docs_shard_assign": _docs_shard_assign,
+        "docs_shard_assign_dist": _docs_shard_assign_dist,
+        "docs_chunk_windows": _docs_chunk_windows,
         "docs_script_ratios": _docs_script_ratios,
         "docs_mojibake": _docs_mojibake,
         "docs_source_mix_weights": _docs_source_mix_weights,
@@ -3740,6 +3791,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, tier
             FROM o WHERE cum <= (SELECT bud FROM b)
             ORDER BY doc_id
+        """,
+        "docs_shard_assign": """
+            WITH o AS (SELECT doc_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                    doc_id) - 1 AS rk
+                       FROM documents)
+            SELECT doc_id, CAST(rk AS BIGINT) AS rank,
+                   CAST(rk // 64 AS BIGINT) AS shard,
+                   CAST(rk % 64 AS BIGINT) AS pos
+            FROM o ORDER BY doc_id
+        """,
+        "docs_chunk_windows": """
+            WITH base AS (SELECT doc_id,
+                    list_filter(string_split_regex(
+                        text, '[ \t\n\r\f\v]+'),
+                        x -> x <> '') AS toks FROM documents),
+            sized AS (SELECT doc_id, toks, len(toks) AS n
+                      FROM base WHERE len(toks) > 0),
+            ch AS (SELECT doc_id, toks, n,
+                    unnest(range(0, 1 + greatest(0, n - 64 + 48 - 1)
+                                        // 48)) AS k
+                   FROM sized)
+            SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+                   CAST(least(n - k*48, 64) AS BIGINT) AS n_tokens,
+                   array_to_string(
+                       toks[CAST(k*48 + 1 AS BIGINT):
+                            CAST(least(k*48 + 64, n) AS BIGINT)],
+                       ' ') AS chunk_text
+            FROM ch ORDER BY doc_id, chunk_id
         """,
         "docs_tier_lang_pivot": f"""
             SELECT d.lang,
@@ -5417,6 +5498,7 @@ def oracle_sql() -> dict[str, str]:
     """
     d["docs_line_dedup_dist"] = d["docs_line_dedup"]
     d["docs_budget_select_dist"] = d["docs_budget_select"]
+    d["docs_shard_assign_dist"] = d["docs_shard_assign"]
     d["docs_line_dedup_summary"] = f"""
         SELECT CAST(count(*) AS BIGINT) AS docs_total,
                CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END)

@@ -1,0 +1,112 @@
+"""Sliding-window token chunking — the RAG / fixed-context trainer
+splitter.
+
+Every document's whitespace token stream (empty tokens dropped — the
+corpus-wide tokenizer contract shared with top_tokens / bm25 / the
+jaccard grams) is cut into windows of ``chunk_size`` tokens advancing
+by ``stride`` tokens (``stride < chunk_size`` overlaps neighbouring
+chunks, the usual retrieval-context setting; ``stride ==
+chunk_size`` tiles exactly). Chunk ``k`` of a doc with ``n`` tokens
+covers tokens ``[k*stride, min(k*stride + chunk_size, n))`` and the
+doc yields
+
+    n_chunks = 1 + max(0, n - chunk_size + stride - 1) // stride
+
+chunks (integer arithmetic, so the SQL twin replays it exactly); a
+zero-token doc yields none. Unlike ``packing.sequence_pack`` (which
+concatenates MANY docs into fixed budget sequences) this splits ONE
+doc into windows — the complementary half of training-data layout.
+
+Shape: a pure per-batch ``map_batches`` — no exchange, no state, the
+embarrassingly-parallel streaming ideal; at 10^12 docs the only cost
+is the token scan itself. The per-batch kernel is fully vectorized:
+one Arrow regex split, then numpy offset arithmetic builds EVERY
+chunk's token-index gather in one ``take`` and one
+``binary_join_element_wise``-free Arrow list join (no Python loop
+over docs or chunks).
+
+Output: (id_col, chunk_id:int64, n_tokens:int64, chunk_text:string).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .corpus_stats import WS_SPLIT
+
+
+def chunk_windows_batch(t: pa.Table, chunk_size: int, stride: int,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> pa.Table:
+    """One batch -> its chunk rows (vectorized; see module doc)."""
+    empty = pa.table({
+        id_col: pa.array([], pa.int64()),
+        "chunk_id": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "chunk_text": pa.array([], pa.string())})
+    if len(t) == 0:
+        return empty
+    toks = pc.split_pattern_regex(t[text_col], WS_SPLIT)
+    flat = pc.list_flatten(toks).combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    # drop empty tokens but keep doc boundaries exact
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    docix = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    flat = flat.filter(pa.array(keep))
+    docix = docix[keep]
+    n = np.bincount(docix, minlength=len(lens)).astype(np.int64)
+    doc_start = np.concatenate(([0], np.cumsum(n)[:-1]))
+
+    n_chunks = np.where(
+        n > 0,
+        1 + np.maximum(0, n - chunk_size + stride - 1) // stride,
+        0).astype(np.int64)
+    total = int(n_chunks.sum())
+    if total == 0:
+        return empty
+    cdoc = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    coff = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    k = np.arange(total, dtype=np.int64) - np.repeat(coff, n_chunks)
+    starts = doc_start[cdoc] + k * stride
+    ends = np.minimum(starts + chunk_size, doc_start[cdoc] + n[cdoc])
+    clen = ends - starts
+    # gather every chunk's token indices in one flat arange trick
+    goff = np.concatenate(([0], np.cumsum(clen)))
+    idx = (np.repeat(starts, clen)
+           + np.arange(int(goff[-1]), dtype=np.int64)
+           - np.repeat(goff[:-1], clen))
+    gathered = flat.take(pa.array(idx))
+    # a single batch never holds 2^31 gathered tokens; large_list
+    # guards the pathological giant-blob batch anyway
+    if goff[-1] < 2**31:
+        lists = pa.ListArray.from_arrays(
+            pa.array(goff, pa.int32()), gathered)
+    else:
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(goff, pa.int64()), gathered)
+    text = pc.binary_join(lists, " ")
+    return pa.table({
+        id_col: pa.array(ids[cdoc]),
+        "chunk_id": pa.array(k),
+        "n_tokens": pa.array(clen),
+        "chunk_text": text})
+
+
+def chunk_windows(ds: rd.Dataset, chunk_size: int = 64,
+                  stride: int = 48, id_col: str = "doc_id",
+                  text_col: str = "text") -> rd.Dataset:
+    """Dataset of (id, chunk_id, n_tokens, chunk_text) sliding
+    windows; pure streaming map — see the module docstring."""
+    if chunk_size < 1 or stride < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+
+    def fn(t: pa.Table) -> pa.Table:
+        return chunk_windows_batch(t, chunk_size, stride,
+                                   id_col=id_col, text_col=text_col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,163 @@
+"""Units for the training-output layout pair: global pseudo-shuffle
+shard assignment (functions/shards.py) and sliding-window token
+chunking (functions/chunking.py)."""
+
+import hashlib
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _docs(n: int, seed: int = 3) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    texts = [" ".join(f"w{rng.randint(40)}"
+                      for _ in range(int(rng.randint(0, 150))))
+             for _ in range(n)]
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64) * 7 + 1,
+                         "text": texts})
+
+
+# ---------------------------------------------------------------- shards
+
+def _expected_assign(ids: np.ndarray, shard_size: int) -> pd.DataFrame:
+    h = [hashlib.md5(str(int(v)).encode()).hexdigest() for v in ids]
+    order = np.lexsort((ids, np.asarray(h, dtype=object)))
+    rank = np.empty(len(ids), dtype=np.int64)
+    rank[order] = np.arange(len(ids), dtype=np.int64)
+    return pd.DataFrame({"doc_id": ids, "rank": rank,
+                         "shard": rank // shard_size,
+                         "pos": rank % shard_size})
+
+
+def test_shard_assign_plans_agree_and_match_reference(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.shards import global_shuffle_shards
+    docs = _docs(311)
+    want = _expected_assign(docs["doc_id"].to_numpy(), 16) \
+        .sort_values("doc_id").reset_index(drop=True)
+    for mode, bh in (("local", 3), ("distributed", 3),
+                     ("distributed", 1)):
+        got = (global_shuffle_shards(rd.from_pandas(docs), 16,
+                                     bin_hex=bh, mode=mode)
+               .to_pandas().sort_values("doc_id")
+               .reset_index(drop=True)[list(want.columns)])
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want.astype("int64"))
+
+
+def test_shard_assign_partitioning_independent(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.shards import global_shuffle_shards
+    docs = _docs(200, seed=9)
+    outs = []
+    for nb in (1, 7):
+        ds = rd.from_pandas(docs).repartition(nb)
+        outs.append(global_shuffle_shards(ds, 32, mode="distributed")
+                    .to_pandas().sort_values("doc_id")
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_shard_assign_ranks_are_a_permutation(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.shards import global_shuffle_shards
+    docs = _docs(97)
+    out = global_shuffle_shards(rd.from_pandas(docs), 10,
+                                mode="distributed").to_pandas()
+    r = np.sort(out["rank"].to_numpy())
+    assert np.array_equal(r, np.arange(97))
+    # every shard but the last is exactly full
+    sizes = out.groupby("shard").size()
+    assert (sizes.iloc[:-1] == 10).all() and sizes.iloc[-1] == 7
+
+
+def test_shard_assign_empty_and_validation(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.shards import global_shuffle_shards
+    empty = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "text": pd.Series([], dtype="object")}))
+    for mode in ("local", "distributed"):
+        out = global_shuffle_shards(empty, 8, mode=mode).to_pandas()
+        # Ray's empty-Dataset round trip may drop the schema (the
+        # repo-wide convention: entry wrappers re-type empties)
+        assert out.empty
+        if len(out.columns):
+            assert list(out.columns) == ["doc_id", "rank",
+                                         "shard", "pos"]
+    with pytest.raises(ValueError):
+        global_shuffle_shards(empty, 0)
+    with pytest.raises(ValueError):
+        global_shuffle_shards(empty, 8, bin_hex=0)
+
+
+# -------------------------------------------------------------- chunking
+
+def test_chunk_windows_hand_computed(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.chunking import chunk_windows
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": ["a b c d e f g", "x", ""]})
+    out = (chunk_windows(rd.from_pandas(docs), chunk_size=4, stride=2)
+           .to_pandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+    # doc 1: 7 tokens -> chunks [0:4) [2:6) [4:7)
+    assert out["chunk_text"].tolist() == \
+        ["a b c d", "c d e f", "e f g", "x"]
+    assert out["n_tokens"].tolist() == [4, 4, 3, 1]
+    assert out["chunk_id"].tolist() == [0, 1, 2, 0]
+
+
+def test_chunk_windows_exact_tiling_and_coverage(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.chunking import chunk_windows
+    docs = _docs(120, seed=5)
+    out = chunk_windows(rd.from_pandas(docs), chunk_size=16,
+                        stride=16).to_pandas()
+    # stride == chunk_size tiles: rebuilding each doc from its chunks
+    # in order reproduces the normalized token stream exactly
+    rebuilt = (out.sort_values(["doc_id", "chunk_id"])
+               .groupby("doc_id")["chunk_text"]
+               .agg(" ".join))
+    want = {int(r.doc_id): " ".join(r.text.split())
+            for r in docs.itertuples() if r.text.split()}
+    assert dict(rebuilt) == want
+
+
+def test_chunk_windows_boundary_counts(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.chunking import chunk_windows
+    # n == chunk_size -> exactly one chunk; n == chunk_size + 1 -> two
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": [" ".join(["t"] * 8), " ".join(["t"] * 9)]})
+    out = chunk_windows(rd.from_pandas(docs), chunk_size=8,
+                        stride=3).to_pandas()
+    counts = out.groupby("doc_id").size()
+    assert counts[1] == 1 and counts[2] == 2
+
+
+def test_chunk_windows_empty(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.chunking import chunk_windows
+    empty = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "text": pd.Series([], dtype="object")}))
+    out = chunk_windows(empty, 4, 2).to_pandas()
+    assert out.empty
+    with pytest.raises(ValueError):
+        chunk_windows(empty, 0, 1)
