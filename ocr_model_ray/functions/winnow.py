@@ -56,6 +56,11 @@ from .dedup_algos import _resolve_mode
 
 logger = logging.getLogger(__name__)
 
+#: doc-count cut below which the per-doc fingerprint-set-size table
+#: broadcasts for the ratio cut (5M rows = 80 MB in plasma) instead
+#: of the two bucketed joins — the small-dim broadcast doctrine.
+BROADCAST_DOCS = 5_000_000
+
 #: Karp-Rabin base / modulus — shared verbatim with the SQL oracles.
 KR_BASE = 1_000_003
 KR_MOD = 2_147_483_647
@@ -231,33 +236,57 @@ def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
 
     dist = fps.map_batches(distinct_block, batch_format="pyarrow")
 
+    def _count_pairs(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+        """(doc_a, doc_b, n) multiplicities — packed-uint64 np.unique
+        when ids fit 32 bits (C-speed on tens of millions of pairs),
+        pandas groupby otherwise."""
+        if len(a) and max(int(a.max()), int(b.max())) < 2**31 \
+                and min(int(a.min()), int(b.min())) >= 0:
+            key = (a.astype(np.uint64) << np.uint64(32)) \
+                | b.astype(np.uint64)
+            u, n = np.unique(key, return_counts=True)
+            return pd.DataFrame({
+                "doc_a": (u >> np.uint64(32)).astype(np.int64),
+                "doc_b": (u & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                "n": n.astype(np.int64)})
+        return (pd.DataFrame({"doc_a": a, "doc_b": b})
+                .groupby(["doc_a", "doc_b"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
     def pairs_of(frame: pd.DataFrame) -> pd.DataFrame:
-        """pairs from complete per-hash posting lists (frame holds
-        every row of each hash it contains; hot hashes are already
-        excluded globally)"""
+        """COUNTED pairs (doc_a, doc_b, n) from complete per-hash
+        posting lists (frame holds every row of each hash it contains;
+        hot hashes are already excluded globally). ``n`` counts shared
+        hashes WITHIN this frame — a combiner partial when frames are
+        hash buckets, the final count on a whole-corpus frame.
+
+        Pair generation is vectorized by DISTINCT GROUP SIZE: groups
+        of equal size m stack into a (G, m) matrix and one
+        triu_indices gather emits all their pairs — the Python loop is
+        O(#distinct sizes), never O(#hashes) or O(#pairs)."""
+        out_empty = pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64")})
         if frame.empty:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
+            return out_empty
         f = frame.drop_duplicates(["h", "doc_id"])
         f = f.sort_values(["h", "doc_id"], kind="mergesort")
         h = f["h"].to_numpy()
         d = f["doc_id"].to_numpy(dtype=np.int64)
         starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
-        ends = np.r_[starts[1:], len(h)]
+        sizes = np.r_[starts[1:], len(h)] - starts
+        starts, sizes = starts[sizes >= 2], sizes[sizes >= 2]
+        if not len(starts):
+            return out_empty
         aa, bb = [], []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            docs = d[s:e]
-            iu = np.triu_indices(m, 1)
-            aa.append(docs[iu[0]])
-            bb.append(docs[iu[1]])
-        if not aa:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"doc_a": np.concatenate(aa),
-                             "doc_b": np.concatenate(bb)})
+        for m in np.unique(sizes):
+            gs = starts[sizes == m]
+            docs = d[gs[:, None] + np.arange(m)]      # (G, m)
+            iu, ju = np.triu_indices(int(m), 1)
+            aa.append(docs[:, iu].ravel())
+            bb.append(docs[:, ju].ravel())
+        return _count_pairs(np.concatenate(aa), np.concatenate(bb))
 
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                           "doc_b": pd.Series([], dtype="int64"),
@@ -302,9 +331,7 @@ def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
         if frame.empty:
             return empty
         nf = frame.groupby("doc_id")["h"].size()
-        pairs = pairs_of(frame)
-        counted = (pairs.groupby(["doc_a", "doc_b"], as_index=False)
-                   .size().rename(columns={"size": "n_shared"}))
+        counted = pairs_of(frame).rename(columns={"n": "n_shared"})
         counted = counted[counted["n_shared"] >= min_shared]
         if counted.empty:
             return empty
@@ -317,6 +344,15 @@ def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
 
     from .bucketed import bucketed_agg
     from .joins import hash_bucket_join
+
+    # The pair plan consumes ``dist`` through FOUR DAG branches (df
+    # pass, pair pass, the two set-size joins); without a checkpoint
+    # Ray re-executes the fingerprint text scan once per branch.
+    # Materialize the NARROW distinct (h, doc_id) rows once —
+    # ~n_chars/w postings/doc at 16 B each, the winnow-thinned sketch,
+    # never the text — so the scan runs exactly once (measured 9.6 ->
+    # ~3 s at sf0.1; the packing family's narrow-checkpoint doctrine).
+    dist = dist.materialize()
 
     # hot-hash set: one bucketed df pass; the driver frame is bounded
     # by total_postings / max_df (pigeonhole)
@@ -332,10 +368,12 @@ def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
             "winnow pairs: excluding %d hashes with df > %d "
             "(boilerplate guard)", len(hot), max_df)
         hot_ref = ray.put(pa.array(hot["h"].to_numpy(np.int64)))
+        # checkpoint the filtered postings too: three branches (pairs
+        # + both count sides) read them
         dist = dist.map_batches(
             lambda t: t.filter(pc.invert(pc.is_in(
                 t["h"], value_set=ray.get(hot_ref)))),
-            batch_format="pyarrow")
+            batch_format="pyarrow").materialize()
 
     def tag(t: pa.Table) -> pa.Table:
         b = pc.cast(pc.bit_wise_and(t["h"], num_buckets - 1),
@@ -345,11 +383,16 @@ def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return pairs_of(g)
 
+    # per_bucket emits COUNTED (doc_a, doc_b, n) partials — the pair
+    # combiner: a pair sharing many hashes collapses inside each
+    # bucket, so the exchange ships counted rows, never the raw
+    # per-shared-hash pair stream (28M raw pair rows -> ~1M counted
+    # partials on the sf0.1 bench corpus)
     pair_parts = (dist.map_batches(tag, batch_format="pyarrow")
                   .groupby("__b")
                   .map_groups(per_bucket, batch_format="pandas"))
     agg = bucketed_agg(pair_parts, ["doc_a", "doc_b"],
-                       {"n_shared": ("doc_a", "size")})
+                       {"n_shared": ("n", "sum")})
     sch = agg.schema()
     if sch is None or "n_shared" not in sch.names:
         return empty
@@ -363,6 +406,45 @@ def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
                    .select(["doc_id", "count_all"])
                    .rename_columns(["doc_id", "nf"]),
         batch_format="pyarrow")
+    # The ratio cut needs each side's fingerprint-set size. The size
+    # table is ONE narrow row per doc: below ``broadcast_docs`` it
+    # rides the object store once and the cut is a single streaming
+    # pass over the survivors (two sorted-array gathers — measured
+    # 5.6 s of bucket joins -> ~0.5 s on 6.7M survivors at sf0.1);
+    # above it (the 10^12-doc shape) the two bucketed joins stand.
+    n_docs = counts.count()
+    if n_docs <= BROADCAST_DOCS:
+        cf = counts.to_pandas()
+        order = np.argsort(cf["doc_id"].to_numpy())
+        size_ref = ray.put((
+            cf["doc_id"].to_numpy(np.int64)[order],
+            cf["nf"].to_numpy(np.int64)[order]))
+
+        def bcast_cut(t: pa.Table) -> pa.Table:
+            sid, snf = ray.get(size_ref)
+            ns = t["n_shared"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            da = t["doc_a"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            db = t["doc_b"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            na = snf[np.searchsorted(sid, da)]
+            nb = snf[np.searchsorted(sid, db)]
+            keep, score = score_and_cut(ns, na, nb)
+            return pa.table({
+                "doc_a": pa.array(da[keep]),
+                "doc_b": pa.array(db[keep]),
+                "n_shared": pa.array(ns[keep]),
+                score_col: pa.array(score[keep])})
+
+        out = survivors.map_batches(
+            bcast_cut, batch_format="pyarrow").to_pandas()
+        if out.empty or "n_shared" not in out.columns:
+            return empty
+        return (out.sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True)
+                [["doc_a", "doc_b", "n_shared", score_col]])
+
     counts_a = counts.map_batches(
         lambda t: t.select(["doc_id", "nf"])
                    .rename_columns(["doc_a", "n_a"]),
