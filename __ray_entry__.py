@@ -1243,6 +1243,40 @@ def _docs_chunk_windows(sf_dir: str):
                      "n_tokens": "int64"}))
 
 
+def _docs_vote_classifier(sf_dir: str, mode: str = "auto", **kw):
+    """Integer-exact token-vote classifier
+    (classifier.token_vote_classifier): train on lang labels
+    (en -> 1, de -> 0, others unlabeled/scored-only), score every
+    doc by smoothed likelihood-ratio-sign vote majority. The SQL twin
+    replays the counts, the HUGEINT cross-multiply votes, and the
+    per-doc vote sums exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_model_ray.functions.classifier import token_vote_classifier
+
+    def add_label(t: pa.Table) -> pa.Table:
+        lab = pc.if_else(
+            pc.equal(t["lang"], "en"), pa.scalar(1, pa.int64()),
+            pc.if_else(pc.equal(t["lang"], "de"),
+                       pa.scalar(0, pa.int64()),
+                       pa.scalar(-1, pa.int64())))
+        return t.select(["doc_id", "text"]).append_column("label", lab)
+
+    docs = _read_sized(sf_dir, "documents.parquet",
+                       columns=["doc_id", "text", "lang"]) \
+        .map_batches(add_label, batch_format="pyarrow")
+    return token_vote_classifier(
+        docs, mode=_resolve_entry_mode(sf_dir, mode), **kw)
+
+
+def _docs_vote_classifier_dist(sf_dir: str):
+    """Forces the above-vocab-cut JOIN regime (the 10^12-doc shape):
+    per-(doc, tok) multiplicities bucket-join the vote table."""
+    return _docs_vote_classifier(sf_dir, mode="distributed",
+                                 vocab_broadcast_rows=0)
+
+
 def _docs_tier_sample(sf_dir: str):
     """Stratified deterministic sample: 3 docs per quality tier,
     ranked by (md5(text), doc_id); the md5 rides along in the label
@@ -2668,6 +2702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shard_assign": _docs_shard_assign,
         "docs_shard_assign_dist": _docs_shard_assign_dist,
         "docs_chunk_windows": _docs_chunk_windows,
+        "docs_vote_classifier": _docs_vote_classifier,
+        "docs_vote_classifier_dist": _docs_vote_classifier_dist,
         "docs_script_ratios": _docs_script_ratios,
         "docs_mojibake": _docs_mojibake,
         "docs_source_mix_weights": _docs_source_mix_weights,
@@ -3821,6 +3857,44 @@ def oracle_sql() -> dict[str, str]:
                             CAST(least(k*48 + 64, n) AS BIGINT)],
                        ' ') AS chunk_text
             FROM ch ORDER BY doc_id, chunk_id
+        """,
+        "docs_vote_classifier": """
+            WITH lab AS (SELECT doc_id, text,
+                         CASE WHEN lang='en' THEN 1
+                              WHEN lang='de' THEN 0
+                              ELSE -1 END AS label FROM documents),
+            tok AS (SELECT doc_id, label,
+                    unnest(list_filter(string_split_regex(
+                        text, '[ \t\n\r\f\v]+'),
+                        x -> x <> '')) AS tok FROM lab),
+            cnt AS (SELECT tok,
+                    CAST(sum(CASE WHEN label=1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS np_,
+                    CAST(sum(CASE WHEN label=0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS nn
+                    FROM tok WHERE label IN (0,1) GROUP BY tok),
+            tot AS (SELECT CAST(coalesce(sum(np_),0) AS BIGINT) AS tp,
+                           CAST(coalesce(sum(nn),0) AS BIGINT) AS tn,
+                           CAST(count(*) AS BIGINT) AS v FROM cnt),
+            vote AS (SELECT tok,
+                     CASE WHEN CAST(np_+1 AS HUGEINT)*(tn+v)
+                             > CAST(nn+1 AS HUGEINT)*(tp+v) THEN 1
+                          WHEN CAST(np_+1 AS HUGEINT)*(tn+v)
+                             < CAST(nn+1 AS HUGEINT)*(tp+v) THEN -1
+                          ELSE 0 END AS vote
+                     FROM cnt, tot),
+            sc AS (SELECT t.doc_id,
+                   CAST(sum(CASE WHEN v.vote=1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS votes_pos,
+                   CAST(sum(CASE WHEN v.vote=-1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS votes_neg,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+                   FROM tok t LEFT JOIN vote v USING (tok)
+                   GROUP BY t.doc_id)
+            SELECT doc_id, votes_pos, votes_neg, n_tokens,
+                   CAST(CASE WHEN votes_pos > votes_neg THEN 1
+                        ELSE 0 END AS BIGINT) AS pred
+            FROM sc ORDER BY doc_id
         """,
         "docs_tier_lang_pivot": f"""
             SELECT d.lang,
@@ -5499,6 +5573,7 @@ def oracle_sql() -> dict[str, str]:
     d["docs_line_dedup_dist"] = d["docs_line_dedup"]
     d["docs_budget_select_dist"] = d["docs_budget_select"]
     d["docs_shard_assign_dist"] = d["docs_shard_assign"]
+    d["docs_vote_classifier_dist"] = d["docs_vote_classifier"]
     d["docs_line_dedup_summary"] = f"""
         SELECT CAST(count(*) AS BIGINT) AS docs_total,
                CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END)
