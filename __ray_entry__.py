@@ -1277,6 +1277,28 @@ def _docs_vote_classifier_dist(sf_dir: str):
                                  vocab_broadcast_rows=0)
 
 
+def _docs_strat_split(sf_dir: str):
+    """Exact per-stratum eval split (text_stats.stratified_quota_split):
+    first 5 docs of every (lang, source) stratum in the frozen
+    (md5(doc_id), doc_id) order become eval, rest train. SQL twin
+    replays the per-stratum ROW_NUMBER window."""
+    import pandas as pd
+
+    from ocr_model_ray.functions.text_stats import stratified_quota_split
+    docs = _read_sized(sf_dir, "documents.parquet",
+                       columns=["doc_id", "lang", "source"])
+    out = stratified_quota_split(docs, strata=["lang", "source"],
+                                 quota=5).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "lang": pd.Series([], dtype="object"),
+            "source": pd.Series([], dtype="object"),
+            "split": pd.Series([], dtype="object")})
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": "int64"}))
+
+
 def _docs_tier_sample(sf_dir: str):
     """Stratified deterministic sample: 3 docs per quality tier,
     ranked by (md5(text), doc_id); the md5 rides along in the label
@@ -1635,6 +1657,15 @@ def _docs_winnow_pairs_dist(sf_dir: str):
     from ocr_model_ray.functions.winnow import shared_fingerprint_pairs
     return shared_fingerprint_pairs(_docs(sf_dir), min_shared=2,
                                     mode="distributed")
+
+
+def _docs_winnow_clusters(sf_dir: str):
+    """Partial-overlap dedup clusters (winnow.winnow_dedup_clusters):
+    winnow pair detection composed with min-label connected
+    components; the SQL twin nests the pair SQL in a recursive
+    reach CTE."""
+    from ocr_model_ray.functions.winnow import winnow_dedup_clusters
+    return winnow_dedup_clusters(_docs(sf_dir), min_shared=2)
 
 
 def _docs_quote_pairs(sf_dir: str, mode: str = "auto"):
@@ -2704,6 +2735,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk_windows": _docs_chunk_windows,
         "docs_vote_classifier": _docs_vote_classifier,
         "docs_vote_classifier_dist": _docs_vote_classifier_dist,
+        "docs_strat_split": _docs_strat_split,
+        "docs_winnow_clusters": _docs_winnow_clusters,
         "docs_script_ratios": _docs_script_ratios,
         "docs_mojibake": _docs_mojibake,
         "docs_source_mix_weights": _docs_source_mix_weights,
@@ -3857,6 +3890,15 @@ def oracle_sql() -> dict[str, str]:
                             CAST(least(k*48 + 64, n) AS BIGINT)],
                        ' ') AS chunk_text
             FROM ch ORDER BY doc_id, chunk_id
+        """,
+        "docs_strat_split": """
+            SELECT doc_id, lang, source,
+                   CASE WHEN ROW_NUMBER() OVER (
+                            PARTITION BY lang, source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) <= 5
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM documents ORDER BY doc_id
         """,
         "docs_vote_classifier": """
             WITH lab AS (SELECT doc_id, text,
@@ -5574,6 +5616,19 @@ def oracle_sql() -> dict[str, str]:
     d["docs_budget_select_dist"] = d["docs_budget_select"]
     d["docs_shard_assign_dist"] = d["docs_shard_assign"]
     d["docs_vote_classifier_dist"] = d["docs_vote_classifier"]
+    # winnow clusters: recursive min-label reach over the symmetrized
+    # winnow pair edges (the pair SQL composes as a nested WITH)
+    d["docs_winnow_clusters"] = f"""
+        WITH RECURSIVE pr AS (SELECT * FROM ({d["docs_winnow_pairs"]})),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+              UNION SELECT doc_b, doc_a FROM pr),
+        reach(node, label) AS (
+            SELECT src, src FROM e
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node)
+        SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node ORDER BY doc_id
+    """
     d["docs_line_dedup_summary"] = f"""
         SELECT CAST(count(*) AS BIGINT) AS docs_total,
                CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END)

@@ -77,6 +77,66 @@ def hash_split_batch(df: pd.DataFrame, train_pct: int = 80,
                          "split": split.astype(object)})
 
 
+def stratified_quota_split(ds: rd.Dataset,
+                           strata: "list[str]" = None,
+                           quota: int = 10,
+                           id_col: str = "doc_id",
+                           num_buckets: int = 32) -> rd.Dataset:
+    """Exact per-stratum eval-set construction: within every stratum
+    (e.g. (lang, source)), the FIRST ``quota`` docs in the frozen
+    content-blind order (md5(CAST(id AS VARCHAR)), id) become
+    ``eval``; everything else is ``train``. Unlike ``hash_split``'s
+    percentage buckets this guarantees an exact held-out count per
+    stratum — the benchmark-construction primitive (fixed-size eval
+    slices per language x source, reproducibly, with no global sort).
+
+    Id-keyed by design (quota exactness); run exact/near dedup first
+    if duplicate documents must not straddle the split (hash_split's
+    content-keyed rule is the complementary guard).
+
+    Output: (id_col, *strata, split). Scale shape: ONE bucketed
+    exchange of (strata-hash, strata, md5, id) rows — payloads never
+    move; a hot stratum costs one bucket a longer sort, never the
+    driver (host_doc_cap's shape generalized to arbitrary keys).
+
+    SQL twin: ``ROW_NUMBER() OVER (PARTITION BY strata ORDER BY
+    md5(CAST(id AS VARCHAR)), id) <= quota``."""
+    from .window import hash_partitioned_window
+    strata = list(strata or ["lang", "source"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[strata[0]].astype(str)
+        for c in strata[1:]:
+            key = key + "\x1f" + df[c].astype(str)
+        sh = pd.util.hash_array(key.to_numpy(dtype=object),
+                                categorize=False).view(np.int64)
+        ids = df[id_col].to_numpy()
+        mu = pd.Series(
+            [hashlib.md5(str(int(v)).encode()).hexdigest()
+             for v in ids], dtype="object")
+        out = pd.DataFrame({"__s": sh})
+        for c in strata:
+            out[c] = df[c].to_numpy()
+        out["__mu"] = mu.to_numpy()
+        out[id_col] = ids
+        return out
+
+    def kern(g: pd.DataFrame, new_key: pd.Series) -> pd.DataFrame:
+        # g arrives sorted by (__s, *strata, __mu, id); a stratum
+        # never splits across __s values, so cumcount over the true
+        # strata keys IS the within-stratum md5 rank
+        rank = g.groupby(strata, sort=False).cumcount()
+        out = g[strata + [id_col]].copy()
+        out["split"] = np.where(rank.to_numpy() < quota,
+                                "eval", "train")
+        return out[[id_col] + strata + ["split"]]
+
+    return hash_partitioned_window(
+        ds.map_batches(project, batch_format="pandas"),
+        "__s", strata + ["__mu", id_col], kern,
+        num_buckets=num_buckets)
+
+
 def token_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Whitespace token count — matches SQL
     ``len(regexp_split_to_array(trim(text),'\\s+'))`` with empty guard."""

@@ -478,3 +478,28 @@ def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
     return (out.sort_values(["doc_a", "doc_b"])
             .reset_index(drop=True)
             [["doc_a", "doc_b", "n_shared", score_col]])
+
+
+def winnow_dedup_clusters(ds: rd.Dataset, k: int = DEFAULT_K,
+                          w: int = DEFAULT_W, min_shared: int = 2,
+                          jq_num: int = 1, jq_den: int = 2,
+                          max_df: int = 1000,
+                          metric: str = "jaccard",
+                          mode: str = "auto") -> pd.DataFrame:
+    """Partial-overlap dedup clusters: the winnowing pair detector
+    composed with min-label connected components — the end-to-end
+    "group every document that shares a substantial substring" op
+    (quote chains, mirrored article families, template litter).
+    Output: (doc_id, cluster_id = min doc id of the component), docs
+    in no qualifying pair absent (the recursive-CTE twin's inner
+    semantics). Pairs come from ``shared_fingerprint_pairs`` (its
+    plan/doctrine applies); clustering is ``min_label_propagation``
+    (distributed rounds above 50k edges)."""
+    from .dedup_algos import min_label_propagation
+    pairs = shared_fingerprint_pairs(
+        ds, k=k, w=w, min_shared=min_shared, jq_num=jq_num,
+        jq_den=jq_den, max_df=max_df, metric=metric, mode=mode)
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    return min_label_propagation(pairs[["doc_a", "doc_b"]])

@@ -161,3 +161,62 @@ def test_chunk_windows_empty(ray_session):
     assert out.empty
     with pytest.raises(ValueError):
         chunk_windows(empty, 0, 1)
+
+
+# ------------------------------------------------- stratified split
+
+def test_stratified_quota_split_exact_quota(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.text_stats import stratified_quota_split
+    rng = np.random.RandomState(2)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "lang": rng.choice(["en", "de", "fr"], 300),
+        "source": rng.choice(["a", "b"], 300)})
+    out = stratified_quota_split(rd.from_pandas(docs),
+                                 strata=["lang", "source"],
+                                 quota=4).to_pandas()
+    assert len(out) == 300
+    g = out[out["split"] == "eval"].groupby(["lang", "source"]).size()
+    # every stratum holds >> 4 docs, so each gets exactly 4 eval rows
+    assert (g == 4).all() and len(g) == 6
+    # deterministic across partitionings
+    out2 = stratified_quota_split(
+        rd.from_pandas(docs).repartition(7),
+        strata=["lang", "source"], quota=4).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_stratified_quota_split_small_stratum(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.text_stats import stratified_quota_split
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "lang": ["en", "en", "en", "zz", "zz"],
+        "source": ["a"] * 5})
+    out = stratified_quota_split(rd.from_pandas(docs),
+                                 strata=["lang", "source"],
+                                 quota=10).to_pandas()
+    # quota exceeds stratum size: everything is eval
+    assert (out["split"] == "eval").all()
+
+
+# ------------------------------------------------- winnow clusters
+
+def test_winnow_dedup_clusters_groups_quote_chain(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.winnow import winnow_dedup_clusters
+    core = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4], dtype=np.int64),
+        "text": [core + " alpha", core + " beta", "zeta " + core,
+                 "completely different content with no overlap xyzw"]})
+    out = winnow_dedup_clusters(rd.from_pandas(docs), min_shared=2)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got.get(1) == 1 and got.get(2) == 1 and got.get(3) == 1
+    assert 4 not in got  # no qualifying pair -> absent
