@@ -457,18 +457,20 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
     """RFC 9309 (Robots Exclusion Protocol) parser — the governing
     group's (allow, path-prefix) rules for ``agent``.
 
-    Implemented subset, documented: groups are runs of ``User-agent``
-    lines followed by directives; an exact (case-insensitive) agent
-    match beats the ``*`` group; ``Allow``/``Disallow`` only (other
+    Implemented semantics: groups are runs of ``User-agent`` lines
+    followed by directives; an exact (case-insensitive) agent match
+    beats the ``*`` group; ``Allow``/``Disallow`` only (other
     directives ignored); an empty ``Disallow:`` value means allow-all
-    and yields no rule; prefixes are LITERAL — rules containing the
-    ``*``/``$`` wildcard extensions are skipped with a warning (the
-    crawl-side filter errs permissive, never wrongly drops)."""
+    and yields no rule. The RFC's wildcard extensions are SUPPORTED:
+    ``*`` in a rule matches any character run and a trailing ``$``
+    anchors the rule at the path end (``robots_filter`` compiles such
+    rules to anchored regexes; a ``$`` anywhere else is literal).
+    Rule specificity is the raw rule-string octet length, the RFC's
+    longest-match order."""
     groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
     agents: list[str] = []
     rules: list[tuple[bool, str]] = []
     in_agents = True
-    n_wild = 0
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -486,17 +488,11 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
             in_agents = False
             if not value:
                 continue  # empty Disallow/Allow: no rule
-            if "*" in value or value.endswith("$"):
-                n_wild += 1
-                continue
             rules.append((field == "allow", value))
         else:
             in_agents = False
     if agents:
         groups.append((agents, rules))
-    if n_wild:
-        log.warning("parse_robots: %d wildcard rules skipped "
-                    "(literal-prefix subset)", n_wild)
     agent = agent.lower()
     exact = [r for a, r in groups if agent in a]
     if exact:
@@ -551,7 +547,16 @@ def robots_filter(pages: rd.Dataset, robots: rd.Dataset,
             best_len = np.full(len(idx), -1, dtype=np.int64)
             verdict = np.ones(len(idx), dtype=bool)
             for allow, prefix in rules:
-                m = p.str.startswith(prefix).to_numpy()
+                if "*" in prefix or prefix.endswith("$"):
+                    # RFC 9309 wildcards: '*' = any run, trailing '$'
+                    # anchors the path end; specificity stays the raw
+                    # rule-string length (the longest-match order)
+                    body, end = (prefix[:-1], "$") \
+                        if prefix.endswith("$") else (prefix, "")
+                    pat = re.escape(body).replace(r"\*", ".*") + end
+                    m = p.str.match(pat).to_numpy()
+                else:
+                    m = p.str.startswith(prefix).to_numpy()
                 hit = m & (len(prefix) >= best_len)
                 verdict[hit] = allow
                 best_len[m & (len(prefix) > best_len)] = len(prefix)

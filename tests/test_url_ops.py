@@ -248,9 +248,10 @@ def test_parse_robots_groups_and_subset():
            "User-agent: *\n"
            "Disallow: /x\n"
            "Disallow:\n"          # empty value: allow-all, no rule
-           "Disallow: /wild/*\n"  # wildcard: skipped (literal subset)
-           "Allow: /end$\n")      # anchor: skipped
-    assert parse_robots(txt) == [(False, "/x")]
+           "Disallow: /wild/*\n"  # wildcard: kept (RFC 9309)
+           "Allow: /end$\n")      # anchor: kept
+    assert parse_robots(txt) == [(False, "/x"), (False, "/wild/*"),
+                                 (True, "/end$")]
     # exact agent match (case-insensitive, multi-agent group) beats *
     assert parse_robots(txt, agent="goodbot") == \
         [(False, "/a/"), (True, "/a/b")]
@@ -291,6 +292,42 @@ def test_robots_filter_longest_match_and_defaults(ray_session):
         rd.from_pandas(pd.DataFrame({"url": ["https://a.com/p/z"]})),
         robots2).to_pandas()
     assert kept2["url"].tolist() == ["https://a.com/p/z"]
+
+
+def test_robots_filter_wildcards_and_anchor(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_model_ray.functions.url_ops import robots_filter
+
+    pages = rd.from_pandas(pd.DataFrame({"url": [
+        "https://a.com/cgi/x.php",      # *.php$ -> drop
+        "https://a.com/cgi/x.php5",     # $ anchor: .php5 not matched
+        "https://a.com/dl/v1/secret/f", # /dl/*/secret/ -> drop
+        "https://a.com/dl/secret/f",    # no middle segment: no match
+        "https://a.com/dl/v2/secret/",  # wildcard matches v2 -> drop
+        "https://a.com/star.live",      # literal $ mid-rule stays literal
+    ]}))
+    robots = rd.from_pandas(pd.DataFrame({
+        "host": ["a.com"],
+        "robots_txt": ["User-agent: *\n"
+                       "Disallow: /*.php$\n"
+                       "Disallow: /dl/*/secret/\n"]}))
+    kept = sorted(robots_filter(pages, robots).to_pandas()["url"])
+    assert kept == ["https://a.com/cgi/x.php5",
+                    "https://a.com/dl/secret/f",
+                    "https://a.com/star.live"]
+
+    # a longer wildcard Allow overrides a shorter wildcard Disallow
+    robots3 = rd.from_pandas(pd.DataFrame({
+        "host": ["a.com"],
+        "robots_txt": ["User-agent: *\n"
+                       "Disallow: /m/*\n"
+                       "Allow: /m/*/pub\n"]}))
+    pages3 = rd.from_pandas(pd.DataFrame({"url": [
+        "https://a.com/m/1/priv", "https://a.com/m/1/pub"]}))
+    kept3 = sorted(robots_filter(pages3, robots3).to_pandas()["url"])
+    assert kept3 == ["https://a.com/m/1/pub"]
 
 
 def test_sitemap_entries_scan(ray_session):
