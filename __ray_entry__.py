@@ -2508,6 +2508,50 @@ def _url_robots_filter(sf_dir: str):
     return robots_filter(pages, robots).to_pandas()
 
 
+def _url_robots_wildcard(sf_dir: str):
+    """RFC 9309 WILDCARD rules: '*.php$' (anchored extension ban) and
+    '/files/*/private/' (any middle segment) plus a longer wildcard
+    Allow. The SQL twin replays each rule as the identical anchored
+    RE2 regex with the raw-rule-length longest-match window."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_model_ray.functions.url_ops import robots_filter
+
+    docs = _read_sized(sf_dir, "documents.parquet", columns=["doc_id"])
+
+    def to_urls(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        ids = df["doc_id"].astype("int64")
+        fam = ids % 5
+        path = pd.Series(
+            np.select(
+                [fam == 0, fam == 1, fam == 2, fam == 3],
+                ["page/" + ids.astype(str) + ".php",
+                 "page/" + ids.astype(str) + ".php5",
+                 "files/v" + (ids % 3).astype(str) + "/private/"
+                 + ids.astype(str),
+                 "files/v" + (ids % 3).astype(str) + "/private/pub/"
+                 + ids.astype(str)],
+                default="open/" + ids.astype(str)),
+            index=df.index)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "url": ("https://w" + (ids % 3).astype(str)
+                    + ".example/" + path)})
+
+    robots_txt = ("User-agent: *\n"
+                  "Disallow: /*.php$\n"
+                  "Disallow: /files/*/private/\n"
+                  "Allow: /files/*/private/pub/\n")
+    robots = rd.from_pandas(pd.DataFrame({
+        "host": [f"w{k}.example" for k in range(3)],
+        "robots_txt": [robots_txt] * 3}))
+
+    pages = docs.map_batches(to_urls, batch_format="pandas")
+    return robots_filter(pages, robots).to_pandas()
+
+
 def _url_sitemap_entries(sf_dir: str):
     """Sitemap scan: per-doc synthesized sitemap blobs (two <url>
     entries each, one with <lastmod>, whitespace-padded locs) explode
@@ -2804,6 +2848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_host_quality_filter": _url_host_quality_filter,
         "url_crawl_diff": _url_crawl_diff,
         "url_robots_filter": _url_robots_filter,
+        "url_robots_wildcard": _url_robots_wildcard,
         "url_sitemap_entries": _url_sitemap_entries,
         "url_redirect_resolution": _url_redirect_resolution,
         "docs_importance_weights": _docs_importance_weights,
@@ -5229,6 +5274,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, url FROM pages
         WHERE doc_id NOT IN (SELECT doc_id FROM m
                              WHERE rn = 1 AND NOT allow)
+    """
+    # wildcard robots: the SQL replays each wildcard rule as its
+    # anchored RE2 regex; the longest-match + Allow-tie verdict folds
+    # to one integer max (rlen*2 + allow — longer rule dominates,
+    # Allow wins the tie)
+    d["url_robots_wildcard"] = r"""
+        WITH pages AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                            THEN '/page/' || doc_id || '.php'
+                        WHEN doc_id % 5 = 1
+                            THEN '/page/' || doc_id || '.php5'
+                        WHEN doc_id % 5 = 2
+                            THEN '/files/v' || (doc_id % 3)
+                                 || '/private/' || doc_id
+                        WHEN doc_id % 5 = 3
+                            THEN '/files/v' || (doc_id % 3)
+                                 || '/private/pub/' || doc_id
+                        ELSE '/open/' || doc_id END AS path
+            FROM documents),
+        rules(allow, rlen, pat) AS (VALUES
+            (0, 7,  '^/.*\.php$'),
+            (0, 18, '^/files/.*/private/'),
+            (1, 22, '^/files/.*/private/pub/')),
+        m AS (SELECT p.doc_id,
+                     max(r.rlen * 2 + r.allow) AS mx
+              FROM pages p JOIN rules r
+                ON regexp_matches(p.path, r.pat)
+              GROUP BY p.doc_id)
+        SELECT p.doc_id,
+               'https://w' || (p.doc_id % 3) || '.example' || p.path
+                   AS url
+        FROM pages p LEFT JOIN m USING (doc_id)
+        WHERE m.doc_id IS NULL OR m.mx % 2 = 1
+        ORDER BY doc_id
     """
     # WARC round-trip: replays the url/ts synthesis and the utf-8
     # payload byte length straight off documents.parquet — fully
