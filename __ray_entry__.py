@@ -1236,11 +1236,14 @@ def _docs_chunk_windows(sf_dir: str):
             "doc_id": pd.Series([], dtype="int64"),
             "chunk_id": pd.Series([], dtype="int64"),
             "n_tokens": pd.Series([], dtype="int64"),
+            "char_start": pd.Series([], dtype="int64"),
+            "char_end": pd.Series([], dtype="int64"),
             "chunk_text": pd.Series([], dtype="object")})
     return (out.sort_values(["doc_id", "chunk_id"])
             .reset_index(drop=True)
             .astype({"doc_id": "int64", "chunk_id": "int64",
-                     "n_tokens": "int64"}))
+                     "n_tokens": "int64", "char_start": "int64",
+                     "char_end": "int64"}))
 
 
 def _docs_vote_classifier(sf_dir: str, mode: str = "auto", **kw):
@@ -3930,6 +3933,17 @@ def oracle_sql() -> dict[str, str]:
                    FROM sized)
             SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
                    CAST(least(n - k*48, 64) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(length(array_to_string(
+                            toks[1:CAST(k*48 AS BIGINT)], ' ')), 0)
+                        + CASE WHEN k > 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS char_start,
+                   CAST(coalesce(length(array_to_string(
+                            toks[1:CAST(k*48 AS BIGINT)], ' ')), 0)
+                        + CASE WHEN k > 0 THEN 1 ELSE 0 END
+                        + length(array_to_string(
+                            toks[CAST(k*48 + 1 AS BIGINT):
+                                 CAST(least(k*48 + 64, n) AS BIGINT)],
+                            ' ')) AS BIGINT) AS char_end,
                    array_to_string(
                        toks[CAST(k*48 + 1 AS BIGINT):
                             CAST(least(k*48 + 64, n) AS BIGINT)],

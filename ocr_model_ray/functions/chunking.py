@@ -25,7 +25,13 @@ chunk's token-index gather in one ``take`` and one
 ``binary_join_element_wise``-free Arrow list join (no Python loop
 over docs or chunks).
 
-Output: (id_col, chunk_id:int64, n_tokens:int64, chunk_text:string).
+Output: (id_col, chunk_id:int64, n_tokens:int64, char_start:int64,
+char_end:int64, chunk_text:string) — ``char_start``/``char_end`` are
+the chunk's offsets inside the NORMALIZED token stream (tokens joined
+by single spaces — the reference's span doctrine: every region/row
+carries char offsets into the assembled text, spec.py M12/M13), so
+``normalized[char_start:char_end] == chunk_text`` always holds and a
+RAG store can slice instead of copying.
 """
 
 from __future__ import annotations
@@ -46,6 +52,8 @@ def chunk_windows_batch(t: pa.Table, chunk_size: int, stride: int,
         id_col: pa.array([], pa.int64()),
         "chunk_id": pa.array([], pa.int64()),
         "n_tokens": pa.array([], pa.int64()),
+        "char_start": pa.array([], pa.int64()),
+        "char_end": pa.array([], pa.int64()),
         "chunk_text": pa.array([], pa.string())})
     if len(t) == 0:
         return empty
@@ -90,10 +98,23 @@ def chunk_windows_batch(t: pa.Table, chunk_size: int, stride: int,
         lists = pa.LargeListArray.from_arrays(
             pa.array(goff, pa.int64()), gathered)
     text = pc.binary_join(lists, " ")
+    # char offsets in the normalized (single-space-joined) stream:
+    # prefix[t] = chars before token t = sum(len) + one space each;
+    # token char lengths must be CODEPOINT counts (utf8_length), the
+    # same unit the SQL twin's length() uses
+    tlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    cum = np.concatenate(([0], np.cumsum(tlen + 1)))  # +1 per space
+    doc_base = cum[doc_start]
+    char_start = cum[starts] - doc_base[cdoc]
+    # cum[e] includes a trailing space after token e-1: subtract it
+    char_end = (cum[ends] - 1) - doc_base[cdoc]
     return pa.table({
         id_col: pa.array(ids[cdoc]),
         "chunk_id": pa.array(k),
         "n_tokens": pa.array(clen),
+        "char_start": pa.array(char_start),
+        "char_end": pa.array(char_end),
         "chunk_text": text})
 
 

@@ -220,3 +220,17 @@ def test_winnow_dedup_clusters_groups_quote_chain(ray_session):
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got.get(1) == 1 and got.get(2) == 1 and got.get(3) == 1
     assert 4 not in got  # no qualifying pair -> absent
+
+
+def test_chunk_windows_char_spans_slice_back(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.chunking import chunk_windows
+    docs = _docs(60, seed=11)
+    out = chunk_windows(rd.from_pandas(docs), chunk_size=7,
+                        stride=4).to_pandas()
+    norm = {int(r.doc_id): " ".join(r.text.split())
+            for r in docs.itertuples()}
+    for r in out.itertuples():
+        assert norm[int(r.doc_id)][int(r.char_start):int(r.char_end)] \
+            == r.chunk_text
