@@ -1824,6 +1824,26 @@ def _emb_label_stats(sf_dir: str):
     return label_stats(_emb(sf_dir))
 
 
+def _emb_quantize(sf_dir: str):
+    """Int8 scalar quantization signature per vector
+    (quantize.scalar_quantize_stats): trunc(x*127/max|x|) codes,
+    verified through exact integer code aggregates + the one-division
+    scale. SQL twin replays the identical IEEE expression."""
+    import pandas as pd
+
+    from ocr_model_ray.functions.quantize import scalar_quantize_stats
+    out = scalar_quantize_stats(_emb(sf_dir)).to_pandas()
+    if out.empty or "vec_id" not in out.columns:
+        return pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "n_dims": pd.Series([], dtype="int64"),
+            "scale": pd.Series([], dtype="float64"),
+            "code_sum": pd.Series([], dtype="int64"),
+            "code_min": pd.Series([], dtype="int64"),
+            "code_max": pd.Series([], dtype="int64")})
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _emb_kmeans(sf_dir: str):
     from ocr_model_ray.functions.clustering import kmeans_cluster
     # train_size bounds training to a driver-local sample (one corpus
@@ -2896,6 +2916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_lsh": _emb_knn_lsh,
         "emb_knn_ivf": _emb_knn_ivf,
         "emb_label_stats": _emb_label_stats,
+        "emb_quantize": _emb_quantize,
         "emb_near_dup": _emb_near_dup,
         "emb_kmeans": _emb_kmeans,
         "emb_kmeans_summary": _emb_kmeans_summary,
@@ -4883,6 +4904,27 @@ def oracle_sql() -> dict[str, str]:
                 JOIN e ON e.src = r.node)
             SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "emb_quantize": """
+            WITH comp AS (SELECT vec_id, unnest(embedding) AS x
+                          FROM embeddings),
+            mx AS (SELECT vec_id,
+                          max(abs(CAST(x AS DOUBLE))) AS m,
+                          CAST(count(*) AS BIGINT) AS d
+                   FROM comp GROUP BY vec_id),
+            codes AS (SELECT c.vec_id,
+                      CASE WHEN mx.m = 0 THEN 0
+                           ELSE CAST(trunc(CAST(c.x AS DOUBLE)
+                                     * 127.0 / mx.m) AS BIGINT)
+                      END AS q
+                      FROM comp c JOIN mx USING (vec_id))
+            SELECT mx.vec_id, mx.d AS n_dims, mx.m / 127.0 AS scale,
+                   CAST(sum(q) AS BIGINT) AS code_sum,
+                   CAST(min(q) AS BIGINT) AS code_min,
+                   CAST(max(q) AS BIGINT) AS code_max
+            FROM codes JOIN mx USING (vec_id)
+            GROUP BY mx.vec_id, mx.d, mx.m
+            ORDER BY mx.vec_id
         """,
         "emb_label_stats": """
             WITH comp AS (SELECT vec_id, label, unnest(embedding) AS x
