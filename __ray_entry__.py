@@ -1824,6 +1824,14 @@ def _emb_label_stats(sf_dir: str):
     return label_stats(_emb(sf_dir))
 
 
+def _emb_knn_int8(sf_dir: str):
+    """Quantized brute-force kNN (quantize.knn_int8): integer code
+    dot products, deterministic (score desc, neighbor asc) ranking —
+    bit-exact oracle end to end (no rounding grid)."""
+    from ocr_model_ray.functions.quantize import knn_int8
+    return knn_int8(_emb(sf_dir), _emb_queries(sf_dir), k=5)
+
+
 def _emb_quantize(sf_dir: str):
     """Int8 scalar quantization signature per vector
     (quantize.scalar_quantize_stats): trunc(x*127/max|x|) codes,
@@ -2917,6 +2925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_ivf": _emb_knn_ivf,
         "emb_label_stats": _emb_label_stats,
         "emb_quantize": _emb_quantize,
+        "emb_knn_int8": _emb_knn_int8,
         "emb_near_dup": _emb_near_dup,
         "emb_kmeans": _emb_kmeans,
         "emb_kmeans_summary": _emb_kmeans_summary,
@@ -4904,6 +4913,32 @@ def oracle_sql() -> dict[str, str]:
                 JOIN e ON e.src = r.node)
             SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id
             FROM reach GROUP BY node
+        """,
+        "emb_knn_int8": """
+            WITH mx AS (SELECT vec_id, max(abs(CAST(x AS DOUBLE)))
+                            AS m
+                        FROM (SELECT vec_id, unnest(embedding) AS x
+                              FROM embeddings)
+                        GROUP BY vec_id),
+            codes AS (SELECT e.vec_id,
+                      list_transform(e.embedding,
+                          v -> CASE WHEN mx.m = 0 THEN 0
+                               ELSE CAST(trunc(CAST(v AS DOUBLE)
+                                         * 127.0 / mx.m) AS BIGINT)
+                               END) AS q
+                      FROM embeddings e JOIN mx USING (vec_id)),
+            qs AS (SELECT vec_id AS query_id, q FROM codes
+                   WHERE vec_id < 10),
+            s AS (SELECT qs.query_id, c.vec_id AS neighbor_id,
+                         CAST(list_sum(list_transform(
+                             list_zip(c.q, qs.q),
+                             x -> x[1] * x[2])) AS BIGINT) AS score
+                  FROM codes c CROSS JOIN qs
+                  WHERE c.vec_id <> qs.query_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS rn FROM s)
+            SELECT query_id, neighbor_id, score FROM r WHERE rn <= 5
+            ORDER BY query_id, score DESC, neighbor_id
         """,
         "emb_quantize": """
             WITH comp AS (SELECT vec_id, unnest(embedding) AS x

@@ -92,3 +92,66 @@ def quantize_codes(ds: rd.Dataset, id_col: str = "vec_id",
                          "scale": pa.array(m / 127.0)})
 
     return ds.map_batches(batch, batch_format="pyarrow")
+
+
+def knn_int8(ds: rd.Dataset, queries, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_self: bool = True):
+    """Quantized brute-force top-k: every corpus vector AND every
+    query quantizes by the frozen trunc rule, neighbors rank by the
+    INTEGER code dot product (score desc, neighbor_id asc) — the
+    int8-index search an ANN store actually executes, and, because
+    the scores are exact integers, the one kNN variant whose oracle
+    is bit-exact end to end (the float paths need a rounding grid).
+
+    Returns (query_id, neighbor_id, score:int64). Scale shape =
+    ``knn_bruteforce``: queries broadcast once, per-block integer
+    matmul + value-threshold partial top-k (ties never dropped), one
+    small driver merge."""
+    import pandas as pd
+    import ray
+
+    from .similarity import _topk_candidates
+
+    if len(queries) == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="int64")})
+    qids = queries[id_col].to_numpy().astype(np.int64)
+    qcodes, _ = _quantize(_to_matrix(queries[vec_col]))
+    ref = ray.put((qids, qcodes))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q_ids, qc = ray.get(ref)
+        ids = _ids_np(batch[id_col])
+        codes, _m = _quantize(_to_matrix(batch[vec_col]))
+        scores = codes @ qc.T                     # exact int64
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + (1 if exclude_self else 0), len(ids))
+        for qi in range(scores.shape[1]):
+            col = scores[:, qi]
+            for t in _topk_candidates(col, kk):
+                out_q.append(int(q_ids[qi]))
+                out_n.append(int(ids[t]))
+                out_s.append(int(col[t]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "score": pa.array(out_s, pa.int64())})
+
+    partials = ds.map_batches(partial_topk,
+                              batch_format="pyarrow").to_pandas()
+    if partials.empty or "query_id" not in partials.columns:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "neighbor_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="int64")})
+    if exclude_self:
+        partials = partials[partials["query_id"]
+                            != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "score", "neighbor_id"],
+        ascending=[True, False, True], kind="mergesort")
+    top = partials.groupby("query_id", sort=True).head(k) \
+        .reset_index(drop=True)
+    return top[["query_id", "neighbor_id", "score"]] \
+        .astype({"query_id": "int64", "neighbor_id": "int64",
+                 "score": "int64"})

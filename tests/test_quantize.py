@@ -65,3 +65,35 @@ def test_max_component_hits_127(ray_session):
     # the max-|x| component quantizes to exactly +-127
     assert q[1] == -127
     assert q == [31, -127, 63]  # trunc semantics, not round
+
+
+def test_knn_int8_recall_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.quantize import knn_int8
+    from ocr_model_ray.functions.similarity import knn_bruteforce
+    df = _emb(n=400, d=16, seed=3)
+    ds = rd.from_pandas(df)
+    q = df[df["vec_id"] < 8]
+    exact = knn_bruteforce(ds, q, k=5)
+    quant = knn_int8(ds, q, k=5)
+    # int8 quantization preserves most of the neighborhood structure
+    # (it quantizes magnitude, not direction-normalized values, so
+    # compare per-query overlap loosely)
+    hits = 0
+    for qid in q["vec_id"]:
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        g = set(quant[quant["query_id"] == qid]["neighbor_id"])
+        hits += len(e & g)
+    assert hits >= 8 * 5 * 0.4
+
+
+def test_knn_int8_partitioning_independent(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.quantize import knn_int8
+    df = _emb(n=200, d=8, seed=6)
+    q = df[df["vec_id"] < 5]
+    outs = [knn_int8(rd.from_pandas(df).repartition(nb), q, k=5)
+            for nb in (1, 9)]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
