@@ -124,9 +124,11 @@ def main() -> int:
         all_ok &= ok
 
     ops = args.ops.split(",") if args.ops != "all" else [
-        "emb_label_stats", "emb_knn_bruteforce", "emb_near_dup"]
+        "emb_label_stats", "emb_knn_bruteforce", "emb_near_dup",
+        "emb_quantize", "emb_knn_int8"]
 
-    for name in ["emb_label_stats", "emb_knn_bruteforce"]:
+    for name in ["emb_label_stats", "emb_knn_bruteforce",
+                 "emb_quantize", "emb_knn_int8"]:
         if name in ops:
             run_sql(name)
 
