@@ -5387,8 +5387,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents),
         rules(allow, rlen, pat) AS (VALUES
             (0, 7,  '^/.*\.php$'),
-            (0, 18, '^/files/.*/private/'),
-            (1, 22, '^/files/.*/private/pub/')),
+            (0, 17, '^/files/.*/private/'),
+            (1, 21, '^/files/.*/private/pub/')),
         m AS (SELECT p.doc_id,
                      max(r.rlen * 2 + r.allow) AS mx
               FROM pages p JOIN rules r

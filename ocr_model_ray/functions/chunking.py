@@ -6,7 +6,10 @@ corpus-wide tokenizer contract shared with top_tokens / bm25 / the
 jaccard grams) is cut into windows of ``chunk_size`` tokens advancing
 by ``stride`` tokens (``stride < chunk_size`` overlaps neighbouring
 chunks, the usual retrieval-context setting; ``stride ==
-chunk_size`` tiles exactly). Chunk ``k`` of a doc with ``n`` tokens
+chunk_size`` tiles exactly; ``stride > chunk_size`` would leave
+coverage gaps AND make the window count formula emit degenerate
+empty windows, so it is rejected). Chunk ``k`` of a doc with ``n``
+tokens
 covers tokens ``[k*stride, min(k*stride + chunk_size, n))`` and the
 doc yields
 
@@ -125,6 +128,10 @@ def chunk_windows(ds: rd.Dataset, chunk_size: int = 64,
     windows; pure streaming map — see the module docstring."""
     if chunk_size < 1 or stride < 1:
         raise ValueError("chunk_size and stride must be >= 1")
+    if stride > chunk_size:
+        raise ValueError("stride > chunk_size leaves coverage gaps "
+                         "and degenerate windows; use stride <= "
+                         "chunk_size")
 
     def fn(t: pa.Table) -> pa.Table:
         return chunk_windows_batch(t, chunk_size, stride,

@@ -72,6 +72,33 @@ def _tokens_of(t: pa.Table, text_col: str):
     return words[keep], docix[keep]
 
 
+def _score_batch(t: pa.Table, vtok: np.ndarray, varr: np.ndarray,
+                 text_col: str, doc_col: str) -> pa.Table:
+    """Per-doc vote sums for one batch against a (token, vote) table
+    — the ONE scoring kernel both the local and broadcast regimes
+    call (they differ only in where the table comes from)."""
+    words, docix = _tokens_of(t, text_col)
+    ids = t[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    nd = len(t)
+    if len(words) and len(varr):
+        loc = pd.Index(vtok).get_indexer(pd.Index(words))
+        tv = np.where(loc >= 0, varr[loc.clip(min=0)], 0)
+    else:
+        tv = np.zeros(len(words), np.int64)
+    vp = np.bincount(docix, weights=tv == 1,
+                     minlength=nd).astype(np.int64)
+    vn = np.bincount(docix, weights=tv == -1,
+                     minlength=nd).astype(np.int64)
+    nt = np.bincount(docix, minlength=nd).astype(np.int64)
+    has = nt > 0
+    return pa.table({
+        doc_col: pa.array(ids[has]),
+        "votes_pos": pa.array(vp[has]),
+        "votes_neg": pa.array(vn[has]),
+        "n_tokens": pa.array(nt[has]),
+        "pred": pa.array((vp[has] > vn[has]).astype(np.int64))})
+
+
 def _votes_of(np_: np.ndarray, nn: np.ndarray, tp: int, tn: int,
               v: int) -> np.ndarray:
     """Frozen per-token vote; int64 fast path, object-int exact path
@@ -161,32 +188,10 @@ def token_vote_classifier(ds: rd.Dataset, label_col: str = "label",
         v = len(counts)
         votes = _votes_of(counts["np_"].to_numpy(np.int64),
                           counts["nn"].to_numpy(np.int64), tp, tn, v)
-        vote_index = pd.Index(counts["tok"])
-        vote_arr = votes
+        vtok = counts["tok"].to_numpy()
 
         def score(t: pa.Table) -> pa.Table:
-            words, docix = _tokens_of(t, text_col)
-            ids = t[doc_col].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            nd = len(t)
-            if len(words) and len(vote_arr):
-                loc = vote_index.get_indexer(pd.Index(words))
-                tv = np.where(loc >= 0, vote_arr[loc.clip(min=0)], 0)
-            else:
-                tv = np.zeros(len(words), np.int64)
-            vp = np.bincount(docix, weights=tv == 1,
-                             minlength=nd).astype(np.int64)
-            vn = np.bincount(docix, weights=tv == -1,
-                             minlength=nd).astype(np.int64)
-            nt = np.bincount(docix, minlength=nd).astype(np.int64)
-            has = nt > 0
-            return pa.table({
-                doc_col: pa.array(ids[has]),
-                "votes_pos": pa.array(vp[has]),
-                "votes_neg": pa.array(vn[has]),
-                "n_tokens": pa.array(nt[has]),
-                "pred": pa.array((vp[has] > vn[has])
-                                 .astype(np.int64))})
+            return _score_batch(t, vtok, votes, text_col, doc_col)
 
         out = ds.map_batches(score, batch_format="pyarrow",
                              batch_size=None).to_pandas()
@@ -229,28 +234,7 @@ def token_vote_classifier(ds: rd.Dataset, label_col: str = "label",
 
         def score_bcast(t: pa.Table) -> pa.Table:
             vtok, varr = ray.get(vote_ref)
-            words, docix = _tokens_of(t, text_col)
-            ids = t[doc_col].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            nd = len(t)
-            if len(words) and len(varr):
-                loc = pd.Index(vtok).get_indexer(pd.Index(words))
-                tv = np.where(loc >= 0, varr[loc.clip(min=0)], 0)
-            else:
-                tv = np.zeros(len(words), np.int64)
-            vp = np.bincount(docix, weights=tv == 1,
-                             minlength=nd).astype(np.int64)
-            vn = np.bincount(docix, weights=tv == -1,
-                             minlength=nd).astype(np.int64)
-            nt = np.bincount(docix, minlength=nd).astype(np.int64)
-            has = nt > 0
-            return pa.table({
-                doc_col: pa.array(ids[has]),
-                "votes_pos": pa.array(vp[has]),
-                "votes_neg": pa.array(vn[has]),
-                "n_tokens": pa.array(nt[has]),
-                "pred": pa.array((vp[has] > vn[has])
-                                 .astype(np.int64))})
+            return _score_batch(t, vtok, varr, text_col, doc_col)
 
         out = ds.map_batches(score_bcast, batch_format="pyarrow",
                              batch_size=None).to_pandas()

@@ -144,14 +144,8 @@ def knn_int8(ds: rd.Dataset, queries, k: int = 5,
         return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                              "neighbor_id": pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="int64")})
-    if exclude_self:
-        partials = partials[partials["query_id"]
-                            != partials["neighbor_id"]]
-    partials = partials.sort_values(
-        ["query_id", "score", "neighbor_id"],
-        ascending=[True, False, True], kind="mergesort")
-    top = partials.groupby("query_id", sort=True).head(k) \
-        .reset_index(drop=True)
-    return top[["query_id", "neighbor_id", "score"]] \
+    from .similarity import _finalize_topk
+    return _finalize_topk(partials, k, exclude_self, round_to=None,
+                          score_col="score") \
         .astype({"query_id": "int64", "neighbor_id": "int64",
                  "score": "int64"})

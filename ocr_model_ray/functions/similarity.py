@@ -87,17 +87,21 @@ def _topk_candidates(col: np.ndarray, kk: int) -> np.ndarray:
 
 
 def _finalize_topk(partials: pd.DataFrame, k: int, exclude_self: bool,
-                   round_to: int) -> pd.DataFrame:
-    """Shared ranking contract: (sim desc, neighbor_id asc) tie-break,
-    per-query head(k), round — ONE implementation for all kNN paths."""
+                   round_to: int | None,
+                   score_col: str = "sim") -> pd.DataFrame:
+    """Shared ranking contract: (score desc, neighbor_id asc)
+    tie-break, per-query head(k), optional round — ONE implementation
+    for all kNN paths (float sims round to the oracle grid; integer
+    scores pass ``round_to=None``)."""
     if exclude_self:
         partials = partials[partials["query_id"] != partials["neighbor_id"]]
     partials = partials.sort_values(
-        ["query_id", "sim", "neighbor_id"],
+        ["query_id", score_col, "neighbor_id"],
         ascending=[True, False, True], kind="mergesort")
     top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    top["sim"] = top["sim"].round(round_to)
-    return top[["query_id", "neighbor_id", "sim"]]
+    if round_to is not None:
+        top[score_col] = top[score_col].round(round_to)
+    return top[["query_id", "neighbor_id", score_col]]
 
 
 def knn_bruteforce(ds: rd.Dataset, queries: pd.DataFrame, k: int = 5,

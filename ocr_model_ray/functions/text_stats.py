@@ -101,6 +101,7 @@ def stratified_quota_split(ds: rd.Dataset,
 
     SQL twin: ``ROW_NUMBER() OVER (PARTITION BY strata ORDER BY
     md5(CAST(id AS VARCHAR)), id) <= quota``."""
+    from .tiers import _id_md5
     from .window import hash_partitioned_window
     strata = list(strata or ["lang", "source"])
 
@@ -111,13 +112,10 @@ def stratified_quota_split(ds: rd.Dataset,
         sh = pd.util.hash_array(key.to_numpy(dtype=object),
                                 categorize=False).view(np.int64)
         ids = df[id_col].to_numpy()
-        mu = pd.Series(
-            [hashlib.md5(str(int(v)).encode()).hexdigest()
-             for v in ids], dtype="object")
         out = pd.DataFrame({"__s": sh})
         for c in strata:
             out[c] = df[c].to_numpy()
-        out["__mu"] = mu.to_numpy()
+        out["__mu"] = _id_md5(ids)
         out[id_col] = ids
         return out
 

@@ -108,14 +108,9 @@ def main() -> None:
     exp_chunks = np.where(
         n_words > 0,
         1 + np.maximum(0, n_words - C + T - 1) // T, 0)
-    exp_tok = np.where(
-        n_words > 0,
-        np.minimum(n_words, C)
-        + np.maximum(0, ((n_words - C + T - 1) // T)) * 0, 0)
-    # exact token total: sum over chunks of min(n - k*T, C)
+    # exact token total: full chunks contribute C each except the
+    # last, which has n - (k-1)*T tokens (when n > 0)
     k = exp_chunks
-    # closed form: full chunks contribute C each except the last,
-    # which has n - (k-1)*T tokens (when n > 0)
     last = np.where(n_words > 0, n_words - (k - 1) * T, 0)
     exp_tok = np.where(n_words > 0, (k - 1) * C + last, 0)
     chunk_ok = (int(a["n_chunks"]) == int(exp_chunks.sum())

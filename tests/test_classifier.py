@@ -94,20 +94,31 @@ def test_partitioning_independence(ray_session):
 
 def test_overflow_path_matches_fast_path():
     from ocr_model_ray.functions.classifier import _votes_of
+
+    def expected(np_, nn, tp, tn, v):
+        out = []
+        for a, b in zip(np_, nn):
+            lhs = (int(a) + 1) * (tn + v)
+            rhs = (int(b) + 1) * (tp + v)
+            out.append(1 if lhs > rhs else -1 if lhs < rhs else 0)
+        return out
+
     np_ = np.array([5, 0, 3], dtype=np.int64)
     nn = np.array([1, 4, 3], dtype=np.int64)
-    fast = _votes_of(np_, nn, 100, 80, 6)
-    # force the object-int path with totals big enough to overflow
+    # fast int64 path: equal totals -> vote is the sign of np_ - nn
+    assert _votes_of(np_, nn, 100, 100, 6).tolist() \
+        == expected(np_, nn, 100, 100, 6) == [1, -1, 0]
+    # asymmetric totals
+    assert _votes_of(np_, nn, 100, 10, 6).tolist() \
+        == expected(np_, nn, 100, 10, 6)
+    # object-int path: counts x totals large enough that the int64
+    # cross-multiply would overflow — values must still equal the
+    # exact Python-int recompute
     big = 2**40
-    slow_fast_equiv = _votes_of(np_, nn, big, big, 6)
-    huge = _votes_of(np_ * big, nn * big, big * 8, big * 8, 6)
-    assert fast.tolist() == [1, -1, 0] or fast.dtype == np.int64
-    assert slow_fast_equiv.dtype == np.int64
-    assert set(huge.tolist()) <= {-1, 0, 1}
-    # exactness: the object path must equal the int64 path where both
-    # are representable
-    a = _votes_of(np_, nn, 10**9, 10**9, 3)
-    assert a.tolist() == _votes_of(np_, nn, 10**9, 10**9, 3).tolist()
+    huge = _votes_of(np_ * big, nn * big, big * 8, big * 8 + 17, 6)
+    assert (int(np_.max()) * big + 1) * (big * 8 + 17 + 6) >= 2**63
+    assert huge.tolist() == expected(np_ * big, nn * big,
+                                     big * 8, big * 8 + 17, 6)
 
 
 def test_empty_corpus(ray_session):
