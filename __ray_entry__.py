@@ -1302,6 +1302,26 @@ def _docs_strat_split(sf_dir: str):
             .astype({"doc_id": "int64"}))
 
 
+def _docs_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (chunking.cdc_chunks): split at
+    rolling Karp-Rabin 5-gram hash boundaries (h % 64 == 0) — the
+    insertion-resilient dedup chunker. SQL twin replays the winnow
+    hash literal and the boundary windows."""
+    import pandas as pd
+
+    from ocr_model_ray.functions.chunking import cdc_chunks
+    out = cdc_chunks(_docs(sf_dir)).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "chunk_id": pd.Series([], dtype="int64"),
+            "char_start": pd.Series([], dtype="int64"),
+            "n_chars": pd.Series([], dtype="int64"),
+            "chunk_text": pd.Series([], dtype="object")})
+    return (out.sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True))
+
+
 def _docs_tier_sample(sf_dir: str):
     """Stratified deterministic sample: 3 docs per quality tier,
     ranked by (md5(text), doc_id); the md5 rides along in the label
@@ -2808,6 +2828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shard_assign": _docs_shard_assign,
         "docs_shard_assign_dist": _docs_shard_assign_dist,
         "docs_chunk_windows": _docs_chunk_windows,
+        "docs_cdc_chunks": _docs_cdc_chunks,
         "docs_vote_classifier": _docs_vote_classifier,
         "docs_vote_classifier_dist": _docs_vote_classifier_dist,
         "docs_strat_split": _docs_strat_split,
@@ -3979,6 +4000,50 @@ def oracle_sql() -> dict[str, str]:
                             CAST(least(k*48 + 64, n) AS BIGINT)],
                        ' ') AS chunk_text
             FROM ch ORDER BY doc_id, chunk_id
+        """,
+        "docs_cdc_chunks": """
+            WITH g AS (
+                SELECT doc_id, i,
+                       (CAST(unicode(substr(text, i, 1)) AS BIGINT)
+                            * 1604566856
+                        + CAST(unicode(substr(text, i+1, 1)) AS BIGINT)
+                            * 1049561761
+                        + CAST(unicode(substr(text, i+2, 1)) AS BIGINT)
+                            * 1426104154
+                        + CAST(unicode(substr(text, i+3, 1)) AS BIGINT)
+                            * 1000003
+                        + CAST(unicode(substr(text, i+4, 1)) AS BIGINT))
+                           % 2147483647 AS h
+                FROM documents, LATERAL unnest(generate_series(
+                    1, greatest(length(text) - 4, 0))) AS t(i)),
+            b AS (SELECT doc_id, i FROM g
+                  WHERE h % 64 = 0 AND i > 1),
+            c AS (SELECT doc_id, i,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY i) AS ci,
+                         lead(i) OVER (PARTITION BY doc_id
+                                       ORDER BY i) AS nxt
+                  FROM b),
+            fc AS (SELECT doc_id, min(i) AS f FROM b GROUP BY doc_id),
+            docs AS (SELECT doc_id, text, length(text) AS L
+                     FROM documents WHERE length(text) > 0),
+            spans AS (
+                SELECT d.doc_id, CAST(0 AS BIGINT) AS chunk_id,
+                       CAST(1 AS BIGINT) AS s,
+                       CAST(coalesce(fc.f, d.L + 1) AS BIGINT) AS e,
+                       d.text
+                FROM docs d LEFT JOIN fc USING (doc_id)
+                UNION ALL
+                SELECT c.doc_id, CAST(c.ci AS BIGINT),
+                       CAST(c.i AS BIGINT),
+                       CAST(coalesce(c.nxt, d.L + 1) AS BIGINT),
+                       d.text
+                FROM c JOIN docs d USING (doc_id))
+            SELECT doc_id, chunk_id, s AS char_start,
+                   CAST(e - s AS BIGINT) AS n_chars,
+                   substr(text, s, e - s) AS chunk_text
+            FROM spans WHERE e > s
+            ORDER BY doc_id, chunk_id
         """,
         "docs_strat_split": """
             SELECT doc_id, lang, source,

@@ -138,3 +138,78 @@ def chunk_windows(ds: rd.Dataset, chunk_size: int = 64,
                                    id_col=id_col, text_col=text_col)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- CDC
+
+#: content-defined chunking parameters: gram size shared with the
+#: winnow sketch (the same Karp-Rabin hash family, so the SQL twin
+#:  reuses the identical literal expression), boundary divisor =
+#: expected chunk length in characters
+CDC_K = 5
+CDC_DIVISOR = 64
+
+
+def cdc_chunks(ds: rd.Dataset, divisor: int = CDC_DIVISOR,
+               k: int = CDC_K, id_col: str = "doc_id",
+               text_col: str = "text") -> rd.Dataset:
+    """Content-defined chunking — split every document at positions
+    where the rolling k-gram Karp-Rabin hash satisfies
+    ``h % divisor == 0`` (expected chunk length ~``divisor`` chars).
+    Unlike fixed windows, the cut points depend only on LOCAL content:
+    inserting a character early in a document shifts later chunks'
+    offsets but leaves their TEXT identical (the storage-dedup /
+    delta-sync property, pinned by test), so md5(chunk_text) dedup
+    survives edits that would shift every fixed window.
+
+    Output: (id_col, chunk_id:int64, char_start:int64 [1-based,
+    SQL substr convention], n_chars:int64, chunk_text). Docs shorter
+    than ``k`` chars form one whole-doc chunk. One streaming
+    map_batches, no shuffle; per-doc work is the winnow gram-hash
+    kernel plus one boundary scan."""
+    from .winnow import KR_MOD, _kr_constants
+    if divisor < 1:
+        raise ValueError("divisor must be >= 1")
+    consts = _kr_constants(k)
+
+    def batch(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_id, out_cid, out_start, out_len, out_txt = \
+            [], [], [], [], []
+        for ix, txt in enumerate(texts):
+            if not txt:
+                continue
+            cp = np.frombuffer(txt.encode("utf-32-le"),
+                               dtype=np.uint32).astype(np.int64)
+            n = len(cp) - k + 1
+            if n >= 1:
+                h = np.zeros(n, dtype=np.int64)
+                for j in range(k):
+                    h += cp[j:j + n] * consts[j]
+                h %= KR_MOD
+                # boundary at gram START position i (0-based), i > 0
+                # (a cut at 0 would make an empty first chunk)
+                b = np.flatnonzero(h % divisor == 0)
+                b = b[b > 0]
+            else:
+                b = np.empty(0, np.int64)
+            cuts = np.concatenate(([0], b, [len(cp)]))
+            for ci in range(len(cuts) - 1):
+                s, e = int(cuts[ci]), int(cuts[ci + 1])
+                if e <= s:
+                    continue
+                out_id.append(ids[ix])
+                out_cid.append(ci)
+                out_start.append(s + 1)
+                out_len.append(e - s)
+                out_txt.append(txt[s:e])
+        return pa.table({
+            id_col: pa.array(np.asarray(out_id, np.int64)),
+            "chunk_id": pa.array(np.asarray(out_cid, np.int64)),
+            "char_start": pa.array(np.asarray(out_start, np.int64)),
+            "n_chars": pa.array(np.asarray(out_len, np.int64)),
+            "chunk_text": pa.array(out_txt, pa.string())})
+
+    return ds.map_batches(batch, batch_format="pyarrow",
+                          batch_size=None)

@@ -234,3 +234,64 @@ def test_chunk_windows_char_spans_slice_back(ray_session):
     for r in out.itertuples():
         assert norm[int(r.doc_id)][int(r.char_start):int(r.char_end)] \
             == r.chunk_text
+
+
+# ---------------------------------------------------------------- CDC
+
+def test_cdc_chunks_cover_and_reconstruct(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.chunking import cdc_chunks
+    docs = _docs(80, seed=13)
+    out = cdc_chunks(rd.from_pandas(docs)).to_pandas()
+    rebuilt = (out.sort_values(["doc_id", "chunk_id"])
+               .groupby("doc_id")["chunk_text"].agg("".join))
+    want = {int(r.doc_id): r.text for r in docs.itertuples()
+            if r.text}
+    assert dict(rebuilt) == want
+    # offsets are exact substr coordinates
+    texts = {int(r.doc_id): r.text for r in docs.itertuples()}
+    for r in out.itertuples():
+        t = texts[int(r.doc_id)]
+        assert t[int(r.char_start) - 1:
+                 int(r.char_start) - 1 + int(r.n_chars)] \
+            == r.chunk_text
+
+
+def test_cdc_chunks_insertion_resilient(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.chunking import cdc_chunks
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen green bottles hang quietly on the wall "
+            "and rain falls softly over the ancient harbour town "
+            "where every sailor knows the old stories by heart")
+    edited = base[:10] + "Z" + base[10:]   # one char inserted early
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": [base, edited]})
+    out = cdc_chunks(rd.from_pandas(docs)).to_pandas()
+    a = out[out["doc_id"] == 1]["chunk_text"].tolist()
+    b = out[out["doc_id"] == 2]["chunk_text"].tolist()
+    assert len(a) >= 3  # the corpus is long enough to actually chunk
+    # content-defined property: all chunks after the edit region are
+    # IDENTICAL text (only the edited chunk and at most its immediate
+    # neighbour differ)
+    from collections import Counter
+    diff = Counter(a) - Counter(b)
+    assert sum(diff.values()) <= 2
+    # a fixed-window chunker would shift EVERY chunk after the edit
+
+
+def test_cdc_chunks_short_doc_single_chunk(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.chunking import cdc_chunks
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": ["abc", ""]})
+    out = cdc_chunks(rd.from_pandas(docs)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["doc_id"] == 1 and r["chunk_text"] == "abc" \
+        and r["char_start"] == 1 and r["n_chars"] == 3
