@@ -1322,6 +1322,27 @@ def _docs_cdc_chunks(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _docs_cdc_dup_share(sf_dir: str):
+    """Per-doc duplicated-content share over CDC chunks
+    (chunking.cdc_dup_share): a chunk is dup iff its exact text
+    appears in >= 2 distinct docs; share = dup_chars / n_chars."""
+    import pandas as pd
+
+    from ocr_model_ray.functions.chunking import cdc_dup_share
+    out = cdc_dup_share(_docs(sf_dir)).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "n_chunks": pd.Series([], dtype="int64"),
+            "n_chars": pd.Series([], dtype="int64"),
+            "dup_chunks": pd.Series([], dtype="int64"),
+            "dup_chars": pd.Series([], dtype="int64"),
+            "dup_share": pd.Series([], dtype="float64")})
+    for c in ("n_chunks", "n_chars", "dup_chunks", "dup_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_tier_sample(sf_dir: str):
     """Stratified deterministic sample: 3 docs per quality tier,
     ranked by (md5(text), doc_id); the md5 rides along in the label
@@ -2829,6 +2850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shard_assign_dist": _docs_shard_assign_dist,
         "docs_chunk_windows": _docs_chunk_windows,
         "docs_cdc_chunks": _docs_cdc_chunks,
+        "docs_cdc_dup_share": _docs_cdc_dup_share,
         "docs_vote_classifier": _docs_vote_classifier,
         "docs_vote_classifier_dist": _docs_vote_classifier_dist,
         "docs_strat_split": _docs_strat_split,
@@ -4044,6 +4066,62 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, s, e - s) AS chunk_text
             FROM spans WHERE e > s
             ORDER BY doc_id, chunk_id
+        """,
+        "docs_cdc_dup_share": """
+            WITH g AS (
+                SELECT doc_id, i,
+                       (CAST(unicode(substr(text, i, 1)) AS BIGINT)
+                            * 1604566856
+                        + CAST(unicode(substr(text, i+1, 1)) AS BIGINT)
+                            * 1049561761
+                        + CAST(unicode(substr(text, i+2, 1)) AS BIGINT)
+                            * 1426104154
+                        + CAST(unicode(substr(text, i+3, 1)) AS BIGINT)
+                            * 1000003
+                        + CAST(unicode(substr(text, i+4, 1)) AS BIGINT))
+                           % 2147483647 AS h
+                FROM documents, LATERAL unnest(generate_series(
+                    1, greatest(length(text) - 4, 0))) AS t(i)),
+            b AS (SELECT doc_id, i FROM g
+                  WHERE h % 64 = 0 AND i > 1),
+            c AS (SELECT doc_id, i,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY i) AS ci,
+                         lead(i) OVER (PARTITION BY doc_id
+                                       ORDER BY i) AS nxt
+                  FROM b),
+            fc AS (SELECT doc_id, min(i) AS f FROM b GROUP BY doc_id),
+            docs AS (SELECT doc_id, text, length(text) AS L
+                     FROM documents WHERE length(text) > 0),
+            spans AS (
+                SELECT d.doc_id, CAST(1 AS BIGINT) AS s,
+                       CAST(coalesce(fc.f, d.L + 1) AS BIGINT) AS e,
+                       d.text
+                FROM docs d LEFT JOIN fc USING (doc_id)
+                UNION ALL
+                SELECT c.doc_id, CAST(c.i AS BIGINT),
+                       CAST(coalesce(c.nxt, d.L + 1) AS BIGINT),
+                       d.text
+                FROM c JOIN docs d USING (doc_id)),
+            ch AS (SELECT doc_id,
+                          CAST(e - s AS BIGINT) AS chars,
+                          md5(substr(text, s, e - s)) AS h
+                   FROM spans WHERE e > s),
+            nd AS (SELECT h, count(DISTINCT doc_id) AS docs
+                   FROM ch GROUP BY h)
+            SELECT ch.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(ch.chars) AS BIGINT) AS n_chars,
+                   CAST(sum(CASE WHEN nd.docs >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_chunks,
+                   CAST(sum(CASE WHEN nd.docs >= 2 THEN ch.chars
+                            ELSE 0 END) AS BIGINT) AS dup_chars,
+                   CAST(sum(CASE WHEN nd.docs >= 2 THEN ch.chars
+                            ELSE 0 END) AS BIGINT)
+                       / (CAST(sum(ch.chars) AS BIGINT) * 1.0)
+                       AS dup_share
+            FROM ch JOIN nd USING (h)
+            GROUP BY ch.doc_id ORDER BY ch.doc_id
         """,
         "docs_strat_split": """
             SELECT doc_id, lang, source,

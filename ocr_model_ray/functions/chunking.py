@@ -40,6 +40,7 @@ RAG store can slice instead of copying.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -213,3 +214,77 @@ def cdc_chunks(ds: rd.Dataset, divisor: int = CDC_DIVISOR,
 
     return ds.map_batches(batch, batch_format="pyarrow",
                           batch_size=None)
+
+
+def cdc_dup_share(ds: rd.Dataset, divisor: int = CDC_DIVISOR,
+                  k: int = CDC_K, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  num_buckets: int = 32) -> rd.Dataset:
+    """Per-document duplicated-content share via CDC chunks: a chunk
+    is DUP iff its exact text appears in >= 2 distinct documents
+    (cross-document boilerplate / syndication / mirror content —
+    insertion-resilient where fixed windows are not). Output per doc:
+    (id_col, n_chunks, n_chars, dup_chunks, dup_chars,
+    dup_share = dup_chars / (n_chars * 1.0) — the one float division,
+    oracle-exact).
+
+    Plan: one streaming CDC pass emits (md5(chunk), doc, chars) rows
+    — chunk hashes, never chunk texts, enter the exchange; a
+    hash-bucketed pass marks each row against its hash's distinct-doc
+    count (every row of a hash lands in one bucket, so the count is
+    exact); one doc-bucketed sum finishes. md5 matches the SQL twin's
+    ``md5(chunk_text)`` so collisions (2^-64) are shared semantics."""
+    from .bucketed import bucketed_agg
+    from .text_stats import md5_hex
+
+    chunks = cdc_chunks(ds, divisor=divisor, k=k, id_col=id_col,
+                        text_col=text_col)
+
+    def project(t: pa.Table) -> pa.Table:
+        h = md5_hex(pd.Series(t["chunk_text"].to_pandas()))
+        return pa.table({
+            "h": pa.array(h.to_numpy(), pa.string()),
+            id_col: t[id_col],
+            "chars": t["n_chars"]})
+
+    rows = chunks.map_batches(project, batch_format="pyarrow")
+
+    def tag(t: pa.Table) -> pa.Table:
+        hs = pd.util.hash_array(
+            t["h"].to_numpy(zero_copy_only=False).astype(object),
+            categorize=False).astype(np.uint64)
+        b = ((hs * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) \
+            % np.uint64(num_buckets)
+        return t.replace_schema_metadata(None).append_column(
+            "__b", pa.array(b.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h")[id_col].transform("nunique")
+        dup = (nd >= 2).to_numpy()
+        chars = g["chars"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64),
+            "n_chunks": np.ones(len(g), np.int64),
+            "n_chars": chars,
+            "dup_chunks": dup.astype(np.int64),
+            "dup_chars": np.where(dup, chars, 0)})
+        return (out.groupby(id_col, as_index=False).sum())
+
+    marked = (rows.map_batches(tag, batch_format="pyarrow")
+              .groupby("__b").map_groups(per_bucket,
+                                         batch_format="pandas"))
+    red = bucketed_agg(marked, id_col,
+                       {"n_chunks": ("n_chunks", "sum"),
+                        "n_chars": ("n_chars", "sum"),
+                        "dup_chunks": ("dup_chunks", "sum"),
+                        "dup_chars": ("dup_chars", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        dc = t["dup_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return t.append_column(
+            "dup_share", pa.array(dc / (nc * 1.0)))
+
+    return red.map_batches(finish, batch_format="pyarrow")

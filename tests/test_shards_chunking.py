@@ -295,3 +295,25 @@ def test_cdc_chunks_short_doc_single_chunk(ray_session):
     r = out.iloc[0]
     assert r["doc_id"] == 1 and r["chunk_text"] == "abc" \
         and r["char_start"] == 1 and r["n_chars"] == 3
+
+
+def test_cdc_dup_share_planted(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.chunking import cdc_dup_share
+    shared = ("copy this exact long paragraph of shared text that is "
+              "repeated across documents so its chunks collide "
+              "perfectly in the hash space every single time")
+    uniq = ["alpha beta gamma delta epsilon zeta eta theta",
+            "one two three four five six seven eight nine ten"]
+    docs = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3], dtype=np.int64),
+        "text": [shared, shared, uniq[0] + " " + uniq[1]]})
+    out = cdc_dup_share(rd.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # identical docs: every chunk duplicated -> share 1.0
+    assert out.loc[0, "dup_share"] == 1.0
+    assert out.loc[1, "dup_share"] == 1.0
+    # unique doc shares nothing
+    assert out.loc[2, "dup_share"] == 0.0
+    assert out.loc[2, "dup_chunks"] == 0
