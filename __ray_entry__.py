@@ -1343,6 +1343,45 @@ def _docs_cdc_dup_share(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _url_cdc_delta(sf_dir: str):
+    """Chunk-level snapshot delta (chunking.cdc_snapshot_delta):
+    snapshot 2 inserts one char at position 10 for every third url;
+    the CDC property keeps the untouched chunks' hashes identical, so
+    unchanged urls score kept_share 1.0 and edited urls lose only the
+    locally invalidated chunk(s)."""
+    import pandas as pd
+
+    from ocr_model_ray.functions.chunking import cdc_snapshot_delta
+
+    docs = _docs(sf_dir)
+
+    def to_pages(df: pd.DataFrame) -> pd.DataFrame:
+        url = "https://s.example/" + df["doc_id"].astype("int64") \
+            .astype(str)
+        t1 = df["text"].astype(str)
+        edited = t1.str.slice(0, 10) + "Z" + t1.str.slice(10)
+        t2 = edited.where(df["doc_id"] % 3 == 0, t1)
+        return pd.DataFrame({
+            "url": pd.concat([url, url], ignore_index=True),
+            "snap": pd.Series([1] * len(df) + [2] * len(df),
+                              dtype="int64"),
+            "text": pd.concat([t1, t2], ignore_index=True)})
+
+    pages = docs.map_batches(to_pages, batch_format="pandas")
+    out = cdc_snapshot_delta(pages).to_pandas()
+    if out.empty or "url" not in out.columns:
+        return pd.DataFrame({
+            "url": pd.Series([], dtype="object"),
+            "n_chunks": pd.Series([], dtype="int64"),
+            "n_chars": pd.Series([], dtype="int64"),
+            "kept_chunks": pd.Series([], dtype="int64"),
+            "kept_chars": pd.Series([], dtype="int64"),
+            "kept_share": pd.Series([], dtype="float64")})
+    for c in ("n_chunks", "n_chars", "kept_chunks", "kept_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _docs_tier_sample(sf_dir: str):
     """Stratified deterministic sample: 3 docs per quality tier,
     ranked by (md5(text), doc_id); the md5 rides along in the label
@@ -2851,6 +2890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk_windows": _docs_chunk_windows,
         "docs_cdc_chunks": _docs_cdc_chunks,
         "docs_cdc_dup_share": _docs_cdc_dup_share,
+        "url_cdc_delta": _url_cdc_delta,
         "docs_vote_classifier": _docs_vote_classifier,
         "docs_vote_classifier_dist": _docs_vote_classifier_dist,
         "docs_strat_split": _docs_strat_split,
@@ -4066,6 +4106,72 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, s, e - s) AS chunk_text
             FROM spans WHERE e > s
             ORDER BY doc_id, chunk_id
+        """,
+        "url_cdc_delta": """
+            WITH pages AS (
+                SELECT 'https://s.example/' || CAST(doc_id AS VARCHAR)
+                           AS url, 1 AS snap, text FROM documents
+                UNION ALL
+                SELECT 'https://s.example/' || CAST(doc_id AS VARCHAR)
+                           AS url, 2 AS snap,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN substr(text, 1, 10) || 'Z'
+                                 || substr(text, 11)
+                            ELSE text END AS text
+                FROM documents),
+            g AS (
+                SELECT url, snap, i,
+                       (CAST(unicode(substr(text, i, 1)) AS BIGINT)
+                            * 1604566856
+                        + CAST(unicode(substr(text, i+1, 1)) AS BIGINT)
+                            * 1049561761
+                        + CAST(unicode(substr(text, i+2, 1)) AS BIGINT)
+                            * 1426104154
+                        + CAST(unicode(substr(text, i+3, 1)) AS BIGINT)
+                            * 1000003
+                        + CAST(unicode(substr(text, i+4, 1)) AS BIGINT))
+                           % 2147483647 AS h
+                FROM pages, LATERAL unnest(generate_series(
+                    1, greatest(length(text) - 4, 0))) AS t(i)),
+            b AS (SELECT url, snap, i FROM g
+                  WHERE h % 64 = 0 AND i > 1),
+            c AS (SELECT url, snap, i,
+                         lead(i) OVER (PARTITION BY url, snap
+                                       ORDER BY i) AS nxt
+                  FROM b),
+            fc AS (SELECT url, snap, min(i) AS f FROM b
+                   GROUP BY url, snap),
+            pp AS (SELECT url, snap, text, length(text) AS L
+                   FROM pages WHERE length(text) > 0),
+            spans AS (
+                SELECT p.url, p.snap, CAST(1 AS BIGINT) AS s,
+                       CAST(coalesce(fc.f, p.L + 1) AS BIGINT) AS e,
+                       p.text
+                FROM pp p LEFT JOIN fc USING (url, snap)
+                UNION ALL
+                SELECT c.url, c.snap, CAST(c.i AS BIGINT),
+                       CAST(coalesce(c.nxt, p.L + 1) AS BIGINT),
+                       p.text
+                FROM c JOIN pp p USING (url, snap)),
+            ch AS (SELECT DISTINCT url, snap,
+                          md5(substr(text, s, e - s)) AS h,
+                          CAST(e - s AS BIGINT) AS chars
+                   FROM spans WHERE e > s),
+            s2 AS (SELECT url, h, chars FROM ch WHERE snap = 2),
+            s1 AS (SELECT DISTINCT url, h FROM ch WHERE snap = 1)
+            SELECT s2.url,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(s2.chars) AS BIGINT) AS n_chars,
+                   CAST(sum(CASE WHEN s1.h IS NOT NULL THEN 1
+                            ELSE 0 END) AS BIGINT) AS kept_chunks,
+                   CAST(sum(CASE WHEN s1.h IS NOT NULL THEN s2.chars
+                            ELSE 0 END) AS BIGINT) AS kept_chars,
+                   CAST(sum(CASE WHEN s1.h IS NOT NULL THEN s2.chars
+                            ELSE 0 END) AS BIGINT)
+                       / (CAST(sum(s2.chars) AS BIGINT) * 1.0)
+                       AS kept_share
+            FROM s2 LEFT JOIN s1 USING (url, h)
+            GROUP BY s2.url ORDER BY s2.url
         """,
         "docs_cdc_dup_share": """
             WITH g AS (

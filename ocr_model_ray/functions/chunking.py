@@ -288,3 +288,123 @@ def cdc_dup_share(ds: rd.Dataset, divisor: int = CDC_DIVISOR,
             "dup_share", pa.array(dc / (nc * 1.0)))
 
     return red.map_batches(finish, batch_format="pyarrow")
+
+
+def _cdc_hash_rows(txt: str, divisor: int, k: int,
+                   consts: np.ndarray, kr_mod: int):
+    """DISTINCT (md5(chunk), chars) pairs for one document's CDC
+    chunks — the scan kernel shared by the delta operator."""
+    import hashlib
+    cp = np.frombuffer(txt.encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.int64)
+    n = len(cp) - k + 1
+    if n >= 1:
+        h = np.zeros(n, dtype=np.int64)
+        for j in range(k):
+            h += cp[j:j + n] * consts[j]
+        h %= kr_mod
+        b = np.flatnonzero(h % divisor == 0)
+        b = b[b > 0]
+    else:
+        b = np.empty(0, np.int64)
+    cuts = np.concatenate(([0], b, [len(cp)]))
+    seen = {}
+    for ci in range(len(cuts) - 1):
+        s, e = int(cuts[ci]), int(cuts[ci + 1])
+        if e <= s:
+            continue
+        hh = hashlib.md5(txt[s:e].encode()).hexdigest()
+        seen.setdefault(hh, e - s)
+    return seen
+
+
+def cdc_snapshot_delta(pages: rd.Dataset, url_col: str = "url",
+                       snap_col: str = "snap",
+                       text_col: str = "text",
+                       divisor: int = CDC_DIVISOR, k: int = CDC_K,
+                       num_buckets: int = 32) -> rd.Dataset:
+    """Chunk-level snapshot delta — the incremental-crawl use of CDC:
+    for every url captured in snapshots 1 and 2, how much of snapshot
+    2's content already existed in snapshot 1? CDC boundaries are
+    content-local, so an insertion invalidates only the edited
+    chunk(s); a fixed-window differ would mark everything after the
+    edit as changed.
+
+    Semantics (set-of-hashes — the rsync/dedup-store accounting): per
+    url, the DISTINCT chunk hashes of snap 2; ``kept`` = those also
+    present among snap 1's distinct hashes; ``kept_share =
+    kept_chars / (n_chars * 1.0)`` over the distinct set. Urls
+    missing either snapshot are absent (inner semantics, matching the
+    SQL twin's join).
+
+    Output: (url, n_chunks [distinct, snap 2], n_chars, kept_chunks,
+    kept_chars, kept_share). Plan: one streaming pass emits DISTINCT
+    (url, snap, hash, chars) rows — chunk texts never move — then ONE
+    url-bucketed exchange groups both snapshots of each url and the
+    intersection is a vectorized pandas merge."""
+    from .window import hash_partitioned_window
+    from .winnow import KR_MOD, _kr_constants
+    consts = _kr_constants(k)
+
+    def scan(t: pa.Table) -> pa.Table:
+        urls = t[url_col].to_pylist()
+        snaps = t[snap_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = t[text_col].to_pylist()
+        u_out, s_out, h_out, c_out = [], [], [], []
+        for u, sn, txt in zip(urls, snaps, texts):
+            if not txt:
+                continue
+            for hh, chars in _cdc_hash_rows(txt, divisor, k,
+                                            consts, KR_MOD).items():
+                u_out.append(u)
+                s_out.append(int(sn))
+                h_out.append(hh)
+                c_out.append(chars)
+        return pa.table({
+            url_col: pa.array(u_out, pa.string()),
+            "snap": pa.array(np.asarray(s_out, np.int64)),
+            "h": pa.array(h_out, pa.string()),
+            "chars": pa.array(np.asarray(c_out, np.int64))})
+
+    rows = pages.map_batches(scan, batch_format="pyarrow",
+                             batch_size=None)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        ub = pd.util.hash_array(
+            df[url_col].to_numpy(dtype=object),
+            categorize=False).view(np.int64)
+        out = df.copy()
+        out["__u"] = ub
+        return out
+
+    def kern(g: pd.DataFrame, new_key: pd.Series) -> pd.DataFrame:
+        res = []
+        for u, grp in g.groupby(url_col, sort=False):
+            s1 = grp[grp["snap"] == 1]
+            s2 = grp[grp["snap"] == 2]
+            if s1.empty or s2.empty:
+                continue
+            kept = s2["h"].isin(set(s1["h"])).to_numpy()
+            chars = s2["chars"].to_numpy(np.int64)
+            res.append((u, len(s2), int(chars.sum()),
+                        int(kept.sum()), int(chars[kept].sum())))
+        if not res:
+            return pd.DataFrame({
+                url_col: pd.Series([], dtype="object"),
+                "n_chunks": pd.Series([], dtype="int64"),
+                "n_chars": pd.Series([], dtype="int64"),
+                "kept_chunks": pd.Series([], dtype="int64"),
+                "kept_chars": pd.Series([], dtype="int64"),
+                "kept_share": pd.Series([], dtype="float64")})
+        out = pd.DataFrame(res, columns=[
+            url_col, "n_chunks", "n_chars", "kept_chunks",
+            "kept_chars"])
+        out["kept_share"] = (out["kept_chars"]
+                             / (out["n_chars"] * 1.0))
+        return out
+
+    return hash_partitioned_window(
+        rows.map_batches(project, batch_format="pandas"),
+        "__u", [url_col, "snap", "h"], kern,
+        num_buckets=num_buckets)

@@ -317,3 +317,28 @@ def test_cdc_dup_share_planted(ray_session):
     # unique doc shares nothing
     assert out.loc[2, "dup_share"] == 0.0
     assert out.loc[2, "dup_chunks"] == 0
+
+
+def test_cdc_snapshot_delta_properties(ray_session):
+    import ray.data as rd
+
+    from ocr_model_ray.functions.chunking import cdc_snapshot_delta
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen green bottles hang quietly on the wall "
+            "and rain falls softly over the ancient harbour town")
+    pages = pd.DataFrame({
+        "url": ["u1", "u1", "u2", "u2", "u3"],
+        "snap": np.array([1, 2, 1, 2, 1], dtype=np.int64),
+        "text": [base, base,                       # unchanged
+                 base, base[:10] + "Z" + base[10:],  # edited
+                 base]})                           # snap 2 missing
+    out = cdc_snapshot_delta(rd.from_pandas(pages)).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert out["url"].tolist() == ["u1", "u2"]  # u3: inner semantics
+    u1 = out.iloc[0]
+    assert u1["kept_share"] == 1.0 \
+        and u1["kept_chunks"] == u1["n_chunks"]
+    u2 = out.iloc[1]
+    # local edit: most chunks survive, but not all
+    assert 0.0 < u2["kept_share"] < 1.0
+    assert u2["n_chunks"] - u2["kept_chunks"] <= 2
