@@ -379,27 +379,34 @@ def cdc_snapshot_delta(pages: rd.Dataset, url_col: str = "url",
         return out
 
     def kern(g: pd.DataFrame, new_key: pd.Series) -> pd.DataFrame:
-        res = []
-        for u, grp in g.groupby(url_col, sort=False):
-            s1 = grp[grp["snap"] == 1]
-            s2 = grp[grp["snap"] == 2]
-            if s1.empty or s2.empty:
-                continue
-            kept = s2["h"].isin(set(s1["h"])).to_numpy()
-            chars = s2["chars"].to_numpy(np.int64)
-            res.append((u, len(s2), int(chars.sum()),
-                        int(kept.sum()), int(chars[kept].sum())))
-        if not res:
-            return pd.DataFrame({
-                url_col: pd.Series([], dtype="object"),
-                "n_chunks": pd.Series([], dtype="int64"),
-                "n_chars": pd.Series([], dtype="int64"),
-                "kept_chunks": pd.Series([], dtype="int64"),
-                "kept_chars": pd.Series([], dtype="int64"),
-                "kept_share": pd.Series([], dtype="float64")})
-        out = pd.DataFrame(res, columns=[
-            url_col, "n_chunks", "n_chars", "kept_chunks",
-            "kept_chars"])
+        """vectorized: ONE merge marks kept chunks, ONE groupby sums
+        per url — no Python loop over urls (a bucket holds many)."""
+        empty = pd.DataFrame({
+            url_col: pd.Series([], dtype="object"),
+            "n_chunks": pd.Series([], dtype="int64"),
+            "n_chars": pd.Series([], dtype="int64"),
+            "kept_chunks": pd.Series([], dtype="int64"),
+            "kept_chars": pd.Series([], dtype="int64"),
+            "kept_share": pd.Series([], dtype="float64")})
+        s2 = g[g["snap"] == 2]
+        s1 = g.loc[g["snap"] == 1, [url_col, "h"]].drop_duplicates()
+        if s2.empty or s1.empty:
+            return empty
+        # inner semantics: only urls present in BOTH snapshots
+        both = s2[s2[url_col].isin(set(s1[url_col]))]
+        if both.empty:
+            return empty
+        m = both.merge(s1.assign(__k=1), on=[url_col, "h"],
+                       how="left")
+        kept = m["__k"].notna().to_numpy()
+        chars = m["chars"].to_numpy(np.int64)
+        out = (pd.DataFrame({
+            url_col: m[url_col].to_numpy(),
+            "n_chunks": np.ones(len(m), np.int64),
+            "n_chars": chars,
+            "kept_chunks": kept.astype(np.int64),
+            "kept_chars": np.where(kept, chars, 0)})
+            .groupby(url_col, as_index=False).sum())
         out["kept_share"] = (out["kept_chars"]
                              / (out["n_chars"] * 1.0))
         return out
