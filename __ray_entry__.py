@@ -1599,6 +1599,46 @@ def _docs_lang_id(sf_dir: str):
     return lang_id(_docs(sf_dir))
 
 
+def _docs_lang_confusion(sf_dir: str):
+    """Metadata-vs-detector language confusion rollup: count docs per
+    (lang [metadata], pred_lang [LangIdWorker]) cell — the corpus QA
+    view that surfaces mislabeled subsets. The detector side rides
+    the same text-keyed golden the docs_lang_id oracle uses; the
+    rollup itself is pure GROUP BY."""
+    import pandas as pd
+
+    from ocr_model_ray.functions.text_stats import LangIdWorker
+
+    docs = _read_sized(sf_dir, "documents.parquet",
+                       columns=["doc_id", "text", "lang"])
+    # lang_id's stage drops metadata columns; pair prediction with
+    # the metadata lang by running the worker inline per batch —
+    # one pass, no join
+    worker = LangIdWorker()
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = worker(df[["doc_id", "text"]])
+        cells = pd.DataFrame({"lang": df["lang"].to_numpy(),
+                              "pred_lang": out["pred_lang"]
+                              .to_numpy()})
+        return (cells.groupby(["lang", "pred_lang"], dropna=False,
+                              as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    parts = docs.map_batches(cell_partial, batch_format="pandas",
+                             batch_size=1024).to_pandas()
+    if parts.empty or "lang" not in parts.columns:
+        return pd.DataFrame({
+            "lang": pd.Series([], dtype="object"),
+            "pred_lang": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64")})
+    out = (parts.groupby(["lang", "pred_lang"], dropna=False,
+                         as_index=False)["n"].sum())
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["lang", "pred_lang"])
+            .reset_index(drop=True))
+
+
 def _docs_simhash(sf_dir: str):
     from ocr_model_ray.functions.text_stats import simhash_batch
     return _docs(sf_dir).map_batches(simhash_batch, batch_format="pandas")
@@ -2912,6 +2952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heavy_hitters": _docs_heavy_hitters,
         "docs_vocab_size": _docs_vocab_size,
         "docs_lang_id": _docs_lang_id,
+        "docs_lang_confusion": _docs_lang_confusion,
         "docs_simhash": _docs_simhash,
         "docs_simhash_near_dup": _docs_simhash_near_dup,
         "docs_fingerprint": _docs_fingerprint,
@@ -4561,6 +4602,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN read_parquet('{os.path.join(_GOLDENS, "docs_text_keyed.parquet")}') g
               ON md5(d.text) = g.h
+        """,
+        "docs_lang_confusion": f"""
+            SELECT d.lang, g.pred_lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents d
+            JOIN read_parquet('{os.path.join(_GOLDENS, "docs_text_keyed.parquet")}') g
+              ON md5(d.text) = g.h
+            GROUP BY d.lang, g.pred_lang
+            ORDER BY d.lang, g.pred_lang
         """,
         "docs_simhash": f"""
             SELECT d.doc_id, g.simhash_hex
