@@ -173,6 +173,246 @@ def fingerprint_summary(ds: rd.Dataset, k: int = DEFAULT_K,
             .reset_index(drop=True))
 
 
+def _count_pairs(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
+    """(doc_a, doc_b, n) multiplicities — packed-uint64 np.unique
+    when ids fit 32 bits (C-speed on tens of millions of pairs),
+    pandas groupby otherwise."""
+    if len(a) and max(int(a.max()), int(b.max())) < 2**31 \
+            and min(int(a.min()), int(b.min())) >= 0:
+        key = (a.astype(np.uint64) << np.uint64(32)) \
+            | b.astype(np.uint64)
+        u, n = np.unique(key, return_counts=True)
+        return pd.DataFrame({
+            "doc_a": (u >> np.uint64(32)).astype(np.int64),
+            "doc_b": (u & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            "n": n.astype(np.int64)})
+    return (pd.DataFrame({"doc_a": a, "doc_b": b})
+            .groupby(["doc_a", "doc_b"], as_index=False).size()
+            .rename(columns={"size": "n"}))
+
+
+def _pairs_of(frame: pd.DataFrame) -> pd.DataFrame:
+    """COUNTED pairs (doc_a, doc_b, n) from complete per-hash
+    posting lists (frame holds every row of each hash it contains;
+    hot hashes are already excluded globally). ``n`` counts shared
+    hashes WITHIN this frame — a combiner partial when frames are
+    hash buckets, the final count on a whole-corpus frame.
+
+    Pair generation is vectorized by DISTINCT GROUP SIZE: groups
+    of equal size m stack into a (G, m) matrix and one
+    triu_indices gather emits all their pairs — the Python loop is
+    O(#distinct sizes), never O(#hashes) or O(#pairs)."""
+    out_empty = pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64")})
+    if frame.empty:
+        return out_empty
+    f = frame.drop_duplicates(["h", "doc_id"])
+    f = f.sort_values(["h", "doc_id"], kind="mergesort")
+    h = f["h"].to_numpy()
+    d = f["doc_id"].to_numpy(dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+    sizes = np.r_[starts[1:], len(h)] - starts
+    starts, sizes = starts[sizes >= 2], sizes[sizes >= 2]
+    if not len(starts):
+        return out_empty
+    aa, bb = [], []
+    for m in np.unique(sizes):
+        gs = starts[sizes == m]
+        docs = d[gs[:, None] + np.arange(m)]      # (G, m)
+        iu, ju = np.triu_indices(int(m), 1)
+        aa.append(docs[:, iu].ravel())
+        bb.append(docs[:, ju].ravel())
+    return _count_pairs(np.concatenate(aa), np.concatenate(bb))
+
+
+def _make_score_cut(metric: str, jq_num: int, jq_den: int):
+    """(ns, na, nb) -> (keep mask, score) — integer cross-multiply
+    cut, one float division; denominator is the union (jaccard) or
+    the smaller set size (overlap)."""
+    def score_and_cut(ns: np.ndarray, na: np.ndarray,
+                      nb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        denom = (na + nb - ns) if metric == "jaccard" \
+            else np.minimum(na, nb)
+        keep = ns * jq_den >= jq_num * denom
+        return keep, ns / (denom * 1.0)
+    return score_and_cut
+
+
+def _empty_pairs(score_col: str) -> pd.DataFrame:
+    return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                         "doc_b": pd.Series([], dtype="int64"),
+                         "n_shared": pd.Series([], dtype="int64"),
+                         score_col: pd.Series([], dtype="float64")})
+
+
+def shared_fingerprint_pairs_ds(ds: rd.Dataset, k: int = DEFAULT_K,
+                                w: int = DEFAULT_W, min_shared: int = 2,
+                                jq_num: int = 1, jq_den: int = 2,
+                                max_df: int = 1000,
+                                text_col: str = "text",
+                                doc_col: str = "doc_id",
+                                num_buckets: int = 32,
+                                metric: str = "jaccard") -> rd.Dataset:
+    """The fully distributed winnow-pair plan, returning the
+    qualifying-pair DATASET — pairs never materialize on the driver
+    (round-4 verdict #1: at 10^12 docs with web-typical partial-dup
+    rates the qualifying set is O(dup mass) and must stay in the
+    object store, consumable by ``write_parquet`` or
+    ``label_propagation_ds``). Semantics identical to
+    ``shared_fingerprint_pairs`` (its docstring is normative); the
+    pandas wrapper is the driver-compare shim over this plan.
+
+    Plan (each step one exchange or one streaming pass): fingerprint
+    scan -> narrow distinct (h, doc) checkpoint -> bucketed df pass ->
+    broadcast hot-hash filter -> per-bucket pair combiner -> pair-
+    bucketed count -> min_shared prefilter -> ratio cut (broadcast
+    size table below ``BROADCAST_DOCS``, two bucketed joins above)."""
+    if metric not in ("jaccard", "overlap"):
+        raise ValueError(f"unknown metric {metric!r}")
+    score_col = "jaccard" if metric == "jaccard" else "overlap"
+    score_and_cut = _make_score_cut(metric, jq_num, jq_den)
+    empty = _empty_pairs(score_col)
+
+    import ray
+    import pyarrow.compute as pc
+
+    from .bucketed import bucketed_agg
+    from .joins import hash_bucket_join
+
+    fps = fingerprint_rows(ds, k=k, w=w, text_col=text_col,
+                           doc_col=doc_col)
+
+    def distinct_block(t: pa.Table) -> pa.Table:
+        g = t.group_by(["h", "doc_id"]).aggregate([])
+        return g.select(["h", "doc_id"])
+
+    # The pair plan consumes ``dist`` through FOUR DAG branches (df
+    # pass, pair pass, the two set-size joins); without a checkpoint
+    # Ray re-executes the fingerprint text scan once per branch.
+    # Materialize the NARROW distinct (h, doc_id) rows once —
+    # ~n_chars/w postings/doc at 16 B each, the winnow-thinned sketch,
+    # never the text — so the scan runs exactly once (measured 9.6 ->
+    # ~3 s at sf0.1; the packing family's narrow-checkpoint doctrine).
+    dist = fps.map_batches(distinct_block,
+                           batch_format="pyarrow").materialize()
+
+    # hot-hash set: one bucketed df pass; the driver frame is bounded
+    # by total_postings / max_df (pigeonhole)
+    dfs = bucketed_agg(dist, "h", {"df": ("doc_id", "size")})
+    dsch = dfs.schema()
+    if dsch is None or "df" not in dsch.names:
+        return rd.from_pandas(empty)
+    hot = dfs.map_batches(
+        lambda t: t.filter(pc.greater(t["df"], max_df)).select(["h"]),
+        batch_format="pyarrow").to_pandas()
+    if len(hot):
+        logger.warning(
+            "winnow pairs: excluding %d hashes with df > %d "
+            "(boilerplate guard)", len(hot), max_df)
+        hot_ref = ray.put(pa.array(hot["h"].to_numpy(np.int64)))
+        # checkpoint the filtered postings too: three branches (pairs
+        # + both count sides) read them
+        dist = dist.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(
+                t["h"], value_set=ray.get(hot_ref)))),
+            batch_format="pyarrow").materialize()
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["h"], num_buckets - 1),
+                    pa.int32())
+        return t.append_column("__b", b)
+
+    # _pairs_of emits COUNTED (doc_a, doc_b, n) partials — the pair
+    # combiner: a pair sharing many hashes collapses inside each
+    # bucket, so the exchange ships counted rows, never the raw
+    # per-shared-hash pair stream (28M raw pair rows -> ~1M counted
+    # partials on the sf0.1 bench corpus)
+    pair_parts = (dist.map_batches(tag, batch_format="pyarrow")
+                  .groupby("__b")
+                  .map_groups(_pairs_of, batch_format="pandas"))
+    agg = bucketed_agg(pair_parts, ["doc_a", "doc_b"],
+                       {"n_shared": ("n", "sum")})
+    sch = agg.schema()
+    if sch is None or "n_shared" not in sch.names:
+        return rd.from_pandas(empty)
+    survivors = agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_shared"], min_shared)),
+        batch_format="pyarrow")
+    # distinct-hash count per doc: a doc's fingerprint rows live in
+    # one block, so the per-block fold is final. Materialized ONCE:
+    # both regimes below consume it (count + collect, or the two join
+    # sides) — without the checkpoint the count() and the consumer
+    # each re-execute the aggregation (round-4 ADVICE).
+    counts = dist.map_batches(
+        lambda t: t.group_by("doc_id").aggregate([([], "count_all")])
+                   .select(["doc_id", "count_all"])
+                   .rename_columns(["doc_id", "nf"]),
+        batch_format="pyarrow").materialize()
+    # The ratio cut needs each side's fingerprint-set size. The size
+    # table is ONE narrow row per doc: below ``broadcast_docs`` it
+    # rides the object store once and the cut is a single streaming
+    # pass over the survivors (two sorted-array gathers — measured
+    # 5.6 s of bucket joins -> ~0.5 s on 6.7M survivors at sf0.1);
+    # above it (the 10^12-doc shape) the two bucketed joins stand.
+    n_docs = counts.count()
+    if n_docs <= BROADCAST_DOCS:
+        cf = counts.to_pandas()
+        order = np.argsort(cf["doc_id"].to_numpy())
+        size_ref = ray.put((
+            cf["doc_id"].to_numpy(np.int64)[order],
+            cf["nf"].to_numpy(np.int64)[order]))
+
+        def bcast_cut(t: pa.Table) -> pa.Table:
+            sid, snf = ray.get(size_ref)
+            ns = t["n_shared"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            da = t["doc_a"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            db = t["doc_b"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            na = snf[np.searchsorted(sid, da)]
+            nb = snf[np.searchsorted(sid, db)]
+            keep, score = score_and_cut(ns, na, nb)
+            return pa.table({
+                "doc_a": pa.array(da[keep]),
+                "doc_b": pa.array(db[keep]),
+                "n_shared": pa.array(ns[keep]),
+                score_col: pa.array(score[keep])})
+
+        return survivors.map_batches(bcast_cut, batch_format="pyarrow")
+
+    counts_a = counts.map_batches(
+        lambda t: t.select(["doc_id", "nf"])
+                   .rename_columns(["doc_a", "n_a"]),
+        batch_format="pyarrow")
+    counts_b = counts.map_batches(
+        lambda t: t.select(["doc_id", "nf"])
+                   .rename_columns(["doc_b", "n_b"]),
+        batch_format="pyarrow")
+    j1 = hash_bucket_join(survivors, counts_a, on="doc_a",
+                          num_buckets=num_buckets)
+    j2 = hash_bucket_join(j1, counts_b, on="doc_b",
+                          num_buckets=num_buckets)
+
+    def ratio_cut(t: pa.Table) -> pa.Table:
+        ns = t["n_shared"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep, score = score_and_cut(ns, na, nb)
+        return pa.table({
+            "doc_a": pa.array(t["doc_a"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep]),
+            "doc_b": pa.array(t["doc_b"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep]),
+            "n_shared": pa.array(ns[keep]),
+            score_col: pa.array(score[keep])})
+
+    return j2.map_batches(ratio_cut, batch_format="pyarrow")
+
+
 def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
                              w: int = DEFAULT_W, min_shared: int = 2,
                              jq_num: int = 1, jq_den: int = 2,
@@ -223,100 +463,26 @@ def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
     pair-bucketed aggregation counts shared hashes, the ``min_shared``
     prefilter cuts the quadratic tail BEFORE the two set-size joins
     (doc_a then doc_b, one bucketed exchange each), and only
-    ratio-qualifying pairs reach the driver."""
+    ratio-qualifying pairs reach the driver — and in the distributed
+    regime they don't even do that inside the plan: this wrapper is
+    the driver-compare shim over ``shared_fingerprint_pairs_ds``,
+    which returns the pair DATASET for scale consumers."""
     if metric not in ("jaccard", "overlap"):
         raise ValueError(f"unknown metric {metric!r}")
     score_col = "jaccard" if metric == "jaccard" else "overlap"
-    fps = fingerprint_rows(ds, k=k, w=w, text_col=text_col,
-                           doc_col=doc_col)
-
-    def distinct_block(t: pa.Table) -> pa.Table:
-        g = t.group_by(["h", "doc_id"]).aggregate([])
-        return g.select(["h", "doc_id"])
-
-    dist = fps.map_batches(distinct_block, batch_format="pyarrow")
-
-    def _count_pairs(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
-        """(doc_a, doc_b, n) multiplicities — packed-uint64 np.unique
-        when ids fit 32 bits (C-speed on tens of millions of pairs),
-        pandas groupby otherwise."""
-        if len(a) and max(int(a.max()), int(b.max())) < 2**31 \
-                and min(int(a.min()), int(b.min())) >= 0:
-            key = (a.astype(np.uint64) << np.uint64(32)) \
-                | b.astype(np.uint64)
-            u, n = np.unique(key, return_counts=True)
-            return pd.DataFrame({
-                "doc_a": (u >> np.uint64(32)).astype(np.int64),
-                "doc_b": (u & np.uint64(0xFFFFFFFF)).astype(np.int64),
-                "n": n.astype(np.int64)})
-        return (pd.DataFrame({"doc_a": a, "doc_b": b})
-                .groupby(["doc_a", "doc_b"], as_index=False).size()
-                .rename(columns={"size": "n"}))
-
-    def pairs_of(frame: pd.DataFrame) -> pd.DataFrame:
-        """COUNTED pairs (doc_a, doc_b, n) from complete per-hash
-        posting lists (frame holds every row of each hash it contains;
-        hot hashes are already excluded globally). ``n`` counts shared
-        hashes WITHIN this frame — a combiner partial when frames are
-        hash buckets, the final count on a whole-corpus frame.
-
-        Pair generation is vectorized by DISTINCT GROUP SIZE: groups
-        of equal size m stack into a (G, m) matrix and one
-        triu_indices gather emits all their pairs — the Python loop is
-        O(#distinct sizes), never O(#hashes) or O(#pairs)."""
-        out_empty = pd.DataFrame({
-            "doc_a": pd.Series([], dtype="int64"),
-            "doc_b": pd.Series([], dtype="int64"),
-            "n": pd.Series([], dtype="int64")})
-        if frame.empty:
-            return out_empty
-        f = frame.drop_duplicates(["h", "doc_id"])
-        f = f.sort_values(["h", "doc_id"], kind="mergesort")
-        h = f["h"].to_numpy()
-        d = f["doc_id"].to_numpy(dtype=np.int64)
-        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
-        sizes = np.r_[starts[1:], len(h)] - starts
-        starts, sizes = starts[sizes >= 2], sizes[sizes >= 2]
-        if not len(starts):
-            return out_empty
-        aa, bb = [], []
-        for m in np.unique(sizes):
-            gs = starts[sizes == m]
-            docs = d[gs[:, None] + np.arange(m)]      # (G, m)
-            iu, ju = np.triu_indices(int(m), 1)
-            aa.append(docs[:, iu].ravel())
-            bb.append(docs[:, ju].ravel())
-        return _count_pairs(np.concatenate(aa), np.concatenate(bb))
-
-    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                          "doc_b": pd.Series([], dtype="int64"),
-                          "n_shared": pd.Series([], dtype="int64"),
-                          score_col: pd.Series([], dtype="float64")})
-
-    def score_and_cut(ns: np.ndarray, na: np.ndarray,
-                      nb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(keep mask, score) — integer cross-multiply cut, one float
-        division; denominator is the union (jaccard) or the smaller
-        set size (overlap)."""
-        denom = (na + nb - ns) if metric == "jaccard" \
-            else np.minimum(na, nb)
-        keep = ns * jq_den >= jq_num * denom
-        return keep, ns / (denom * 1.0)
-
-    def finish(counted: pd.DataFrame, na: np.ndarray,
-               nb: np.ndarray) -> pd.DataFrame:
-        ns = counted["n_shared"].to_numpy(dtype=np.int64)
-        keep, score = score_and_cut(ns, na, nb)
-        out = pd.DataFrame({
-            "doc_a": counted["doc_a"].to_numpy(dtype=np.int64)[keep],
-            "doc_b": counted["doc_b"].to_numpy(dtype=np.int64)[keep],
-            "n_shared": ns[keep],
-            score_col: score[keep]})
-        return (out.sort_values(["doc_a", "doc_b"])
-                .reset_index(drop=True))
+    empty = _empty_pairs(score_col)
 
     if _resolve_mode(ds, mode) == "local":
-        frame = dist.to_pandas()
+        score_and_cut = _make_score_cut(metric, jq_num, jq_den)
+        fps = fingerprint_rows(ds, k=k, w=w, text_col=text_col,
+                               doc_col=doc_col)
+
+        def distinct_block(t: pa.Table) -> pa.Table:
+            g = t.group_by(["h", "doc_id"]).aggregate([])
+            return g.select(["h", "doc_id"])
+
+        frame = fps.map_batches(distinct_block,
+                                batch_format="pyarrow").to_pandas()
         if frame.empty or "h" not in frame.columns:
             return empty
         frame = frame.drop_duplicates(["h", "doc_id"])
@@ -331,148 +497,27 @@ def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
         if frame.empty:
             return empty
         nf = frame.groupby("doc_id")["h"].size()
-        counted = pairs_of(frame).rename(columns={"n": "n_shared"})
+        counted = _pairs_of(frame).rename(columns={"n": "n_shared"})
         counted = counted[counted["n_shared"] >= min_shared]
         if counted.empty:
             return empty
         na = nf.reindex(counted["doc_a"]).to_numpy(dtype=np.int64)
         nb = nf.reindex(counted["doc_b"]).to_numpy(dtype=np.int64)
-        return finish(counted, na, nb)
-
-    import ray
-    import pyarrow.compute as pc
-
-    from .bucketed import bucketed_agg
-    from .joins import hash_bucket_join
-
-    # The pair plan consumes ``dist`` through FOUR DAG branches (df
-    # pass, pair pass, the two set-size joins); without a checkpoint
-    # Ray re-executes the fingerprint text scan once per branch.
-    # Materialize the NARROW distinct (h, doc_id) rows once —
-    # ~n_chars/w postings/doc at 16 B each, the winnow-thinned sketch,
-    # never the text — so the scan runs exactly once (measured 9.6 ->
-    # ~3 s at sf0.1; the packing family's narrow-checkpoint doctrine).
-    dist = dist.materialize()
-
-    # hot-hash set: one bucketed df pass; the driver frame is bounded
-    # by total_postings / max_df (pigeonhole)
-    dfs = bucketed_agg(dist, "h", {"df": ("doc_id", "size")})
-    dsch = dfs.schema()
-    if dsch is None or "df" not in dsch.names:
-        return empty
-    hot = dfs.map_batches(
-        lambda t: t.filter(pc.greater(t["df"], max_df)).select(["h"]),
-        batch_format="pyarrow").to_pandas()
-    if len(hot):
-        logger.warning(
-            "winnow pairs: excluding %d hashes with df > %d "
-            "(boilerplate guard)", len(hot), max_df)
-        hot_ref = ray.put(pa.array(hot["h"].to_numpy(np.int64)))
-        # checkpoint the filtered postings too: three branches (pairs
-        # + both count sides) read them
-        dist = dist.map_batches(
-            lambda t: t.filter(pc.invert(pc.is_in(
-                t["h"], value_set=ray.get(hot_ref)))),
-            batch_format="pyarrow").materialize()
-
-    def tag(t: pa.Table) -> pa.Table:
-        b = pc.cast(pc.bit_wise_and(t["h"], num_buckets - 1),
-                    pa.int32())
-        return t.append_column("__b", b)
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return pairs_of(g)
-
-    # per_bucket emits COUNTED (doc_a, doc_b, n) partials — the pair
-    # combiner: a pair sharing many hashes collapses inside each
-    # bucket, so the exchange ships counted rows, never the raw
-    # per-shared-hash pair stream (28M raw pair rows -> ~1M counted
-    # partials on the sf0.1 bench corpus)
-    pair_parts = (dist.map_batches(tag, batch_format="pyarrow")
-                  .groupby("__b")
-                  .map_groups(per_bucket, batch_format="pandas"))
-    agg = bucketed_agg(pair_parts, ["doc_a", "doc_b"],
-                       {"n_shared": ("n", "sum")})
-    sch = agg.schema()
-    if sch is None or "n_shared" not in sch.names:
-        return empty
-    survivors = agg.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n_shared"], min_shared)),
-        batch_format="pyarrow")
-    # distinct-hash count per doc: a doc's fingerprint rows live in
-    # one block, so the per-block fold is final
-    counts = dist.map_batches(
-        lambda t: t.group_by("doc_id").aggregate([([], "count_all")])
-                   .select(["doc_id", "count_all"])
-                   .rename_columns(["doc_id", "nf"]),
-        batch_format="pyarrow")
-    # The ratio cut needs each side's fingerprint-set size. The size
-    # table is ONE narrow row per doc: below ``broadcast_docs`` it
-    # rides the object store once and the cut is a single streaming
-    # pass over the survivors (two sorted-array gathers — measured
-    # 5.6 s of bucket joins -> ~0.5 s on 6.7M survivors at sf0.1);
-    # above it (the 10^12-doc shape) the two bucketed joins stand.
-    n_docs = counts.count()
-    if n_docs <= BROADCAST_DOCS:
-        cf = counts.to_pandas()
-        order = np.argsort(cf["doc_id"].to_numpy())
-        size_ref = ray.put((
-            cf["doc_id"].to_numpy(np.int64)[order],
-            cf["nf"].to_numpy(np.int64)[order]))
-
-        def bcast_cut(t: pa.Table) -> pa.Table:
-            sid, snf = ray.get(size_ref)
-            ns = t["n_shared"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            da = t["doc_a"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            db = t["doc_b"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            na = snf[np.searchsorted(sid, da)]
-            nb = snf[np.searchsorted(sid, db)]
-            keep, score = score_and_cut(ns, na, nb)
-            return pa.table({
-                "doc_a": pa.array(da[keep]),
-                "doc_b": pa.array(db[keep]),
-                "n_shared": pa.array(ns[keep]),
-                score_col: pa.array(score[keep])})
-
-        out = survivors.map_batches(
-            bcast_cut, batch_format="pyarrow").to_pandas()
-        if out.empty or "n_shared" not in out.columns:
-            return empty
-        return (out.sort_values(["doc_a", "doc_b"])
-                .reset_index(drop=True)
-                [["doc_a", "doc_b", "n_shared", score_col]])
-
-    counts_a = counts.map_batches(
-        lambda t: t.select(["doc_id", "nf"])
-                   .rename_columns(["doc_a", "n_a"]),
-        batch_format="pyarrow")
-    counts_b = counts.map_batches(
-        lambda t: t.select(["doc_id", "nf"])
-                   .rename_columns(["doc_b", "n_b"]),
-        batch_format="pyarrow")
-    j1 = hash_bucket_join(survivors, counts_a, on="doc_a",
-                          num_buckets=num_buckets)
-    j2 = hash_bucket_join(j1, counts_b, on="doc_b",
-                          num_buckets=num_buckets)
-
-    def ratio_cut(t: pa.Table) -> pa.Table:
-        ns = t["n_shared"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = counted["n_shared"].to_numpy(dtype=np.int64)
         keep, score = score_and_cut(ns, na, nb)
-        return pa.table({
-            "doc_a": pa.array(t["doc_a"].to_numpy(
-                zero_copy_only=False).astype(np.int64)[keep]),
-            "doc_b": pa.array(t["doc_b"].to_numpy(
-                zero_copy_only=False).astype(np.int64)[keep]),
-            "n_shared": pa.array(ns[keep]),
-            score_col: pa.array(score[keep])})
+        out = pd.DataFrame({
+            "doc_a": counted["doc_a"].to_numpy(dtype=np.int64)[keep],
+            "doc_b": counted["doc_b"].to_numpy(dtype=np.int64)[keep],
+            "n_shared": ns[keep],
+            score_col: score[keep]})
+        return (out.sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True))
 
-    out = j2.map_batches(ratio_cut, batch_format="pyarrow").to_pandas()
+    out = shared_fingerprint_pairs_ds(
+        ds, k=k, w=w, min_shared=min_shared, jq_num=jq_num,
+        jq_den=jq_den, max_df=max_df, text_col=text_col,
+        doc_col=doc_col, num_buckets=num_buckets,
+        metric=metric).to_pandas()
     if out.empty or "n_shared" not in out.columns:
         return empty
     return (out.sort_values(["doc_a", "doc_b"])
@@ -492,14 +537,37 @@ def winnow_dedup_clusters(ds: rd.Dataset, k: int = DEFAULT_K,
     (quote chains, mirrored article families, template litter).
     Output: (doc_id, cluster_id = min doc id of the component), docs
     in no qualifying pair absent (the recursive-CTE twin's inner
-    semantics). Pairs come from ``shared_fingerprint_pairs`` (its
-    plan/doctrine applies); clustering is ``min_label_propagation``
-    (distributed rounds above 50k edges)."""
-    from .dedup_algos import min_label_propagation
-    pairs = shared_fingerprint_pairs(
+    semantics).
+
+    Distributed plan (the near_dup_clusters doctrine): the pair
+    Dataset from ``shared_fingerprint_pairs_ds`` feeds
+    ``label_propagation_ds`` DIRECTLY — pairs never surface on the
+    driver; only the O(clustered docs) label table collects at the
+    end (it IS the result). Below 50k pairs the label rounds run on
+    the driver frame instead (each Ray round costs seconds of fixed
+    shuffle time that swamps a tiny graph; the pair count is metadata
+    on the materialized pair set, not an extra pass)."""
+    from .dedup_algos import (_resolve_mode, label_propagation_ds,
+                              min_label_propagation)
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "cluster_id": pd.Series([], dtype="int64")})
+    if _resolve_mode(ds, mode) == "local":
+        pairs = shared_fingerprint_pairs(
+            ds, k=k, w=w, min_shared=min_shared, jq_num=jq_num,
+            jq_den=jq_den, max_df=max_df, metric=metric, mode="local")
+        if pairs.empty:
+            return empty
+        return min_label_propagation(pairs[["doc_a", "doc_b"]])
+    pairs_ds = shared_fingerprint_pairs_ds(
         ds, k=k, w=w, min_shared=min_shared, jq_num=jq_num,
-        jq_den=jq_den, max_df=max_df, metric=metric, mode=mode)
-    if pairs.empty:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "cluster_id": pd.Series([], dtype="int64")})
-    return min_label_propagation(pairs[["doc_a", "doc_b"]])
+        jq_den=jq_den, max_df=max_df, metric=metric).materialize()
+    if pairs_ds.count() < 50_000:
+        frame = pairs_ds.to_pandas()
+        if frame.empty or "doc_a" not in frame.columns:
+            return empty
+        return min_label_propagation(frame[["doc_a", "doc_b"]])
+    final = (label_propagation_ds(pairs_ds).to_pandas()
+             .sort_values("node").reset_index(drop=True)
+             .astype({"node": "int64", "label": "int64"}))
+    return pd.DataFrame({"doc_id": final["node"],
+                         "cluster_id": final["label"]})

@@ -1114,16 +1114,27 @@ def q18_large_orders(sf_dir: str, qty_threshold: int = 300,
                 "o_totalprice", "sum_qty"]]
 
 
-def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
+def q22_idle_rich_customers(sf_dir: str,
+                            mode: str = "auto") -> pd.DataFrame:
     """TPC-H Q22 shape (scalar subquery + anti-join): per nation, count
     and total balance of customers whose balance beats the global
     positive-balance AVERAGE and who have NO OPEN ('O') orders. The
     average compare is integer-exact: bal_c * n > sum_c
     cross-multiplies on the cents grid, so engine and SQL agree
-    bitwise with no float division. The open-order custkey set
-    broadcasts (dim-sized; swap joins.bloom_from_dataset + exact
-    rescreen above the size cut, as q4 does, when it outgrows the
-    driver)."""
+    bitwise with no float division.
+
+    ``mode='broadcast'`` collects the distinct open-order custkeys to
+    one sorted array in plasma (exact anti via is_in) — right for a
+    dim-sized active set. ``mode='bloom'`` (round-4 verdict #3: the
+    active-customer set is O(customers) at web scale and must not
+    collect) streams the open-order keys through a Bloom filter
+    instead: bloom-NEGATIVE rich customers are PROVABLY idle (no false
+    negatives) and pre-aggregate per batch; only the bloom-positive
+    suspects — true actives plus the ~2^-8 false-positive tail —
+    rescreen exactly in a bucketed anti-join against the key Dataset,
+    so driver memory is O(filter bits) and the exchange carries only
+    suspects. ``auto`` picks by orders' parquet footprint (the q4
+    doctrine)."""
     import ray
     cust = _read(sf_dir, "customer",
                  ["c_custkey", "c_nationkey", "c_acctbal"], num_blocks=8)
@@ -1146,38 +1157,139 @@ def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
     def distinct_cust(t: pa.Table) -> pa.Table:
         return pa.table({"o_custkey": t["o_custkey"].unique()})
 
-    okeys = (orders.map_batches(distinct_cust, batch_format="pyarrow")
-             .to_pandas()["o_custkey"].unique())
-    ref = ray.put(pa.array(sorted(okeys), pa.int64()))
+    okeys_ds = orders.map_batches(distinct_cust, batch_format="pyarrow")
 
-    def pick(t: pa.Table) -> pa.Table:
+    empty = pd.DataFrame({
+        "c_nationkey": pd.Series([], dtype="int64"),
+        "n_custs": pd.Series([], dtype="int64"),
+        "total_acctbal": pd.Series([], dtype="float64")})
+
+    def _finish(collected: pd.DataFrame) -> pd.DataFrame:
+        if collected.empty:
+            # all-empty blocks can collapse to a column-less frame
+            return empty
+        merged = (collected.groupby("c_nationkey", as_index=False)
+                  .agg(n_custs=("n_custs", "sum"), bal_c=("bal_c", "sum")))
+        merged["n_custs"] = merged["n_custs"].astype("int64")
+        merged["total_acctbal"] = merged["bal_c"].astype("int64") / 100.0
+        return (merged[["c_nationkey", "n_custs", "total_acctbal"]]
+                .sort_values("c_nationkey").reset_index(drop=True))
+
+    if mode == "auto":
+        mode = "broadcast" if _join_mode(sf_dir, "orders") == "local" \
+            else "bloom"
+
+    if mode == "broadcast":
+        okeys = okeys_ds.to_pandas()["o_custkey"].unique()
+        ref = ray.put(pa.array(sorted(okeys), pa.int64()))
+
+        def pick(t: pa.Table) -> pa.Table:
+            bal_c = _cents(t["c_acctbal"])
+            rich = pc.greater(
+                pc.multiply(bal_c, pa.scalar(n, pa.int64())),
+                pa.scalar(s, pa.int64()))
+            idle = pc.invert(pc.is_in(t["c_custkey"],
+                                      value_set=ray.get(ref)))
+            keep = pc.and_(rich, idle)
+            kept = pa.table({
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                "bal_c": bal_c}).filter(keep)
+            g = kept.group_by("c_nationkey").aggregate(
+                [("bal_c", "sum"), ("bal_c", "count")])
+            # select by NAME: pyarrow's key/aggregate column order
+            # varies between releases (same trap as salted_group_count)
+            return g.select(["c_nationkey", "bal_c_sum", "bal_c_count"]) \
+                    .rename_columns(["c_nationkey", "bal_c", "n_custs"])
+
+        return _finish(cust.map_batches(pick, batch_format="pyarrow")
+                       .to_pandas())
+
+    from ..functions.joins import (bloom_from_dataset, bloom_semi_filter,
+                                   hash_bucket_join)
+    # capacity: orders row count from parquet metadata upper-bounds
+    # the distinct active-customer count without a scan
+    cap = max(64, pads.dataset(_pq(sf_dir, "orders"),
+                               format="parquet").count_rows())
+    okeys_ds = okeys_ds.materialize()
+    bf = bloom_from_dataset(okeys_ds, "o_custkey", capacity=cap)
+    bf_ref = ray.put(bf)
+
+    def split(t: pa.Table) -> pa.Table:
+        """One pass over customers: rich filter, then the bloom
+        verdict. Bloom-negatives fold to per-batch nation partials
+        (sure=1, c_custkey null); bloom-positive suspects pass through
+        row-level (sure=0) for the exact rescreen."""
         bal_c = _cents(t["c_acctbal"])
         rich = pc.greater(pc.multiply(bal_c, pa.scalar(n, pa.int64())),
                           pa.scalar(s, pa.int64()))
-        idle = pc.invert(pc.is_in(t["c_custkey"], value_set=ray.get(ref)))
-        keep = pc.and_(rich, idle)
-        kept = pa.table({"c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
-                         "bal_c": bal_c}).filter(keep)
-        g = kept.group_by("c_nationkey").aggregate(
+        kept = pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            "bal_c": bal_c}).filter(rich)
+        import numpy as np
+        maybe = ray.get(bf_ref).might_contain(
+            kept["c_custkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+        sure = kept.filter(pa.array(~maybe))
+        g = sure.group_by("c_nationkey").aggregate(
             [("bal_c", "sum"), ("bal_c", "count")])
-        # select by NAME: pyarrow's key/aggregate column order varies
-        # between releases (same trap as joins.salted_group_count)
+        g = g.select(["c_nationkey", "bal_c_sum", "bal_c_count"]) \
+             .rename_columns(["c_nationkey", "bal_c", "n_custs"])
+        sus = kept.filter(pa.array(maybe))
+        return pa.table({
+            "c_custkey": pa.concat_arrays(
+                [pa.nulls(g.num_rows, pa.int64()),
+                 sus["c_custkey"].combine_chunks()]),
+            "c_nationkey": pa.concat_arrays(
+                [g["c_nationkey"].combine_chunks(),
+                 sus["c_nationkey"].combine_chunks()]),
+            "bal_c": pa.concat_arrays(
+                [g["bal_c"].combine_chunks(),
+                 sus["bal_c"].combine_chunks()]),
+            "n_custs": pa.concat_arrays(
+                [g["n_custs"].combine_chunks(),
+                 pa.nulls(sus.num_rows, pa.int64())])})
+
+    # one customer scan feeds both branches: materialize the NARROW
+    # (rich-only) intermediate, never the table
+    tagged = cust.map_batches(split, batch_format="pyarrow").materialize()
+    sure_part = tagged.map_batches(
+        lambda t: t.filter(pc.is_valid(t["n_custs"]))
+                   .select(["c_nationkey", "bal_c", "n_custs"]),
+        batch_format="pyarrow")
+    suspects = tagged.map_batches(
+        lambda t: t.filter(pc.is_valid(t["c_custkey"]))
+                   .select(["c_custkey", "c_nationkey", "bal_c"]),
+        batch_format="pyarrow")
+    # exact rescreen: bucketed LEFT join against the key Dataset —
+    # unmatched suspects are the true idles. Right-side duplicates
+    # (okeys_ds is per-batch distinct only) can't hurt an anti: a
+    # matched suspect is dropped at any multiplicity.
+    marks = okeys_ds.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["o_custkey"],
+            "__open": pa.nulls(t.num_rows, pa.int8()).fill_null(1)}),
+        batch_format="pyarrow")
+
+    def anti_agg(t: pa.Table) -> pa.Table:
+        idle = t.filter(pc.is_null(t["__open"]))
+        g = idle.group_by("c_nationkey").aggregate(
+            [("bal_c", "sum"), ("bal_c", "count")])
         return g.select(["c_nationkey", "bal_c_sum", "bal_c_count"]) \
                 .rename_columns(["c_nationkey", "bal_c", "n_custs"])
 
-    collected = cust.map_batches(pick, batch_format="pyarrow").to_pandas()
-    if collected.empty:
-        # all-empty blocks can collapse to a column-less frame
-        return pd.DataFrame({
-            "c_nationkey": pd.Series([], dtype="int64"),
-            "n_custs": pd.Series([], dtype="int64"),
-            "total_acctbal": pd.Series([], dtype="float64")})
-    merged = (collected.groupby("c_nationkey", as_index=False)
-              .agg(n_custs=("n_custs", "sum"), bal_c=("bal_c", "sum")))
-    merged["n_custs"] = merged["n_custs"].astype("int64")
-    merged["total_acctbal"] = merged["bal_c"].astype("int64") / 100.0
-    return (merged[["c_nationkey", "n_custs", "total_acctbal"]]
-            .sort_values("c_nationkey").reset_index(drop=True))
+    rescreened = hash_bucket_join(suspects, marks, on="c_custkey",
+                                  num_buckets=16, how="left",
+                                  post_merge=anti_agg)
+    cols = ["c_nationkey", "bal_c", "n_custs"]
+    parts = []
+    for branch in (sure_part, rescreened):
+        f = branch.to_pandas()
+        if not f.empty and "c_nationkey" in f.columns:
+            parts.append(f[cols])
+    if not parts:
+        return empty
+    return _finish(pd.concat(parts, ignore_index=True))
 
 
 def q15_top_supplier(sf_dir: str) -> pd.DataFrame:

@@ -795,6 +795,19 @@ def test_q4_bloom_path_equals_broadcast():
     assert bc["order_count"].sum() > 0
 
 
+def test_q22_bloom_path_equals_broadcast():
+    """Round-4 verdict fix #3: q22's bloom-prefiltered bucketed
+    anti-join plan (the above-size-cut path — open-order custkeys
+    never collect to the driver) must produce identical per-nation
+    counts/balances to the broadcast anti plan."""
+    from ocr_model_ray.pipelines.relational import q22_idle_rich_customers
+    sf = "/root/testdata/sf0.001"
+    bc = q22_idle_rich_customers(sf, mode="broadcast")
+    bl = q22_idle_rich_customers(sf, mode="bloom")
+    pd.testing.assert_frame_equal(bc, bl)
+    assert bc["n_custs"].sum() > 0
+
+
 def test_simhash64_matches_independent_scalar_implementation():
     """Round-2 verdict note #8: the committed simhash goldens are
     engine-generated, so cross-check simhash64 against a second,

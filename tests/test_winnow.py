@@ -177,3 +177,47 @@ def test_overlap_metric_rejects_unknown(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
     with pytest.raises(ValueError):
         shared_fingerprint_pairs(ds, metric="dice")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_pairs_ds_streams_to_sink_equal_local(tmp_path):
+    """The Dataset-returning distributed plan (round-4 verdict #1):
+    shared_fingerprint_pairs_ds consumed by a STREAMING parquet sink
+    (no driver collect) yields exactly the local plan's pairs, and
+    winnow_dedup_clusters' distributed path agrees with the local
+    one."""
+    import ray.data as rd
+
+    from ocr_model_ray.functions.winnow import (
+        shared_fingerprint_pairs_ds, winnow_dedup_clusters)
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abcdefghij ")
+    rows = []
+    for fam in range(6):
+        core = "".join(rng.choice(alphabet, 180))
+        rows.append({"doc_id": 10 * fam,
+                     "text": "AHEAD" + str(fam) + " " + core})
+        rows.append({"doc_id": 10 * fam + 1,
+                     "text": core + " TAIL" + str(fam)})
+    for i in range(40):
+        rows.append({"doc_id": 1000 + i,
+                     "text": "".join(rng.choice(alphabet, 180))})
+    ds = rd.from_items(rows).repartition(4)
+
+    out_dir = str(tmp_path / "winnow_pairs")
+    shared_fingerprint_pairs_ds(ds, min_shared=2).write_parquet(out_dir)
+    import pyarrow.dataset as pads
+    got = (pads.dataset(out_dir).to_table().to_pandas()
+           .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+           [["doc_a", "doc_b", "n_shared", "jaccard"]])
+    loc = shared_fingerprint_pairs(ds, min_shared=2, mode="local")
+    pd.testing.assert_frame_equal(got, loc)
+    assert len(loc) >= 6  # every planted family pairs up
+
+    cl_loc = winnow_dedup_clusters(ds, min_shared=2, mode="local")
+    cl_dst = winnow_dedup_clusters(ds, min_shared=2,
+                                   mode="distributed")
+    pd.testing.assert_frame_equal(
+        cl_loc.sort_values("doc_id").reset_index(drop=True),
+        cl_dst.sort_values("doc_id").reset_index(drop=True))
