@@ -333,9 +333,12 @@ def cdc_snapshot_delta(pages: rd.Dataset, url_col: str = "url",
     Semantics (set-of-hashes — the rsync/dedup-store accounting): per
     url, the DISTINCT chunk hashes of snap 2; ``kept`` = those also
     present among snap 1's distinct hashes; ``kept_share =
-    kept_chars / (n_chars * 1.0)`` over the distinct set. Urls
-    missing either snapshot are absent (inner semantics, matching the
-    SQL twin's join).
+    kept_chars / (n_chars * 1.0)`` over the distinct set. Urls with
+    no snap-2 chunks are absent; a url whose snapshot 1 contributed
+    NO chunks (not crawled, or empty text) appears with kept = 0 —
+    the SQL twin's ``s2 LEFT JOIN s1`` semantics (round-4 advice: the
+    two cases are indistinguishable at the chunk-row level, so the
+    left join is the one semantics both engines can share).
 
     Output: (url, n_chunks [distinct, snap 2], n_chars, kept_chunks,
     kept_chars, kept_share). Plan: one streaming pass emits DISTINCT
@@ -390,14 +393,12 @@ def cdc_snapshot_delta(pages: rd.Dataset, url_col: str = "url",
             "kept_share": pd.Series([], dtype="float64")})
         s2 = g[g["snap"] == 2]
         s1 = g.loc[g["snap"] == 1, [url_col, "h"]].drop_duplicates()
-        if s2.empty or s1.empty:
+        if s2.empty:
             return empty
-        # inner semantics: only urls present in BOTH snapshots
-        both = s2[s2[url_col].isin(set(s1[url_col]))]
-        if both.empty:
-            return empty
-        m = both.merge(s1.assign(__k=1), on=[url_col, "h"],
-                       how="left")
+        # LEFT semantics: every url with snap-2 chunks reports, with
+        # kept = 0 when snap 1 contributed no chunks (the SQL twin)
+        m = s2.merge(s1.assign(__k=1), on=[url_col, "h"],
+                     how="left")
         kept = m["__k"].notna().to_numpy()
         chars = m["chars"].to_numpy(np.int64)
         out = (pd.DataFrame({

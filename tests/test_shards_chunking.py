@@ -327,14 +327,19 @@ def test_cdc_snapshot_delta_properties(ray_session):
             "seventeen green bottles hang quietly on the wall "
             "and rain falls softly over the ancient harbour town")
     pages = pd.DataFrame({
-        "url": ["u1", "u1", "u2", "u2", "u3"],
-        "snap": np.array([1, 2, 1, 2, 1], dtype=np.int64),
+        "url": ["u1", "u1", "u2", "u2", "u3", "u4", "u4", "u5"],
+        "snap": np.array([1, 2, 1, 2, 1, 1, 2, 2], dtype=np.int64),
         "text": [base, base,                       # unchanged
                  base, base[:10] + "Z" + base[10:],  # edited
-                 base]})                           # snap 2 missing
+                 base,                             # snap 2 missing
+                 "", base,                         # snap 1 EMPTY text
+                 base]})                           # snap 1 missing
     out = cdc_snapshot_delta(rd.from_pandas(pages)).to_pandas() \
         .sort_values("url").reset_index(drop=True)
-    assert out["url"].tolist() == ["u1", "u2"]  # u3: inner semantics
+    # u3 absent (no snap-2 chunks); u4/u5 report with kept=0 — the
+    # SQL twin's s2 LEFT JOIN s1 semantics (round-4 advice: empty or
+    # missing snap 1 are indistinguishable at the chunk-row level)
+    assert out["url"].tolist() == ["u1", "u2", "u4", "u5"]
     u1 = out.iloc[0]
     assert u1["kept_share"] == 1.0 \
         and u1["kept_chunks"] == u1["n_chunks"]
@@ -342,3 +347,6 @@ def test_cdc_snapshot_delta_properties(ray_session):
     # local edit: most chunks survive, but not all
     assert 0.0 < u2["kept_share"] < 1.0
     assert u2["n_chunks"] - u2["kept_chunks"] <= 2
+    for row in (out.iloc[2], out.iloc[3]):
+        assert row["kept_chunks"] == 0 and row["kept_chars"] == 0
+        assert row["kept_share"] == 0.0 and row["n_chunks"] > 0

@@ -285,13 +285,16 @@ def test_robots_filter_longest_match_and_defaults(ray_session):
                     "https://norobots.com/private/1"]
 
     # equal-length allow vs disallow: Allow wins the tie (RFC 9309)
-    robots2 = rd.from_pandas(pd.DataFrame({
-        "host": ["a.com"],
-        "robots_txt": ["User-agent: *\nDisallow: /p/\nAllow: /p/\n"]}))
-    kept2 = robots_filter(
-        rd.from_pandas(pd.DataFrame({"url": ["https://a.com/p/z"]})),
-        robots2).to_pandas()
-    assert kept2["url"].tolist() == ["https://a.com/p/z"]
+    # in BOTH file orders — the parse-time (len, allow) sort decides,
+    # never file position (round-4 advice regression pin)
+    for txt in ("User-agent: *\nDisallow: /p/\nAllow: /p/\n",
+                "User-agent: *\nAllow: /p/\nDisallow: /p/\n"):
+        robots2 = rd.from_pandas(pd.DataFrame({
+            "host": ["a.com"], "robots_txt": [txt]}))
+        kept2 = robots_filter(
+            rd.from_pandas(pd.DataFrame({"url": ["https://a.com/p/z"]})),
+            robots2).to_pandas()
+        assert kept2["url"].tolist() == ["https://a.com/p/z"]
 
 
 def test_robots_filter_wildcards_and_anchor(ray_session):
