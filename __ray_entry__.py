@@ -1683,6 +1683,36 @@ def _docs_minhash_ingest(sf_dir: str):
     return minhash_ingest_verified(docs, cand, threshold=0.8)
 
 
+def _docs_minhash_delta(sf_dir: str):
+    """Incremental near-dup delta vs the cross-run index
+    (minhash_index.minhash_delta): even docs are the prior corpus
+    (indexed as run A), odd docs the new crawl; one verdict row per
+    NEW doc — is it a near-copy of anything already kept, of which
+    old doc (min id), at what best Jaccard, against how many."""
+    import tempfile
+
+    from ocr_model_ray.state.minhash_index import (minhash_delta,
+                                                   minhash_ingest)
+    docs = _docs(sf_dir)
+    idx = tempfile.mkdtemp(prefix="mh_delta_")
+    run_a = docs.map_batches(lambda df: df[df["doc_id"] % 2 == 0],
+                             batch_format="pandas")
+    run_b = docs.map_batches(lambda df: df[df["doc_id"] % 2 == 1],
+                             batch_format="pandas")
+    minhash_ingest(run_a, idx, "runA").materialize()
+    out = minhash_delta(run_b, idx, "runB", docs,
+                        threshold=0.8).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        import pandas as pd
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "is_dup": pd.Series([], dtype="int64"),
+            "match_old": pd.Series([], dtype="int64"),
+            "best_jaccard": pd.Series([], dtype="float64"),
+            "n_matches": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _docs_bigram_lift(sf_dir: str):
     from ocr_model_ray.functions.corpus_stats import bigram_lift
     return bigram_lift(_docs(sf_dir), k=50, min_count=5)
@@ -2958,6 +2988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _docs_fingerprint,
         "docs_near_dup": _docs_near_dup,
         "docs_minhash_ingest": _docs_minhash_ingest,
+        "docs_minhash_delta": _docs_minhash_delta,
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "docs_split_leakage": _docs_split_leakage,
         "docs_freq_score": _docs_freq_score,
@@ -5000,6 +5031,46 @@ def oracle_sql() -> dict[str, str]:
             FROM documents x JOIN documents y
               ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id
             WHERE (x.doc_id % 2) <> (y.doc_id % 2)
+        """,
+        # per-NEW-doc fold of the same cross-parity pair base (near
+        # pairs from the hash-keyed golden + exact dups in pure SQL);
+        # sentinels (-1 / 0.0 / 0) instead of NULLs keep the value
+        # hash comparable
+        "docs_minhash_delta": f"""
+            WITH pairs AS (
+                SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                       greatest(a.doc_id, b.doc_id) AS doc_b, g.jaccard
+                FROM read_parquet('{os.path.join(_GOLDENS, "near_dup_pairs_by_hash.parquet")}') g
+                JOIN documents a ON md5(a.text) = g.ha
+                JOIN documents b ON md5(b.text) = g.hb
+                WHERE (a.doc_id % 2) <> (b.doc_id % 2)
+                UNION ALL
+                SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                       1.0 AS jaccard
+                FROM documents x JOIN documents y
+                  ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id
+                WHERE (x.doc_id % 2) <> (y.doc_id % 2)),
+            roled AS (
+                SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a
+                            ELSE doc_b END AS new_id,
+                       CASE WHEN doc_a % 2 = 1 THEN doc_b
+                            ELSE doc_a END AS old_id,
+                       jaccard
+                FROM pairs),
+            m AS (SELECT new_id,
+                         CAST(min(old_id) AS BIGINT) AS match_old,
+                         max(jaccard) AS best_jaccard,
+                         CAST(count(*) AS BIGINT) AS n_matches
+                  FROM roled GROUP BY new_id)
+            SELECT d.doc_id,
+                   CAST(CASE WHEN m.new_id IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS is_dup,
+                   coalesce(m.match_old, -1) AS match_old,
+                   coalesce(m.best_jaccard, 0.0) AS best_jaccard,
+                   coalesce(m.n_matches, 0) AS n_matches
+            FROM documents d LEFT JOIN m ON m.new_id = d.doc_id
+            WHERE d.doc_id % 2 = 1
+            ORDER BY d.doc_id
         """,
         # near pairs (distinct texts) come from the hash-keyed golden;
         # exact-dup (rep, member, 1.0) edges derive in pure SQL from

@@ -377,9 +377,19 @@ def hash_bucket_join(left: rd.Dataset, right: rd.Dataset,
 
 def hash_bucket_semi(left: rd.Dataset, right: rd.Dataset,
                      on: str, num_buckets: int = 32,
-                     anti: bool = False) -> rd.Dataset:
+                     anti: bool = False,
+                     left_unique: bool = False) -> rd.Dataset:
     """Exact bucketed semi (``anti=True``: anti) filter: keep left rows
     whose key appears (does not appear) in ``right`` — WITHOUT a join.
+
+    ``left_unique=True`` additionally DEDUPES the left side by ``on``
+    (keep-first) in the same exchange — per block before the shuffle
+    (a combiner: duplicate keys never ship) and per bucket after it
+    (the key lands wholly in one bucket, so the fold is complete).
+    This fuses a ``bucketed_distinct`` + semi pair into ONE exchange
+    (round-4 verdict #4: the harmonic-BFS per-round pattern); only
+    valid when the caller doesn't care which duplicate row survives
+    (e.g. the non-key columns are determined by the key).
 
     Exists because the bucket JOIN's acero merge rejects nested
     non-key payload (list/struct columns — e.g. the full extraction
@@ -396,7 +406,17 @@ def hash_bucket_semi(left: rd.Dataset, right: rd.Dataset,
         raise ValueError(f"left has no column {on!r}")
     key_type = left_schema.field(on).type
 
+    def _dedup_by_key(t: pa.Table) -> pa.Table:
+        import numpy as np
+        k = t[on].to_numpy(zero_copy_only=False)
+        _, idx = np.unique(k, return_index=True)
+        if len(idx) == t.num_rows:
+            return t
+        return t.take(pa.array(np.sort(idx)))
+
     def tag_left(batch: pa.Table) -> pa.Table:
+        if left_unique:
+            batch = _dedup_by_key(batch)
         return (batch.replace_schema_metadata(None)
                 .append_column("__bucket",
                                _bucket_of(batch, [on], num_buckets))
@@ -427,6 +447,9 @@ def hash_bucket_semi(left: rd.Dataset, right: rd.Dataset,
         wanted = g.filter(rmask)[on]
         lf = g.filter(pc.invert(rmask)).drop_columns(
             ["__bucket", "__side"])
+        if left_unique:
+            # complete: the key lands wholly in this bucket
+            lf = _dedup_by_key(lf)
         if len(wanted) == 0:
             keep = pa.array([anti] * lf.num_rows, pa.bool_())
         else:

@@ -436,6 +436,12 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
     ranks = hosts.map_batches(seed_ranks,
                               batch_format="pyarrow").materialize()
 
+    # TWO exchanges per iteration (round-4 verdict #4 — was three):
+    # the contrib join's post_merge pre-aggregates by dst INSIDE each
+    # src-bucket (a combiner partial), and the dst-side sum COMPLETES
+    # inside the teleport join's bucket task via left_agg (the join
+    # key co-locates each host's partials), so the standalone
+    # bucketed_agg exchange between them disappears.
     for _ in range(iters):
         def as_src(t: pa.Table) -> pa.Table:
             return pa.table({src: t["host"], "r": t["r"]})
@@ -450,17 +456,20 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
                     .astype(np.int64)
                 # exact (r·w)//W without int64 overflow (frame twin)
                 c = (r // d) * w + ((r % d) * w) // d
-            return pa.table({dst: t[dst], "contrib": pa.array(c)})
+            g = (pa.table({"host": t[dst], "contrib": pa.array(c)})
+                 .group_by("host").aggregate([("contrib", "sum")]))
+            return g.select(["host", "contrib_sum"]) \
+                    .rename_columns(["host", "contrib"])
 
         joined = hash_bucket_join(
             edges_wd, ranks.map_batches(as_src, batch_format="pyarrow"),
             on=src, num_buckets=num_buckets,
             post_merge=contrib_in_bucket)
-        insum = bucketed_agg(joined, dst, {"insum": ("contrib", "sum")},
-                             num_buckets=num_buckets)
 
-        def renamed(t: pa.Table) -> pa.Table:
-            return pa.table({"host": t[dst], "insum": t["insum"]})
+        def sum_partials(t: pa.Table) -> pa.Table:
+            g = t.group_by("host").aggregate([("contrib", "sum")])
+            return g.select(["host", "contrib_sum"]) \
+                    .rename_columns(["host", "insum"])
 
         def finish(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -473,8 +482,8 @@ def pagerank_hosts(edges: rd.Dataset, iters: int = 5,
         # compaction fused into the iteration's one execution
         nb_r = max(1, min(num_buckets, n // 500_000 + 1))
         ranks = hash_bucket_join(
-            hosts, insum.map_batches(renamed, batch_format="pyarrow"),
-            on="host", how="left", num_buckets=num_buckets,
+            joined, hosts, on="host", how="right",
+            num_buckets=num_buckets, left_agg=sum_partials,
             post_merge=finish).repartition(nb_r).materialize()
 
     def out(t: pa.Table) -> pa.Table:
@@ -687,19 +696,34 @@ def hits_hosts(edges: rd.Dataset, iters: int = 5,
 
     def half_step_ds(score_ds: rd.Dataset, key_in: str,
                      key_out: str) -> rd.Dataset:
+        """TWO exchanges per half-step (round-4 verdict #4 — was
+        three): the score join's post_merge pre-sums by the OUT
+        endpoint inside each bucket (combiner partials, materialized
+        once — the normalization total is their driver sum, no extra
+        exchange), and the per-host sum COMPLETES inside the
+        normalization join's bucket task via left_agg."""
         def as_key(t: pa.Table) -> pa.Table:
             return pa.table({key_in: t["host"], "v": t["v"]})
 
-        def emit_other(t: pa.Table) -> pa.Table:
-            return pa.table({"host": t[key_out], "p": t["v"]})
+        def emit_partial(t: pa.Table) -> pa.Table:
+            g = (pa.table({"host": t[key_out], "p": t["v"]})
+                 .group_by("host").aggregate([("p", "sum")]))
+            return g.select(["host", "p_sum"]) \
+                    .rename_columns(["host", "p"])
 
         joined = hash_bucket_join(
             dedges, score_ds.map_batches(as_key, batch_format="pyarrow"),
-            on=key_in, num_buckets=num_buckets, post_merge=emit_other)
-        sums = bucketed_agg(joined, "host", {"s": ("p", "sum")},
-                            num_buckets=num_buckets).materialize()
-        # normalization total: ONE scalar to the driver per half-step
-        total = sums.sum("s") or 0
+            on=key_in, num_buckets=num_buckets,
+            post_merge=emit_partial).materialize()
+        # normalization total: partials are additive, so their sum is
+        # the exact half-step total — ONE scalar off the materialized
+        # partials, no bucketed exchange
+        total = joined.sum("p") or 0
+
+        def sum_partials(t: pa.Table) -> pa.Table:
+            g = t.group_by("host").aggregate([("p", "sum")])
+            return g.select(["host", "p_sum"]) \
+                    .rename_columns(["host", "s"])
 
         def finish(t: pa.Table) -> pa.Table:
             s = (pc.fill_null(t["s"], 0).cast(pa.int64())
@@ -708,8 +732,8 @@ def hits_hosts(edges: rd.Dataset, iters: int = 5,
                              "v": pa.array(_l1_scale_fp(s, int(total)))})
 
         return hash_bucket_join(
-            hosts, sums, on="host", how="left",
-            num_buckets=num_buckets,
+            joined, hosts, on="host", how="right",
+            num_buckets=num_buckets, left_agg=sum_partials,
             post_merge=finish).repartition(nb_r).materialize()
 
     auth_ds = None
@@ -1349,40 +1373,55 @@ def harmonic_centrality(edges: rd.Dataset, max_depth: int = 8,
                                    batch_format="pyarrow").materialize()
     round_parts: list[rd.Dataset] = []
     nb_v = max(1, min(num_buckets, n // 500_000 + 1))
+    visited_blocks = visited.num_blocks()
 
+    # TWO exchanges per round (round-4 verdict #4 — was five): the
+    # expansion join pre-dedupes pairs inside each src-bucket and the
+    # distinct COMPLETES inside the anti filter's own exchange
+    # (hash_bucket_semi(left_unique=True) — the key lands wholly in
+    # one bucket); the per-round (host, n_d) counts are per-BLOCK
+    # partials over the materialized frontier (no exchange — the one
+    # final bucketed sum over all rounds' partials finishes them),
+    # and the visited set grows by lazy union of materialized key
+    # blocks, compacted only when its block count piles up instead of
+    # re-exchanged every round.
     for d in range(1, max_depth + 1):
         def as_edge_key(t: pa.Table) -> pa.Table:
             return pa.table({src: t["host"], "psrc": t["psrc"]})
 
         def expand(t: pa.Table) -> pa.Table:
-            return pa.table({"psrc": t["psrc"], "host": t[dst]})
+            out = pa.table({"psrc": t["psrc"], "host": t[dst]})
+            # in-bucket combiner: duplicate (psrc, host) pairs from
+            # different co-bucketed srcs collapse before the shuffle
+            return pack_key(out.group_by(["psrc", "host"])
+                            .aggregate([]).select(["psrc", "host"]))
 
         nxt = hash_bucket_join(
             dedges,
             frontier.map_batches(as_edge_key, batch_format="pyarrow"),
             on=src, num_buckets=num_buckets, post_merge=expand)
-        nxt = bucketed_distinct(nxt, ["psrc", "host"],
-                                num_buckets=num_buckets)
-        nxt = nxt.map_batches(pack_key, batch_format="pyarrow")
         new = hash_bucket_semi(nxt, visited, on="key",
                                num_buckets=num_buckets,
-                               anti=True).materialize()
+                               anti=True, left_unique=True).materialize()
         if new.count() == 0:
             break
         w = L // d
-        round_parts.append(bucketed_agg(
-            new, "host", {"n_d": ("psrc", "size")},
-            num_buckets=num_buckets).map_batches(
-                lambda t, _w=w: pa.table({
-                    "host": t["host"],
-                    "fp": pc.multiply(t["n_d"].cast(pa.int64()),
+        round_parts.append(new.map_batches(
+            lambda t, _w=w: (
+                lambda g: pa.table({
+                    "host": g["host"],
+                    "fp": pc.multiply(g["count_all"].cast(pa.int64()),
                                       pa.scalar(_w, pa.int64())),
-                    "n_d": t["n_d"].cast(pa.int64())}),
-                batch_format="pyarrow").materialize())
-        visited = visited.union(
-            new.map_batches(lambda t: t.select(["key"]),
-                            batch_format="pyarrow")) \
-            .repartition(max(nb_v, d)).materialize()
+                    "n_d": g["count_all"].cast(pa.int64())})
+            )(t.group_by("host").aggregate([([], "count_all")])),
+            batch_format="pyarrow"))
+        new_keys = new.map_batches(lambda t: t.select(["key"]),
+                                   batch_format="pyarrow").materialize()
+        visited = visited.union(new_keys)
+        visited_blocks += new_keys.num_blocks()
+        if visited_blocks > 4 * num_buckets:
+            visited = visited.repartition(max(nb_v, d)).materialize()
+            visited_blocks = visited.num_blocks()
         frontier = new
 
     if not round_parts:

@@ -153,3 +153,103 @@ def minhash_ingest_verified(corpus: rd.Dataset, cand: rd.Dataset,
         return t.filter(pc.greater_equal(t["jaccard"], threshold))
 
     return verified.map_batches(thresh, batch_format="pyarrow")
+
+
+def minhash_delta(new_docs: rd.Dataset, index_dir: str, run_id: str,
+                  corpus: rd.Dataset, threshold: float = 0.8,
+                  ngram: int = 3, num_buckets: int = 64,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> rd.Dataset:
+    """Per-NEW-DOC near-dup verdict against every prior ingest — the
+    incremental-extraction analogue for fuzzy dedup (round-4 verdict
+    #6): "which documents of this new crawl are near-copies of
+    anything we already kept, and of what?".
+
+    Composes the existing verified primitives end-to-end: ingest the
+    new shard's band rows (idempotent per ``run_id`` — a retry
+    excludes its own prior parts), collect OLD x NEW band-collision
+    candidates from the touched index buckets only, confirm them with
+    the no-driver-state exact-Jaccard verify join (``corpus`` must
+    hold both sides' texts), and fold per new doc in one bucketed
+    aggregation. Roles survive the whole pipeline: ``minhash_ingest``
+    emits (doc_a = indexed old doc, doc_b = new doc) and
+    ``_verify_pairs_distributed`` keys pairs as given.
+
+    Output (one row per NEW doc): ``(doc_id, is_dup [0/1 int],
+    match_old [min matching old id, -1 if none], best_jaccard
+    [0.0 if none], n_matches)``. Sentinels instead of NULLs keep the
+    SQL twin's hash comparable.
+
+    Scale shape: every stage is a bucketed exchange or a broadcast
+    (bloom) filter; pairs, texts and the verdict table all stay in
+    the object store — the result is O(new shard) rows, the honest
+    output size."""
+    import pyarrow.compute as pc
+
+    from ..functions.bucketed import bucketed_agg, bucketed_distinct
+    from ..functions.dedup_algos import _EMPTY_VERIFIED
+    from ..functions.joins import hash_bucket_join
+
+    cand = minhash_ingest(new_docs, index_dir, run_id,
+                          threshold=threshold, ngram=ngram,
+                          num_buckets=num_buckets, id_col=id_col,
+                          text_col=text_col)
+    # a band collision repeats across bands/buckets: one row per
+    # (old, new) pair before texts ship into the verify join
+    cand = bucketed_distinct(cand, ["doc_a", "doc_b"]).materialize()
+
+    new_ids = new_docs.map_batches(
+        lambda t: pa.table({"doc_id": t[id_col].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    def _clean(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "is_dup": pa.array(z),
+            "match_old": pa.array(np.full(n, -1, dtype=np.int64)),
+            "best_jaccard": pa.array(z.astype(np.float64)),
+            "n_matches": pa.array(z)})
+
+    if cand.count() == 0:
+        return new_ids.map_batches(_clean, batch_format="pyarrow")
+
+    ver = _verify_pairs_distributed(corpus, cand, ngram)
+    ver = ver.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold))
+        if t.num_rows and "jaccard" in t.column_names
+        else pa.Table.from_pandas(pd.DataFrame(_EMPTY_VERIFIED)),
+        batch_format="pyarrow")
+    matches = bucketed_agg(ver, "doc_b",
+                           {"match_old": ("doc_a", "min"),
+                            "best_jaccard": ("jaccard", "max"),
+                            "n_matches": ("doc_a", "size")},
+                           num_buckets=num_buckets)
+    mschema = matches.schema()
+    if mschema is None or "match_old" not in mschema.names:
+        return new_ids.map_batches(_clean, batch_format="pyarrow")
+
+    def as_new(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_b"].cast(pa.int64()),
+            "match_old": t["match_old"].cast(pa.int64()),
+            "best_jaccard": t["best_jaccard"].cast(pa.float64()),
+            "n_matches": t["n_matches"].cast(pa.int64())})
+
+    def verdict(t: pa.Table) -> pa.Table:
+        hit = pc.is_valid(t["match_old"])
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "is_dup": pc.cast(hit, pa.int64()),
+            "match_old": pc.fill_null(
+                t["match_old"], -1).cast(pa.int64()),
+            "best_jaccard": pc.fill_null(
+                t["best_jaccard"], 0.0).cast(pa.float64()),
+            "n_matches": pc.fill_null(
+                t["n_matches"], 0).cast(pa.int64())})
+
+    return hash_bucket_join(
+        new_ids, matches.map_batches(as_new, batch_format="pyarrow"),
+        on="doc_id", how="left", num_buckets=num_buckets,
+        post_merge=verdict)

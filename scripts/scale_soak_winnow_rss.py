@@ -78,7 +78,15 @@ def main() -> int:
     from ocr_model_ray.functions.winnow import shared_fingerprint_pairs_ds
 
     N, PE = args.docs, args.plant_every
-    AL = np.frombuffer(b"abcdefghijklmnopqrstuvwxy ", dtype=np.uint8)
+    # 64-char alphabet: 64^5 ~ 1.07e9 distinct 5-grams, so at 12.5M
+    # docs the per-hash df stays ~1 like real web text. The 26-char
+    # soup scale_soak_winnow uses is fine at <=1M docs but collapses
+    # the gram space at 12.5M (df ~ N*len/26^5 ~ 16), exploding the
+    # honest pair volume quadratically (~1.4e9 counted pairs, 40+ GB
+    # of spill) — a corpus-density artifact, not an engine property.
+    AL = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz"
+                       b"ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .",
+                       dtype=np.uint8)
 
     def _rand_text(seed: int, n_chars: int) -> str:
         rng = np.random.RandomState(seed % (2**31 - 1))

@@ -86,3 +86,44 @@ def test_torn_tmp_parts_ignored(ray_session, tmp_path):
     open(os.path.join(bdir, "ingest_dead.parquet.tmp"), "w").write("x")
     cand = minhash_ingest(_docs(rows[3:]), idx, "c").to_pandas()
     assert (0, 3) in set(zip(cand["doc_a"], cand["doc_b"]))
+
+
+def test_minhash_delta_verdicts_and_idempotent_retry(ray_session,
+                                                     tmp_path):
+    """minhash_delta (round-4 verdict #6): one verdict row per NEW
+    doc with roles intact (match_old is the INDEXED side), clean docs
+    present with sentinels, and a retry under the same run_id is
+    bit-identical (the ingest excludes its own prior parts)."""
+    from ocr_model_ray.state.minhash_index import minhash_delta
+
+    idx = str(tmp_path / "mh")
+    rows = _corpus()
+    old = _docs(rows[:2])          # docs 0 (BASE) and 1 (unrelated)
+    new = _docs(rows[2:])          # docs 2 (near 0) and 3 (exact 0)
+    minhash_ingest(old, idx, "old").materialize()
+    corpus = _docs(rows)
+
+    out = (minhash_delta(new, idx, "new", corpus, threshold=0.8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [2, 3]
+    assert out["is_dup"].tolist() == [1, 1]
+    assert out["match_old"].tolist() == [0, 0]
+    assert out.loc[1, "best_jaccard"] == 1.0      # exact copy
+    assert 0.8 <= out.loc[0, "best_jaccard"] < 1.0
+
+    retry = (minhash_delta(new, idx, "new", corpus, threshold=0.8)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, retry)
+
+    # a genuinely new, unrelated doc verdicts clean with sentinels
+    fresh = _docs([{"doc_id": 9, "text": "nothing like anything else "
+                    "entirely novel prose about glaciers calving into "
+                    "fjords under midnight sun in high summer"}])
+    corpus2 = corpus.union(fresh)
+    clean = (minhash_delta(fresh, idx, "new2", corpus2, threshold=0.8)
+             .to_pandas())
+    assert clean["doc_id"].tolist() == [9]
+    assert clean["is_dup"].tolist() == [0]
+    assert clean["match_old"].tolist() == [-1]
+    assert clean["best_jaccard"].tolist() == [0.0]
+    assert clean["n_matches"].tolist() == [0]
