@@ -44,6 +44,24 @@ def main(argv=None) -> int:
                     help="also write flat rows/regions/tables parquet")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="standalone only: ray.init(num_cpus=...)")
+    ap.add_argument("--curate", action="store_true",
+                    help="run the curation chain (lang gate -> Gopher "
+                         "quality -> exact dedup -> decontam -> "
+                         "sequence pack) over a documents-shaped "
+                         "parquet input instead of extraction; "
+                         "resumable via the same manifest protocol "
+                         "(pipelines/curate_run.py)")
+    ap.add_argument("--eval-set", default=None,
+                    help="--curate only: parquet of held-out eval "
+                         "texts to decontaminate against (column "
+                         "'text'); omit for no decontamination")
+    ap.add_argument("--langs", default=None,
+                    help="--curate only: comma-separated language "
+                         "gate (default en,de,fr,es)")
+    ap.add_argument("--seq-len", type=int, default=256,
+                    help="--curate only: packing sequence length")
+    ap.add_argument("--no-pack", action="store_true",
+                    help="--curate only: skip the packing phase")
     args = ap.parse_args(argv)
 
     import ray
@@ -52,6 +70,30 @@ def main(argv=None) -> int:
         if args.num_cpus:
             kwargs.update(address="local", num_cpus=args.num_cpus)
         ray.init(**kwargs)
+
+    if args.curate:
+        from ocr_model_ray.pipelines.curate_run import run_curation
+        from ocr_model_ray.pipelines.curation import DEFAULT_LANGS
+        if args.no_resume:
+            import shutil
+            shutil.rmtree(args.output, ignore_errors=True)
+        grams: set = set()
+        if args.eval_set:
+            import ray.data as rd
+            from ocr_model_ray.functions.decontam import ngram_set
+            ev = rd.read_parquet(args.eval_set, columns=["text"])
+            for b in ev.iter_batches(batch_format="pandas",
+                                     batch_size=None):
+                grams |= ngram_set(b["text"])
+        langs = (tuple(args.langs.split(",")) if args.langs
+                 else DEFAULT_LANGS)
+        record = run_curation(args.input, args.output, grams,
+                              langs=langs,
+                              num_partitions=args.partitions,
+                              seq_len=args.seq_len,
+                              pack=not args.no_pack)
+        print(json.dumps(record))
+        return 0
 
     from ocr_model_ray.pipelines.checkpoint import run_resumable
     from ocr_model_ray.pipelines.profiles import profile
