@@ -1610,10 +1610,14 @@ def hyperball_centrality(edges: rd.Dataset, max_depth: int = 8,
     def seed(t: pa.Table) -> pa.Table:
         hs = np.asarray(t["host"].to_pylist(), dtype=object)
         regs = _hll_init(hs, p)
+        # serialize ONCE, slice per host — tobytes() inside the
+        # per-host loop re-copied the whole block matrix each
+        # iteration (quadratic: stalled the 1M-host soak outright)
+        buf = regs.tobytes(order="C")
         return pa.table({
             "host": t["host"],
-            "regs": pa.array(list(regs.tobytes(order="C")[i * m:(i + 1) * m]
-                                  for i in range(len(hs))),
+            "regs": pa.array([buf[i * m:(i + 1) * m]
+                              for i in range(len(hs))],
                              pa.binary()),
             "prev_est": pa.array(_hll_est(regs)),
             "harm": pa.array(np.zeros(len(hs)))})
