@@ -88,9 +88,17 @@ def _decide(corpus: rd.Dataset, out_dir: str, eval_grams: set,
 def run_curation(input_path: str, out_dir: str, eval_grams: set,
                  langs=DEFAULT_LANGS, n: int = 8,
                  num_partitions: int = 16, seq_len: int = 256,
-                 pack: bool = True, mode: str = "auto") -> dict:
+                 pack: bool = True, mode: str = "auto",
+                 waves: int = 1) -> dict:
     """Run (or resume) the curation chain into ``out_dir``. Returns a
-    metrics record (per-stage walls, funnel, partitions written)."""
+    metrics record (per-stage walls, funnel, partitions written).
+
+    ``waves`` sets the COMMIT GRANULARITY of the curated write — the
+    same contract as ``checkpoint.run_resumable``: partition p
+    belongs to wave ``p % waves`` and each wave's manifests commit
+    before the next wave's join starts, so a SIGKILL loses at most
+    one wave of curated output (with waves=1 a kill forfeits the
+    whole write; the groups checkpoint always survives either way)."""
     t0 = time.monotonic()
     corpus = rd.read_parquet(input_path,
                              columns=["doc_id", "text", "lang"])
@@ -102,11 +110,14 @@ def run_curation(input_path: str, out_dir: str, eval_grams: set,
 
     done_before = mf.done_partitions(out_dir)
     cleaned = mf.clean_partial(out_dir)
-    todo = sorted(set(range(num_partitions)) - done_before)
+    todo_all = sorted(set(range(num_partitions)) - done_before)
     t2 = time.monotonic()
     written: list[int] = []
     rows_written = 0
-    if todo:
+    waves = max(1, int(waves))
+    wave_sets = [[p for p in todo_all if p % waves == w]
+                 for w in range(waves)]
+    if todo_all:
         def keep_ids(t: pa.Table) -> pa.Table:
             sel = t.filter(pc.invert(pc.cast(t["contaminated"],
                                              pa.bool_())))
@@ -114,26 +125,38 @@ def run_curation(input_path: str, out_dir: str, eval_grams: set,
 
         ids = groups.map_batches(keep_ids,
                                  batch_format="pyarrow").materialize()
+        n_keep = int(ids.count()) if ids.schema() is not None else 0
+        if n_keep == 0:
+            # nothing survived curation (an aggressively-filtered
+            # corpus is a legal outcome, not a crash): the partitions
+            # are DONE with zero rows — commit their manifests so a
+            # resume terminates
+            for pid in todo_all:
+                mf.commit_manifest(out_dir, pid, row_count=0,
+                                   url_checksum=0, char_count=0,
+                                   error_count=0, input_files=None)
+            written.extend(todo_all)
+            wave_sets = []
 
         from ..functions.joins import (bloom_from_dataset,
                                        bloom_semi_filter,
                                        hash_bucket_join)
-        cap = max(64, int(ids.count()))
-        bf = bloom_from_dataset(ids, "doc_id", capacity=cap)
-        todo_arr = pa.array(todo, pa.int32())
+        bf = None
+        if n_keep:
+            bf = bloom_from_dataset(ids, "doc_id", capacity=n_keep)
 
-        def narrow(t: pa.Table) -> pa.Table:
-            # partition prune BEFORE the join: a resume ships only
-            # the un-done partitions' rows into the exchange
-            ids = t["doc_id"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            pid = pa.array((ids % num_partitions).astype(np.int32))
-            t = t.append_column("part_id", pid)
-            return t.filter(pc.is_in(t["part_id"], value_set=todo_arr))
-
-        survivors = bloom_semi_filter(
-            corpus.map_batches(narrow, batch_format="pyarrow"),
-            bf, on="doc_id")
+        def narrow(todo_arr: pa.Array):
+            def f(t: pa.Table) -> pa.Table:
+                # partition prune BEFORE the join: a resume (or a
+                # later wave) ships only its own partitions' rows
+                # into the exchange
+                dids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                pid = pa.array((dids % num_partitions).astype(np.int32))
+                t = t.append_column("part_id", pid)
+                return t.filter(pc.is_in(t["part_id"],
+                                         value_set=todo_arr))
+            return f
 
         def finish(t: pa.Table) -> pa.Table:
             txt = t["text"]
@@ -150,25 +173,37 @@ def run_curation(input_path: str, out_dir: str, eval_grams: set,
                 "error": pa.nulls(t.num_rows, pa.string()),
                 "part_id": t["part_id"].cast(pa.int32())})
 
-        curated = hash_bucket_join(survivors, ids, on="doc_id",
-                                   post_merge=finish)
-        curated.write_parquet(os.path.join(out_dir, mf.DATA_DIR),
-                              partition_cols=["part_id"])
-        ddir = os.path.join(out_dir, mf.DATA_DIR)
-        todo_set = set(todo)
-        if os.path.isdir(ddir):
-            for name in os.listdir(ddir):
-                if name.startswith("part_id="):
-                    try:
-                        pid = int(name.split("=", 1)[1])
-                    except ValueError:
-                        continue
-                    if pid in todo_set:
-                        written.append(pid)
-        for pid in sorted(written):
-            facts = mf.summarize_partition(out_dir, pid)
-            rows_written += facts["row_count"]
-            mf.commit_manifest(out_dir, pid, input_files=None, **facts)
+        for wave_todo in wave_sets:
+            if not wave_todo:
+                continue
+            survivors = bloom_semi_filter(
+                corpus.map_batches(
+                    narrow(pa.array(wave_todo, pa.int32())),
+                    batch_format="pyarrow"),
+                bf, on="doc_id")
+            curated = hash_bucket_join(survivors, ids, on="doc_id",
+                                       post_merge=finish)
+            curated.write_parquet(os.path.join(out_dir, mf.DATA_DIR),
+                                  partition_cols=["part_id"])
+            # commit THIS wave's manifests before the next wave runs
+            ddir = os.path.join(out_dir, mf.DATA_DIR)
+            todo_set = set(wave_todo)
+            wave_written = []
+            if os.path.isdir(ddir):
+                for name in os.listdir(ddir):
+                    if name.startswith("part_id="):
+                        try:
+                            pid = int(name.split("=", 1)[1])
+                        except ValueError:
+                            continue
+                        if pid in todo_set:
+                            wave_written.append(pid)
+            for pid in sorted(wave_written):
+                facts = mf.summarize_partition(out_dir, pid)
+                rows_written += facts["row_count"]
+                mf.commit_manifest(out_dir, pid, input_files=None,
+                                   **facts)
+            written.extend(wave_written)
     write_s = round(time.monotonic() - t2, 3)
 
     pack_s = None
@@ -177,6 +212,14 @@ def run_curation(input_path: str, out_dir: str, eval_grams: set,
         pdir = os.path.join(out_dir, PACKED_DIR)
         if os.path.exists(_marker(pdir)):
             packed_done = True
+        elif not os.path.isdir(os.path.join(out_dir, mf.DATA_DIR)):
+            # zero-row curation: an empty packing plan, marker only
+            import shutil
+            shutil.rmtree(pdir, ignore_errors=True)
+            os.makedirs(os.path.join(pdir, "data"), exist_ok=True)
+            _commit_marker(pdir, {"rows": 0, "seq_len": seq_len})
+            packed_done = True
+            pack_s = 0.0
         else:
             import shutil
             shutil.rmtree(pdir, ignore_errors=True)

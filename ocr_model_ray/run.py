@@ -62,6 +62,9 @@ def main(argv=None) -> int:
                     help="--curate only: packing sequence length")
     ap.add_argument("--no-pack", action="store_true",
                     help="--curate only: skip the packing phase")
+    ap.add_argument("--waves", type=int, default=1,
+                    help="--curate only: commit granularity of the "
+                         "curated write (run_curation docstring)")
     args = ap.parse_args(argv)
 
     import ray
@@ -91,7 +94,8 @@ def main(argv=None) -> int:
                               langs=langs,
                               num_partitions=args.partitions,
                               seq_len=args.seq_len,
-                              pack=not args.no_pack)
+                              pack=not args.no_pack,
+                              waves=args.waves)
         print(json.dumps(record))
         return 0
 

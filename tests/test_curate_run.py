@@ -116,3 +116,26 @@ def test_curate_kill_resume_equals_uninterrupted(tmp_path):
     again = run_curation(cpath, kill_dir, grams, num_partitions=4)
     assert again["partitions_written"] == []
     assert again["rows_written"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_all_filtered_corpus_terminates(tmp_path):
+    """An aggressively-filtered corpus (every doc fails the Gopher
+    stopword rule) is a legal outcome: zero-row manifests commit for
+    every partition, packing writes an empty marker, and a resume is
+    a clean no-op — no crash on the empty keep set."""
+    from ocr_model_ray.pipelines.curate_run import run_curation
+
+    soup = pd.DataFrame({
+        "doc_id": pd.array(range(100), dtype="int64"),
+        "text": [" ".join(f"tok{j}" for j in range(60))] * 100,
+        "lang": ["en"] * 100})
+    cpath = str(tmp_path / "soup.parquet")
+    soup.to_parquet(cpath)
+    out = str(tmp_path / "out")
+    rec = run_curation(cpath, out, set(), num_partitions=4)
+    assert rec["packed_done"]
+    assert sorted(rec["partitions_written"]) == [0, 1, 2, 3]
+    assert rec["rows_written"] == 0
+    again = run_curation(cpath, out, set(), num_partitions=4)
+    assert again["partitions_written"] == []
