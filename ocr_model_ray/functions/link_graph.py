@@ -656,7 +656,11 @@ def hits_hosts(edges: rd.Dataset, iters: int = 5,
                     v = v.astype(np.int64)
                 g = (pa.table({"host": t[key_out], "p": pa.array(v)})
                      .group_by("host").aggregate([("p", "sum")]))
-                return g.rename_columns(["host", "p"])
+                # select by NAME: pyarrow's key/aggregate column
+                # order varies between releases (the q22 /
+                # salted_group_count trap)
+                return g.select(["host", "p_sum"]) \
+                        .rename_columns(["host", "p"])
 
             agg = bucketed_agg(
                 dedges.map_batches(partial, batch_format="pyarrow"),

@@ -173,6 +173,20 @@ def fingerprint_summary(ds: rd.Dataset, k: int = DEFAULT_K,
             .reset_index(drop=True))
 
 
+def _distinct_postings(ds: rd.Dataset, k: int, w: int,
+                       text_col: str, doc_col: str) -> rd.Dataset:
+    """Lazy distinct (h, doc_id) posting rows — the winnow-thinned
+    sketch both plans consume (each doc's rows live in one block, so
+    the per-block distinct fold is complete per doc)."""
+    def distinct_block(t: pa.Table) -> pa.Table:
+        g = t.group_by(["h", "doc_id"]).aggregate([])
+        return g.select(["h", "doc_id"])
+
+    return fingerprint_rows(ds, k=k, w=w, text_col=text_col,
+                            doc_col=doc_col) \
+        .map_batches(distinct_block, batch_format="pyarrow")
+
+
 def _count_pairs(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
     """(doc_a, doc_b, n) multiplicities — packed-uint64 np.unique
     when ids fit 32 bits (C-speed on tens of millions of pairs),
@@ -281,13 +295,6 @@ def shared_fingerprint_pairs_ds(ds: rd.Dataset, k: int = DEFAULT_K,
     from .bucketed import bucketed_agg
     from .joins import hash_bucket_join
 
-    fps = fingerprint_rows(ds, k=k, w=w, text_col=text_col,
-                           doc_col=doc_col)
-
-    def distinct_block(t: pa.Table) -> pa.Table:
-        g = t.group_by(["h", "doc_id"]).aggregate([])
-        return g.select(["h", "doc_id"])
-
     # The pair plan consumes ``dist`` through FOUR DAG branches (df
     # pass, pair pass, the two set-size joins); without a checkpoint
     # Ray re-executes the fingerprint text scan once per branch.
@@ -295,8 +302,7 @@ def shared_fingerprint_pairs_ds(ds: rd.Dataset, k: int = DEFAULT_K,
     # ~n_chars/w postings/doc at 16 B each, the winnow-thinned sketch,
     # never the text — so the scan runs exactly once (measured 9.6 ->
     # ~3 s at sf0.1; the packing family's narrow-checkpoint doctrine).
-    dist = fps.map_batches(distinct_block,
-                           batch_format="pyarrow").materialize()
+    dist = _distinct_postings(ds, k, w, text_col, doc_col).materialize()
 
     # hot-hash set: one bucketed df pass; the driver frame is bounded
     # by total_postings / max_df (pigeonhole)
@@ -474,15 +480,8 @@ def shared_fingerprint_pairs(ds: rd.Dataset, k: int = DEFAULT_K,
 
     if _resolve_mode(ds, mode) == "local":
         score_and_cut = _make_score_cut(metric, jq_num, jq_den)
-        fps = fingerprint_rows(ds, k=k, w=w, text_col=text_col,
-                               doc_col=doc_col)
-
-        def distinct_block(t: pa.Table) -> pa.Table:
-            g = t.group_by(["h", "doc_id"]).aggregate([])
-            return g.select(["h", "doc_id"])
-
-        frame = fps.map_batches(distinct_block,
-                                batch_format="pyarrow").to_pandas()
+        frame = _distinct_postings(ds, k, w, text_col,
+                                   doc_col).to_pandas()
         if frame.empty or "h" not in frame.columns:
             return empty
         frame = frame.drop_duplicates(["h", "doc_id"])

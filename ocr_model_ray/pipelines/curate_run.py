@@ -145,18 +145,18 @@ def run_curation(input_path: str, out_dir: str, eval_grams: set,
         if n_keep:
             bf = bloom_from_dataset(ids, "doc_id", capacity=n_keep)
 
-        def narrow(todo_arr: pa.Array):
-            def f(t: pa.Table) -> pa.Table:
-                # partition prune BEFORE the join: a resume (or a
-                # later wave) ships only its own partitions' rows
-                # into the exchange
-                dids = t["doc_id"].to_numpy(zero_copy_only=False) \
-                    .astype(np.int64)
-                pid = pa.array((dids % num_partitions).astype(np.int32))
-                t = t.append_column("part_id", pid)
-                return t.filter(pc.is_in(t["part_id"],
-                                         value_set=todo_arr))
-            return f
+        def tag_and_prune(t: pa.Table) -> pa.Table:
+            # tag part_id and drop already-done partitions; the bloom
+            # filter below then cuts non-survivors, so the MATERIALIZED
+            # projection is O(kept rows) — the corpus is read ONCE for
+            # all waves (a per-wave re-scan read W x the input from
+            # storage; the candidate set is narrow and spillable)
+            dids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pid = pa.array((dids % num_partitions).astype(np.int32))
+            t = t.append_column("part_id", pid)
+            return t.filter(pc.is_in(
+                t["part_id"], value_set=pa.array(todo_all, pa.int32())))
 
         def finish(t: pa.Table) -> pa.Table:
             txt = t["text"]
@@ -173,14 +173,21 @@ def run_curation(input_path: str, out_dir: str, eval_grams: set,
                 "error": pa.nulls(t.num_rows, pa.string()),
                 "part_id": t["part_id"].cast(pa.int32())})
 
+        candidates = None
+        if wave_sets:
+            candidates = bloom_semi_filter(
+                corpus.map_batches(tag_and_prune,
+                                   batch_format="pyarrow"),
+                bf, on="doc_id").materialize()
+
         for wave_todo in wave_sets:
             if not wave_todo:
                 continue
-            survivors = bloom_semi_filter(
-                corpus.map_batches(
-                    narrow(pa.array(wave_todo, pa.int32())),
-                    batch_format="pyarrow"),
-                bf, on="doc_id")
+            wave_arr = pa.array(wave_todo, pa.int32())
+            survivors = candidates.map_batches(
+                lambda t, _w=wave_arr: t.filter(
+                    pc.is_in(t["part_id"], value_set=_w)),
+                batch_format="pyarrow")
             curated = hash_bucket_join(survivors, ids, on="doc_id",
                                        post_merge=finish)
             curated.write_parquet(os.path.join(out_dir, mf.DATA_DIR),
@@ -203,6 +210,16 @@ def run_curation(input_path: str, out_dir: str, eval_grams: set,
                 rows_written += facts["row_count"]
                 mf.commit_manifest(out_dir, pid, input_files=None,
                                    **facts)
+            # a partition with ZERO surviving rows writes no part dir
+            # — commit its empty manifest too, or done_partitions()
+            # never reaches num_partitions and the job cannot finish
+            # (review finding: parity-structured doc_ids leave half
+            # the partitions permanently un-done otherwise)
+            for pid in sorted(todo_set - set(wave_written)):
+                mf.commit_manifest(out_dir, pid, row_count=0,
+                                   url_checksum=0, char_count=0,
+                                   error_count=0, input_files=None)
+                wave_written.append(pid)
             written.extend(wave_written)
     write_s = round(time.monotonic() - t2, 3)
 

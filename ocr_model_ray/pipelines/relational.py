@@ -1204,8 +1204,7 @@ def q22_idle_rich_customers(sf_dir: str,
         return _finish(cust.map_batches(pick, batch_format="pyarrow")
                        .to_pandas())
 
-    from ..functions.joins import (bloom_from_dataset, bloom_semi_filter,
-                                   hash_bucket_join)
+    from ..functions.joins import bloom_from_dataset, hash_bucket_join
     # capacity: orders row count from parquet metadata upper-bounds
     # the distinct active-customer count without a scan
     cap = max(64, pads.dataset(_pq(sf_dir, "orders"),

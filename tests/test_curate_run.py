@@ -139,3 +139,32 @@ def test_curate_all_filtered_corpus_terminates(tmp_path):
     assert rec["rows_written"] == 0
     again = run_curation(cpath, out, set(), num_partitions=4)
     assert again["partitions_written"] == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curate_parity_empty_partitions_still_commit(tmp_path):
+    """Review regression: kept doc_ids all even + num_partitions=4
+    leaves partitions 1/3 with zero rows — they must still commit
+    manifests (zero-row) so the job terminates and packs."""
+    from ocr_model_ray.pipelines.curate_run import run_curation
+
+    n = 120
+    docs = pd.DataFrame({
+        "doc_id": pd.array([2 * i for i in range(n)], dtype="int64"),
+        "text": [" ".join(["the", "and", "of", "to", "is", "in"]
+                          * 10 + [f"u{i}x{j}" for j in range(20)])
+                 for i in range(n)],
+        "lang": ["en"] * n})
+    cpath = str(tmp_path / "even.parquet")
+    docs.to_parquet(cpath)
+    out = str(tmp_path / "out")
+    rec = run_curation(cpath, out, set(), num_partitions=4, waves=2)
+    from ocr_model_ray.state import manifest as mf
+    assert mf.done_partitions(out) == {0, 1, 2, 3}
+    assert rec["packed_done"]
+    # every curated survivor landed (the funnel's last stage count);
+    # short unique tokens push a few docs under the mean-word-length
+    # gate, so compare to the funnel rather than n
+    assert rec["rows_written"] == rec["funnel"]["docs"][-1] > 0
+    again = run_curation(cpath, out, set(), num_partitions=4)
+    assert again["partitions_written"] == []
