@@ -1656,23 +1656,49 @@ def hyperball_centrality(edges: rd.Dataset, max_depth: int = 8,
                 "__b", _bucket_of(key, ["host"], num_buckets))
 
         def merge(g: pd.DataFrame, _d=d) -> pd.DataFrame:
-            out_rows = {"host": [], "regs": [], "prev_est": [],
-                        "harm": []}
-            for host, grp in g.groupby("host", sort=False):
-                stack = np.frombuffer(
-                    b"".join(grp["regs"]), dtype=np.uint8) \
-                    .reshape(len(grp), m)
-                merged = np.maximum.reduce(stack)
-                self_row = grp[grp["is_self"]]
-                prev_est = float(self_row["prev_est"].iloc[0])
-                harm = float(self_row["harm"].iloc[0])
-                est = float(_hll_est(merged[None, :])[0])
-                harm += max(est - prev_est, 0.0) / _d
-                out_rows["host"].append(host)
-                out_rows["regs"].append(merged.tobytes())
-                out_rows["prev_est"].append(est)
-                out_rows["harm"].append(harm)
-            return pd.DataFrame(out_rows)
+            """Array path — one stable sort groups the bucket by host,
+            ``np.maximum.reduceat`` folds every group's registers in
+            one call, and ``_hll_est`` estimates all groups row-wise;
+            the pandas per-group iteration measured ~0.3 ms/host
+            (most of the 1M-host soak's wall). Bit-identical: the
+            register max is exact and the estimate is the same frozen
+            row-wise expression."""
+            n_rows = len(g)
+            if n_rows == 0:
+                return pd.DataFrame({"host": [], "regs": [],
+                                     "prev_est": [], "harm": []})
+            hosts_a = g["host"].to_numpy()
+            order = np.argsort(hosts_a, kind="stable")
+            hosts_s = hosts_a[order]
+            regs = np.frombuffer(
+                b"".join(g["regs"].iloc[order]), dtype=np.uint8) \
+                .reshape(n_rows, m)
+            new_grp = np.r_[True, hosts_s[1:] != hosts_s[:-1]]
+            starts = np.flatnonzero(new_grp)
+            merged = np.maximum.reduceat(regs, starts, axis=0)
+            # each group's SELF row carries its running (prev_est,
+            # harm) — every merged host has exactly one (the union
+            # always includes the counters side)
+            gid = np.cumsum(new_grp) - 1
+            is_self = g["is_self"].to_numpy()[order].astype(bool)
+            self_rows = np.full(len(starts), -1, dtype=np.int64)
+            self_rows[gid[is_self]] = np.flatnonzero(is_self)
+            if (self_rows < 0).any():
+                raise ValueError("hyperball: contribution host "
+                                 "missing from the host universe")
+            prev_est = g["prev_est"].to_numpy()[order][self_rows] \
+                .astype(np.float64)
+            harm = g["harm"].to_numpy()[order][self_rows] \
+                .astype(np.float64)
+            est = _hll_est(merged)
+            harm = harm + np.maximum(est - prev_est, 0.0) / _d
+            buf = merged.tobytes(order="C")
+            return pd.DataFrame({
+                "host": hosts_s[starts],
+                "regs": [buf[i * m:(i + 1) * m]
+                         for i in range(len(starts))],
+                "prev_est": est,
+                "harm": harm})
 
         counters = (moved.union(selves)
                     .map_batches(tag, batch_format="pyarrow")
