@@ -1974,6 +1974,43 @@ def _emb_label_stats(sf_dir: str):
     return label_stats(_emb(sf_dir))
 
 
+def _emb_index_delta(sf_dir: str):
+    """Cross-run EMBEDDING near-dup delta vs the persistent LSH
+    index (state/emb_index.emb_delta — the semantic-dedup member of
+    the dedup-index family): even vec_ids are the prior corpus
+    (indexed as run A), odd the new shard; one verdict row per NEW
+    vector (is_dup, match_old, best_sim, n_matches), candidates from
+    touched index buckets only, exact float64 cosine verify."""
+    import tempfile
+
+    import pandas as pd
+
+    from ocr_model_ray.state.emb_index import emb_delta, emb_ingest
+    vecs = _emb(sf_dir)
+    idx = tempfile.mkdtemp(prefix="emb_index_")
+    run_a = vecs.map_batches(lambda df: df[df["vec_id"] % 2 == 0],
+                             batch_format="pandas")
+    run_b = vecs.map_batches(lambda df: df[df["vec_id"] % 2 == 1],
+                             batch_format="pandas")
+    # target_recall 0.9999 (~58 tables at threshold 0.4): the planes
+    # are deterministic, so with enough tables every borderline pair
+    # of THIS corpus is caught and the gate is permanently bit-green
+    # (at the operator default 0.98 the sf0.001 corpus has exactly two
+    # sim~0.4025 pairs that miss — honest LSH recall, wrong for a
+    # bit-exact gate); the operator's production default stays 0.98
+    emb_ingest(run_a, idx, "runA", target_recall=0.9999).materialize()
+    out = emb_delta(run_b, idx, "runB", vecs, threshold=0.4,
+                    target_recall=0.9999).to_pandas()
+    if out.empty or "vec_id" not in out.columns:
+        return pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "is_dup": pd.Series([], dtype="int64"),
+            "match_old": pd.Series([], dtype="int64"),
+            "best_sim": pd.Series([], dtype="float64"),
+            "n_matches": pd.Series([], dtype="int64")})
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _emb_knn_int8(sf_dir: str):
     """Quantized brute-force kNN (quantize.knn_int8): integer code
     dot products, deterministic (score desc, neighbor asc) ranking —
@@ -3082,6 +3119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantize": _emb_quantize,
         "emb_knn_int8": _emb_knn_int8,
         "emb_near_dup": _emb_near_dup,
+        "emb_index_delta": _emb_index_delta,
         "emb_kmeans": _emb_kmeans,
         "emb_kmeans_summary": _emb_kmeans_summary,
         "emb_near_dup_clusters": _emb_near_dup_clusters,
@@ -5242,6 +5280,39 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(range(0, 8)) AS cluster) c
             LEFT JOIN g USING (cluster)
             ORDER BY c.cluster
+        """,
+        # per-NEW-vector fold of the exact cross-parity cosine pair
+        # base (the emb_near_dup double-precision lambda cosine);
+        # sentinels (-1 / 0.0 / 0) instead of NULLs keep the value
+        # hash comparable
+        "emb_index_delta": """
+            WITH n AS (SELECT vec_id, embedding,
+                              sqrt(list_sum(list_transform(embedding,
+                                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm
+                       FROM embeddings),
+            pairs AS (SELECT a.vec_id AS old_id, b.vec_id AS new_id,
+                             list_sum(list_transform(
+                                 list_zip(a.embedding, b.embedding),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                             / (a.nrm * b.nrm) AS sim
+                      FROM n a JOIN n b
+                        ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+            q AS (SELECT old_id, new_id, round(sim, 5) AS sim
+                  FROM pairs WHERE sim >= 0.4),
+            m AS (SELECT new_id,
+                         CAST(min(old_id) AS BIGINT) AS match_old,
+                         max(sim) AS best_sim,
+                         CAST(count(*) AS BIGINT) AS n_matches
+                  FROM q GROUP BY new_id)
+            SELECT v.vec_id,
+                   CAST(CASE WHEN m.new_id IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS is_dup,
+                   coalesce(m.match_old, -1) AS match_old,
+                   coalesce(m.best_sim, 0.0) AS best_sim,
+                   coalesce(m.n_matches, 0) AS n_matches
+            FROM embeddings v LEFT JOIN m ON m.new_id = v.vec_id
+            WHERE v.vec_id % 2 = 1
+            ORDER BY v.vec_id
         """,
         "emb_near_dup": """
             -- double-precision lambda cosine (list_cosine_similarity is
