@@ -256,21 +256,24 @@ def _verify_cosine_pairs(corpus: rd.Dataset, cand: rd.Dataset,
         new[1:] = (pa_[1:] != pa_[:-1]) | (pb_[1:] != pb_[:-1])
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], n)
-        out_a, out_b, out_s = [], [], []
-        for s, e in zip(starts, ends):
-            n_a = int(isa[s:e].sum())
-            if n_a == 0 or n_a == e - s:  # endpoint missing from corpus
-                continue
-            i, j = s, s + n_a
-            sim = float(mat[i] @ mat[j]) / float(nrm[i] * nrm[j])
-            out_a.append(int(pa_[s]))
-            out_b.append(int(pb_[s]))
-            out_s.append(sim)
-        if not out_a:
+        # fully vectorized: each complete pair group is (a-side rows,
+        # then b-side rows); one gather of the first a row and first
+        # b row per group + one batched row-dot computes every cosine
+        # (the per-pair Python loop measured ~6 us/pair — the whole
+        # wall at millions of random-bucket candidates)
+        n_a = np.add.reduceat(isa.astype(np.int64), starts)
+        sizes = ends - starts
+        okp = (n_a > 0) & (n_a < sizes)    # both endpoints present
+        i_idx = starts[okp]
+        j_idx = starts[okp] + n_a[okp]
+        if not len(i_idx):
             return empty
-        return pd.DataFrame({"vec_a": pd.Series(out_a, dtype="int64"),
-                             "vec_b": pd.Series(out_b, dtype="int64"),
-                             "sim": pd.Series(out_s, dtype="float64")})
+        sims = (mat[i_idx] * mat[j_idx]).sum(axis=1) \
+            / (nrm[i_idx] * nrm[j_idx])
+        return pd.DataFrame({
+            "vec_a": pd.Series(pa_[i_idx], dtype="int64"),
+            "vec_b": pd.Series(pb_[i_idx], dtype="int64"),
+            "sim": pd.Series(sims, dtype="float64")})
 
     return (joined.map_batches(add_pb, batch_format="pyarrow")
             .groupby("__pb").map_groups(verify_block,

@@ -1,0 +1,185 @@
+"""Round-5 soak: cross-run embedding near-dup delta at volume —
+planted near-copies of indexed vectors must be found with the right
+match, novel vectors must verdict clean, and a retry under the same
+run_id must be bit-identical (the minhash_delta soak's shape for the
+embedding member of the index family).
+
+Corpus: N old vectors (seeded gaussians, dim 32); N/10 new vectors,
+every PLANT_EVERY-th an exact or jittered (cosine ~0.99) copy of a
+specific old vector, the rest novel gaussians (pairwise cosine
+concentrates near 0 at dim 32, far under the 0.8 cut). LSH misses
+are tolerated only if independently verified as band misses whose
+true cosine clears the cut, and only within the geometry's recall.
+
+Usage: python scripts/scale_soak_emb_delta.py --vecs 600000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vecs", type=int, default=100_000)
+    ap.add_argument("--plant-every", type=int, default=10)
+    ap.add_argument("--dim", type=int, default=32)
+    ap.add_argument("--planes", type=int, default=12,
+                    help="LSH hyperplanes/table: random gaussians are "
+                         "the ADVERSARIAL corpus for LSH candidate "
+                         "volume (all pairs near cos 0, colliding at "
+                         "0.5^planes per table — 4 planes turns 40%% "
+                         "of all pairs into candidates); 12 planes "
+                         "keeps the collision tail ~1.5%% while the "
+                         "geometry derives the table count for the "
+                         "same 0.98 recall. Real embedding corpora "
+                         "cluster, so candidate volume is O(near-dup "
+                         "mass + this tail)")
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from ocr_model_ray.state.emb_index import emb_delta, emb_ingest
+
+    N, M, PE, D = args.vecs, args.vecs // 10, args.plant_every, args.dim
+
+    def _vec(seed: int) -> "np.ndarray":
+        return np.random.RandomState(seed % (2**31 - 1)).normal(size=D)
+
+    def synth_old(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "embedding": [_vec(int(i) * 13 + 1).tolist() for i in ids]})
+
+    def synth_new(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["id"].to_numpy().astype(np.int64)
+        out_id, out_v = [], []
+        for i in ids:
+            i = int(i)
+            nid = N + i
+            if i % PE == 0:
+                src = (i * PE) % N
+                v = _vec(src * 13 + 1)
+                if (i // PE) % 2:
+                    v = v + np.random.RandomState(i).normal(
+                        scale=0.02, size=D)     # cosine ~0.999
+            else:
+                v = _vec(10**9 + i * 7 + 3)
+            out_id.append(nid)
+            out_v.append(v.tolist())
+        return pd.DataFrame({"vec_id": np.asarray(out_id, np.int64),
+                             "embedding": out_v})
+
+    t0 = time.time()
+    old = (rd.range(N).repartition(args.cpus * 4)
+           .map_batches(synth_old, batch_format="pandas").materialize())
+    new = (rd.range(M).repartition(args.cpus * 2)
+           .map_batches(synth_new, batch_format="pandas").materialize())
+    build_s = round(time.time() - t0, 1)
+
+    import shutil
+    idx = "/tmp/ocr_soak/emb_delta_index"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    emb_ingest(old, idx, "old", threshold=0.8,
+               num_planes=args.planes).materialize()
+    ingest_s = round(time.time() - t0, 1)
+
+    corpus = old.union(new).materialize()
+    t0 = time.time()
+    out = (emb_delta(new, idx, "new", corpus, threshold=0.8,
+                     num_planes=args.planes)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    delta_s = round(time.time() - t0, 1)
+
+    planted = {N + i: (i * PE) % N for i in range(0, M, PE)}
+    exact_plant = {N + i for i in range(0, M, PE) if (i // PE) % 2 == 0}
+    flagged = out[out["is_dup"] == 1]
+    got = dict(zip(flagged["vec_id"].astype(int),
+                   flagged["match_old"].astype(int)))
+    miss_exact = sum(1 for nid in exact_plant if nid not in got)
+    near_missed = [nid for nid in planted
+                   if nid not in got and nid not in exact_plant]
+    # every near miss independently rechecked: true cosine must clear
+    # the cut (a band miss, not a verify bug)
+    bad_miss = 0
+    for nid in near_missed:
+        i = nid - N
+        a = _vec(((i * PE) % N) * 13 + 1)
+        b = a + np.random.RandomState(i).normal(scale=0.02, size=D)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        if cos < 0.8:
+            bad_miss += 1
+    n_near = max(1, len(planted) - len(exact_plant))
+    near_recall = 1.0 - len(near_missed) / n_near
+
+    def _true_cos(new_id: int, old_id: int) -> float:
+        i = new_id - N
+        if i % PE == 0:
+            a = _vec(((i * PE) % N) * 13 + 1)
+            b = (a + np.random.RandomState(i).normal(scale=0.02,
+                                                     size=D)
+                 if (i // PE) % 2 else a)
+        else:
+            b = _vec(10**9 + i * 7 + 3)
+        a_old = _vec(old_id * 13 + 1)
+        return float(a_old @ b / (np.linalg.norm(a_old)
+                                  * np.linalg.norm(b)))
+
+    # a planted vec may legitimately match a SMALLER-id old vector
+    # (match_old is the min), and a "novel" gaussian can genuinely
+    # clear 0.8 against some old vector (expected ~1e1 at dim 32 over
+    # 1e7+ pairs) — so every unexpected verdict is INDEPENDENTLY
+    # re-checked against the true cosine instead of assumed wrong
+    wrong = sum(1 for nid, src in planted.items()
+                if nid in got and got[nid] != src
+                and _true_cos(nid, got[nid]) < 0.8)
+    extra = flagged[~flagged["vec_id"].isin(planted.keys())]
+    false_pos = sum(1 for nid, mo in zip(extra["vec_id"].astype(int),
+                                         extra["match_old"].astype(int))
+                    if _true_cos(nid, mo) < 0.8)
+
+    t0 = time.time()
+    retry = (emb_delta(new, idx, "new", corpus, threshold=0.8,
+                       num_planes=args.planes)
+             .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    retry_s = round(time.time() - t0, 1)
+    idem = bool(out.equals(retry))
+
+    ok = (miss_exact == 0 and wrong == 0 and false_pos == 0
+          and bad_miss == 0 and near_recall >= 0.97 and idem)
+    print(json.dumps({
+        "soak": "emb_delta", "old_vecs": N, "new_vecs": M, "dim": D,
+        "cpus": args.cpus, "build_s": build_s, "ingest_s": ingest_s,
+        "delta_s": delta_s, "retry_s": retry_s,
+        "planted": len(planted),
+        "exact_plants": len(exact_plant), "exact_missed": miss_exact,
+        "near_missed_lsh": len(near_missed),
+        "near_missed_below_cut": bad_miss,
+        "near_recall": round(near_recall, 4),
+        "planted_wrong_match": wrong, "false_positives": false_pos,
+        "retry_bit_identical": idem, "pass": ok}), flush=True)
+    ray.shutdown()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
