@@ -181,6 +181,52 @@ def emb_ingest(ds: rd.Dataset, index_dir: str, run_id: str,
                                        batch_format="pandas"))
 
 
+#: corpus-vector cut below which the delta's verify runs in the
+#: BROADCAST regime: the (ids, float64 matrix) pair rides plasma once
+#: (2M x 32 dims = 512 MB) and every candidate batch computes its
+#: cosines by two gathers — no membership explode, no vector-payload
+#: exchange. Above the cut the no-driver-state bucket join stands
+#: (the 10^12-vector shape). Same float64 expression either way —
+#: the regimes are bit-equal.
+BROADCAST_VECS = 2_000_000
+
+
+def _verify_cosine_broadcast(corpus: rd.Dataset, cand: rd.Dataset,
+                             id_col: str, vec_col: str) -> rd.Dataset:
+    """Broadcast verify: one plasma-resident (sorted ids, matrix,
+    norms) triple; each candidate batch gathers both endpoints and
+    computes ``dot / (|a| * |b|)`` vectorized."""
+    import ray
+
+    full = corpus.map_batches(
+        lambda t: t.select([id_col, vec_col]),
+        batch_format="pyarrow").to_pandas()
+    ids = full[id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    mat = _to_matrix(full[vec_col]).astype(np.float64)[order]
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    ref = ray.put((ids[order], mat, nrm))
+
+    def score(t: pa.Table) -> pa.Table:
+        sid, m, n = ray.get(ref)
+        a = t["vec_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["vec_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ia = np.searchsorted(sid, a)
+        ib = np.searchsorted(sid, b)
+        # candidates whose endpoint is missing from the corpus drop
+        # (mirrors the join regime's inner semantics)
+        ok = (ia < len(sid)) & (ib < len(sid))
+        ok &= (sid[np.minimum(ia, len(sid) - 1)] == a)
+        ok &= (sid[np.minimum(ib, len(sid) - 1)] == b)
+        ia, ib, a, b = ia[ok], ib[ok], a[ok], b[ok]
+        sims = (m[ia] * m[ib]).sum(axis=1) / (n[ia] * n[ib])
+        return pa.table({"vec_a": pa.array(a),
+                         "vec_b": pa.array(b),
+                         "sim": pa.array(sims)})
+
+    return cand.map_batches(score, batch_format="pyarrow")
+
+
 def _verify_cosine_pairs(corpus: rd.Dataset, cand: rd.Dataset,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
@@ -325,8 +371,12 @@ def emb_delta(new_vecs: rd.Dataset, index_dir: str, run_id: str,
     if sch is None or cand.count() == 0:
         return new_ids.map_batches(_clean, batch_format="pyarrow")
 
-    ver = _verify_cosine_pairs(corpus, cand, id_col=id_col,
-                               vec_col=vec_col)
+    n_corpus = int(corpus.count())
+    if n_corpus <= BROADCAST_VECS:
+        ver = _verify_cosine_broadcast(corpus, cand, id_col, vec_col)
+    else:
+        ver = _verify_cosine_pairs(corpus, cand, id_col=id_col,
+                                   vec_col=vec_col)
 
     def thresh(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "sim" not in t.column_names:

@@ -11,7 +11,20 @@ concentrates near 0 at dim 32, far under the 0.8 cut). LSH misses
 are tolerated only if independently verified as band misses whose
 true cosine clears the cut, and only within the geometry's recall.
 
-Usage: python scripts/scale_soak_emb_delta.py --vecs 600000
+Measured candidate-volume wall (kept as documentation): at 600k old
+x 60k new ADVERSARIAL vectors the ~1.5% random-collision tail is
+5.3e8 candidate pairs (~50 GB of exchange spill — OutOfDisk on this
+box). That is not an engine defect but the information-theoretic
+cost of LSH over a corpus with NO true near-dup mass: every
+candidate is a false lead, and driving the collision tail down
+(more planes) drives the table count up faster (T ~ 1.26^planes at
+threshold 0.8). Real embedding corpora concentrate their pair mass
+at high cosine, where a handful of tables reach the recall target
+and the candidate set is O(near-dup mass). The 100k receipt is the
+adversarial bound; size production geometry to the corpus's
+measured pair-mass curve.
+
+Usage: python scripts/scale_soak_emb_delta.py --vecs 100000
 """
 
 from __future__ import annotations

@@ -82,3 +82,31 @@ def test_emb_index_geometry_guard_and_torn_parts(tmp_path):
     cand = (emb_ingest(_vecs(rows[3:]), idx, "c", threshold=0.8)
             .to_pandas())
     assert (0, 3) in set(zip(cand["vec_a"], cand["vec_b"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_emb_verify_regimes_bit_equal(tmp_path):
+    """The broadcast verify (corpus under BROADCAST_VECS) and the
+    no-driver-state bucket-join verify compute the same float64
+    cosine expression — pinned bit-equal on the same candidates."""
+    from ocr_model_ray.state.emb_index import (_verify_cosine_broadcast,
+                                               _verify_cosine_pairs)
+
+    rng = np.random.RandomState(11)
+    rows = [{"vec_id": i, "embedding": rng.normal(size=8).tolist()}
+            for i in range(40)]
+    corpus = _vecs(rows)
+    cand = rd.from_pandas(pd.DataFrame({
+        "vec_a": pd.array(range(0, 20), dtype="int64"),
+        "vec_b": pd.array(range(20, 40), dtype="int64")}))
+
+    def collect(ds):
+        out = ds.to_pandas().sort_values(["vec_a", "vec_b"]) \
+            .reset_index(drop=True)
+        return out
+
+    b = collect(_verify_cosine_broadcast(corpus, cand,
+                                         "vec_id", "embedding"))
+    j = collect(_verify_cosine_pairs(corpus, cand))
+    pd.testing.assert_frame_equal(b, j)
+    assert len(b) == 20
